@@ -1,0 +1,159 @@
+package graft.core
+
+/** Tile-grid tessellation (SURVEY §2.5 C13; reference
+  * `cube_builder/grids.py:32-182`).
+  *
+  * A grid is a regular tiling of a projected plane; tiles are axis-aligned
+  * rectangles named `%03d%03d` by (horizontal, vertical) index counted from
+  * the grid's upper-left corner. Hierarchical grids share that corner and
+  * scale the tile size by integer factors, so a coarse tile is exactly an
+  * n×m block of fine tiles.
+  *
+  * Projection math (forward longlat→plane only, which is all grid creation
+  * needs) is implemented from the standard published formulas (Snyder,
+  * "Map Projections — A Working Manual", USGS PP 1395):
+  * Albers Equal-Area on the GRS80 ellipsoid and spherical Sinusoidal.
+  */
+object Grid {
+
+  final case class Tile(grid: String, tileId: String,
+                        xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                        srid: Int)
+
+  /** Forward map projection: (lonDeg, latDeg) → (x, y) meters. */
+  trait Projection { def forward(lonDeg: Double, latDeg: Double): (Double, Double) }
+
+  /** Spherical sinusoidal, R = 6371007.181 (MODIS sphere). */
+  final case class Sinusoidal(lon0Deg: Double, x0: Double = 0, y0: Double = 0) extends Projection {
+    private val R = 6371007.181
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = math.toRadians(lonDeg - lon0Deg)
+      val phi = math.toRadians(latDeg)
+      (x0 + R * lam * math.cos(phi), y0 + R * phi)
+    }
+  }
+
+  /** Albers Equal-Area conic on an ellipsoid (Snyder 14-1..14-6). */
+  final case class AlbersEqualArea(lon0Deg: Double, lat0Deg: Double,
+                                   lat1Deg: Double, lat2Deg: Double,
+                                   x0: Double, y0: Double,
+                                   a: Double = 6378137.0,
+                                   invF: Double = 298.257222101 /* GRS80 */)
+      extends Projection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+
+    private val phi0 = math.toRadians(lat0Deg)
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val m1 = m(phi1); private val m2 = m(phi2)
+    private val q0 = q(phi0); private val q1 = q(phi1); private val q2 = q(phi2)
+    private val n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    private val bigC = m1 * m1 + n * q1
+    private val rho0 = a * math.sqrt(bigC - n * q0) / n
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val rho = a * math.sqrt(bigC - n * q(phi)) / n
+      val theta = n * math.toRadians(lonDeg - lon0Deg)
+      (x0 + rho * math.sin(theta), y0 + rho0 - rho * math.cos(theta))
+    }
+  }
+
+  /** Reference projections by name ("aea" | "sinu" | "longlat"). */
+  def projectionFor(name: String, meridian: Double): Projection = name match {
+    case "aea" =>
+      AlbersEqualArea(lon0Deg = meridian, lat0Deg = -12, lat1Deg = -2, lat2Deg = -22,
+        x0 = 5000000, y0 = 10000000)
+    case "sinu" => Sinusoidal(meridian)
+    case "longlat" =>
+      new Projection { def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat) }
+    case other => throw new IllegalArgumentException(s"unsupported projection: $other")
+  }
+
+  /** Tessellate `bbox` (projected coords, (xl, xr, yb, yu)) into tiles of
+    * `tileSize`, anchored to the grid origin (gridXMin, gridYMax).
+    */
+  def createTiles(grid: String,
+                  tileSizeX: Double, tileSizeY: Double,
+                  gridXMin: Double, gridYMax: Double,
+                  xl: Double, xr: Double, yb: Double, yu: Double,
+                  srid: Int): Seq[Tile] = {
+    val hMin = ((xl - gridXMin) / tileSizeX).toInt
+    val hMax = ((xr - gridXMin) / tileSizeX).toInt
+    val vMin = ((gridYMax - yu) / tileSizeY).toInt
+    val vMax = ((gridYMax - yb) / tileSizeY).toInt
+    for {
+      ih <- hMin to hMax
+      iv <- vMin to vMax
+    } yield {
+      val x1 = gridXMin + ih * tileSizeX
+      val y1 = gridYMax - iv * tileSizeY
+      Tile(grid, f"$ih%03d$iv%03d", x1, y1 - tileSizeY, x1 + tileSizeX, y1, srid)
+    }
+  }
+
+  /** Hierarchical grid creation: one entry per (name, factor) pair, all
+    * anchored to the finest grid's origin so coarse tiles nest exactly.
+    *
+    * @param tileFactors resolution factors per grid, finest first
+    * @param shape       pivot tile shape in pixels (width, height)
+    * @param bbox        WGS84 lon/lat (w, s, e, n)
+    */
+  def createGrids(names: Seq[String], projection: String, meridian: Double,
+                  tileFactors: Seq[(Int, Int)], shape: (Int, Int),
+                  bbox: (Double, Double, Double, Double),
+                  srid: Int = 100001): Map[String, Seq[Tile]] = {
+    val proj = projectionFor(projection, meridian)
+    val (w, s, e, n) = bbox
+    val (tileW, tileH) = shape
+    val (refResX, refResY) = tileFactors.head
+
+    // Center tile around the meridian at the projection's reference latitude.
+    val (mx, my) = proj.forward(meridian, -12)
+    val xminCenter = mx - (tileW / 2.0) * refResX
+    val xmaxCenter = mx + (tileW / 2.0) * refResX
+    val yminCenter = my - (tileH / 2.0) * refResY
+    val ymaxCenter = my + (tileH / 2.0) * refResY
+    val tileSizeX = xmaxCenter - xminCenter
+    val tileSizeY = ymaxCenter - yminCenter
+
+    // Envelope of the projected bbox (sampled along edges: projected edges
+    // curve, so corners alone under-cover).
+    val samples = for {
+      i <- 0 to 32
+      (lon, lat) <- Seq(
+        (w + (e - w) * i / 32.0, s), (w + (e - w) * i / 32.0, n),
+        (w, s + (n - s) * i / 32.0), (e, s + (n - s) * i / 32.0))
+    } yield proj.forward(lon, lat)
+    val envXMin = samples.map(_._1).min
+    val envYMax = samples.map(_._2).max
+
+    val tilesLeft = math.ceil(math.abs(xminCenter - envXMin) / tileSizeX)
+    val tilesUpper = math.ceil(math.abs(ymaxCenter - envYMax) / tileSizeY) + 1
+    val gridXMin = xminCenter - tilesLeft * tileSizeX
+    val gridYMax = ymaxCenter + tilesUpper * tileSizeY
+
+    // Working bbox in projected coordinates (corner points, per reference).
+    val (xlP, _) = proj.forward(w, 0)
+    val (xrP, _) = proj.forward(e, 0)
+    val (_, yuP) = proj.forward(meridian, n)
+    val (_, ybP) = proj.forward(meridian, s)
+
+    names.zip(tileFactors).map { case (name, (fx, fy)) =>
+      val gx = tileSizeX * (fx.toDouble / refResX)
+      val gy = tileSizeY * (fy.toDouble / refResY)
+      name -> createTiles(name, gx, gy, gridXMin, gridYMax, xlP, xrP, ybP, yuP, srid)
+    }.toMap
+  }
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.model.{Band, MaskDef}
+
+/** Scalar pixel functions (SURVEY §2.2) as codegen-friendly `Column`
+  * expressions. Every function comes in two shapes: a per-sample Column
+  * (`*S`, operating on one numeric column) and an array shape that maps the
+  * same expression over a `pixels: Array[Int]` column with `transform` —
+  * both stay inside whole-stage codegen (no UDFs).
+  */
+object PixelOps {
+
+  /** P2 — linear rescale with dtype clamp (reference `utils/image.py:611-662`):
+    * `clamp((px*mult + add)/newScale)` to the target dtype range, preserving
+    * nodata. All arithmetic in double, truncated toward zero on cast (numpy
+    * `astype` semantics).
+    */
+  def rescaleS(px: Column, nodata: Column, mult: Double, add: Double,
+               newScaleMult: Double, dataType: String): Column = {
+    val (lo, hi) = Band.dtypeRange(dataType)
+    // reference order: clamp the scaled intermediate to the dtype range,
+    // THEN divide by the new scale and cast (truncating toward zero, numpy
+    // astype). The final cast saturates instead of numpy's silent wrap.
+    val scaled = px.cast("double") * mult + add
+    val clamped = least(greatest(scaled, lit(lo)), lit(hi)) / newScaleMult
+    val result = least(greatest(clamped, lit(lo)), lit(hi)).cast("long")
+    when(px === nodata, nodata.cast("long")).otherwise(result)
+  }
+
+  def rescale(pixels: Column, nodata: Column, mult: Double, add: Double,
+              newScaleMult: Double, dataType: String): Column =
+    transform(pixels, px => rescaleS(px, nodata, mult, add, newScaleMult, dataType).cast("int"))
+
+  /** P3 — linear display scale (reference `utils/image.py:711-737`): clip to
+    * `[inMin, inMax]` then map linearly onto `[outMin, outMax]`.
+    */
+  def linearScaleS(px: Column, inMin: Double, inMax: Double,
+                   outMin: Double, outMax: Double): Column = {
+    val clipped = least(greatest(px.cast("double"), lit(inMin)), lit(inMax))
+    (clipped - inMin) / (inMax - inMin) * (outMax - outMin) + outMin
+  }
+
+  /** P4 — QA single-bit extract (reference `utils/image.py:418-425`):
+    * `(px & (1 << bit)) != 0` as 0/1.
+    */
+  def qaBitS(px: Column, bit: Int): Column =
+    when(px.bitwiseAND(lit(1L << bit)) =!= 0, lit(1)).otherwise(lit(0))
+
+  /** P5 — bit-range extract (reference `utils/image.py:249-290`):
+    * `(px >> start) & ((1 << (end-start+1)) - 1)`.
+    */
+  def bitRangeS(px: Column, startBit: Int, endBit: Int): Column =
+    shiftright(px, startBit).bitwiseAND(lit((1L << (endBit - startBit + 1)) - 1))
+
+  /** P6 — value-list QA classification (reference `utils/image.py:514-608`,
+    * value-list branch `processing.py:810-817`): classify a quality sample
+    * as clear / not-clear / saturated / nodata. Returns 0=nodata, 1=clear,
+    * 2=not-clear, 3=saturated (first matching class wins in that order,
+    * mirroring the reference's final `clear overrides` write order).
+    */
+  def classifyS(qa: Column, mask: MaskDef): Column = {
+    val clear = if (mask.clearData.nonEmpty) qa.isin(mask.clearData: _*) else lit(false)
+    val notClear = if (mask.notClearData.nonEmpty) qa.isin(mask.notClearData: _*) else lit(false)
+    val saturated = if (mask.saturatedData.nonEmpty) qa.isin(mask.saturatedData: _*) else lit(false)
+    when(qa === mask.nodata, lit(0))
+      .when(clear, lit(1))
+      .when(notClear, lit(2))
+      .when(saturated, lit(3))
+      .otherwise(lit(2))
+  }
+
+  /** Clear predicate for one QA sample under a value-list mask. */
+  def isClearS(qa: Column, mask: MaskDef): Column = classifyS(qa, mask) === 1
+
+  /** P7 — Landsat-C2 confidence rule (reference `utils/image.py:434-511`):
+    * a rule like `cloud >= MEDIUM` over a 2-bit confidence field at
+    * `offset`. Levels: 0 NO, 1 LOW, 2 MEDIUM, 3 HIGH.
+    */
+  def confidenceS(qa: Column, offset: Int, op: String, level: Int): Column = {
+    val field = bitRangeS(qa, offset, offset + 1)
+    op match {
+      case ">=" => field >= level
+      case ">"  => field > level
+      case "<=" => field <= level
+      case "<"  => field < level
+      case "==" => field === level
+      case "!=" => field =!= level
+      case o    => throw new IllegalArgumentException(s"bad confidence op: $o")
+    }
+  }
+
+  /** S6 — Sentinel-2 processing-baseline offset (reference
+    * `sentinel/sentinel2.py:136-174`): baseline ≥ 4 subtracts 1000; results
+    * below zero become nodata.
+    */
+  def baselineOffsetS(px: Column, baselineMajor: Column, nodata: Column): Column =
+    when(baselineMajor >= 4 && px =!= nodata,
+      when(px - 1000 < 0, nodata).otherwise(px - 1000)).otherwise(px)
+
+  def baselineOffset(pixels: Column, baselineMajor: Column, nodata: Column): Column =
+    transform(pixels, px => baselineOffsetS(px, baselineMajor, nodata))
+
+  /** P8 — band-expression evaluation over pixel arrays: zip N band arrays
+    * and evaluate an arbitrary Catalyst expression per sample, then clamp to
+    * the output dtype (reference `utils/interpreter.py:28-60`,
+    * `index_generator.py:34-127` — the Python `exec` VM is replaced by
+    * Catalyst's parser/codegen).
+    *
+    * `bandExpr(Map("B04" -> col4, "B8A" -> col8a), "10000*((B8A-B04)/(B8A+B04))", ...)`
+    *
+    * Implementation: fold the band arrays with `zip_with` into per-sample
+    * structs is not needed — instead we transform over sample indices so any
+    * number of bands compose.
+    */
+  def bandExpr(bands: Map[String, Column], expression: String,
+               dataType: String, nodata: Int): Column = {
+    require(bands.nonEmpty)
+    val (lo, hi) = Band.dtypeRange(dataType)
+    val n = size(bands.values.head)
+    transform(sequence(lit(0), n - 1), i => {
+      // bind each band name to its i-th sample, cast to double (reference
+      // computes indexes in float then clamps, index_generator.py:105-119)
+      val env: Map[String, Column] = bands.map { case (name, arr) =>
+        name -> element_at(arr, i + 1).cast("double")
+      }
+      bandExprS(env, expression, dataType, nodata)
+    })
+  }
+
+  /** Scalar form of P8: evaluate `expression` over bound sample columns,
+    * clamp to the output dtype range, NaN/null → nodata.
+    */
+  def bandExprS(env: Map[String, Column], expression: String,
+                dataType: String, nodata: Int): Column = {
+    val (lo, hi) = Band.dtypeRange(dataType)
+    val value = BandExprParser.compile(expression, env)
+    val clamped = least(greatest(value, lit(lo)), lit(hi)).cast("int")
+    when(value.isNull || value.isNaN, lit(nodata)).otherwise(clamped)
+  }
+
+  /** P11 — item-ID / path templating (reference `processing.py:119-132`,
+    * `utils/strings.py:27-50`): `{datacube:upper}_V{version}_{tile}_{date}`.
+    */
+  def itemId(datacube: Column, version: Column, tile: Column, date: Column): Column =
+    concat_ws("_", upper(datacube),
+      concat(lit("V"), lpad(version.cast("string"), 3, "0")),
+      tile, date_format(date, "yyyyMMdd"))
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BandExprParser, PixelOps}
+import graft.model.MaskDef
+
+/** Golden tests ported from the reference's `tests/test_image.py` plus the
+  * band-expression surface.
+  */
+class PixelOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def one(df: DataFrame): Seq[Int] = df.head().getSeq[Int](0)
+
+  test("P2 rescale: Landsat C2 L2 golden matrix (test_image.py:72-93)") {
+    import spark.implicits._
+    val input = Seq(
+      17834, 16269, 8275, 27369,
+      15755, 19081, 21684, 20865,
+      24655, 21416, 8932, 32578,
+      27168, 21827, 11382, 37001)
+    val expected = Seq(
+      2904, 2473, 275, 5526,
+      2332, 3247, 3963, 3737,
+      4780, 3889, 456, 6958,
+      5471, 4002, 1130, 8175)
+    val df = Seq(input).toDF("px")
+    val out = df.select(
+      PixelOps.rescale($"px", lit(-1), 0.0000275, -0.2, 0.0001, "uint16").as("r"))
+    assert(one(out) == expected)
+  }
+
+  test("P4 bit extraction: 43 = 0b00101011 (test_image.py:111-117)") {
+    import spark.implicits._
+    val df = Seq(43).toDF("v")
+    for (bit <- Seq(0, 1, 3, 5)) {
+      val got = df.select((PixelOps.qaBitS($"v", bit) * lit(1 << bit)).as("b"))
+        .head().getInt(0)
+      assert(got == (1 << bit), s"bit $bit")
+    }
+    assert(df.select(PixelOps.qaBitS($"v", 2)).head().getInt(0) == 0)
+  }
+
+  test("P5 RADSAT bit range: [1026, 1037] bits 1..7 → [1, 6] (test_image.py:120-124)") {
+    import spark.implicits._
+    val df = Seq((1026, 1037)).toDF("a", "b")
+    val row = df.select(
+      PixelOps.bitRangeS($"a", 1, 7).as("x"),
+      PixelOps.bitRangeS($"b", 1, 7).as("y")).head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 6L)
+  }
+
+  test("P6 value-list classification") {
+    import spark.implicits._
+    val mask = MaskDef(clearData = Seq(0, 1), notClearData = Seq(2, 3, 4),
+      saturatedData = Seq(9), nodata = 255)
+    val df = Seq((0, 1, 2, 9, 255, 77)).toDF("a", "b", "c", "d", "e", "f")
+    val row = df.select(
+      PixelOps.classifyS($"a", mask), PixelOps.classifyS($"b", mask),
+      PixelOps.classifyS($"c", mask), PixelOps.classifyS($"d", mask),
+      PixelOps.classifyS($"e", mask), PixelOps.classifyS($"f", mask)).head()
+    assert((0 until 6).map(row.getInt) == Seq(1, 1, 2, 3, 0, 2))
+  }
+
+  test("P7 confidence rule over 2-bit field") {
+    import spark.implicits._
+    // bits 8-9 = cloud confidence; value with field=3 (HIGH)
+    val v = 3 << 8
+    val df = Seq(v).toDF("qa")
+    assert(df.select(PixelOps.confidenceS($"qa", 8, ">=", 2)).head().getBoolean(0))
+    assert(!df.select(PixelOps.confidenceS($"qa", 8, "<", 2)).head().getBoolean(0))
+  }
+
+  test("S6 Sentinel-2 baseline >= 4 subtracts 1000, negatives become nodata") {
+    import spark.implicits._
+    val df = Seq((Seq(1500, 800, 0, 42), 4), (Seq(1500, 800, 0, 42), 3))
+      .toDF("px", "baseline")
+    val out = df.select(PixelOps.baselineOffset($"px", $"baseline", lit(0)).as("r"))
+      .collect().map(_.getSeq[Int](0))
+    assert(out(0) == Seq(500, 0, 0, 0))  // 800-1000 < 0 → nodata(0); 0 is nodata already
+    assert(out(1) == Seq(1500, 800, 0, 42))
+  }
+
+  test("P8 band expression: NDVI-style over arrays, clamped to int16") {
+    import spark.implicits._
+    val df = Seq((Seq(5000, 100), Seq(3000, 200))).toDF("B8A", "B04")
+    val ndvi = PixelOps.bandExpr(
+      Map("B8A" -> $"B8A", "B04" -> $"B04"),
+      "10000.*((B8A-B04)/(B8A+B04))", "int16", -9999)
+    val out = one(df.select(ndvi.as("r")))
+    assert(out == Seq(2500, -3333)) // 10000*2000/8000; 10000*(-100)/300 trunc
+  }
+
+  test("P8 parser: precedence, power, unary minus, functions, trailing-dot floats") {
+    import spark.implicits._
+    val df = Seq((6.0, 2.0)).toDF("a", "b")
+    def eval(e: String): Double =
+      df.select(BandExprParser.compile(e, Map("a" -> $"a", "b" -> $"b")).cast("double"))
+        .head().getDouble(0)
+    assert(eval("a+b*2") == 10.0)
+    assert(eval("(a+b)*2") == 16.0)
+    assert(eval("a/b/3") == 1.0)
+    assert(eval("-a+b") == -4.0)
+    assert(eval("2**3**2") == 512.0) // right-assoc
+    assert(eval("max(a, b, 7)") == 7.0)
+    assert(eval("min(a-b, 2)") == 2.0)
+    assert(eval("sqrt(b*b)") == 2.0)
+    assert(eval("clip(a*10, 0, 30)") == 30.0)
+    assert(eval("10.*a") == 60.0)
+    assert(eval("1e2+a") == 106.0)
+  }
+
+  test("P8 parser rejects unbound identifiers and unknown functions") {
+    intercept[IllegalArgumentException] {
+      BandExprParser.compile("B05+1", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      BandExprParser.compile("system('x')", Map.empty)
+    }
+  }
+
+  test("P11 item id formatting") {
+    import spark.implicits._
+    val df = Seq(("lc8-16d", 1, "007011", java.sql.Date.valueOf("2020-01-01")))
+      .toDF("cube", "v", "tile", "d")
+    val got = df.select(PixelOps.itemId($"cube", $"v", $"tile", $"d")).head().getString(0)
+    assert(got == "LC8-16D_V001_007011_20200101")
+  }
+
+  test("P3 linear scale maps input range onto output range") {
+    import spark.implicits._
+    val df = Seq((0, 5000, 10000, 12000)).toDF("a", "b", "c", "d")
+    val row = df.select(
+      PixelOps.linearScaleS($"a", 0, 10000, 0, 255),
+      PixelOps.linearScaleS($"b", 0, 10000, 0, 255),
+      PixelOps.linearScaleS($"c", 0, 10000, 0, 255),
+      PixelOps.linearScaleS($"d", 0, 10000, 0, 255)).head()
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getDouble(1) == 127.5)
+    assert(row.getDouble(2) == 255.0)
+    assert(row.getDouble(3) == 255.0) // clipped
+  }
+}

@@ -1,0 +1,204 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Timeline
+import graft.functions.PixelOps
+import graft.model.{Band, Collection, MaskDef}
+import graft.operators.Composite
+import graft.operators.Composite.{AssetObs, CompositeAggregator, MosaicAggregator, Obs}
+
+/** End-to-end cube-build pipeline (SURVEY §3.1 re-expressed Spark-first).
+  *
+  * The reference's Celery DAG (merge fan-out → blend barrier → publish,
+  * `cube_builder/maestro.py:439-628`, `celery/tasks.py`) becomes three
+  * DataFrame stages; the chord barriers become shuffle boundaries that
+  * Catalyst schedules:
+  *
+  *  1. '''merge''' — same-date scenes of one (tile, band, block) overlay by
+  *     asset order (M2) via `MosaicAggregator`;
+  *  2. '''composite''' — merged dates of one (tile, band, block) inside each
+  *     period fold through `CompositeAggregator` (T2-T9), driven by the
+  *     period dimension table (C12) joined by date range;
+  *  3. '''publish''' — index bands from band algebra (P8) and an `items`
+  *     catalog row per (tile, period) (C2).
+  *
+  * Scale design: every group key is prefixed by (tileId, blockY, blockX),
+  * so repartitioning once by that prefix co-locates all downstream stages;
+  * the date/scene dimension folds happen within a partition. The quality
+  * band rides along each spectral band's observation (a (tile, date, block)
+  * join against the quality slice — broadcast-sized per tile) exactly like
+  * the reference pairs `ARDfiles[band]` with `ARDfiles[quality]`.
+  */
+object CubeBuilder {
+
+  /** Stage 1 — M2/M3 merge: overlay same-date scenes in asset order.
+    *
+    * Input: scene blocks with an `assetOrder` column (0 = first asset) and
+    * a `source` column (dataset index for DATASOURCE provenance).
+    * Output: one block row per (tileId, date, band, block) with merged
+    * pixels (+ `datasource` array when `buildProvenance`).
+    */
+  def merge(scenes: DataFrame, nodata: Int, combined: Boolean,
+            buildProvenance: Boolean = false): DataFrame = {
+    val spark = scenes.sparkSession
+    import spark.implicits._
+    val agg = new MosaicAggregator(nodata, combined)
+    val keyed = scenes.select(
+      struct($"cube", $"tileId", $"date", $"band", $"blockY", $"blockX",
+        $"height", $"width", $"x0", $"y0", $"resX", $"resY").as("k"),
+      struct($"assetOrder".as("order"), $"source", $"pixels").as("o"))
+      .as[(MergeKey, AssetObs)]
+    val merged = keyed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("m"))
+      .toDF("k", "m")
+    val base = merged.select($"k.*", lit(nodata).as("nodata"),
+      $"m.value".as("pixels"), $"m.datasource".as("datasource"))
+    if (buildProvenance) base else base.drop("datasource")
+  }
+
+  /** Stage 2 — temporal composite over a period dimension table.
+    *
+    * @param merged   merge() output for all bands incl. the quality band
+    * @param periods  (p_start: date, p_end: date) inclusive period table
+    * @param priority per-(date) scene priority (efficacy/resolution); the
+    *                 column is resolved against `merged`, default 1.0
+    */
+  def composite(merged: DataFrame, periods: DataFrame,
+                collection: Collection, mask: MaskDef,
+                priority: Column = lit(1.0),
+                sourceIdx: Column = lit(0),
+                applyValidRange: Boolean = false): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+
+    val quality = merged.filter($"band" === collection.qualityBand)
+      .select($"tileId", $"date", $"blockY", $"blockX", $"pixels".as("qa"))
+    val spectral = merged.filter($"band" =!= collection.qualityBand)
+
+    // pair each spectral block with its date's QA block (co-keyed join)
+    val paired = spectral.join(quality, Seq("tileId", "date", "blockY", "blockX"))
+
+    // assign periods by date-range join (periods table is tiny → broadcast)
+    val inPeriod = paired.join(broadcast(periods),
+      $"date" >= $"p_start" && $"date" <= $"p_end")
+
+    val bandMeta = collection.bands.map(b => b.name -> b).toMap
+
+    val withObs = inPeriod.select(
+      struct($"cube", $"tileId", $"band", $"p_start", $"p_end",
+        $"blockY", $"blockX", $"height", $"width", $"x0", $"y0",
+        $"resX", $"resY", $"nodata").as("k"),
+      struct(
+        priority.cast("double").as("priority"),
+        dayofyear($"date").as("doy"),
+        sourceIdx.cast("int").as("source"),
+        $"pixels",
+        $"qa").as("o"))
+
+    val nodataByBand: Int =
+      bandMeta.values.find(_.name != collection.qualityBand)
+        .map(_.nodata.toInt).getOrElse(-9999)
+    val (minV, maxV) = bandMeta.values.headOption
+      .map(b => (b.minValue, b.maxValue)).getOrElse((Double.MinValue, Double.MaxValue))
+
+    val agg = new CompositeAggregator(mask, nodataByBand, applyValidRange, minV, maxV)
+    withObs.as[(CompositeKey, Obs)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("c"))
+      .toDF("k", "c")
+      .select($"k.*",
+        $"c.value", $"c.median", $"c.average", $"c.provenance",
+        $"c.datasource", $"c.clearob", $"c.totalob")
+  }
+
+  /** Select the output pixel array for the collection's composite function. */
+  def compositeBand(collection: Collection): Column =
+    graft.model.CompositeFunction.parse(collection.compositeFunction) match {
+      case graft.model.CompositeFunction.MED => col("median")
+      case graft.model.CompositeFunction.AVG => col("average")
+      case _                                 => col("value")
+    }
+
+  /** Stage 3a — P8 index bands: evaluate each derived band's expression
+    * over the composite bands of one (tile, period, block). Bands pivot to
+    * columns first (small fixed set), then the expression maps per sample.
+    */
+  def indexBands(composited: DataFrame, collection: Collection): DataFrame = {
+    val spark = composited.sparkSession
+    import spark.implicits._
+    val indexBandDefs = collection.bands.filter(_.expression.nonEmpty)
+    if (indexBandDefs.isEmpty) return spark.emptyDataFrame
+
+    val value = compositeBand(collection)
+    val pivoted = composited
+      .groupBy($"cube", $"tileId", $"p_start", $"p_end", $"blockY", $"blockX",
+        $"height", $"width", $"x0", $"y0", $"resX", $"resY")
+      .pivot("band", collection.bands.filter(_.expression.isEmpty)
+        .map(_.name).filter(_ != collection.qualityBand))
+      .agg(first(value))
+
+    indexBandDefs.map { idx =>
+      val sourceBands = collection.bands
+        .filter(b => b.expression.isEmpty && b.name != collection.qualityBand)
+        .map(b => b.name -> col(b.name)).toMap
+      pivoted.select(
+        $"cube", $"tileId", $"p_start", $"p_end", $"blockY", $"blockX",
+        $"height", $"width", $"x0", $"y0", $"resX", $"resY",
+        lit(idx.name).as("band"),
+        lit(idx.nodata.toInt).as("nodata"),
+        PixelOps.bandExpr(sourceBands, idx.expression, idx.dataType,
+          idx.nodata.toInt).as("value"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Stage 3b — C2 item publication: one catalog row per (tile, period)
+    * with per-band efficacy/cloud stats (M5 over the composite QA would
+    * ride here; the synthetic path derives cloud from CLEAROB/TOTALOB).
+    */
+  def publishItems(composited: DataFrame, collection: Collection): DataFrame = {
+    val spark = composited.sparkSession
+    import spark.implicits._
+    composited
+      .groupBy($"cube", $"tileId", $"p_start", $"p_end")
+      .agg(
+        collect_set($"band").as("bands"),
+        min($"x0").as("xmin"),
+        max($"x0" + $"width" * $"resX").as("xmax"),
+        min($"y0" - $"height" * $"resY").as("ymin"),
+        max($"y0").as("ymax"),
+        (sum(aggregate($"clearob", lit(0L), (a, x) => a + x)) * 100.0 /
+          greatest(sum(aggregate($"totalob", lit(0L), (a, x) => a + x)), lit(1L)))
+          .as("clear_pct"))
+      .select(
+        PixelOps.itemId($"cube", lit(collection.version),
+          $"tileId", $"p_start").as("item_id"),
+        $"cube", $"tileId",
+        date_format($"p_start", "yyyy-MM-dd").as("start_date"),
+        date_format($"p_end", "yyyy-MM-dd").as("end_date"),
+        array_sort($"bands").as("bands"),
+        $"xmin", $"ymin", $"xmax", $"ymax", $"clear_pct")
+  }
+
+  /** Period dimension table from the collection's temporal schema (C12). */
+  def periodTable(spark: SparkSession, collection: Collection,
+                  start: java.time.LocalDate, end: java.time.LocalDate): DataFrame = {
+    import spark.implicits._
+    Timeline.mount(collection.temporalSchema, start, end,
+      collection.temporalUnit, collection.temporalStep,
+      cycleUnit = Option(collection.cycleUnit).filter(_.nonEmpty))
+      .map(p => (java.sql.Date.valueOf(p.start), java.sql.Date.valueOf(p.end)))
+      .toDF("p_start", "p_end")
+  }
+
+  final case class MergeKey(cube: String, tileId: String, date: java.sql.Date,
+                            band: String, blockY: Int, blockX: Int,
+                            height: Int, width: Int,
+                            x0: Double, y0: Double, resX: Double, resY: Double)
+
+  final case class CompositeKey(cube: String, tileId: String, band: String,
+                                p_start: java.sql.Date, p_end: java.sql.Date,
+                                blockY: Int, blockX: Int, height: Int, width: Int,
+                                x0: Double, y0: Double, resX: Double, resY: Double,
+                                nodata: Int)
+}

@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PixelOps
+import graft.model.MaskDef
+import graft.operators.Composite
+import graft.operators.Composite.{AssetObs, CompositeAggregator, MosaicAggregator, Obs}
+
+/** SURVEY §2.2-§2.4 cube operators exercised through the engine's own
+  * implementations (composite/mosaic aggregators, pixel ops, timeline) over
+  * the synthetic tables, with independent DuckDB SQL oracles.
+  *
+  * The pixel model for the aggregator gates: each lineitem row is one
+  * 1-sample observation of its order's "pixel": priority = inverse line
+  * number (unique per group), QA class from `l_returnflag`
+  * (N→0 clear, R→2, else 4), band nodata −9999 injected on high-tax
+  * non-clear rows (so clear ⇒ valid and the oracle stays a closed-form
+  * `coalesce(arg_min FILTER clear, arg_min FILTER valid)` — the quirk paths
+  * where clear rows carry nodata are covered by unit tests instead).
+  */
+object CubeOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val mask = MaskDef(clearData = Seq(0L), notClearData = Seq(2L, 4L), nodata = 255L)
+  private val Nodata = -9999
+
+  /** The shared pixel-model projection of lineitem. `l_linenumber` is NOT
+    * unique per order in the synthetic data, so the asset order `rn` is a
+    * row_number over the unique triple (linenumber, partkey, suppkey) —
+    * identical in Spark and the oracle, making arg-min/-max picks total.
+    */
+  private def pixelModel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
+    lineitem(s, d).select(
+      $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+      ($"l_suppkey" % 8).cast("int").as("src"),
+      when($"l_returnflag" === "N", 0)
+        .when($"l_returnflag" === "R", 2).otherwise(4).as("qa"),
+      when($"l_returnflag" =!= "N" && $"l_tax" > 0.06, Nodata)
+        .otherwise($"l_quantity".cast("int") * 100 + $"l_linenumber".cast("int"))
+        .as("val"))
+      .withColumn("rn", row_number().over(w))
+      .drop("l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  private val pixelModelSql =
+    """SELECT l_orderkey,
+       CAST(row_number() OVER (PARTITION BY l_orderkey
+         ORDER BY l_linenumber, l_partkey, l_suppkey) AS INT) AS rn,
+       CAST(l_suppkey % 8 AS INT) AS src,
+       CASE WHEN l_returnflag = 'N' THEN 0 WHEN l_returnflag = 'R' THEN 2 ELSE 4 END AS qa,
+       CASE WHEN l_returnflag <> 'N' AND l_tax > 0.06 THEN -9999
+            ELSE CAST(trunc(l_quantity) AS INT)*100 + CAST(l_linenumber AS INT) END AS val
+       FROM lineitem"""
+
+  private def compositeResult(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val px = pixelModel(s, d)
+      .select($"l_orderkey", (lit(100000) - $"rn").cast("double").as("prio"),
+        $"rn", $"src", $"val", $"qa")
+      .as[(Long, Double, Int, Int, Int, Int)]
+    val agg = new CompositeAggregator(mask, Nodata)
+    px.map { case (k, p, rn, src, v, qa) => (k, Obs(p, rn, src, Array(v), Array(qa))) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("c"))
+      .toDF("l_orderkey", "c")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // M1 — asset↔tile bbox join as a broadcast range join over price tiles
+    "m1_bbox_join" -> ((s, d) => {
+      import s.implicits._
+      val tiles = Seq.tabulate(12)(i => (i, i * 50000.0, i * 50000.0 + 60000.0))
+        .toDF("tile", "lo", "hi")
+      orders(s, d)
+        .join(broadcast(tiles), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"tile")
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"o_totalprice") * 100 + 0.5).cast("long").as("total_x100"))
+        .orderBy($"tile")
+    }),
+
+    // M2/M3 — mosaic overlay via the MosaicAggregator: combined mode fills
+    // holes (first valid in asset order), single mode overwrites (last valid)
+    "m2_mosaic_overlay" -> ((s, d) => {
+      import s.implicits._
+      val px = pixelModel(s, d)
+        .select($"l_orderkey", $"rn", $"src", $"val")
+        .as[(Long, Int, Int, Int)]
+        .map { case (k, rn, src, v) => (k, AssetObs(rn, src, Array(v))) }
+      val combined = new MosaicAggregator(Nodata, combined = true)
+      val overlay = new MosaicAggregator(Nodata, combined = false)
+      px.groupByKey(_._1).mapValues(_._2)
+        .agg(combined.toColumn.name("cb"), overlay.toColumn.name("ov"))
+        .toDF("l_orderkey", "cb", "ov")
+        .select($"l_orderkey",
+          element_at($"cb.value", 1).as("first_val"),
+          element_at($"cb.datasource", 1).as("first_src"),
+          element_at($"ov.value", 1).as("last_val"))
+        .orderBy($"l_orderkey")
+    }),
+
+    // T2/T7/T8/T5/T6 — LCF composite with companion bands
+    "t2_lcf_composite" -> ((s, d) => {
+      import s.implicits._
+      compositeResult(s, d).select($"l_orderkey",
+        element_at($"c.value", 1).as("lcf_value"),
+        element_at($"c.provenance", 1).as("lcf_prov"),
+        element_at($"c.datasource", 1).as("lcf_src"),
+        element_at($"c.clearob", 1).as("clearob"),
+        element_at($"c.totalob", 1).as("totalob"))
+        .orderBy($"l_orderkey")
+    }),
+
+    // T3/T4 — median / average composites
+    "t3_med_avg_composite" -> ((s, d) => {
+      import s.implicits._
+      compositeResult(s, d).select($"l_orderkey",
+        element_at($"c.median", 1).as("med_val"),
+        element_at($"c.average", 1).as("avg_val"))
+        .orderBy($"l_orderkey")
+    }),
+
+    // M5/T11 — efficacy & cloud-ratio statistics (conditional counts).
+    // Uses a window-free QA projection (the row_number of pixelModel is
+    // irrelevant to counting) and broadcasts nothing — a single shuffle.
+    "m5_qa_stats" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select($"l_orderkey",
+          when($"l_returnflag" === "N", 0)
+            .when($"l_returnflag" === "R", 2).otherwise(4).as("qa"))
+        .join(orders(s, d).select($"o_orderkey", $"o_orderstatus"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(
+          sum(when($"qa" === 0, 1L).otherwise(0L)).as("clear"),
+          sum(when($"qa".isin(2, 4), 1L).otherwise(0L)).as("notclear"),
+          count(lit(1)).as("total"))
+        .select($"o_orderstatus", $"clear", $"notclear", $"total",
+          floor(lit(10000.0) * $"clear" / $"total" + 0.5).cast("long").as("efficacy_x100"),
+          when($"clear" + $"notclear" === 0, 10000L)
+            .otherwise(floor(lit(10000.0) * $"notclear" / ($"clear" + $"notclear") + 0.5)
+              .cast("long")).as("cloud_x100"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // T1 — scene priority ordering (window rank)
+    "t1_priority_rank" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_shipdate", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber".cast("int").as("ln"),
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 2)
+        .orderBy($"l_orderkey", $"rn")
+    }),
+
+    // T10 — histogram-matching primitive: per-group CDF via percent_rank
+    "t10_cdf" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      lineitem(s, d).filter($"l_orderkey" <= 2000)
+        .select($"l_orderkey", $"l_linenumber".cast("int").as("ln"),
+          $"l_returnflag", $"l_quantity".cast("int").as("q"),
+          floor(percent_rank().over(w) * 10000 + 0.5).cast("long").as("pr_x10000"))
+        .orderBy($"l_orderkey", $"ln", $"q", $"pr_x10000")
+    }),
+
+    // P2 — linear rescale with clamp (Landsat C2 parameters)
+    "p2_rescale" -> ((s, d) => {
+      import s.implicits._
+      part(s, d)
+        .select($"p_partkey", ($"p_retailprice" * 10).cast("int").as("px"))
+        .select($"p_partkey",
+          PixelOps.rescaleS($"px", lit(-1), 0.0000275, -0.2, 0.0001, "uint16")
+            .cast("int").as("rescaled"))
+        .orderBy($"p_partkey")
+    }),
+
+    // P4/P5 — QA bit and bit-range extraction
+    "p4p5_bits" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).filter($"o_orderkey" <= 5000)
+        .select($"o_orderkey",
+          ($"o_orderkey".bitwiseAND(255)).cast("int").as("low8"),
+          PixelOps.bitRangeS($"o_orderkey", 3, 7).cast("int").as("mid5"),
+          PixelOps.qaBitS($"o_orderkey", 4).cast("int").as("bit4"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // P6 — value-list QA classification
+    "p6_classify" -> ((s, d) => {
+      import s.implicits._
+      val m = MaskDef(clearData = Seq(0, 1), notClearData = Seq(2, 3, 4),
+        saturatedData = Seq(9), nodata = 11)
+      customer(s, d)
+        .select($"c_custkey", ($"c_custkey" % 12).cast("int").as("qa"))
+        .select($"c_custkey", $"qa", PixelOps.classifyS($"qa", m).cast("int").as("cls"))
+        .orderBy($"c_custkey")
+    }),
+
+    // P8 — band-expression evaluation (NDVI-style) through the parser
+    "p8_band_expr" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d).filter($"l_orderkey" <= 3000)
+        .select($"l_orderkey", $"l_linenumber".cast("int").as("ln"),
+          $"l_extendedprice".as("B8A"), ($"l_quantity" * 1000).as("B04"))
+        .select($"l_orderkey", $"ln",
+          PixelOps.bandExprS(Map("B8A" -> col("B8A"), "B04" -> col("B04")),
+            "10000.*((B8A-B04)/(B8A+B04))", "int16", Nodata).as("ndvi"))
+        .orderBy($"l_orderkey", $"ln", $"ndvi")
+    }),
+
+    // P11 — item-ID templating
+    "p11_item_format" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey",
+          PixelOps.itemId(concat(lit("cube-"), $"o_orderstatus"), lit(1),
+            lpad(($"o_custkey" % 100).cast("string"), 6, "0"),
+            $"o_orderdate").as("item_id"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // §2.7 — date stepping functions
+    "f_dates" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).filter($"o_orderkey" <= 3000)
+        .select($"o_orderkey",
+          date_format(date_add($"o_orderdate", 3), "yyyy-MM-dd").as("plus3d"),
+          date_format(add_months($"o_orderdate", 2), "yyyy-MM-dd").as("plus2m"),
+          date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("eom"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("ddiff"),
+          dayofyear($"o_orderdate").cast("long").as("doy"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // §2.7 — regex scene-id style parsing
+    "f_regex" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .select($"c_custkey",
+          regexp_extract($"c_name", "Customer#([0-9]+)", 1).cast("long").as("num"),
+          upper(substring($"c_mktsegment", 1, 3)).as("seg3"))
+        .orderBy($"c_custkey")
+    }),
+
+    // C12 — cyclic 16-day timeline over 2020, generated by the engine
+    "c12_timeline" -> ((s, d) => {
+      import s.implicits._
+      Timelines.cyclic16Day2020(s).orderBy($"p_start")
+    }),
+
+    // C14 — dispatch-range period filter over the same timeline
+    "c14_period_filter" -> ((s, d) => {
+      import s.implicits._
+      Timelines.cyclic16Day2020(s)
+        .filter($"p_start" >= "2020-03-01" && $"p_end" <= "2020-11-01")
+        .orderBy($"p_start")
+    }),
+
+    // §2.8 — tumbling-window aggregation over the events stream (batch shape
+    // of the Structured-Streaming plan; see graft.streaming)
+    "w_events_tumbling" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"user_id", window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"value") * 100 + 0.5).cast("long").as("value_x100"))
+        .select($"user_id",
+          date_format($"w.start", "yyyy-MM-dd HH:mm").as("wstart"),
+          $"n", $"value_x100")
+        .orderBy($"user_id", $"wstart")
+    }))
+
+  private def tilesValues: String =
+    Seq.tabulate(12)(i => s"(${i}, ${i * 50000.0}, ${i * 50000.0 + 60000.0})")
+      .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "m1_bbox_join" ->
+      s"""WITH tiles(tile, lo, hi) AS (VALUES $tilesValues)
+         SELECT tile, count(*) AS n,
+         CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS total_x100
+         FROM orders JOIN tiles ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY tile ORDER BY tile""",
+    "m2_mosaic_overlay" ->
+      s"""WITH px AS ($pixelModelSql)
+         SELECT l_orderkey,
+         coalesce(arg_min(val, rn) FILTER (WHERE val <> -9999), -9999) AS first_val,
+         coalesce(arg_min(src, rn) FILTER (WHERE val <> -9999), 255) AS first_src,
+         coalesce(arg_max(val, rn) FILTER (WHERE val <> -9999), -9999) AS last_val
+         FROM px GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "t2_lcf_composite" ->
+      s"""WITH px AS ($pixelModelSql)
+         SELECT l_orderkey,
+         coalesce(arg_min(val, rn) FILTER (WHERE qa = 0),
+                  arg_min(val, rn) FILTER (WHERE val <> -9999), -9999) AS lcf_value,
+         coalesce(arg_min(rn, rn) FILTER (WHERE qa = 0),
+                  arg_min(rn, rn) FILTER (WHERE val <> -9999), -1) AS lcf_prov,
+         coalesce(arg_min(src, rn) FILTER (WHERE qa = 0),
+                  arg_min(src, rn) FILTER (WHERE val <> -9999), 255) AS lcf_src,
+         CAST(count(*) FILTER (WHERE qa = 0) AS INT) AS clearob,
+         CAST(count(*) AS INT) AS totalob
+         FROM px GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "t3_med_avg_composite" ->
+      s"""WITH px AS ($pixelModelSql)
+         SELECT l_orderkey,
+         CAST(coalesce(trunc(median(val) FILTER (WHERE qa = 0)), -9999) AS INT) AS med_val,
+         CAST(coalesce(trunc(avg(val) FILTER (WHERE qa = 0)), -9999) AS INT) AS avg_val
+         FROM px GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "m5_qa_stats" ->
+      s"""WITH px AS ($pixelModelSql)
+         SELECT o_orderstatus,
+         count(*) FILTER (WHERE qa = 0) AS clear,
+         count(*) FILTER (WHERE qa IN (2, 4)) AS notclear,
+         count(*) AS total,
+         CAST(floor(10000.0::DOUBLE * (count(*) FILTER (WHERE qa = 0)) / count(*) + 0.5) AS BIGINT)
+           AS efficacy_x100,
+         CASE WHEN count(*) FILTER (WHERE qa IN (0, 2, 4)) = 0 THEN 10000
+              ELSE CAST(floor(10000.0::DOUBLE * (count(*) FILTER (WHERE qa IN (2, 4)))
+                / ((count(*) FILTER (WHERE qa = 0)) + (count(*) FILTER (WHERE qa IN (2, 4)))) + 0.5)
+                AS BIGINT) END AS cloud_x100
+         FROM px JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "t1_priority_rank" ->
+      """SELECT l_orderkey, ln, rn FROM (
+           SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln,
+             CAST(row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_shipdate, l_linenumber, l_partkey, l_suppkey) AS INT) AS rn
+           FROM lineitem)
+         WHERE rn <= 2 ORDER BY l_orderkey, rn""",
+    "t10_cdf" ->
+      """SELECT l_orderkey, ln, l_returnflag, q, pr_x10000 FROM (
+           SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln, l_returnflag,
+             CAST(trunc(l_quantity) AS INT) AS q,
+             CAST(floor(percent_rank() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity) * 10000 + 0.5) AS BIGINT) AS pr_x10000
+           FROM lineitem WHERE l_orderkey <= 2000)
+         ORDER BY l_orderkey, ln, q, pr_x10000""",
+    "p2_rescale" ->
+      """SELECT p_partkey,
+         CAST(trunc(least(greatest(
+           least(greatest(px*0.0000275::DOUBLE - 0.2::DOUBLE, 0), 65535) / 0.0001::DOUBLE, 0), 65535)) AS INT)
+           AS rescaled
+         FROM (SELECT p_partkey, CAST(trunc(p_retailprice*10) AS INT) AS px FROM part)
+         ORDER BY p_partkey""",
+    "p4p5_bits" ->
+      """SELECT o_orderkey,
+         CAST(o_orderkey & 255 AS INT) AS low8,
+         CAST((o_orderkey >> 3) & 31 AS INT) AS mid5,
+         CAST(CASE WHEN (o_orderkey & 16) <> 0 THEN 1 ELSE 0 END AS INT) AS bit4
+         FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""",
+    "p6_classify" ->
+      """SELECT c_custkey, CAST(c_custkey % 12 AS INT) AS qa,
+         CAST(CASE WHEN c_custkey % 12 = 11 THEN 0
+                   WHEN c_custkey % 12 IN (0, 1) THEN 1
+                   WHEN c_custkey % 12 IN (2, 3, 4) THEN 2
+                   WHEN c_custkey % 12 = 9 THEN 3
+                   ELSE 2 END AS INT) AS cls
+         FROM customer ORDER BY c_custkey""",
+    "p8_band_expr" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln,
+         CAST(trunc(least(greatest(
+           10000.0*((l_extendedprice - l_quantity*1000)/(l_extendedprice + l_quantity*1000)),
+           -32768), 32767)) AS INT) AS ndvi
+         FROM lineitem WHERE l_orderkey <= 3000 ORDER BY l_orderkey, ln, ndvi""",
+    "p11_item_format" ->
+      """SELECT o_orderkey,
+         upper('cube-' || o_orderstatus) || '_V001_' ||
+           lpad(CAST(o_custkey % 100 AS VARCHAR), 6, '0') || '_' ||
+           strftime(o_orderdate, '%Y%m%d') AS item_id
+         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+    "f_dates" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d') AS plus3d,
+         strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+         strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS ddiff,
+         dayofyear(o_orderdate) AS doy
+         FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""",
+    "f_regex" ->
+      """SELECT c_custkey,
+         CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS num,
+         upper(substr(c_mktsegment, 1, 3)) AS seg3
+         FROM customer ORDER BY c_custkey""",
+    "c12_timeline" ->
+      """SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS p_start,
+         strftime(least(CAST(d AS DATE) + 15, DATE '2020-12-31'), '%Y-%m-%d') AS p_end
+         FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2020-12-31',
+           INTERVAL 16 DAY)) AS d)
+         ORDER BY p_start""",
+    "c14_period_filter" ->
+      """SELECT p_start, p_end FROM (
+           SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS p_start,
+             strftime(least(CAST(d AS DATE) + 15, DATE '2020-12-31'), '%Y-%m-%d') AS p_end
+           FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2020-12-31',
+             INTERVAL 16 DAY)) AS d))
+         WHERE p_start >= '2020-03-01' AND p_end <= '2020-11-01'
+         ORDER BY p_start""",
+    "w_events_tumbling" ->
+      """SELECT user_id,
+         strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS wstart,
+         count(*) AS n,
+         CAST(floor(sum(value)*100 + 0.5) AS BIGINT) AS value_x100
+         FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+         ORDER BY user_id, wstart""")
+}
+
+/** Timeline DataFrame builders shared by the c12/c14 queries. */
+object Timelines {
+  import java.time.LocalDate
+  def cyclic16Day2020(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.core.Timeline
+      .mount("Cyclic", LocalDate.of(2020, 1, 1), LocalDate.of(2020, 12, 31),
+        "day", 16, cycleUnit = Some("year"), cycleStep = 1)
+      .map(p => (p.start.toString, p.end.toString))
+      .toDF("p_start", "p_end")
+  }
+}

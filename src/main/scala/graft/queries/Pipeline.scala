@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (builder-prompt mandate): exact and
+  * near deduplication, similarity search over embeddings, and text
+  * analysis — each over the `documents` / `embeddings` tables with an
+  * independent DuckDB oracle.
+  *
+  * Hash functions are engine-portable by construction: MD5 hex strings
+  * (identical in Spark and DuckDB) are used as the hash domain — MinHash
+  * takes the lexicographic minimum of salted MD5s, SimHash uses the high
+  * bit of each hex nibble — so the oracle can recompute signatures exactly.
+  */
+object Pipeline {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def words(text: Column): Column = split(trim(text), " +")
+
+  /** Sequential-fold double dot product over two float arrays (codegen'd,
+    * deterministic order — index ascending).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy, keep lowest doc_id per identical text
+    "d_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy(md5($"text".cast("binary")).as("h"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("copies"))
+        .orderBy($"h")
+    }),
+
+    // MinHash + LSH near-dup candidate pairs: word-bigram shingles →
+    // 8 salted-MD5 minhashes → 4 bands of 2 → bucket join
+    "d_minhash_lsh" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val sh = base.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"w") - 1),
+          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1)))).as("s"))
+      val minCols = (0 until 8).map(j =>
+        min(md5(concat(lit(s"$j|"), $"s").cast("binary"))).as(s"m$j"))
+      val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      // single pass: unpivot bands with one generator, then bucket-group and
+      // emit intra-bucket pairs — no self-join, the signature plan runs once
+      val bands = sig.select($"doc_id", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary"))
+            .as("h"))): _*)).as("bh"))
+        .select($"doc_id", $"bh.band", $"bh.h")
+      bands.groupBy($"band", $"h")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(flatten(transform($"ids", (x, i) =>
+          transform(slice($"ids", i + 2, size($"ids")),
+            y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+        .select($"p.id1", $"p.id2")
+        .distinct()
+        .orderBy($"id1", $"id2")
+    }),
+
+    // n-gram (word-set) Jaccard similarity over a bounded pair set
+    "d_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter($"doc_id" < 60)
+        .select($"doc_id", array_distinct(words($"text")).as("w"))
+      val a = docs.select($"doc_id".as("id1"), $"w".as("w1"))
+      val b = docs.select($"doc_id".as("id2"), $"w".as("w2"))
+      a.join(b, $"id1" < $"id2")
+        .select($"id1", $"id2",
+          size(array_intersect($"w1", $"w2")).as("inter"),
+          (size($"w1") + size($"w2") - size(array_intersect($"w1", $"w2"))).as("uni"))
+        .select($"id1", $"id2",
+          floor(lit(10000.0) * $"inter" / $"uni" + 0.5).cast("long").as("jac_x10000"))
+        .filter($"jac_x10000" >= 3000)
+        .orderBy($"id1", $"id2")
+    }),
+
+    // SimHash (16-bit, nibble-high-bit construction) document fingerprints
+    "d_simhash" -> ((s, d) => {
+      import s.implicits._
+      val w = documents(s, d)
+        .select($"doc_id", explode(words($"text")).as("word"))
+        .filter($"word" =!= "")
+        .select($"doc_id", md5($"word".cast("binary")).as("h"))
+      val bitSums = (0 until 16).map(j =>
+        sum(when(substring($"h", j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+      w.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id",
+          (0 until 16).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // Document fingerprint: whitespace-normalized MD5
+    "d_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          md5(lower(trim(regexp_replace($"text", " +", " "))).cast("binary")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Text analysis: token counts, distinct tokens, stopword hits, vowels
+    "x_text_stats" -> ((s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "data", "row", "join")
+      documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words($"text").as("w"), $"text")
+        .select($"doc_id",
+          size($"w").as("tokens"),
+          size(array_distinct($"w")).as("distinct_tokens"),
+          size(filter($"w", x => x.isin(stop: _*))).as("stop_hits"),
+          (length($"text") - length(regexp_replace($"text", "[aeiou]", ""))).as("vowels"),
+          length($"text").as("chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language ID: stopword-scoring heuristic (same rule in the oracle)
+    "x_langid" -> ((s, d) => {
+      import s.implicits._
+      def hits(w: Column, xs: Seq[String]): Column =
+        size(filter(w, x => x.isin(xs: _*)))
+      documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .select($"doc_id",
+          hits($"w", Seq("the", "a", "of", "and")).as("s_en"),
+          hits($"w", Seq("el", "la", "de", "y")).as("s_es"),
+          hits($"w", Seq("der", "die", "das", "und")).as("s_de"))
+        .select($"doc_id",
+          when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
+            .when($"s_es" >= $"s_de", "es")
+            .otherwise("de").as("pred_lang"),
+          $"s_en", $"s_es", $"s_de")
+        .orderBy($"doc_id")
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline): 3 query vectors vs all
+    "v_ann_cosine" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.filter(!$"vec_id".isin(0, 1, 2))
+        .select($"vec_id", $"embedding".as("ce"))
+      val scored = c.crossJoin(broadcast(q))
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"qid", $"vec_id",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"),
+          $"rnk")
+        .orderBy($"qid", $"rnk")
+    }),
+
+    // LSH-bucketed ANN (scale path): sign-bit bucket on the first 4 dims,
+    // search only within the query's bucket
+    "v_ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      def bucket(e: Column): Column =
+        (0 until 4).map(j => when(element_at(e, j + 1) > 0f, 1 << j).otherwise(0))
+          .reduce(_ + _).cast("int")
+      val emb = embeddings(s, d).select($"vec_id", $"embedding",
+        bucket($"embedding").as("bkt"))
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bkt".as("qbkt"))
+      val scored = emb.filter(!$"vec_id".isin(0, 1, 2))
+        .join(broadcast(q), $"bkt" === $"qbkt")
+        .select($"qid", $"vec_id", $"bkt", cosine($"qe", $"embedding").as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"vec_id", $"bkt",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
+        .orderBy($"qid", $"rnk")
+    }))
+
+  private val cosineSqlBody =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)),
+       c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id NOT IN (0,1,2)),
+       dots AS (SELECT qid, vec_id,
+           sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+           sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+           sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+         FROM q, c, range(1, 65) t(i) GROUP BY qid, vec_id),
+       s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)"""
+
+  val oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "d_minhash_lsh" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
+         base2 AS (SELECT doc_id, w FROM base WHERE len(w) >= 2),
+         sh AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS s
+           FROM base2),
+         mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) AS m
+           FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+             md5(max(CASE WHEN j=0 THEN m END) || max(CASE WHEN j=1 THEN m END)) AS h0,
+             md5(max(CASE WHEN j=2 THEN m END) || max(CASE WHEN j=3 THEN m END)) AS h1,
+             md5(max(CASE WHEN j=4 THEN m END) || max(CASE WHEN j=5 THEN m END)) AS h2,
+             md5(max(CASE WHEN j=6 THEN m END) || max(CASE WHEN j=7 THEN m END)) AS h3
+           FROM mh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band, h0 AS h FROM sig UNION ALL
+           SELECT doc_id, 1, h1 FROM sig UNION ALL
+           SELECT doc_id, 2, h2 FROM sig UNION ALL
+           SELECT doc_id, 3, h3 FROM sig)
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         ORDER BY id1, id2""",
+    "d_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), ' +')) AS w
+           FROM documents WHERE doc_id < 60),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             len(list_intersect(a.w, b.w)) AS inter,
+             len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS uni
+           FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+         SELECT id1, id2,
+           CAST(floor(10000.0::DOUBLE * inter / uni + 0.5) AS BIGINT) AS jac_x10000
+         FROM pairs WHERE floor(10000.0::DOUBLE * inter / uni + 0.5) >= 3000
+         ORDER BY id1, id2""",
+    "d_simhash" ->
+      """WITH w AS (SELECT doc_id,
+             md5(unnest(string_split_regex(trim(text), ' +'))) AS h
+           FROM documents),
+         w2 AS (SELECT doc_id, h FROM w WHERE h IS NOT NULL),
+         b AS (SELECT doc_id, j,
+             CASE WHEN sum(CASE WHEN substr(h, j + 1, 1) >= '8' THEN 1 ELSE -1 END) > 0
+               THEN 1 ELSE 0 END AS bit
+           FROM w2 CROSS JOIN range(0, 16) t(j) GROUP BY doc_id, j)
+         SELECT doc_id, CAST(sum(bit * (1 << j)) AS BIGINT) AS simhash
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
+    "d_fingerprint" ->
+      """SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "x_text_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS INT)
+           AS distinct_tokens,
+         CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+           x -> x IN ('the', 'a', 'data', 'row', 'join'))) AS INT) AS stop_hits,
+         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+           AS vowels,
+         CAST(length(text) AS INT) AS chars
+         FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""",
+    "x_langid" ->
+      """WITH sc AS (SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS s_en,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('el', 'la', 'de', 'y'))) AS INT) AS s_es,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('der', 'die', 'das', 'und'))) AS INT) AS s_de
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+           s_en, s_es, s_de
+         FROM sc ORDER BY doc_id""",
+    "v_ann_cosine" ->
+      s"""$cosineSqlBody
+         SELECT qid, vec_id,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
+               AS rnk FROM s)
+         WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "v_ann_lsh" ->
+      """WITH emb AS (SELECT vec_id, embedding,
+           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bkt
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding AS qe, bkt AS qbkt FROM emb
+           WHERE vec_id IN (0,1,2)),
+         c AS (SELECT vec_id, embedding AS ce, bkt FROM emb
+           WHERE vec_id NOT IN (0,1,2)),
+         dots AS (SELECT qid, vec_id, bkt,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM q JOIN c ON bkt = qbkt, range(1, 65) t(i)
+           GROUP BY qid, vec_id, bkt),
+         s AS (SELECT qid, vec_id, bkt, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
+         SELECT qid, vec_id, bkt,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM (SELECT qid, vec_id, bkt, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
+               AS rnk FROM s)
+         WHERE rnk <= 5 ORDER BY qid, rnk""")
+}

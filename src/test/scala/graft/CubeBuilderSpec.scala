@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cube.CubeBuilder
+import graft.model.{Band, Collection, MaskDef}
+import graft.raster.Raster
+
+/** End-to-end pipeline test: two scenes per date over a 2×2-pixel block,
+  * merge → 16-day LCF composite → NDVI index band → items row, with
+  * hand-computed expectations.
+  */
+class CubeBuilderSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private val nodata = -9999
+  private val mask = MaskDef(clearData = Seq(0L, 1L), notClearData = Seq(2L, 3L, 4L),
+    nodata = 255L)
+
+  private val coll = Collection(
+    name = "demo", version = 1, grid = "G", compositeFunction = "LCF",
+    temporalSchema = "Continuous", temporalUnit = "day", temporalStep = 16,
+    bands = Seq(
+      Band("B04", "red", "int16", nodata),
+      Band("B8A", "nir", "int16", nodata),
+      Band("QA", "quality", "uint8", 255),
+      Band("NDVI", "ndvi", "int16", nodata,
+        expression = "10000.*((B8A-B04)/(B8A+B04))")),
+    qualityBand = "QA")
+
+  /** two dates in period 1 (Jan 1-16) and one in period 2 (Jan 17 -…). */
+  private def scenes: DataFrame = {
+    import spark.implicits._
+    def block(date: String, band: String, order: Int, px: Array[Int]) =
+      (("c1", "t1", java.sql.Date.valueOf(date), band, 0, 0, 2, 2,
+        0.0, 20.0, 10.0, 10.0, if (band == "QA") 255 else nodata, px), order, 0)
+    Seq(
+      // date 1: two scenes — asset 0 has a nodata hole at px1, asset 1 fills it
+      block("2020-01-05", "B04", 0, Array(100, nodata, 300, 400)),
+      block("2020-01-05", "B04", 1, Array(110, 220, 330, 440)),
+      block("2020-01-05", "B8A", 0, Array(500, nodata, 700, 800)),
+      block("2020-01-05", "B8A", 1, Array(510, 620, 730, 840)),
+      block("2020-01-05", "QA", 0, Array(0, 255, 4, 0)),
+      block("2020-01-05", "QA", 1, Array(0, 0, 4, 0)),
+      // date 2: single scene, px0 cloudy, px3 clear
+      block("2020-01-10", "B04", 0, Array(150, 250, 350, 450)),
+      block("2020-01-10", "B8A", 0, Array(550, 650, 750, 850)),
+      block("2020-01-10", "QA", 0, Array(4, 0, 0, 0)),
+      // period 2 scene
+      block("2020-01-20", "B04", 0, Array(111, 222, 333, 444)),
+      block("2020-01-20", "B8A", 0, Array(555, 666, 777, 888)),
+      block("2020-01-20", "QA", 0, Array(0, 0, 0, 255)))
+      .map { case ((cube, tile, date, band, by, bx, h, w, x0, y0, rx, ry, nd, px), ord, src) =>
+        (cube, tile, date, band, by, bx, h, w, x0, y0, rx, ry, nd, px, ord, src)
+      }
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX", "height",
+        "width", "x0", "y0", "resX", "resY", "nodata", "pixels",
+        "assetOrder", "source")
+  }
+
+  private lazy val merged =
+    CubeBuilder.merge(scenes.filter(col("band") =!= "QA"), nodata, combined = true)
+      .unionByName(
+        CubeBuilder.merge(scenes.filter(col("band") === "QA"), 255, combined = true))
+
+  test("merge fills nodata holes from later assets (combined mode)") {
+    val b04 = merged.filter(col("band") === "B04" && col("date") === "2020-01-05")
+      .select("pixels").head().getSeq[Int](0)
+    assert(b04 == Seq(100, 220, 300, 400))
+    val qa = merged.filter(col("band") === "QA" && col("date") === "2020-01-05")
+      .select("pixels").head().getSeq[Int](0)
+    assert(qa == Seq(0, 0, 4, 0)) // hole at px1 filled by asset 1's clear
+  }
+
+  private lazy val periods = CubeBuilder.periodTable(spark, coll,
+    java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31))
+
+  private lazy val composited = CubeBuilder.composite(
+    merged, periods, coll, mask,
+    // later scene-date = higher priority to make expectations interesting
+    priority = dayofyear(col("date")).cast("double"))
+
+  test("LCF composite picks best-priority clear pixel per period") {
+    val p1b04 = composited
+      .filter(col("band") === "B04" && col("p_start") === "2020-01-01")
+      .select("value", "provenance", "clearob", "totalob").head()
+    // priorities: Jan-10 (doy 10) > Jan-5 (doy 5)
+    // px0: Jan-10 cloudy(4) → falls to Jan-5 clear 100; backfill writes 150
+    //      first, clear tier overwrites with 100
+    assert(p1b04.getSeq[Int](0) == Seq(100, 250, 350, 450))
+    // px2: Jan-10 clear 350 wins (Jan-5 QA=4)
+    assert(p1b04.getSeq[Int](1) == Seq(5, 10, 10, 10)) // provenance = chosen doy
+    assert(p1b04.getSeq[Int](2) == Seq(1, 2, 1, 2))    // clearob
+    assert(p1b04.getSeq[Int](3) == Seq(2, 2, 2, 2))    // totalob
+  }
+
+  test("period 2 composite carries QA-nodata through") {
+    val p2 = composited
+      .filter(col("band") === "B04" && col("p_start") === "2020-01-17")
+      .select("value", "clearob").head()
+    // px3: QA nodata(255) but band valid → usable=false, backfill tier → 444
+    assert(p2.getSeq[Int](0) == Seq(111, 222, 333, 444))
+    assert(p2.getSeq[Int](1) == Seq(1, 1, 1, 0))
+  }
+
+  test("NDVI index band evaluates over composited bands") {
+    val ndvi = CubeBuilder.indexBands(composited, coll)
+    val row = ndvi.filter(col("p_start") === "2020-01-01").select("value").head()
+    // px0: B04=100 B8A=500 → 10000*400/600 = 6666 (trunc)
+    val got = row.getSeq[Int](0)
+    assert(got.head == 6666)
+    assert(got(1) == ((650.0 - 250.0) / (650.0 + 250.0) * 10000).toInt)
+  }
+
+  test("items catalog rows publish per (tile, period) with bbox and bands") {
+    val items = CubeBuilder.publishItems(composited, coll)
+    val rows = items.orderBy("start_date").collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getAs[String]("item_id") == "C1_V001_t1_20200101")
+    assert(r.getAs[Seq[String]]("bands").toSet == Set("B04", "B8A"))
+    assert(r.getAs[Double]("xmin") == 0.0 && r.getAs[Double]("ymax") == 20.0)
+    assert(r.getAs[Double]("xmax") == 20.0 && r.getAs[Double]("ymin") == 0.0)
+  }
+
+  test("empty raster generator produces all-nodata blocks distributively") {
+    val df = Raster.emptyRaster(spark, "c1", "t1",
+      java.sql.Date.valueOf("2020-02-01"), "B04", 1024, 700, 0, 7000, 10, nodata)
+    assert(df.count() == 4) // 2×2 block grid (1024×700 at 512)
+    val heights = df.select(sum(col("height") * col("width"))).head().getLong(0)
+    assert(heights == 1024L * 700L)
+    val allNodata = df.select(
+      sum(aggregate(col("pixels"), lit(0L),
+        (a, x) => a + when(x === nodata, 0L).otherwise(1L)))).head().getLong(0)
+    assert(allNodata == 0L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Run-ledger + idempotent-resume orchestration (SURVEY §2.5 C1/C4,
+  * §4 "merge result caching"; reference `models/activity.py`,
+  * `tasks.py:126-182`, `tasks.py:577-620`).
+  *
+  * The ledger is a parquet table of work units
+  * `(cube, tile_id, period_start, period_end, band, status)`. Planning a
+  * run = expected-units ∖ completed-units (anti-join); completing a run =
+  * C1 upsert. Everything is a DataFrame op — idempotent re-runs fall out
+  * of the anti-join exactly like the reference's file-existence cache.
+  */
+object Ledger {
+
+  val StatusCreated = "CREATED"
+  val StatusSuccess = "SUCCESS"
+  val StatusError = "ERROR"
+
+  /** Expected work units: tiles × periods × bands. */
+  def expectedUnits(tiles: DataFrame, periods: DataFrame,
+                    bands: Seq[String], cube: String): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select($"tile_id")
+      .crossJoin(broadcast(periods.select($"p_start", $"p_end")))
+      .crossJoin(broadcast(bands.toDF("band")))
+      .select(lit(cube).as("cube"), $"tile_id", $"p_start", $"p_end", $"band")
+  }
+
+  /** C4 — missing-timeline backfill plan: expected units with no SUCCESS
+    * ledger row (left anti-join). `force` re-plans everything (the
+    * reference's `--force` flag).
+    */
+  def pendingUnits(expected: DataFrame, ledger: DataFrame,
+                   force: Boolean = false): DataFrame = {
+    if (force) return expected
+    val done = ledger.filter(col("status") === StatusSuccess)
+      .select("cube", "tile_id", "p_start", "p_end", "band")
+    expected.join(done, Seq("cube", "tile_id", "p_start", "p_end", "band"),
+      "left_anti")
+  }
+
+  /** C1 — upsert completions into the ledger: latest status wins per key. */
+  def upsert(ledger: DataFrame, completions: DataFrame): DataFrame = {
+    val keys = Seq("cube", "tile_id", "p_start", "p_end", "band")
+    ledger.join(completions.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(completions)
+  }
+
+  /** C3 — per-tile summary with missing periods as a set difference. */
+  def summarize(ledger: DataFrame, periods: DataFrame): DataFrame = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    val expected = periods.select($"p_start").as[java.sql.Date]
+      .collect().sorted.map(_.toString)
+    ledger.filter($"status" === StatusSuccess)
+      .groupBy($"cube", $"tile_id")
+      .agg(sort_array(collect_set($"p_start".cast("string"))).as("done"))
+      .select($"cube", $"tile_id", $"done",
+        array_except(lit(expected), $"done").as("missing"))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (builder-prompt mandate): image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata structs;
+  * decode / feature-extract / resize / frame-sample run as per-partition
+  * kernels over batches of rows.
+  *
+  * The actual codec work is STUBBED (this container ships no image/audio
+  * libraries): [[FakeCodec]] is a deterministic header-parser over a tiny
+  * self-describing binary layout, so the Spark-side plumbing — schema,
+  * partitioning, kernel signature, batch shape — is real and tested, and
+  * swapping in a real decoder is a one-function change.
+  *
+  * Scale design: media rows are large (MBs); the kernels are
+  * `mapPartitions` so one task streams a partition without per-row
+  * task-dispatch overhead, and partition sizing is governed by
+  * `spark.sql.files.maxPartitionBytes` at the source. Metadata-only
+  * operations (filtering by width, codec, duration) touch only the meta
+  * struct — column pruning keeps the binary payload unread at the parquet
+  * scan when the query never references it.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media payload. */
+  final case class MediaMeta(kind: String, codec: String,
+                             width: Int, height: Int,
+                             frames: Int, sampleRateHz: Int)
+
+  final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  final case class Feature(media_id: Long, kind: String,
+                           meanLuma: Double, histogram: Array[Long])
+
+  val schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("frames", IntegerType, nullable = false),
+      StructField("sampleRateHz", IntegerType, nullable = false))), nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic stand-in codec over a 16-byte header + raw "samples":
+    * bytes 0-3 magic "GRFT", 4-5 width, 6-7 height, 8-11 frame count,
+    * 12-15 sample rate; payload after the header is one byte per sample.
+    * A real decoder (JPEG/PCM/video) replaces exactly these two functions.
+    */
+  object FakeCodec {
+    val HeaderLen = 16
+
+    def encode(meta: MediaMeta, samples: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](HeaderLen + samples.length)
+      out(0) = 'G'; out(1) = 'R'; out(2) = 'F'; out(3) = 'T'
+      out(4) = (meta.width >> 8).toByte; out(5) = meta.width.toByte
+      out(6) = (meta.height >> 8).toByte; out(7) = meta.height.toByte
+      var i = 0
+      while (i < 4) {
+        out(8 + i) = (meta.frames >> (24 - 8 * i)).toByte
+        out(12 + i) = (meta.sampleRateHz >> (24 - 8 * i)).toByte
+        i += 1
+      }
+      System.arraycopy(samples, 0, out, HeaderLen, samples.length)
+      out
+    }
+
+    def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (payload.length < HeaderLen || payload(0) != 'G' || payload(1) != 'R' ||
+          payload(2) != 'F' || payload(3) != 'T') return None
+      val w = ((payload(4) & 0xff) << 8) | (payload(5) & 0xff)
+      val h = ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
+      def i32(off: Int) = (0 until 4).foldLeft(0)((a, i) => (a << 8) | (payload(off + i) & 0xff))
+      Some((w, h, i32(8), i32(12)))
+    }
+
+    def samples(payload: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOfRange(payload, HeaderLen, payload.length)
+  }
+
+  /** Feature extraction kernel: mean "luma" + 8-bin histogram per row,
+    * streamed per partition (batch shape: one task per input partition).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[Feature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        FakeCodec.decodeMeta(row.payload).map { _ =>
+          val s = FakeCodec.samples(row.payload)
+          val hist = new Array[Long](8)
+          var sum = 0.0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i) & 0xff
+            sum += v
+            hist(v >> 5) += 1
+            i += 1
+          }
+          Feature(row.media_id, row.meta.kind,
+            if (s.length == 0) 0.0 else sum / s.length, hist)
+        }
+      }
+    }
+  }
+
+  /** Resize stub: nearest-neighbor downsample of the sample plane by an
+    * integer factor — real per-pixel gather logic, fake pixels.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        FakeCodec.decodeMeta(row.payload) match {
+          case Some((w, h, frames, rate)) if w >= factor && h >= factor =>
+            val s = FakeCodec.samples(row.payload)
+            val nw = w / factor; val nh = h / factor
+            val out = new Array[Byte](nw * nh)
+            var y = 0
+            while (y < nh) {
+              var x = 0
+              while (x < nw) {
+                val src = (y * factor) * w + (x * factor)
+                out(y * nw + x) = if (src < s.length) s(src) else 0
+                x += 1
+              }
+              y += 1
+            }
+            val meta = row.meta.copy(width = nw, height = nh)
+            MediaRow(row.media_id, meta, FakeCodec.encode(meta, out))
+          case _ => row
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `stride`-th frame of a multi-frame payload
+    * (frames are consecutive width×height planes).
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        FakeCodec.decodeMeta(row.payload) match {
+          case Some((w, h, frames, rate)) if frames > 1 =>
+            val s = FakeCodec.samples(row.payload)
+            val plane = w * h
+            val kept = (0 until frames by stride).toArray
+            val out = new Array[Byte](kept.length * plane)
+            kept.zipWithIndex.foreach { case (f, i) =>
+              val from = f * plane
+              if (from + plane <= s.length)
+                System.arraycopy(s, from, out, i * plane, plane)
+            }
+            val meta = row.meta.copy(frames = kept.length)
+            MediaRow(row.media_id, meta, FakeCodec.encode(meta, out))
+          case _ => row
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table for tests/benchmarks. */
+  def synthetic(spark: SparkSession, n: Int, width: Int = 32, height: Int = 24,
+                frames: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val meta = MediaMeta(if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",
+        "grft", width, height, frames, 16000)
+      val body = new Array[Byte](width * height * frames)
+      var i = 0
+      while (i < body.length) { body(i) = ((id * 131 + i * 7) % 251).toByte; i += 1 }
+      MediaRow(id, meta, FakeCodec.encode(meta, body))
+    }
+  }
+}

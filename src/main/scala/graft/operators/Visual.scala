@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PixelOps
+
+/** Visualization + geometry outputs (SURVEY §2.1 S11/S12, §2.2 P3/P10).
+  *
+  *  - S11 quicklook: downsampled RGB thumbnail rows, PNG-encoded with
+  *    `javax.imageio` (JDK-builtin — no external deps);
+  *  - S12 RGB composite: 3 band arrays zip to byte triples after P3
+  *    linear display scaling;
+  *  - P10 extent/footprint: valid-data bbox via aggregation; convex hull
+  *    over block-level valid extents (monotone chain, driver-side on the
+  *    small per-tile block set — reference polygonizes whole rasters,
+  *    `image.py:665-708`).
+  */
+object Visual {
+
+  /** S12 — fuse three band block-rows (r/g/b pivoted to columns) into a
+    * packed RGB byte array after linear scaling to 0..255 (P3). Transparent
+    * where all three are nodata.
+    */
+  def rgbComposite(blocks: DataFrame, rBand: String, gBand: String, bBand: String,
+                   inMin: Double, inMax: Double): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val pivoted = blocks
+      .filter($"band".isin(rBand, gBand, bBand))
+      .groupBy($"cube", $"tileId", $"p_start", $"p_end", $"blockY", $"blockX",
+        $"height", $"width")
+      .pivot("band", Seq(rBand, gBand, bBand))
+      .agg(first($"value"))
+    def scaled(c: String) = transform(col(c), px =>
+      PixelOps.linearScaleS(px, inMin, inMax, 0, 255).cast("int"))
+    pivoted.select($"cube", $"tileId", $"p_start", $"p_end",
+      $"blockY", $"blockX", $"height", $"width",
+      zip_with(zip_with(scaled(rBand), scaled(gBand), (r, g) =>
+        struct(r.as("r"), g.as("g"))), scaled(bBand), (rg, b) =>
+        struct(rg.getField("r").as("r"), rg.getField("g").as("g"), b.as("b")))
+        .as("rgb"))
+  }
+
+  /** S11 — PNG-encode one assembled RGB raster (driver- or executor-side;
+    * the quicklook is ≤768 rows by design, reference
+    * `processing.py:1303-1304`).
+    */
+  def encodePng(rgb: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Downsample factor so the quicklook has ≤ `maxRows` rows. */
+  def quicklookStride(heightPx: Int, maxRows: Int = 768): Int =
+    math.max(1, (heightPx + maxRows - 1) / maxRows)
+
+  /** P10 — valid-data extent per (cube, tile, period, band): bbox over
+    * blocks that contain any non-nodata sample.
+    */
+  def extent(blocks: DataFrame, valueCol: String = "value"): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val hasData = exists(col(valueCol), px => px =!= col("nodata"))
+    blocks.filter(hasData)
+      .groupBy($"cube", $"tileId", $"p_start", $"p_end", $"band")
+      .agg(
+        min($"x0").as("xmin"),
+        max($"x0" + $"width" * $"resX").as("xmax"),
+        min($"y0" - $"height" * $"resY").as("ymin"),
+        max($"y0").as("ymax"))
+  }
+
+  /** P10 — convex hull (monotone chain) over 2-D points; used on the
+    * block-corner cloud of valid blocks per tile (small).
+    */
+  def convexHull(points: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    if (points.length <= 2) return points.distinct
+    val sorted = points.distinct.sorted
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def half(ps: Seq[(Double, Double)]): List[(Double, Double)] =
+      ps.foldLeft(List.empty[(Double, Double)]) { (hull, p) =>
+        var h = hull
+        while (h.length >= 2 && cross(h(1), h.head, p) <= 0) h = h.tail
+        p :: h
+      }
+    val lower = half(sorted).reverse
+    val upper = half(sorted.reverse).reverse
+    (lower.init ++ upper.init)
+  }
+}

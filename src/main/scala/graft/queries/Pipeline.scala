@@ -147,6 +147,32 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Embedding-cosine near-duplicate pairs (dedup family): all pairs
+    // above threshold, broadcast self-join + sequential-fold dot product
+    "d_embed_neardup" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val a = emb.select($"vec_id".as("id1"), $"embedding".as("e1"))
+      val b = emb.select($"vec_id".as("id2"), $"embedding".as("e2"))
+      a.join(b, $"id1" < $"id2")
+        .select($"id1", $"id2", cosine($"e1", $"e2").as("cos"))
+        .filter($"cos" >= 0.45)
+        .select($"id1", $"id2",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"))
+        .orderBy($"id1", $"id2")
+    }),
+
+    // BPE-ish tokenization: regex token classes (letters / digit / other)
+    "x_bpe_tokens" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          size(regexp_extract_all($"text",
+            lit("[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
+          size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("word_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline): 3 query vectors vs all
     "v_ann_cosine" -> ((s, d) => {
       import s.implicits._
@@ -281,6 +307,23 @@ object Pipeline {
                 WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
            s_en, s_es, s_de
          FROM sc ORDER BY doc_id""",
+    "d_embed_neardup" ->
+      """WITH dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+           sum(CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS dp,
+           sum(CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)) AS na,
+           sum(CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS nb
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+             range(1, 65) t(k)
+           GROUP BY 1, 2),
+         s AS (SELECT id1, id2, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots)
+         SELECT id1, id2, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
+         FROM s WHERE cos >= 0.45 ORDER BY id1, id2""",
+    "x_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT)
+           AS bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS word_tokens
+         FROM documents ORDER BY doc_id""",
     "v_ann_cosine" ->
       s"""$cosineSqlBody
          SELECT qid, vec_id,

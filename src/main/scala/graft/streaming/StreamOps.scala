@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §2.8).
+  *
+  * The reference is batch-only; its incremental features are idempotent
+  * re-runs and missing-timeline catch-up. Here scene/event arrival is
+  * modeled as a stream: tumbling event-time windows with watermarks
+  * reproduce the continuous timeline composite; `flatMapGroupsWithState`
+  * holds per-key session state (the streaming analog of the per-tile
+  * blend accumulator). `Trigger.AvailableNow` gives the reference's
+  * catch-up semantics (process everything present, then stop).
+  */
+object StreamOps {
+
+  /** Tumbling event-time aggregation with a watermark — the streaming
+    * shape of the `w_events_tumbling` batch query.
+    */
+  def tumblingCounts(events: DataFrame, windowLength: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy($"user_id", window($"ts", windowLength).as("w"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("value_sum"))
+      .select($"user_id", $"w.start".as("wstart"), $"n", $"value_sum")
+  }
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(count: Long, sum: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, count: Long, sum: Double,
+                              expired: Boolean)
+
+  /** Sessionization with processing-time timeout via
+    * `flatMapGroupsWithState` — emits a running snapshot per update and a
+    * final row when the session times out.
+    */
+  def sessionize(events: Dataset[Event], timeoutMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), timeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.count, s.sum, expired = true))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var count = prev.count
+            var sum = prev.sum
+            var last = prev.lastTs
+            rows.foreach { e =>
+              count += 1; sum += e.value; last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessionState(count, sum, last))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator(SessionOut(user, count, sum, expired = false))
+          }
+      }
+  }
+
+  /** Incremental backfill source: newly-arrived scene files as a stream
+    * (`readStream` over a directory of parquet block files), for the C4
+    * missing-timeline catch-up path with `Trigger.AvailableNow`.
+    */
+  def blockFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(graft.raster.Raster.blockSchema)
+      .parquet(dir)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HistogramMatch, Visual, Warp}
+import graft.catalog.Ledger
+
+class WarpLedgerSpec extends SparkSpec {
+
+  private def srcBlocks = {
+    import spark.implicits._
+    // one 4×4 source block at res 10, origin (0, 40): values = r*4+c
+    Seq(("c1", "t1", java.sql.Date.valueOf("2020-01-05"), "B04",
+      0, 0, 4, 4, 0.0, 40.0, 10.0, 10.0, -9999,
+      Array.tabulate(16)(identity)))
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX",
+        "height", "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+  }
+
+  test("warp identity grid reproduces the source (nearest)") {
+    val grid = Warp.destGrid(0, 40, 4, 4, 10, blockSize = 4)
+    val out = Warp.warpBand(srcBlocks, grid, -9999, "nearest")
+    assert(out.select("pixels").head().getSeq[Int](0) == (0 until 16))
+  }
+
+  test("warp 2x downsample samples block centers; bilinear interpolates") {
+    val grid = Warp.destGrid(0, 40, 2, 2, 20, blockSize = 2)
+    val nearest = Warp.warpBand(srcBlocks, grid, -9999, "nearest")
+      .select("pixels").head().getSeq[Int](0)
+    // dest centers at src fractional (0.5, 0.5) etc. → rounds to pixel 1 col?
+    // src frac col = (10-0)/10-0.5 = 0.5 → rounds to 1 (HALF_UP)
+    assert(nearest == Seq(5, 7, 13, 15))
+    val bilinear = Warp.warpBand(srcBlocks, grid, -9999, "bilinear")
+      .select("pixels").head().getSeq[Int](0)
+    // bilinear at (0.5, 0.5): mean of 0,1,4,5 = 2.5 → rounds 3
+    assert(bilinear == Seq(3, 5, 11, 13))
+  }
+
+  test("warp fills uncovered destination with nodata") {
+    val grid = Warp.destGrid(-40, 40, 4, 2, 10, blockSize = 4)
+    val out = Warp.warpBand(srcBlocks, grid, -9999, "nearest")
+      .select("pixels").head().getSeq[Int](0)
+    assert(out == Seq(-9999, -9999, -9999, -9999, -9999, -9999, -9999, -9999))
+  }
+
+  test("ledger: pending = expected minus done; upsert keeps latest") {
+    import spark.implicits._
+    val tiles = Seq("t1", "t2").toDF("tile_id")
+    val periods = Seq(("2020-01-01", "2020-01-16"), ("2020-01-17", "2020-02-01"))
+      .toDF("p_start", "p_end")
+    val expected = Ledger.expectedUnits(tiles, periods, Seq("B04", "QA"), "c1")
+    assert(expected.count() == 2 * 2 * 2)
+
+    val ledger = Seq(("c1", "t1", "2020-01-01", "2020-01-16", "B04", "SUCCESS"),
+      ("c1", "t1", "2020-01-01", "2020-01-16", "QA", "ERROR"))
+      .toDF("cube", "tile_id", "p_start", "p_end", "band", "status")
+    val pending = Ledger.pendingUnits(expected, ledger)
+    assert(pending.count() == 7) // only the SUCCESS unit is excluded
+    assert(Ledger.pendingUnits(expected, ledger, force = true).count() == 8)
+
+    val completions = Seq(("c1", "t1", "2020-01-01", "2020-01-16", "QA", "SUCCESS"))
+      .toDF("cube", "tile_id", "p_start", "p_end", "band", "status")
+    val updated = Ledger.upsert(ledger, completions)
+    assert(updated.count() == 2)
+    assert(updated.filter($"band" === "QA" && $"status" === "SUCCESS").count() == 1)
+    assert(Ledger.pendingUnits(expected, updated).count() == 6)
+  }
+
+  test("histogram matching: identical distributions map to identity") {
+    import spark.implicits._
+    val vals = Seq(1, 2, 2, 3, 3, 3, 7, 9)
+    val src = vals.map(("k", _)).toDF("key", "value")
+    val table = HistogramMatch.mappingTable(src, src)
+    table.collect().foreach { r =>
+      assert(math.abs(r.getInt(1) - r.getDouble(2)) < 1e-9,
+        s"identity expected: ${r.getInt(1)} -> ${r.getDouble(2)}")
+    }
+  }
+
+  test("histogram matching: constant shift is recovered") {
+    import spark.implicits._
+    val base = Seq(1, 2, 2, 3, 3, 3, 7, 9)
+    val src = base.map(("k", _)).toDF("key", "value")
+    val ref = base.map(v => ("k", v + 100)).toDF("key", "value")
+    val got = HistogramMatch.mappingTable(src, ref).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    base.distinct.foreach { v =>
+      assert(math.abs(got(v) - (v + 100)) < 1e-9, s"$v -> ${got(v)}")
+    }
+  }
+
+  test("convex hull of a square with interior points") {
+    val hull = Visual.convexHull(Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0),
+      (0.0, 2.0), (1.0, 1.0), (0.5, 1.5)))
+    assert(hull.toSet == Set((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))
+  }
+
+  test("png encoding produces a decodable image") {
+    val rgb = Array.tabulate(16 * 8)(i => (i * 1000) & 0xffffff)
+    val png = Visual.encodePng(rgb, 16, 8)
+    assert(png.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 16 && img.getHeight == 8)
+    assert((img.getRGB(5, 3) & 0xffffff) == rgb(3 * 16 + 5))
+  }
+}

@@ -61,15 +61,16 @@ object CubeOps {
 
   private def compositeResult(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val px = pixelModel(s, d)
-      .select($"l_orderkey", (lit(100000) - $"rn").cast("double").as("prio"),
-        $"rn", $"src", $"val", $"qa")
-      .as[(Long, Double, Int, Int, Int, Int)]
-    val agg = new CompositeAggregator(mask, Nodata)
-    px.map { case (k, p, rn, src, v, qa) => (k, Obs(p, rn, src, Array(v), Array(qa))) }
-      .groupByKey(_._1).mapValues(_._2)
-      .agg(agg.toColumn.name("c"))
-      .toDF("l_orderkey", "c")
+    // registered-UDAF path: hash aggregation over codegen'd struct input
+    // (the typed groupByKey alternative pays an extra object map + sort)
+    val agg = org.apache.spark.sql.functions.udaf(
+      new CompositeAggregator(mask, Nodata),
+      org.apache.spark.sql.Encoders.product[Obs])
+    pixelModel(s, d)
+      .groupBy($"l_orderkey")
+      .agg(agg(
+        (lit(100000) - $"rn").cast("double"),
+        $"rn", $"src", array($"val"), array($"qa")).as("c"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -90,15 +91,15 @@ object CubeOps {
     // holes (first valid in asset order), single mode overwrites (last valid)
     "m2_mosaic_overlay" -> ((s, d) => {
       import s.implicits._
-      val px = pixelModel(s, d)
-        .select($"l_orderkey", $"rn", $"src", $"val")
-        .as[(Long, Int, Int, Int)]
-        .map { case (k, rn, src, v) => (k, AssetObs(rn, src, Array(v))) }
-      val combined = new MosaicAggregator(Nodata, combined = true)
-      val overlay = new MosaicAggregator(Nodata, combined = false)
-      px.groupByKey(_._1).mapValues(_._2)
-        .agg(combined.toColumn.name("cb"), overlay.toColumn.name("ov"))
-        .toDF("l_orderkey", "cb", "ov")
+      val enc = org.apache.spark.sql.Encoders.product[AssetObs]
+      val combined = org.apache.spark.sql.functions.udaf(
+        new MosaicAggregator(Nodata, combined = true), enc)
+      val overlay = org.apache.spark.sql.functions.udaf(
+        new MosaicAggregator(Nodata, combined = false), enc)
+      pixelModel(s, d)
+        .groupBy($"l_orderkey")
+        .agg(combined($"rn", $"src", array($"val")).as("cb"),
+          overlay($"rn", $"src", array($"val")).as("ov"))
         .select($"l_orderkey",
           element_at($"cb.value", 1).as("first_val"),
           element_at($"cb.datasource", 1).as("first_src"),

@@ -20,12 +20,20 @@ object Pipeline {
 
   private def words(text: Column): Column = split(trim(text), " +")
 
-  /** Sequential-fold double dot product over two float arrays (codegen'd,
-    * deterministic order — index ascending).
+  /** Sequential double dot product over two float arrays. A JVM while-loop
+    * UDF: Catalyst higher-order functions are interpreted per element
+    * (~40× slower here), and the index-ascending summation order is
+    * identical either way, so oracle doubles match bit-for-bit.
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private val dotUdf = udf((a: Array[Float], b: Array[Float]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
+
+  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -151,11 +159,13 @@ object Pipeline {
     // above threshold, broadcast self-join + sequential-fold dot product
     "d_embed_neardup" -> ((s, d) => {
       import s.implicits._
-      val emb = embeddings(s, d).select($"vec_id", $"embedding")
-      val a = emb.select($"vec_id".as("id1"), $"embedding".as("e1"))
-      val b = emb.select($"vec_id".as("id2"), $"embedding".as("e2"))
+      // precompute each vector's norm once; pairs then cost one dot each
+      val emb = embeddings(s, d)
+        .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("nrm"))
+      val a = emb.select($"vec_id".as("id1"), $"embedding".as("e1"), $"nrm".as("n1"))
+      val b = emb.select($"vec_id".as("id2"), $"embedding".as("e2"), $"nrm".as("n2"))
       a.join(b, $"id1" < $"id2")
-        .select($"id1", $"id2", cosine($"e1", $"e2").as("cos"))
+        .select($"id1", $"id2", (dot($"e1", $"e2") / ($"n1" * $"n2")).as("cos"))
         .filter($"cos" >= 0.45)
         .select($"id1", $"id2",
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"))

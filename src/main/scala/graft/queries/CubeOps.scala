@@ -270,6 +270,60 @@ object CubeOps {
         .orderBy($"p_start")
     }),
 
+    // P7 — Landsat C2 confidence rule over a 2-bit field
+    "p7_confidence" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).filter($"o_orderkey" <= 4000)
+        .select($"o_orderkey",
+          PixelOps.bitRangeS($"o_orderkey", 8, 9).cast("int").as("conf_field"),
+          when(PixelOps.confidenceS($"o_orderkey", 8, ">=", 2), 1)
+            .otherwise(0).cast("int").as("cloud_ge_medium"),
+          when(PixelOps.confidenceS($"o_orderkey", 8, "==", 3), 1)
+            .otherwise(0).cast("int").as("cloud_high"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // P9 — cross-band nodata repair through the engine's repairQuality
+    "p9_repair" -> ((s, d) => {
+      import s.implicits._
+      val base = lineitem(s, d).select(
+        $"l_orderkey", $"l_linenumber".cast("int").as("ln"),
+        $"l_partkey", $"l_suppkey",
+        when($"l_partkey" % 11 === 0, 255)
+          .when($"l_returnflag" === "N", 0).otherwise(2).as("qa"),
+        when($"l_discount" > 0.08, -9999).otherwise(1).as("b1"),
+        when($"l_quantity" < 3, -9999).otherwise(1).as("b2"))
+      base.select($"l_orderkey", $"ln", $"l_partkey", $"l_suppkey", $"qa",
+        element_at(Composite.repairQuality(array($"qa"), lit(255), lit(1),
+          Seq((array($"b1"), lit(-9999)), (array($"b2"), lit(-9999)))), 1)
+          .as("qa_repaired"))
+        .orderBy($"l_orderkey", $"ln", $"l_partkey", $"l_suppkey")
+        .drop("l_partkey", "l_suppkey")
+    }),
+
+    // S6 — Sentinel-2 processing-baseline offset
+    "s6_baseline_offset" -> ((s, d) => {
+      import s.implicits._
+      part(s, d)
+        .select($"p_partkey", $"p_retailprice".cast("int").as("px"),
+          ($"p_size" % 5 + 1).cast("int").as("baseline"))
+        .select($"p_partkey", $"baseline",
+          PixelOps.baselineOffsetS($"px", $"baseline", lit(0)).cast("int")
+            .as("offset_px"))
+        .orderBy($"p_partkey")
+    }),
+
+    // C13 — grid tessellation through the engine's Grid.createTiles
+    "g1_grid_tiles" -> ((s, d) => {
+      import s.implicits._
+      graft.core.Grid.createTiles("G", 150000.0, 100000.0, 0.0, 10000000.0,
+        xl = 100000.0, xr = 1000000.0, yb = 8000000.0, yu = 9000000.0,
+        srid = 100001)
+        .map(t => (t.tileId, t.xmin, t.ymin, t.xmax, t.ymax))
+        .toDF("tile_id", "xmin", "ymin", "xmax", "ymax")
+        .orderBy($"tile_id")
+    }),
+
     // §2.8 — tumbling-window aggregation over the events stream (batch shape
     // of the Structured-Streaming plan; see graft.streaming)
     "w_events_tumbling" -> ((s, d) => {
@@ -409,6 +463,47 @@ object CubeOps {
              INTERVAL 16 DAY)) AS d))
          WHERE p_start >= '2020-03-01' AND p_end <= '2020-11-01'
          ORDER BY p_start""",
+    "p7_confidence" ->
+      """SELECT o_orderkey,
+         CAST((o_orderkey >> 8) & 3 AS INT) AS conf_field,
+         CAST(CASE WHEN ((o_orderkey >> 8) & 3) >= 2 THEN 1 ELSE 0 END AS INT)
+           AS cloud_ge_medium,
+         CAST(CASE WHEN ((o_orderkey >> 8) & 3) = 3 THEN 1 ELSE 0 END AS INT)
+           AS cloud_high
+         FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""",
+    "p9_repair" ->
+      """SELECT l_orderkey, ln, qa,
+         CASE WHEN qa = 255 THEN 255
+              WHEN b1 = -9999 OR b2 = -9999 THEN 1
+              ELSE qa END AS qa_repaired
+         FROM (SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln,
+             l_partkey, l_suppkey,
+             CASE WHEN l_partkey % 11 = 0 THEN 255
+                  WHEN l_returnflag = 'N' THEN 0 ELSE 2 END AS qa,
+             CASE WHEN l_discount > 0.08 THEN -9999 ELSE 1 END AS b1,
+             CASE WHEN l_quantity < 3 THEN -9999 ELSE 1 END AS b2
+           FROM lineitem)
+         ORDER BY l_orderkey, ln, l_partkey, l_suppkey""",
+    "s6_baseline_offset" ->
+      """SELECT p_partkey, CAST(p_size % 5 + 1 AS INT) AS baseline,
+         CAST(CASE WHEN p_size % 5 + 1 >= 4 AND px <> 0 THEN
+                (CASE WHEN px - 1000 < 0 THEN 0 ELSE px - 1000 END)
+              ELSE px END AS INT) AS offset_px
+         FROM (SELECT p_partkey, p_size, CAST(trunc(p_retailprice) AS INT) AS px
+           FROM part)
+         ORDER BY p_partkey""",
+    "g1_grid_tiles" ->
+      """SELECT lpad(CAST(ih AS VARCHAR), 3, '0') || lpad(CAST(iv AS VARCHAR), 3, '0')
+           AS tile_id,
+         0.0::DOUBLE + ih * 150000.0::DOUBLE AS xmin,
+         10000000.0::DOUBLE - iv * 100000.0::DOUBLE - 100000.0::DOUBLE AS ymin,
+         0.0::DOUBLE + ih * 150000.0::DOUBLE + 150000.0::DOUBLE AS xmax,
+         10000000.0::DOUBLE - iv * 100000.0::DOUBLE AS ymax
+         FROM range(CAST(trunc((100000.0 - 0.0) / 150000.0) AS INT),
+                    CAST(trunc((1000000.0 - 0.0) / 150000.0) AS INT) + 1) t(ih),
+              range(CAST(trunc((10000000.0 - 9000000.0) / 100000.0) AS INT),
+                    CAST(trunc((10000000.0 - 8000000.0) / 100000.0) AS INT) + 1) u(iv)
+         ORDER BY tile_id""",
     "w_events_tumbling" ->
       """SELECT user_id,
          strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS wstart,

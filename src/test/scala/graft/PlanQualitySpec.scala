@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan quality gates (builder mandate: "explain the plan and
+  * iterate until it's the plan you'd want"). These assert the scale
+  * properties the code comments claim: filters reach the parquet scan,
+  * projections prune columns, small dimensions broadcast, and shuffle
+  * counts stay at the theoretical minimum.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("c5: date filter is pushed to the parquet scan") {
+    val plan = planString(q("c5_item_listing"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"expected o_orderdate in PushedFilters:\n$plan")
+  }
+
+  test("c5: scan reads only the referenced columns") {
+    val plan = planString(q("c5_item_listing"))
+    val ordersScan = plan.split("FileScan parquet").find(_.contains("orders"))
+    assert(ordersScan.exists(s => !s.split("ReadSchema").last.contains("o_orderpriority")),
+      "o_orderpriority must be pruned from the orders scan")
+  }
+
+  test("c9: dimension joins broadcast (no shuffle join for nation/region)") {
+    val plan = planString(q("c9_lineage_walk"))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge for tiny dims:\n$plan")
+  }
+
+  test("m1: bbox range join broadcasts the tile table") {
+    val plan = planString(q("m1_bbox_join"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"range join should broadcast tiles:\n$plan")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planString(q("q1_pricing_summary"))
+    assert(plan.contains("partial_"), s"expected partial aggregates:\n$plan")
+  }
+
+  test("q1: whole-stage codegen covers the aggregation") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = q("q1_pricing_summary")
+    df.collect() // finalize AQE on THIS QueryExecution (write would fork one)
+    var found = false
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+        case _: WholeStageCodegenExec => found = true
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(found, "expected a WholeStageCodegen span in the final plan")
+  }
+
+  private def countShuffles(plan: SparkPlan): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+        case s: ShuffleExchangeExec => n += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(plan)
+    n
+  }
+
+  test("q1: exactly two shuffles (group-by + output range sort)") {
+    val df = q("q1_pricing_summary")
+    df.write.format("noop").mode("overwrite").save()
+    assert(countShuffles(df.queryExecution.executedPlan) == 2)
+  }
+
+  test("t2 composite: one shuffle for group-by plus one for the output sort") {
+    val df = q("t2_lcf_composite")
+    df.write.format("noop").mode("overwrite").save()
+    // row_number window and groupBy share the l_orderkey partitioning;
+    // Catalyst reuses it, leaving only the window shuffle + final sort range
+    val shuffles = countShuffles(df.queryExecution.executedPlan)
+    assert(shuffles <= 3, s"composite pipeline should reuse partitioning, got $shuffles")
+  }
+
+  test("documents scan for token stats prunes to the referenced columns") {
+    val plan = planString(q("x_text_stats"))
+    val readSchema = plan.split("ReadSchema:").last
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unused document columns must be pruned: $readSchema")
+  }
+}

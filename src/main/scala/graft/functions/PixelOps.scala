@@ -91,6 +91,38 @@ object PixelOps {
     }
   }
 
+  /** P6 bitwise mode — Landsat C2 QA_PIXEL mask (reference `get_qa_mask`,
+    * `utils/image.py:514-608`): a sample is usable iff
+    *
+    *  - it is not QA-nodata,
+    *  - no configured confidence rule fires (2-bit fields: cloud@8,
+    *    shadow@10, snow@12, cirrus@14 — cirrus only evaluated on OLI
+    *    samples),
+    *  - none of the `notClearBits` are set (the cirrus bit 2 check is
+    *    likewise OLI-guarded when confidence is in play), and
+    *  - at least one of the `clearBits` is set.
+    *
+    * Confidence rules are (offset, op, level) triples from [[confidenceS]];
+    * the reference's rule strings (`"cloud >= MEDIUM"`) map directly
+    * (NO_CONFIDENCE=0, LOW=1, MEDIUM=2, HIGH=3).
+    */
+  def qaMaskBitwiseS(qa: Column, clearBits: Seq[Int], notClearBits: Seq[Int],
+                     nodata: Long,
+                     confidence: Seq[(Int, String, Int)] = Nil,
+                     oli: Column = lit(true)): Column = {
+    val confHit: Column = confidence.map { case (offset, op, level) =>
+      val rule = confidenceS(qa, offset, op, level)
+      if (offset == 14) rule && oli else rule // cirrus applies on OLI only
+    }.foldLeft(lit(false))(_ || _)
+    val anyNotClear = notClearBits.map { b =>
+      val hit = qa.bitwiseAND(lit(1L << b)) =!= 0
+      if (b == 2 && confidence.nonEmpty) hit && oli else hit
+    }.foldLeft(lit(false))(_ || _)
+    val anyClear = clearBits.map(b => qa.bitwiseAND(lit(1L << b)) =!= 0)
+      .foldLeft(lit(false))(_ || _)
+    qa =!= nodata && !confHit && !anyNotClear && anyClear
+  }
+
   /** S6 — Sentinel-2 processing-baseline offset (reference
     * `sentinel/sentinel2.py:136-174`): baseline ≥ 4 subtracts 1000; results
     * below zero become nodata.

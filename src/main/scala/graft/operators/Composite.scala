@@ -66,15 +66,27 @@ object Composite {
   val DatasourceNodata = 255
   val ProvenanceNodata = -1
 
-  /** Shared usability predicate (see class doc). */
+  /** Shared usability predicate (see class doc). In `bits` mode the mask
+    * lists hold BIT POSITIONS (Landsat C2 QA_PIXEL): usable iff not
+    * QA-nodata, no not-clear bit set, and some clear bit set (reference
+    * `get_qa_mask` bitwise branch; confidence rules are applied upstream
+    * at merge time via [[graft.functions.PixelOps.qaMaskBitwiseS]]).
+    */
   private def usable(qa: Int, px: Int, mask: MaskDef, nodata: Int,
                      applyValidRange: Boolean, minV: Double, maxV: Double): Boolean = {
-    val clearQa = mask.clearData.contains(qa.toLong)
-    val masked = qa.toLong == mask.nodata ||
-      mask.notClearData.contains(qa.toLong) ||
-      mask.saturatedData.contains(qa.toLong) ||
-      px == nodata
-    val base = clearQa || !masked
+    val base =
+      if (mask.bits) {
+        qa.toLong != mask.nodata &&
+          !mask.notClearData.exists(b => (qa & (1L << b)) != 0) &&
+          mask.clearData.exists(b => (qa & (1L << b)) != 0)
+      } else {
+        val clearQa = mask.clearData.contains(qa.toLong)
+        val masked = qa.toLong == mask.nodata ||
+          mask.notClearData.contains(qa.toLong) ||
+          mask.saturatedData.contains(qa.toLong) ||
+          px == nodata
+        clearQa || !masked
+      }
     if (applyValidRange) base && px >= minV && px <= maxV else base
   }
 

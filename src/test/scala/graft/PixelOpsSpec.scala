@@ -71,6 +71,38 @@ class PixelOpsSpec extends SparkSpec {
     assert(!df.select(PixelOps.confidenceS($"qa", 8, "<", 2)).head().getBoolean(0))
   }
 
+  test("P6 bitwise QA mask: get_qa_mask doctest golden (image.py:529-550)") {
+    import spark.implicits._
+    // qa=22080, clear bits {6,7}, not-clear {1,2,3,4}, nodata=1
+    val df = Seq(22080).toDF("qa")
+    // no confidence → clear (bit 6 set, no not-clear bit set)
+    assert(df.select(PixelOps.qaMaskBitwiseS($"qa", Seq(6, 7), Seq(1, 2, 3, 4), 1L))
+      .head().getBoolean(0))
+    // cloud == MEDIUM confidence: field (qa>>8)&3 = 2 → masked
+    assert(!df.select(PixelOps.qaMaskBitwiseS($"qa", Seq(6, 7), Seq(1, 2, 3, 4), 1L,
+      confidence = Seq((8, "==", 2)))).head().getBoolean(0))
+    // cirrus rule only fires on OLI samples
+    val cirrusVal = 3 << 14 | (1 << 6)
+    val df2 = Seq((cirrusVal, true), (cirrusVal, false)).toDF("qa", "oli")
+    val got = df2.select(PixelOps.qaMaskBitwiseS($"qa", Seq(6), Seq(1, 3, 4), 1L,
+      confidence = Seq((14, ">=", 2)), oli = $"oli")).collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(false, true))
+  }
+
+  test("P6 bits mode flows through the composite aggregator") {
+    import graft.model.MaskDef
+    import graft.operators.Composite._
+    val mask = MaskDef(clearData = Seq(6, 7), notClearData = Seq(1, 2, 3, 4),
+      nodata = 1, bits = true)
+    val agg = new CompositeAggregator(mask, -9999)
+    val buf = agg.zero
+    agg.reduce(buf, Obs(90, 10, 0, Array(500, 600, 700), Array(1 << 6, 1 << 3, 1)))
+    val r = agg.finish(buf)
+    assert(r.value.toSeq == Seq(500, 600, 700)) // 600/700 via non-nodata backfill
+    assert(r.clearob.toSeq == Seq(1, 0, 0))
+    assert(r.totalob.toSeq == Seq(1, 1, 0))     // qa==nodata(1) excluded
+  }
+
   test("S6 Sentinel-2 baseline >= 4 subtracts 1000, negatives become nodata") {
     import spark.implicits._
     val df = Seq((Seq(1500, 800, 0, 42), 4), (Seq(1500, 800, 0, 42), 3))

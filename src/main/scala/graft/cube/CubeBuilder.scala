@@ -72,9 +72,27 @@ object CubeBuilder {
     val spark = merged.sparkSession
     import spark.implicits._
 
-    val quality = merged.filter($"band" === collection.qualityBand)
+    val qualityRaw = merged.filter($"band" === collection.qualityBand)
       .select($"tileId", $"date", $"blockY", $"blockX", $"pixels".as("qa"))
-    val spectral = merged.filter($"band" =!= collection.qualityBand)
+
+    // M4 — saturated-band propagation (reference `tasks.py:355-366`,
+    // `processing.py:787-791`): where the RADSAT companion band has any of
+    // bits 1..7 set, rewrite the QA sample to a saturated marker so the
+    // composite's usability predicate rejects it.
+    val quality = if (mask.saturatedBand.nonEmpty) {
+      val marker = mask.saturatedData.headOption.getOrElse(mask.nodata)
+      val sat = merged.filter($"band" === mask.saturatedBand)
+        .select($"tileId", $"date", $"blockY", $"blockX", $"pixels".as("radsat"))
+      qualityRaw.join(sat, Seq("tileId", "date", "blockY", "blockX"), "left")
+        .select($"tileId", $"date", $"blockY", $"blockX",
+          when($"radsat".isNull, $"qa").otherwise(
+            zip_with($"qa", $"radsat", (q, r) =>
+              when(PixelOps.bitRangeS(r, 1, 7) =!= 0, lit(marker.toInt))
+                .otherwise(q))).as("qa"))
+    } else qualityRaw
+
+    val spectral = merged.filter($"band" =!= collection.qualityBand &&
+      (if (mask.saturatedBand.nonEmpty) $"band" =!= mask.saturatedBand else lit(true)))
 
     // pair each spectral block with its date's QA block (co-keyed join)
     val paired = spectral.join(quality, Seq("tileId", "date", "blockY", "blockX"))
@@ -179,6 +197,52 @@ object CubeBuilder {
         array_sort($"bands").as("bands"),
         $"xmin", $"ymin", $"xmax", $"ymax", $"clear_pct")
   }
+
+  /** Stage 3c — S11/S12 quicklook: RGB-compose three bands per block (P3
+    * linear scale), assemble per (tile, period) in the executor, downsample
+    * to ≤ `maxRows` rows, PNG-encode. One small binary row per item.
+    */
+  def quicklook(composited: DataFrame, collection: Collection,
+                inMin: Double, inMax: Double, maxRows: Int = 768): DataFrame = {
+    val spark = composited.sparkSession
+    import spark.implicits._
+    val Seq(r, g, b) = collection.quicklook.take(3)
+    val rgb = graft.operators.Visual.rgbComposite(
+      composited.withColumn("value", compositeBand(collection)),
+      r, g, b, inMin, inMax)
+    rgb.groupBy($"cube", $"tileId", $"p_start", $"p_end")
+      .agg(collect_list(struct($"blockY", $"blockX", $"height", $"width",
+        $"rgb")).as("bs"))
+      .as[(String, String, java.sql.Date, java.sql.Date, Seq[QlBlock])]
+      .map { case (cube, tile, ps, pe, bs) =>
+        val bh = bs.head.height; val bw = bs.head.width
+        val maxY = bs.map(_.blockY).max; val maxX = bs.map(_.blockX).max
+        val h = maxY * bh + bs.filter(_.blockY == maxY).head.height
+        val w = maxX * bw + bs.filter(_.blockX == maxX).head.width
+        val full = new Array[Int](h * w)
+        bs.foreach { blk =>
+          var i = 0
+          while (i < blk.rgb.length) {
+            val row = blk.blockY * bh + i / blk.width
+            val col = blk.blockX * bw + i % blk.width
+            val p = blk.rgb(i)
+            full(row * w + col) = (p.r << 16) | (p.g << 8) | p.b
+            i += 1
+          }
+        }
+        val stride = graft.operators.Visual.quicklookStride(h, maxRows)
+        val qh = h / stride; val qw = w / stride
+        val small = Array.tabulate(qh * qw)(i =>
+          full((i / qw) * stride * w + (i % qw) * stride))
+        (cube, tile, ps.toString, pe.toString,
+          graft.operators.Visual.encodePng(small, qw, qh))
+      }
+      .toDF("cube", "tileId", "p_start", "p_end", "png")
+  }
+
+  final case class Rgb(r: Int, g: Int, b: Int)
+  final case class QlBlock(blockY: Int, blockX: Int, height: Int, width: Int,
+                           rgb: Seq[Rgb])
 
   /** Period dimension table from the collection's temporal schema (C12). */
   def periodTable(spark: SparkSession, collection: Collection,

@@ -29,7 +29,7 @@ object Visual {
       .filter($"band".isin(rBand, gBand, bBand))
       .groupBy($"cube", $"tileId", $"p_start", $"p_end", $"blockY", $"blockX",
         $"height", $"width")
-      .pivot("band", Seq(rBand, gBand, bBand))
+      .pivot("band", Seq(rBand, gBand, bBand).distinct)
       .agg(first($"value"))
     def scaled(c: String) = transform(col(c), px =>
       PixelOps.linearScaleS(px, inMin, inMax, 0, 255).cast("int"))

@@ -119,6 +119,31 @@ object CubeOps {
         .orderBy($"l_orderkey")
     }),
 
+    // T2 + P6-bitwise — LCF composite under a Landsat-C2-style bit mask
+    "t2b_lcf_bitwise" -> ((s, d) => {
+      import s.implicits._
+      val bitMask = MaskDef(clearData = Seq(6L), notClearData = Seq(1L, 3L),
+        nodata = 255L, bits = true)
+      val agg = org.apache.spark.sql.functions.udaf(
+        new CompositeAggregator(bitMask, Nodata),
+        org.apache.spark.sql.Encoders.product[Obs])
+      pixelModel(s, d)
+        .withColumn("qab",
+          when($"qa" === 0, 64).otherwise(0) +          // clear bit 6
+          when($"val" % 3 === 0, 8).otherwise(0) +      // cloud bit 3
+          when($"val" % 5 === 0, 2).otherwise(0))       // dilated bit 1
+        .withColumn("valb", abs($"val"))                // keep all samples valid
+        .groupBy($"l_orderkey")
+        .agg(agg((lit(100000) - $"rn").cast("double"),
+          $"rn", $"src", array($"valb"), array($"qab")).as("c"))
+        .select($"l_orderkey",
+          element_at($"c.value", 1).as("lcf_value"),
+          element_at($"c.provenance", 1).as("lcf_prov"),
+          element_at($"c.clearob", 1).as("clearob"),
+          element_at($"c.totalob", 1).as("totalob"))
+        .orderBy($"l_orderkey")
+    }),
+
     // T3/T4 — median / average composites
     "t3_med_avg_composite" -> ((s, d) => {
       import s.implicits._
@@ -368,6 +393,23 @@ object CubeOps {
          CAST(count(*) FILTER (WHERE qa = 0) AS INT) AS clearob,
          CAST(count(*) AS INT) AS totalob
          FROM px GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "t2b_lcf_bitwise" ->
+      s"""WITH px AS ($pixelModelSql),
+         pxb AS (SELECT l_orderkey, rn, src,
+             (CASE WHEN qa = 0 THEN 64 ELSE 0 END)
+               + (CASE WHEN val % 3 = 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN val % 5 = 0 THEN 2 ELSE 0 END) AS qab,
+             abs(val) AS valb
+           FROM px)
+         SELECT l_orderkey,
+         coalesce(arg_min(valb, rn) FILTER (WHERE (qab & 10) = 0 AND (qab & 64) <> 0),
+                  arg_min(valb, rn) FILTER (WHERE valb <> -9999), -9999) AS lcf_value,
+         coalesce(arg_min(rn, rn) FILTER (WHERE (qab & 10) = 0 AND (qab & 64) <> 0),
+                  arg_min(rn, rn) FILTER (WHERE valb <> -9999), -1) AS lcf_prov,
+         CAST(count(*) FILTER (WHERE (qab & 10) = 0 AND (qab & 64) <> 0) AS INT)
+           AS clearob,
+         CAST(count(*) AS INT) AS totalob
+         FROM pxb GROUP BY l_orderkey ORDER BY l_orderkey""",
     "t3_med_avg_composite" ->
       s"""WITH px AS ($pixelModelSql)
          SELECT l_orderkey,

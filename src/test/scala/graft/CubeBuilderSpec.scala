@@ -122,6 +122,34 @@ class CubeBuilderSpec extends SparkSpec {
     assert(r.getAs[Double]("xmax") == 20.0 && r.getAs[Double]("ymin") == 0.0)
   }
 
+  test("quicklook renders a PNG per (tile, period)") {
+    val collQl = coll.copy(quicklook = Seq("B8A", "B04", "B04"))
+    val ql = CubeBuilder.quicklook(composited, collQl, 0, 1000).collect()
+    assert(ql.length == 2)
+    val png = ql.head.getAs[Array[Byte]]("png")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+  }
+
+  test("M4 saturated-band propagation masks RADSAT-flagged pixels") {
+    import spark.implicits._
+    val maskSat = mask.copy(saturatedBand = "RADSAT", saturatedData = Seq(9L))
+    // add a RADSAT band for 2020-01-05: bit 1..7 set on px0 only
+    val radsat = Seq(("c1", "t1", java.sql.Date.valueOf("2020-01-05"), "RADSAT",
+      0, 0, 2, 2, 0.0, 20.0, 10.0, 10.0, 0, Array(2, 0, 0, 0)))
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX", "height",
+        "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    val withSat = CubeBuilder.composite(
+      merged.unionByName(radsat), periods, coll, maskSat,
+      priority = dayofyear(col("date")).cast("double"))
+    val p1 = withSat.filter(col("band") === "B04" && col("p_start") === "2020-01-01")
+      .select("value", "clearob").head()
+    // without RADSAT px0 had clearob=1 (Jan-5 clear); saturation removes it
+    // and Jan-10 is cloudy there → fallback keeps the backfilled value
+    assert(p1.getSeq[Int](1) == Seq(0, 2, 1, 2))
+    assert(p1.getSeq[Int](0).head == 150) // first non-nodata (Jan-10 backfill)
+  }
+
   test("empty raster generator produces all-nodata blocks distributively") {
     val df = Raster.emptyRaster(spark, "c1", "t1",
       java.sql.Date.valueOf("2020-02-01"), "B04", 1024, 700, 0, 7000, 10, nodata)

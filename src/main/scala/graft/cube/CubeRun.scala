@@ -1,0 +1,105 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Ledger
+import graft.model.{Collection, MaskDef}
+import graft.sources.RasterIO
+
+/** Orchestration facade — the reference's `Maestro.orchestrate/run`
+  * (§3.1 steps 3-8) as one driver-side planner over DataFrame stages.
+  *
+  * A run:
+  *  1. mounts the period table (C12) for the requested range;
+  *  2. consults the run ledger (parquet) and plans
+  *     pending = expected ∖ done — idempotent resume / C4 backfill;
+  *  3. scans + decodes scene files (S2/S3), merges (M2), composites
+  *     (T2-T9) for the pending periods only;
+  *  4. publishes: composite blocks + items catalog appended as parquet,
+  *     ledger upserted with SUCCESS rows.
+  *
+  * Re-running after success is a no-op (0 pending units); `force = true`
+  * rebuilds everything (the reference's `--force`).
+  */
+object CubeRun {
+
+  final case class RunResult(planned: Long, items: Long, blocks: Long)
+
+  def run(spark: SparkSession,
+          collection: Collection,
+          mask: MaskDef,
+          sceneDir: String,
+          outDir: String,
+          tileId: String,
+          start: java.time.LocalDate,
+          end: java.time.LocalDate,
+          force: Boolean = false,
+          blockSize: Int = 512): RunResult = {
+    import spark.implicits._
+
+    val periods = CubeBuilder.periodTable(spark, collection, start, end)
+    val ledgerPath = s"$outDir/ledger"
+    val ledger = readParquetIfExists(spark, ledgerPath).getOrElse(
+      spark.emptyDataset[(String, String, String, String, String, String)]
+        .toDF("cube", "tile_id", "p_start", "p_end", "band", "status"))
+
+    val bandNames = collection.bands.filter(_.expression.isEmpty).map(_.name)
+    val expected = Ledger.expectedUnits(
+      Seq(tileId).toDF("tile_id"),
+      periods.select($"p_start".cast("string"), $"p_end".cast("string")),
+      bandNames, collection.identifier)
+    // materialize the plan now: the ledger parquet is swapped below and
+    // re-evaluating this lazy plan afterwards would read deleted files
+    val pending = Ledger.pendingUnits(expected, ledger, force).cache()
+    val plannedCount = pending.count()
+    val pendingPeriods = pending.select($"p_start", $"p_end").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    if (pendingPeriods.isEmpty) return RunResult(0, 0, 0)
+
+    // stage 1-2: scan → decode → merge → composite, restricted to pending
+    val scanned = RasterIO.scanDirectory(spark, sceneDir)
+    val blocks = RasterIO.decodeBlocks(scanned, collection.identifier, tileId,
+      blockSize)
+      .withColumn("assetOrder", lit(0)).withColumn("source", lit(0))
+    val nodata = collection.bands.find(_.name != collection.qualityBand)
+      .map(_.nodata.toInt).getOrElse(-9999)
+    val merged = CubeBuilder.merge(
+        blocks.filter($"band" =!= collection.qualityBand), nodata, combined = true)
+      .unionByName(CubeBuilder.merge(
+        blocks.filter($"band" === collection.qualityBand),
+        mask.nodata.toInt, combined = true))
+
+    val pendingPeriodsDf = pendingPeriods.toSeq.toDF("ps", "pe")
+      .select($"ps".cast("date").as("p_start"), $"pe".cast("date").as("p_end"))
+    val composited = CubeBuilder.composite(merged, pendingPeriodsDf,
+      collection, mask)
+
+    // stage 3: publish blocks, index bands, items, ledger
+    composited.withColumn("value", CubeBuilder.compositeBand(collection))
+      .write.mode("append").partitionBy("tileId", "p_start")
+      .parquet(s"$outDir/blocks")
+    val indexDf = CubeBuilder.indexBands(composited, collection)
+    if (!indexDf.isEmpty)
+      indexDf.write.mode("append").parquet(s"$outDir/index_blocks")
+    val items = CubeBuilder.publishItems(composited, collection)
+    items.write.mode("append").parquet(s"$outDir/items")
+
+    val completions = pending.select($"cube", $"tile_id", $"p_start", $"p_end",
+      $"band", lit(Ledger.StatusSuccess).as("status"))
+    val newLedger = Ledger.upsert(ledger, completions)
+    // two-phase write: stage then swap (parquet can't overwrite its input)
+    newLedger.write.mode("overwrite").parquet(s"$ledgerPath.staging")
+    spark.read.parquet(s"$ledgerPath.staging").write.mode("overwrite")
+      .parquet(ledgerPath)
+
+    pending.unpersist()
+    RunResult(plannedCount,
+      readParquetIfExists(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
+      readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L))
+  }
+
+  private def readParquetIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      Some(spark.read.parquet(path))
+    else None
+}

@@ -25,15 +25,8 @@ object Pipeline {
     * (~40× slower here), and the index-ascending summation order is
     * identical either way, so oracle doubles match bit-for-bit.
     */
-  private val dotUdf = udf((a: Array[Float], b: Array[Float]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
-
-  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -198,6 +198,47 @@ object CubeBuilder {
         $"xmin", $"ymin", $"xmax", $"ymax", $"clear_pct")
   }
 
+  /** T10 — histogram-match each scene-date's merged band to the
+    * best-priority date of its (tile, band) group before compositing
+    * (reference `tasks.py:368-385`). The value→matched mapping (one small
+    * table per (tile, band, date)) is collected into a map column and
+    * applied to the pixel arrays with a codegen'd `transform` — no
+    * explode/regroup of pixel payloads.
+    */
+  def histogramMatchScenes(merged: DataFrame, priority: Column,
+                           qualityBand: String): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val spectral = merged.filter($"band" =!= qualityBand)
+      .withColumn("prio", priority)
+
+    val refDates = spectral.groupBy($"tileId", $"band")
+      .agg(max_by($"date", $"prio").as("refDate"))
+
+    val exploded = spectral
+      .select($"tileId", $"band", $"date", explode($"pixels").as("value"),
+        $"nodata")
+      .filter($"value" =!= $"nodata")
+    val withRef = exploded.join(broadcast(refDates), Seq("tileId", "band"))
+    val src = withRef.filter($"date" =!= $"refDate")
+      .select($"tileId", $"band", $"date", $"value")
+    val ref = withRef.filter($"date" === $"refDate")
+      .select($"tileId", $"band", $"value")
+
+    val mapping = graft.operators.HistogramMatch.matchToReference(
+      src, ref, Seq("tileId", "band"), "date")
+      .groupBy($"tileId", $"band", $"date")
+      .agg(map_from_entries(collect_list(
+        struct($"value", round($"matched").cast("int").as("m")))).as("vmap"))
+
+    merged.join(mapping, Seq("tileId", "band", "date"), "left")
+      .withColumn("pixels",
+        when($"vmap".isNull, $"pixels").otherwise(
+          transform($"pixels", px =>
+            coalesce(element_at($"vmap", px), px))))
+      .drop("vmap")
+  }
+
   /** Stage 3c — S11/S12 quicklook: RGB-compose three bands per block (P3
     * linear scale), assemble per (tile, period) in the executor, downsample
     * to ≤ `maxRows` rows, PNG-encode. One small binary row per item.

@@ -72,4 +72,63 @@ object HistogramMatch {
     val table = mappingTable(src, ref, keyCol, valueCol)
     src.join(table, Seq(keyCol, valueCol)).withColumnRenamed("matched", "value_matched")
   }
+
+  /** T10 as used by prepare-blend (reference `tasks.py:368-385`): match
+    * every scene-date of a (tile, band) group to the group's reference
+    * scene. `src` rows are (groupCols..., sceneCol, value); `ref` rows are
+    * (groupCols..., value) — the reference CDF is built once per group and
+    * bracket-joined against all scene CDFs in a single sort-merge pass.
+    *
+    * Returns (groupCols..., sceneCol, value, matched).
+    */
+  def matchToReference(src: DataFrame, ref: DataFrame,
+                       groupCols: Seq[String], sceneCol: String,
+                       valueCol: String = "value"): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+
+    val srcCdf = {
+      val counts = src.groupBy((g :+ col(sceneCol) :+ col(valueCol)): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy((g :+ col(sceneCol)): _*).orderBy(col(valueCol))
+      val tot = Window.partitionBy((g :+ col(sceneCol)): _*)
+      counts.select((g :+ col(sceneCol) :+ col(valueCol).as("v") :+
+        (sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)) /
+          sum($"cnt").over(tot)).as("cdf")): _*)
+    }
+    val refCdf = {
+      val counts = ref.groupBy((g :+ col(valueCol)): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+      val tot = Window.partitionBy(g: _*)
+      counts.select((g :+ col(valueCol).as("v") :+
+        (sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)) /
+          sum($"cnt").over(tot)).as("cdf")): _*)
+    }
+
+    val s = srcCdf.withColumn("is_src", lit(1))
+    val r = refCdf.withColumn(sceneCol, lit(null).cast(srcCdf.schema(sceneCol).dataType))
+      .withColumn("is_src", lit(0))
+      .select(s.columns.map(col): _*)
+    val all = s.unionByName(r)
+
+    val ord = Window.partitionBy(g: _*).orderBy($"cdf", $"is_src")
+    val refPoint = when($"is_src" === 0, struct($"cdf".as("c"), $"v".as("rv")))
+    val lo = last(refPoint, ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    val hi = first(refPoint, ignoreNulls = true)
+      .over(ord.rowsBetween(0, Window.unboundedFollowing))
+
+    all.select((g :+ col(sceneCol) :+ $"v" :+ $"cdf" :+ $"is_src" :+
+      lo.as("lo") :+ hi.as("hi")): _*)
+      .filter($"is_src" === 1)
+      .select((g :+ col(sceneCol) :+ $"v".as(valueCol) :+
+        when($"lo".isNull, $"hi.rv")
+          .when($"hi".isNull, $"lo.rv")
+          .when($"hi.c" === $"lo.c", $"lo.rv".cast("double"))
+          .otherwise($"lo.rv" +
+            ($"cdf" - $"lo.c") / ($"hi.c" - $"lo.c") * ($"hi.rv" - $"lo.rv"))
+          .as("matched")): _*)
+  }
 }

@@ -88,6 +88,27 @@ class WarpLedgerSpec extends SparkSpec {
     }
   }
 
+  test("histogram match to reference scene: shifted scene is corrected") {
+    import spark.implicits._
+    // ref date (high priority): values 10,20,30,40; shifted scene: +100
+    def block(date: String, px: Array[Int]) =
+      ("c1", "t1", java.sql.Date.valueOf(date), "B04", 0, 0, 2, 2,
+        0.0, 20.0, 10.0, 10.0, -9999, px)
+    val merged = Seq(
+      block("2020-01-10", Array(10, 20, 30, 40)),
+      block("2020-01-05", Array(110, 120, 130, 140)))
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX",
+        "height", "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    val matched = graft.cube.CubeBuilder.histogramMatchScenes(
+      merged, dayofyear(col("date")).cast("double"), "QA")
+    val shifted = matched.filter(col("date") === "2020-01-05")
+      .select("pixels").head().getSeq[Int](0)
+    assert(shifted == Seq(10, 20, 30, 40)) // quantile-mapped onto ref
+    val ref = matched.filter(col("date") === "2020-01-10")
+      .select("pixels").head().getSeq[Int](0)
+    assert(ref == Seq(10, 20, 30, 40)) // reference untouched
+  }
+
   test("convex hull of a square with interior points") {
     val hull = Visual.convexHull(Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0),
       (0.0, 2.0), (1.0, 1.0), (0.5, 1.5)))

@@ -130,6 +130,53 @@ object CubeBuilder {
         $"c.datasource", $"c.clearob", $"c.totalob")
   }
 
+  /** T1 — scene priority from QA efficacy (reference `processing.py:
+    * 636-654`): `100 * efficacy / resolution` per (tile, date), where
+    * efficacy is the M5 clear-pixel percentage of the merged quality
+    * raster. Optional `referenceDay` re-weights by temporal proximity to
+    * a day-of-period (reference-day mode, `timeline.py:208-249` applied
+    * `tasks.py:387-395`): closer dates get higher priority.
+    */
+  def scenePriorities(merged: DataFrame, collection: Collection, mask: MaskDef,
+                      resolution: Double,
+                      referenceDay: Option[Int] = None): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val (eff, _) = Composite.qaStatistics($"pixels", mask)
+    val base = merged.filter($"band" === collection.qualityBand)
+      .groupBy($"tileId", $"date")
+      .agg(eff.as("efficacy"))
+    referenceDay match {
+      case None =>
+        base.select($"tileId", $"date",
+          ($"efficacy" * 100.0 / resolution).as("scene_priority"))
+      case Some(day) =>
+        // proximity rank: smaller |doy - refDoy| → higher priority; the
+        // efficacy breaks ties within the same distance
+        base.select($"tileId", $"date",
+          (lit(100000.0) - abs(dayofyear($"date") - lit(day)) * 1000.0 +
+            $"efficacy" * 100.0 / resolution).as("scene_priority"))
+    }
+  }
+
+  /** Composite with efficacy-derived scene ordering: computes T1
+    * priorities from the merged quality band and runs [[composite]] with
+    * them (the reference's prepare-blend ordering).
+    */
+  def compositeByEfficacy(merged: DataFrame, periods: DataFrame,
+                          collection: Collection, mask: MaskDef,
+                          resolution: Double,
+                          referenceDay: Option[Int] = None,
+                          applyValidRange: Boolean = false): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val prio = scenePriorities(merged, collection, mask, resolution, referenceDay)
+    val withPrio = merged.join(broadcast(prio), Seq("tileId", "date"), "left")
+      .withColumn("scene_priority", coalesce($"scene_priority", lit(0.0)))
+    composite(withPrio, periods, collection, mask,
+      priority = $"scene_priority", applyValidRange = applyValidRange)
+  }
+
   /** Select the output pixel array for the collection's composite function. */
   def compositeBand(collection: Collection): Column =
     graft.model.CompositeFunction.parse(collection.compositeFunction) match {

@@ -122,6 +122,32 @@ class CubeBuilderSpec extends SparkSpec {
     assert(r.getAs[Double]("xmax") == 20.0 && r.getAs[Double]("ymin") == 0.0)
   }
 
+  test("T1 efficacy priorities order scenes; best-efficacy date wins the composite") {
+    // Jan-5 QA after merge: (0,0,4,0) → 75% clear; Jan-10: (4,0,0,0) → 75%;
+    // Jan-20 (other period): (0,0,0,255) → 75% of total (3 clear / 4 px)
+    val prios = CubeBuilder.scenePriorities(merged, coll, mask, resolution = 30)
+      .collect().map(r => r.getDate(1).toString -> r.getDouble(2)).toMap
+    assert(prios("2020-01-05") == 75.0 * 100 / 30)
+    assert(prios("2020-01-10") == 75.0 * 100 / 30)
+
+    val composited2 = CubeBuilder.compositeByEfficacy(
+      merged, periods, coll, mask, resolution = 30)
+    // equal efficacy → tie toward later doy (reference sorts keys desc):
+    // px1 clear in both Jan-5 (220) and Jan-10 (250) → Jan-10 wins
+    val p1 = composited2
+      .filter(col("band") === "B04" && col("p_start") === "2020-01-01")
+      .select("value").head().getSeq[Int](0)
+    assert(p1(1) == 250)
+
+    // reference-day weighting flips the order toward Jan-5 (ref day 1)
+    val withRefDay = CubeBuilder.compositeByEfficacy(
+      merged, periods, coll, mask, resolution = 30, referenceDay = Some(1))
+    val p2 = withRefDay
+      .filter(col("band") === "B04" && col("p_start") === "2020-01-01")
+      .select("value").head().getSeq[Int](0)
+    assert(p2(1) == 220)
+  }
+
   test("quicklook renders a PNG per (tile, period)") {
     val collQl = coll.copy(quicklook = Seq("B8A", "B04", "B04"))
     val ql = CubeBuilder.quicklook(composited, collQl, 0, 1000).collect()

@@ -20,8 +20,11 @@ object Grid {
                         xmin: Double, ymin: Double, xmax: Double, ymax: Double,
                         srid: Int)
 
-  /** Forward map projection: (lonDeg, latDeg) → (x, y) meters. */
-  trait Projection { def forward(lonDeg: Double, latDeg: Double): (Double, Double) }
+  /** Forward/inverse map projection: (lonDeg, latDeg) ↔ (x, y) meters. */
+  trait Projection {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double)
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
 
   /** Spherical sinusoidal, R = 6371007.181 (MODIS sphere). */
   final case class Sinusoidal(lon0Deg: Double, x0: Double = 0, y0: Double = 0) extends Projection {
@@ -30,6 +33,11 @@ object Grid {
       val lam = math.toRadians(lonDeg - lon0Deg)
       val phi = math.toRadians(latDeg)
       (x0 + R * lam * math.cos(phi), y0 + R * phi)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = (y - y0) / R
+      val lam = (x - x0) / (R * math.cos(phi))
+      (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
     }
   }
 
@@ -68,6 +76,28 @@ object Grid {
       val theta = n * math.toRadians(lonDeg - lon0Deg)
       (x0 + rho * math.sin(theta), y0 + rho0 - rho * math.cos(theta))
     }
+
+    /** Inverse per Snyder 14-19..14-21 + the iterative 3-16 latitude. */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - x0
+      val dy = rho0 - (y - y0)
+      val sign = if (n >= 0) 1.0 else -1.0
+      val rho = sign * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sign * dx, sign * dy)
+      val qq = (bigC - (rho * n / a) * (rho * n / a)) / n
+      var phi = math.asin(math.max(-1, math.min(1, qq / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val one = 1 - e2 * s * s
+        val delta = (one * one) / (2 * math.cos(phi)) *
+          (qq / (1 - e2) - s / one +
+            math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+        phi += delta
+        i += 1
+      }
+      (lon0Deg + math.toDegrees(theta / n), math.toDegrees(phi))
+    }
   }
 
   /** Reference projections by name ("aea" | "sinu" | "longlat"). */
@@ -77,7 +107,10 @@ object Grid {
         x0 = 5000000, y0 = 10000000)
     case "sinu" => Sinusoidal(meridian)
     case "longlat" =>
-      new Projection { def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat) }
+      new Projection {
+        def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+        def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+      }
     case other => throw new IllegalArgumentException(s"unsupported projection: $other")
   }
 

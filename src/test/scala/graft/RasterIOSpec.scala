@@ -42,6 +42,19 @@ class RasterIOSpec extends SparkSpec {
     assert(GeoTiff.readWindow(b32, GeoTiff.readInfo(b32), 0, 0, 10, 10).toSeq == p32.toSeq)
   }
 
+  test("deflate-compressed GeoTIFF round-trips and is smaller") {
+    val px = checker(300, 200)
+    val plain = GeoTiff.write(px, 300, 200, tileSize = 128, nodata = -9999)
+    val packed = GeoTiff.write(px, 300, 200, tileSize = 128, nodata = -9999,
+      deflate = true)
+    assert(packed.length < plain.length / 2, s"${packed.length} vs ${plain.length}")
+    val info = GeoTiff.readInfo(packed)
+    assert(info.compression == 8)
+    assert(GeoTiff.readWindow(packed, info, 0, 0, 200, 300).toSeq == px.toSeq)
+    assert(GeoTiff.readWindow(packed, info, 100, 100, 60, 80).toSeq ==
+      GeoTiff.readWindow(plain, GeoTiff.readInfo(plain), 100, 100, 60, 80).toSeq)
+  }
+
   test("scanDirectory extracts band and date from file names") {
     val dir = java.nio.file.Files.createTempDirectory("scenes")
     val px = checker(64, 64)

@@ -20,10 +20,18 @@ object Grid {
                         xmin: Double, ymin: Double, xmax: Double, ymax: Double,
                         srid: Int)
 
-  /** Forward/inverse map projection: (lonDeg, latDeg) ↔ (x, y) meters. */
-  trait Projection {
+  /** Forward/inverse map projection: (lonDeg, latDeg) ↔ (x, y) meters.
+    * Serializable: projections ride into executor-side warp kernels.
+    */
+  trait Projection extends Serializable {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double)
     def inverse(x: Double, y: Double): (Double, Double)
+  }
+
+  /** Identity "projection": coordinates already in lon/lat degrees. */
+  case object LongLat extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
   }
 
   /** Spherical sinusoidal, R = 6371007.181 (MODIS sphere). */
@@ -106,11 +114,7 @@ object Grid {
       AlbersEqualArea(lon0Deg = meridian, lat0Deg = -12, lat1Deg = -2, lat2Deg = -22,
         x0 = 5000000, y0 = 10000000)
     case "sinu" => Sinusoidal(meridian)
-    case "longlat" =>
-      new Projection {
-        def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
-        def inverse(x: Double, y: Double): (Double, Double) = (x, y)
-      }
+    case "longlat" => LongLat
     case other => throw new IllegalArgumentException(s"unsupported projection: $other")
   }
 

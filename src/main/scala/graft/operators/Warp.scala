@@ -41,20 +41,50 @@ object Warp {
     *
     * @param method "nearest" (quality bands) or "bilinear" (spectral) —
     *               selection mirrors `image.py:740-753`
+    * @param dstProjection with `srcProjection`: the grid lives in
+    *               `dstProjection`'s plane and sources in
+    *               `srcProjection`'s — each destination pixel center maps
+    *               dest→lonlat→src before sampling (cross-CRS warp). Both
+    *               None = same-CRS affine warp.
     */
   def warpBand(src: DataFrame, grid: Seq[DstBlock], nodata: Int,
-               method: String = "nearest"): DataFrame = {
+               method: String = "nearest",
+               dstProjection: Option[graft.core.Grid.Projection] = None,
+               srcProjection: Option[graft.core.Grid.Projection] = None): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
     val bilinear = method == "bilinear"
-    val gridDf = grid.toDF()
 
-    // M1-style overlap join: source block extent vs destination block extent
+    // For the overlap join, express each destination block's extent in the
+    // SOURCE plane (sample the block edges through dest→lonlat→src; edges
+    // curve under reprojection, corners alone under-cover).
+    val gridWithSrcExtent = grid.map { b =>
+      val corners = for {
+        i <- 0 to 8
+        (x, y) <- Seq(
+          (b.x0 + b.width * b.resX * i / 8.0, b.y0),
+          (b.x0 + b.width * b.resX * i / 8.0, b.y0 - b.height * b.resY),
+          (b.x0, b.y0 - b.height * b.resY * i / 8.0),
+          (b.x0 + b.width * b.resX, b.y0 - b.height * b.resY * i / 8.0))
+      } yield (dstProjection, srcProjection) match {
+        case (Some(dp), Some(sp)) =>
+          val (lon, lat) = dp.inverse(x, y)
+          sp.forward(lon, lat)
+        case _ => (x, y)
+      }
+      (b.blockY, b.blockX, b.height, b.width, b.x0, b.y0, b.resX, b.resY,
+        corners.map(_._1).min, corners.map(_._1).max,
+        corners.map(_._2).min, corners.map(_._2).max)
+    }
+    val gridDf = gridWithSrcExtent.toDF("blockY", "blockX", "height", "width",
+      "x0", "y0", "resX", "resY", "sxmin", "sxmax", "symin", "symax")
+
+    // M1-style overlap join in the source plane
     val joined = src.join(broadcast(gridDf),
-      src("x0") < gridDf("x0") + gridDf("width") * gridDf("resX") &&
-      src("x0") + src("width") * src("resX") > gridDf("x0") &&
-      src("y0") > gridDf("y0") - gridDf("height") * gridDf("resY") &&
-      src("y0") - src("height") * src("resY") < gridDf("y0"))
+      src("x0") < gridDf("sxmax") &&
+      src("x0") + src("width") * src("resX") > gridDf("sxmin") &&
+      src("y0") > gridDf("symin") &&
+      src("y0") - src("height") * src("resY") < gridDf("symax"))
 
     val keyed = joined.select(
       struct(src("cube"), src("tileId"), src("date"), src("band"),
@@ -66,6 +96,15 @@ object Warp {
         src("pixels").as("pixels")).as("s"))
       .as[(WarpKey, SrcBlock)]
 
+    val reproject: Option[(Double, Double) => (Double, Double)] =
+      (dstProjection, srcProjection) match {
+        case (Some(dp), Some(sp)) => Some { (x: Double, y: Double) =>
+          val (lon, lat) = dp.inverse(x, y)
+          sp.forward(lon, lat)
+        }
+        case _ => None
+      }
+
     val matched = keyed.groupByKey(_._1).mapGroups { (k, rows) =>
       val srcs = rows.map(_._2).toArray
       val out = Array.fill(k.height * k.width)(nodata)
@@ -75,7 +114,8 @@ object Warp {
         var c = 0
         while (c < k.width) {
           val x = k.x0 + (c + 0.5) * k.resX
-          out(r * k.width + c) = sample(srcs, x, y, nodata, bilinear)
+          val (sx, sy) = reproject.map(f => f(x, y)).getOrElse((x, y))
+          out(r * k.width + c) = sample(srcs, sx, sy, nodata, bilinear)
           c += 1
         }
         r += 1
@@ -87,7 +127,8 @@ object Warp {
     // destination blocks with no overlapping source are all-nodata (the
     // join above drops them); synthesize them per (cube, tile, date, band)
     val slices = src.select("cube", "tileId", "date", "band").distinct()
-    val empties = slices.crossJoin(broadcast(gridDf))
+    val empties = slices.crossJoin(
+      broadcast(gridDf.drop("sxmin", "sxmax", "symin", "symax")))
       .join(matched,
         Seq("cube", "tileId", "date", "band", "blockY", "blockX"), "left_anti")
       .withColumn("pixels", array_repeat(lit(nodata), col("height") * col("width")))

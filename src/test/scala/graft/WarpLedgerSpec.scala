@@ -42,6 +42,32 @@ class WarpLedgerSpec extends SparkSpec {
     assert(out == Seq(-9999, -9999, -9999, -9999, -9999, -9999, -9999, -9999))
   }
 
+  test("cross-CRS warp: longlat source onto a sinusoidal grid") {
+    import spark.implicits._
+    import graft.core.Grid
+    // source in lon/lat degrees: 4×4 block over lon [-56,-52], lat [-14,-10],
+    // res 1°; value encodes (lonIdx, latIdx)
+    val srcLl = Seq(("c1", "t1", java.sql.Date.valueOf("2020-01-05"), "B04",
+      0, 0, 4, 4, -56.0, -10.0, 1.0, 1.0, -9999,
+      Array.tabulate(16)(identity)))
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX",
+        "height", "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    val sinu = Grid.Sinusoidal(lon0Deg = -54)
+    // destination: one 2×2 block centered on the source area in sinu meters
+    val (cx, cy) = sinu.forward(-54, -12)
+    val res = 110000.0 // ~1 degree of latitude in meters
+    val grid = Warp.destGrid(cx - res, cy + res, 2, 2, res, blockSize = 2)
+    val out = Warp.warpBand(srcLl, grid, -9999, "nearest",
+      dstProjection = Some(sinu),
+      srcProjection = Some(Grid.projectionFor("longlat", 0)))
+      .select("pixels").head().getSeq[Int](0)
+    // dest pixel centers ≈ lon/lat (-54.5±, -11.5/-12.5) → src cells around
+    // the middle of the 4×4 block; all must be valid (not nodata)
+    assert(out.forall(_ != -9999), out.toString)
+    // top-left dest center ≈ (-54.5, -11.5) → src col 1.0→1|2, row 1.5→2
+    assert(Seq(5, 6, 9, 10).contains(out.head), out.toString)
+  }
+
   test("ledger: pending = expected minus done; upsert keeps latest") {
     import spark.implicits._
     val tiles = Seq("t1", "t2").toDF("tile_id")

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Timeline
 import graft.functions.PixelOps
 import graft.model.{Band, Collection, MaskDef}
+import graft.functions.PixelExpressions
 import graft.operators.Composite
-import graft.operators.Composite.{AssetObs, CompositeAggregator, MosaicAggregator, Obs}
 
 /** End-to-end cube-build pipeline (SURVEY §3.1 re-expressed Spark-first).
   *
@@ -43,16 +43,16 @@ object CubeBuilder {
             buildProvenance: Boolean = false): DataFrame = {
     val spark = scenes.sparkSession
     import spark.implicits._
-    val agg = new MosaicAggregator(nodata, combined)
-    val keyed = scenes.select(
-      struct($"cube", $"tileId", $"date", $"band", $"blockY", $"blockX",
-        $"height", $"width", $"x0", $"y0", $"resX", $"resY").as("k"),
-      struct($"assetOrder".as("order"), $"source", $"pixels").as("o"))
-      .as[(MergeKey, AssetObs)]
-    val merged = keyed.groupByKey(_._1).mapValues(_._2)
-      .agg(agg.toColumn.name("m"))
-      .toDF("k", "m")
-    val base = merged.select($"k.*", lit(nodata).as("nodata"),
+    val m = Composite.mosaicAgg(nodata, combined)(
+      $"assetOrder", $"source", $"pixels")
+    val merged = scenes
+      .groupBy($"cube", $"tileId", $"date", $"band", $"blockY", $"blockX",
+        $"height", $"width", $"x0", $"y0", $"resX", $"resY")
+      .agg(m.as("m"))
+    val base = merged.select(
+      $"cube", $"tileId", $"date", $"band", $"blockY", $"blockX",
+      $"height", $"width", $"x0", $"y0", $"resX", $"resY",
+      lit(nodata).as("nodata"),
       $"m.value".as("pixels"), $"m.datasource".as("datasource"))
     if (buildProvenance) base else base.drop("datasource")
   }
@@ -101,31 +101,34 @@ object CubeBuilder {
     val inPeriod = paired.join(broadcast(periods),
       $"date" >= $"p_start" && $"date" <= $"p_end")
 
-    val bandMeta = collection.bands.map(b => b.name -> b).toMap
+    // per-band metadata (reference applies nodata and the valid range PER
+    // BAND, `processing.py:764-791`): map-literal lookups keyed by band
+    // name; the merged stream's own nodata column is the fallback for
+    // bands absent from the collection definition.
+    def bandMap(f: graft.model.Band => Column): Column =
+      map(collection.bands.flatMap(b => Seq(lit(b.name), f(b))): _*)
+    val withMeta = inPeriod
+      .withColumn("nodata",
+        coalesce(element_at(bandMap(b => lit(b.nodata.toInt)), $"band"),
+          $"nodata").cast("int"))
+      .withColumn("minv",
+        coalesce(element_at(bandMap(b => lit(b.minValue)), $"band"),
+          lit(Double.MinValue)))
+      .withColumn("maxv",
+        coalesce(element_at(bandMap(b => lit(b.maxValue)), $"band"),
+          lit(Double.MaxValue)))
 
-    val withObs = inPeriod.select(
-      struct($"cube", $"tileId", $"band", $"p_start", $"p_end",
+    val c = Composite.compositeAgg(mask, applyValidRange)(
+      priority, dayofyear($"date"), sourceIdx,
+      $"pixels", $"qa", $"nodata", $"minv", $"maxv")
+    withMeta
+      .groupBy($"cube", $"tileId", $"band", $"p_start", $"p_end",
         $"blockY", $"blockX", $"height", $"width", $"x0", $"y0",
-        $"resX", $"resY", $"nodata").as("k"),
-      struct(
-        priority.cast("double").as("priority"),
-        dayofyear($"date").as("doy"),
-        sourceIdx.cast("int").as("source"),
-        $"pixels",
-        $"qa").as("o"))
-
-    val nodataByBand: Int =
-      bandMeta.values.find(_.name != collection.qualityBand)
-        .map(_.nodata.toInt).getOrElse(-9999)
-    val (minV, maxV) = bandMeta.values.headOption
-      .map(b => (b.minValue, b.maxValue)).getOrElse((Double.MinValue, Double.MaxValue))
-
-    val agg = new CompositeAggregator(mask, nodataByBand, applyValidRange, minV, maxV)
-    withObs.as[(CompositeKey, Obs)]
-      .groupByKey(_._1).mapValues(_._2)
-      .agg(agg.toColumn.name("c"))
-      .toDF("k", "c")
-      .select($"k.*",
+        $"resX", $"resY", $"nodata")
+      .agg(c.as("c"))
+      .select($"cube", $"tileId", $"band", $"p_start", $"p_end",
+        $"blockY", $"blockX", $"height", $"width", $"x0", $"y0",
+        $"resX", $"resY", $"nodata",
         $"c.value", $"c.median", $"c.average", $"c.provenance",
         $"c.datasource", $"c.clearob", $"c.totalob")
   }
@@ -232,8 +235,8 @@ object CubeBuilder {
         max($"x0" + $"width" * $"resX").as("xmax"),
         min($"y0" - $"height" * $"resY").as("ymin"),
         max($"y0").as("ymax"),
-        (sum(aggregate($"clearob", lit(0L), (a, x) => a + x)) * 100.0 /
-          greatest(sum(aggregate($"totalob", lit(0L), (a, x) => a + x)), lit(1L)))
+        (sum(PixelExpressions.arraySumLong($"clearob")) * 100.0 /
+          greatest(sum(PixelExpressions.arraySumLong($"totalob")), lit(1L)))
           .as("clear_pct"))
       .select(
         PixelOps.itemId($"cube", lit(collection.version),

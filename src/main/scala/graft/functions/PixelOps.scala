@@ -30,8 +30,10 @@ object PixelOps {
   }
 
   def rescale(pixels: Column, nodata: Column, mult: Double, add: Double,
-              newScaleMult: Double, dataType: String): Column =
-    transform(pixels, px => rescaleS(px, nodata, mult, add, newScaleMult, dataType).cast("int"))
+              newScaleMult: Double, dataType: String): Column = {
+    val (lo, hi) = Band.dtypeRange(dataType)
+    PixelExpressions.rescale(pixels, nodata, mult, add, newScaleMult, lo, hi)
+  }
 
   /** P3 — linear display scale (reference `utils/image.py:711-737`): clip to
     * `[inMin, inMax]` then map linearly onto `[outMin, outMax]`.
@@ -132,33 +134,21 @@ object PixelOps {
       when(px - 1000 < 0, nodata).otherwise(px - 1000)).otherwise(px)
 
   def baselineOffset(pixels: Column, baselineMajor: Column, nodata: Column): Column =
-    transform(pixels, px => baselineOffsetS(px, baselineMajor, nodata))
+    PixelExpressions.baselineOffset(pixels, baselineMajor, nodata)
 
-  /** P8 — band-expression evaluation over pixel arrays: zip N band arrays
-    * and evaluate an arbitrary Catalyst expression per sample, then clamp to
-    * the output dtype (reference `utils/interpreter.py:28-60`,
-    * `index_generator.py:34-127` — the Python `exec` VM is replaced by
-    * Catalyst's parser/codegen).
+  /** P8 — band-expression evaluation over pixel arrays: evaluate the
+    * parsed band-algebra AST per sample over N aligned band arrays, then
+    * clamp to the output dtype (reference `utils/interpreter.py:28-60`,
+    * `index_generator.py:34-127` — the Python `exec` VM is replaced by a
+    * generated Java loop, [[BandExprArray]]).
     *
     * `bandExpr(Map("B04" -> col4, "B8A" -> col8a), "10000*((B8A-B04)/(B8A+B04))", ...)`
-    *
-    * Implementation: fold the band arrays with `zip_with` into per-sample
-    * structs is not needed — instead we transform over sample indices so any
-    * number of bands compose.
     */
   def bandExpr(bands: Map[String, Column], expression: String,
                dataType: String, nodata: Int): Column = {
     require(bands.nonEmpty)
     val (lo, hi) = Band.dtypeRange(dataType)
-    val n = size(bands.values.head)
-    transform(sequence(lit(0), n - 1), i => {
-      // bind each band name to its i-th sample, cast to double (reference
-      // computes indexes in float then clamps, index_generator.py:105-119)
-      val env: Map[String, Column] = bands.map { case (name, arr) =>
-        name -> element_at(arr, i + 1).cast("double")
-      }
-      bandExprS(env, expression, dataType, nodata)
-    })
+    PixelExpressions.bandExpr(bands.toSeq, expression, lo, hi, nodata)
   }
 
   /** Scalar form of P8: evaluate `expression` over bound sample columns,

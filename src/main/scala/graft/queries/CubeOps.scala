@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import graft.functions.PixelOps
 import graft.model.MaskDef
 import graft.operators.Composite
-import graft.operators.Composite.{AssetObs, CompositeAggregator, MosaicAggregator, Obs}
 
 /** SURVEY §2.2-§2.4 cube operators exercised through the engine's own
   * implementations (composite/mosaic aggregators, pixel ops, timeline) over
@@ -61,16 +60,13 @@ object CubeOps {
 
   private def compositeResult(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // registered-UDAF path: hash aggregation over codegen'd struct input
-    // (the typed groupByKey alternative pays an extra object map + sort)
-    val agg = org.apache.spark.sql.functions.udaf(
-      new CompositeAggregator(mask, Nodata),
-      org.apache.spark.sql.Encoders.product[Obs])
-    pixelModel(s, d)
-      .groupBy($"l_orderkey")
-      .agg(agg(
-        (lit(100000) - $"rn").cast("double"),
-        $"rn", $"src", array($"val"), array($"qa")).as("c"))
+    // TypedImperativeAggregate path: the observation buffer lives as a raw
+    // JVM object in the hash map and serializes only at shuffle boundaries
+    // (an Aggregator-via-udaf buffer re-encodes on every input row).
+    val c = Composite.compositeAgg(mask)(
+      (lit(100000) - $"rn").cast("double"),
+      $"rn", $"src", array($"val"), array($"qa"), lit(Nodata))
+    pixelModel(s, d).groupBy($"l_orderkey").agg(c.as("c"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -91,15 +87,13 @@ object CubeOps {
     // holes (first valid in asset order), single mode overwrites (last valid)
     "m2_mosaic_overlay" -> ((s, d) => {
       import s.implicits._
-      val enc = org.apache.spark.sql.Encoders.product[AssetObs]
-      val combined = org.apache.spark.sql.functions.udaf(
-        new MosaicAggregator(Nodata, combined = true), enc)
-      val overlay = org.apache.spark.sql.functions.udaf(
-        new MosaicAggregator(Nodata, combined = false), enc)
+      val combined = Composite.mosaicAgg(Nodata, combined = true)(
+        $"rn", $"src", array($"val"))
+      val overlay = Composite.mosaicAgg(Nodata, combined = false)(
+        $"rn", $"src", array($"val"))
       pixelModel(s, d)
         .groupBy($"l_orderkey")
-        .agg(combined($"rn", $"src", array($"val")).as("cb"),
-          overlay($"rn", $"src", array($"val")).as("ov"))
+        .agg(combined.as("cb"), overlay.as("ov"))
         .select($"l_orderkey",
           element_at($"cb.value", 1).as("first_val"),
           element_at($"cb.datasource", 1).as("first_src"),
@@ -124,9 +118,9 @@ object CubeOps {
       import s.implicits._
       val bitMask = MaskDef(clearData = Seq(6L), notClearData = Seq(1L, 3L),
         nodata = 255L, bits = true)
-      val agg = org.apache.spark.sql.functions.udaf(
-        new CompositeAggregator(bitMask, Nodata),
-        org.apache.spark.sql.Encoders.product[Obs])
+      val agg = Composite.compositeAgg(bitMask)(
+        (lit(100000) - $"rn").cast("double"),
+        $"rn", $"src", array($"valb"), array($"qab"), lit(Nodata))
       pixelModel(s, d)
         .withColumn("qab",
           when($"qa" === 0, 64).otherwise(0) +          // clear bit 6
@@ -134,8 +128,7 @@ object CubeOps {
           when($"val" % 5 === 0, 2).otherwise(0))       // dilated bit 1
         .withColumn("valb", abs($"val"))                // keep all samples valid
         .groupBy($"l_orderkey")
-        .agg(agg((lit(100000) - $"rn").cast("double"),
-          $"rn", $"src", array($"valb"), array($"qab")).as("c"))
+        .agg(agg.as("c"))
         .select($"l_orderkey",
           element_at($"c.value", 1).as("lcf_value"),
           element_at($"c.provenance", 1).as("lcf_prov"),
@@ -319,9 +312,8 @@ object CubeOps {
         when($"l_discount" > 0.08, -9999).otherwise(1).as("b1"),
         when($"l_quantity" < 3, -9999).otherwise(1).as("b2"))
       base.select($"l_orderkey", $"ln", $"l_partkey", $"l_suppkey", $"qa",
-        element_at(Composite.repairQuality(array($"qa"), lit(255), lit(1),
-          Seq((array($"b1"), lit(-9999)), (array($"b2"), lit(-9999)))), 1)
-          .as("qa_repaired"))
+        Composite.repairQualityS($"qa", lit(255), lit(1),
+          Seq(($"b1", lit(-9999)), ($"b2", lit(-9999)))).as("qa_repaired"))
         .orderBy($"l_orderkey", $"ln", $"l_partkey", $"l_suppkey")
         .drop("l_partkey", "l_suppkey")
     }),

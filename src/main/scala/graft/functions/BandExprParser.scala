@@ -136,8 +136,8 @@ object BandExprParser {
       (name, vs) match {
         case ("sqrt", List(a))  => math.sqrt(a)
         case ("abs", List(a))   => math.abs(a)
-        case ("min", as) if as.size >= 2 => as.reduce(math.min)
-        case ("max", as) if as.size >= 2 => as.reduce(math.max)
+        case ("min", as) if as.size >= 2 => as.min
+        case ("max", as) if as.size >= 2 => as.max
         case ("pow", List(a, b)) => math.pow(a, b)
         case ("floor", List(a)) => math.floor(a)
         case ("ceil", List(a))  => math.ceil(a)

@@ -13,6 +13,11 @@ import graft.operators.Composite._
   * (402 is the first-clear value, 411 the truncated median of {402, 421});
   * the expectations here follow the algebra, which the rest of the
   * docstring matches.
+  *
+  * Tests drive the pure kernels [[Composite.compose]] / [[Composite.mosaic]]
+  * directly (order-shuffled inputs prove order-insensitivity, the property
+  * the TypedImperativeAggregate's merge relies on), plus one distributed
+  * round-trip through [[Composite.compositeAgg]].
   */
 class CompositeSpec extends SparkSpec {
 
@@ -27,19 +32,17 @@ class CompositeSpec extends SparkSpec {
   private val qaB = Array(0, 0, 2, 4, 0, 1, 1, 4, 0, 2, 2, 4)
   private val pxB = Array(702, 876, 7000, 9000, 687, 444, 421, 9113, 1241, 1548, 2111, 1987)
 
-  private def compose(applyValidRange: Boolean = false,
-                      minV: Double = Double.MinValue,
-                      maxV: Double = Double.MaxValue): CompositeResult = {
-    val agg = new CompositeAggregator(mask, nodata, applyValidRange, minV, maxV)
-    val buf = agg.zero
-    // insert worst-first to prove order-insensitivity
-    agg.reduce(buf, Obs(50.0, 10, 1, pxB, qaB))
-    agg.reduce(buf, Obs(83.0, 15, 0, pxA, qaA))
-    agg.finish(buf)
-  }
+  // worst-first input order proves the kernel sorts by priority itself
+  private def goldenObs: IndexedSeq[Obs] =
+    IndexedSeq(Obs(50.0, 10, 1, pxB, qaB), Obs(83.0, 15, 0, pxA, qaA))
+
+  private def composeGolden(applyValidRange: Boolean = false,
+                            minV: Double = Double.MinValue,
+                            maxV: Double = Double.MaxValue): CompositeResult =
+    Composite.compose(goldenObs, mask, nodata, applyValidRange, minV, maxV)
 
   test("LCF best-pixel: first clear, non-nodata backfill where best is QA-nodata") {
-    val r = compose()
+    val r = composeGolden()
     // The docstring prints 7000/9000 (scene 10/1) for pixels (0,2)/(0,3),
     // but the code's step-A backfill (`processing.py:836-857`) writes the
     // FIRST non-nodata band sample in priority order regardless of QA — the
@@ -52,40 +55,36 @@ class CompositeSpec extends SparkSpec {
   }
 
   test("LCF with band-nodata under QA-nodata falls through to the next scene") {
-    val agg = new CompositeAggregator(mask, nodata)
-    val buf = agg.zero
-    agg.reduce(buf, Obs(83.0, 15, 0, Array(nodata), Array(255)))
-    agg.reduce(buf, Obs(50.0, 10, 1, Array(7000), Array(2)))
-    val r = agg.finish(buf)
+    val r = Composite.compose(IndexedSeq(
+      Obs(83.0, 15, 0, Array(nodata), Array(255)),
+      Obs(50.0, 10, 1, Array(7000), Array(2))), mask, nodata)
     assert(r.value.toSeq == Seq(7000))
     assert(r.provenance.toSeq == Seq(10))
     assert(r.datasource.toSeq == Seq(1))
   }
 
   test("MED: masked median over clear observations, nodata where none") {
-    val r = compose()
+    val r = composeGolden()
     assert(r.median.toSeq == Seq(778, 816, nodata, nodata, 816, 422, 411, 422, 1055, 975, 788, 799))
   }
 
   test("CLEAROB and TOTALOB counts") {
-    val r = compose()
+    val r = composeGolden()
     assert(r.clearob.toSeq == Seq(2, 2, 0, 0, 2, 2, 2, 1, 2, 1, 1, 1))
     assert(r.totalob.toSeq == Seq(2, 2, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2))
   }
 
   test("AVG: truncated mean over clear observations") {
-    val r = compose()
+    val r = composeGolden()
     assert(r.average(0) == (854 + 702) / 2)
     assert(r.average(2) == nodata)
   }
 
   test("nodata in best image is filled by any later non-nodata observation") {
-    val agg = new CompositeAggregator(mask, nodata)
-    val buf = agg.zero
     // best scene: band nodata, cloudy QA; worst scene: cloudy but has data
-    agg.reduce(buf, Obs(90.0, 20, 0, Array(nodata), Array(2)))
-    agg.reduce(buf, Obs(10.0, 5, 1, Array(1234), Array(2)))
-    val r = agg.finish(buf)
+    val r = Composite.compose(IndexedSeq(
+      Obs(90.0, 20, 0, Array(nodata), Array(2)),
+      Obs(10.0, 5, 1, Array(1234), Array(2))), mask, nodata)
     assert(r.value.toSeq == Seq(1234))     // cloudy fallback tier
     assert(r.provenance.toSeq == Seq(5))
     assert(r.median.toSeq == Seq(nodata))  // no clear observation
@@ -94,58 +93,51 @@ class CompositeSpec extends SparkSpec {
   }
 
   test("T9 valid-range excludes out-of-range samples when enabled") {
-    val agg = new CompositeAggregator(mask, nodata, applyValidRange = true,
-      minValue = 0, maxValue = 10000)
-    val buf = agg.zero
-    agg.reduce(buf, Obs(90.0, 20, 0, Array(20000), Array(0))) // clear but saturated
-    agg.reduce(buf, Obs(10.0, 5, 1, Array(500), Array(0)))
-    val r = agg.finish(buf)
+    val r = Composite.compose(IndexedSeq(
+      Obs(90.0, 20, 0, Array(20000), Array(0)), // clear but saturated
+      Obs(10.0, 5, 1, Array(500), Array(0))),
+      mask, nodata, applyValidRange = true, minValue = 0, maxValue = 10000)
     assert(r.value.toSeq == Seq(500))
     assert(r.clearob.toSeq == Seq(1))
   }
 
   test("unknown QA values with valid data count as usable (reference mask algebra)") {
-    val agg = new CompositeAggregator(mask, nodata)
-    val buf = agg.zero
-    agg.reduce(buf, Obs(90.0, 20, 0, Array(777), Array(99))) // 99 in no list
-    val r = agg.finish(buf)
+    val r = Composite.compose(IndexedSeq(
+      Obs(90.0, 20, 0, Array(777), Array(99))), mask, nodata) // 99 in no list
     assert(r.value.toSeq == Seq(777))
     assert(r.clearob.toSeq == Seq(1))
   }
 
   test("mosaic: combined fills holes (first valid), single overlay overwrites (last valid)") {
-    val a = AssetObs(0, 0, Array(1, nodata, 3))
-    val b = AssetObs(1, 1, Array(7, 8, nodata))
-    val combined = new MosaicAggregator(nodata, combined = true)
-    val bc = combined.zero
-    combined.reduce(bc, b); combined.reduce(bc, a)
-    assert(combined.finish(bc).value.toSeq == Seq(1, 8, 3))
-    assert(combined.finish(bc).datasource.toSeq == Seq(0, 1, 0))
+    val a = (0, 0, Array(1, nodata, 3))
+    val b = (1, 1, Array(7, 8, nodata))
+    // insert out of asset order to prove the kernel sorts by order itself
+    val combined = Composite.mosaic(IndexedSeq(b, a), nodata, combined = true)
+    assert(combined.value.toSeq == Seq(1, 8, 3))
+    assert(combined.datasource.toSeq == Seq(0, 1, 0))
 
-    val single = new MosaicAggregator(nodata, combined = false)
-    val bs = single.zero
-    single.reduce(bs, a); single.reduce(bs, b)
-    assert(single.finish(bs).value.toSeq == Seq(7, 8, 3))
+    val single = Composite.mosaic(IndexedSeq(a, b), nodata, combined = false)
+    assert(single.value.toSeq == Seq(7, 8, 3))
   }
 
-  test("composite runs distributed via Spark groupBy (encoders round-trip)") {
+  test("composite runs distributed via Spark groupBy (aggregate round-trips)") {
     import spark.implicits._
     val obs = Seq(
-      ("t1", Obs(83.0, 15, 0, pxA, qaA)),
-      ("t1", Obs(50.0, 10, 1, pxB, qaB)),
-      ("t2", Obs(70.0, 3, 0, Array(5, nodata, 7), Array(0, 0, 2))))
-      .toDF("tile", "obs")
-    val agg = new CompositeAggregator(mask, nodata)
-    val result = obs.as[(String, Obs)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.toColumn.name("c"))
-      .collect().toMap
-    assert(result("t1").value.toSeq ==
+      ("t1", 83.0, 15, 0, pxA.toSeq, qaA.toSeq),
+      ("t1", 50.0, 10, 1, pxB.toSeq, qaB.toSeq),
+      ("t2", 70.0, 3, 0, Seq(5, nodata, 7), Seq(0, 0, 2)))
+      .toDF("tile", "priority", "doy", "source", "px", "qa")
+    val c = Composite.compositeAgg(mask)(
+      col("priority"), col("doy"), col("source"), col("px"), col("qa"),
+      lit(nodata))
+    val rows = obs.groupBy($"tile").agg(c.as("c"))
+      .select($"tile", $"c.value", $"c.clearob")
+      .collect().map(r => r.getString(0) -> (r.getSeq[Int](1), r.getSeq[Int](2))).toMap
+    assert(rows("t1")._1 ==
       Seq(854, 756, 9800, 9454, 945, 400, 402, 422, 869, 975, 788, 799))
-    assert(result("t2").value.toSeq == Seq(5, nodata, 7))
+    assert(rows("t2")._1 == Seq(5, nodata, 7))
     // pixel 1: clear QA over band nodata counts as usable (reference quirk)
-    assert(result("t2").clearob.toSeq == Seq(1, 1, 0))
+    assert(rows("t2")._2 == Seq(1, 1, 0))
   }
 
   test("M5 qa statistics over pixel arrays") {

@@ -89,15 +89,15 @@ class PixelOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(false, true))
   }
 
-  test("P6 bits mode flows through the composite aggregator") {
+  test("P6 bits mode flows through the composite kernel") {
     import graft.model.MaskDef
+    import graft.operators.Composite
     import graft.operators.Composite._
     val mask = MaskDef(clearData = Seq(6, 7), notClearData = Seq(1, 2, 3, 4),
       nodata = 1, bits = true)
-    val agg = new CompositeAggregator(mask, -9999)
-    val buf = agg.zero
-    agg.reduce(buf, Obs(90, 10, 0, Array(500, 600, 700), Array(1 << 6, 1 << 3, 1)))
-    val r = agg.finish(buf)
+    val r = Composite.compose(
+      IndexedSeq(Obs(90, 10, 0, Array(500, 600, 700), Array(1 << 6, 1 << 3, 1))),
+      mask, -9999)
     assert(r.value.toSeq == Seq(500, 600, 700)) // 600/700 via non-nodata backfill
     assert(r.clearob.toSeq == Seq(1, 0, 0))
     assert(r.totalob.toSeq == Seq(1, 1, 0))     // qa==nodata(1) excluded

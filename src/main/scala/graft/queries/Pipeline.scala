@@ -31,6 +31,35 @@ object Pipeline {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Shared sign-hyperplane LSH parameters: 32 Rademacher hyperplanes over
+    * 64 dims, packed as 4 tables × 8 bits. Two vectors are candidates iff
+    * they share any table's bucket (multi-table OR amplification); re-score
+    * is exact cosine. The sign matrix is MD5-derived so the DuckDB oracle
+    * rebuilds it exactly (see [[graft.functions.VectorExpressions.lshSigns]]).
+    */
+  private val LshPlanes = 32
+  private val LshBits = 8
+  private lazy val lshSignMatrix =
+    graft.functions.VectorExpressions.lshSigns(LshPlanes, 64)
+
+  private def lshTables(e: Column): Column =
+    graft.functions.VectorExpressions.lshBuckets(e, lshSignMatrix, LshBits)
+
+  /** Oracle-side mirror of the bucket construction (DuckDB SQL): integer-
+    * quantized projection against MD5-derived ±1 weights, packed per table.
+    */
+  private val lshBucketsSql =
+    s"""w AS (SELECT h, k,
+           CASE WHEN substr(md5(CAST(h AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1) >= '8'
+             THEN 1 ELSE -1 END AS s
+         FROM range(0, $LshPlanes) t1(h), range(0, 64) t2(k)),
+       proj AS (SELECT e.vec_id, w.h,
+           sum(w.s * CAST(floor(CAST(e.embedding[w.k + 1] AS DOUBLE) * 1000) AS BIGINT)) AS p
+         FROM embeddings e, w GROUP BY 1, 2),
+       bits AS (SELECT vec_id, CAST(h // $LshBits AS INT) AS tbl,
+           CAST(sum(CASE WHEN p > 0 THEN (1 << (h % $LshBits)) ELSE 0 END) AS INT) AS bkt
+         FROM proj GROUP BY 1, 2)"""
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy, keep lowest doc_id per identical text
     "d_dedup_exact" -> ((s, d) => {
@@ -165,6 +194,35 @@ object Pipeline {
         .orderBy($"id1", $"id2")
     }),
 
+    // Embedding near-dup, LSH-bucketed (the 100 TB path): sign-hyperplane
+    // candidates + exact cosine re-score. Replaces the O(n²) all-pairs join
+    // with shuffle-partitioned equi-joins: bucket-group pair generation
+    // (like d_minhash_lsh) then two hash joins back to embeddings — no
+    // BroadcastNestedLoopJoin anywhere in the plan (PlanQualitySpec pins
+    // this). d_embed_neardup stays as the exact small-N baseline.
+    "d_embed_neardup_lsh" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val bucketed = emb.select($"vec_id",
+        posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+      val cand = bucketed.groupBy($"tbl", $"bkt")
+        .agg(sort_array(collect_list($"vec_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(flatten(transform($"ids", (x, i) =>
+          transform(slice($"ids", i + 2, size($"ids")),
+            y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+        .select($"p.id1", $"p.id2")
+        .distinct()
+      val e1 = emb.select($"vec_id".as("id1"), $"embedding".as("e1"))
+      val e2 = emb.select($"vec_id".as("id2"), $"embedding".as("e2"))
+      cand.join(e1, "id1").join(e2, "id2")
+        .select($"id1", $"id2", cosine($"e1", $"e2").as("cos"))
+        .filter($"cos" >= 0.45)
+        .select($"id1", $"id2",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"))
+        .orderBy($"id1", $"id2")
+    }),
+
     // BPE-ish tokenization: regex token classes (letters / digit / other)
     "x_bpe_tokens" -> ((s, d) => {
       import s.implicits._
@@ -196,25 +254,29 @@ object Pipeline {
         .orderBy($"qid", $"rnk")
     }),
 
-    // LSH-bucketed ANN (scale path): sign-bit bucket on the first 4 dims,
-    // search only within the query's bucket
+    // LSH-bucketed ANN (scale path): same 32-plane / 4-table sign-hyperplane
+    // machinery as d_embed_neardup_lsh — a candidate is any vector sharing
+    // at least one table bucket with the query, re-scored by exact cosine.
+    // The tiny query side broadcasts; the corpus side never self-joins.
     "v_ann_lsh" -> ((s, d) => {
       import s.implicits._
-      def bucket(e: Column): Column =
-        (0 until 4).map(j => when(element_at(e, j + 1) > 0f, 1 << j).otherwise(0))
-          .reduce(_ + _).cast("int")
-      val emb = embeddings(s, d).select($"vec_id", $"embedding",
-        bucket($"embedding").as("bkt"))
-      val q = emb.filter($"vec_id".isin(0, 1, 2))
-        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bkt".as("qbkt"))
-      val scored = emb.filter(!$"vec_id".isin(0, 1, 2))
-        .join(broadcast(q), $"bkt" === $"qbkt")
-        .select($"qid", $"vec_id", $"bkt", cosine($"qe", $"embedding").as("cos"))
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val bucketed = emb.select($"vec_id",
+        posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+      val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"tbl", $"bkt")
+      val cand = bucketed.filter(!$"vec_id".isin(0, 1, 2))
+        .join(broadcast(qb), Seq("tbl", "bkt"))
+        .select($"qid", $"vec_id").distinct()
+      val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.select($"vec_id", $"embedding".as("ce"))
+      val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
       scored.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 5)
-        .select($"qid", $"vec_id", $"bkt",
+        .select($"qid", $"vec_id",
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
         .orderBy($"qid", $"rnk")
     }))
@@ -321,6 +383,21 @@ object Pipeline {
          s AS (SELECT id1, id2, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots)
          SELECT id1, id2, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
          FROM s WHERE cos >= 0.45 ORDER BY id1, id2""",
+    "d_embed_neardup_lsh" ->
+      s"""WITH $lshBucketsSql,
+         cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+           FROM bits a JOIN bits b
+             ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         dots AS (SELECT cand.id1, cand.id2,
+             sum(CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)) AS na,
+             sum(CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS nb
+           FROM cand JOIN embeddings a ON a.vec_id = cand.id1
+             JOIN embeddings b ON b.vec_id = cand.id2, range(1, 65) t(k)
+           GROUP BY 1, 2),
+         s AS (SELECT id1, id2, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots)
+         SELECT id1, id2, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
+         FROM s WHERE cos >= 0.45 ORDER BY id1, id2""",
     "x_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT)
@@ -336,26 +413,21 @@ object Pipeline {
                AS rnk FROM s)
          WHERE rnk <= 10 ORDER BY qid, rnk""",
     "v_ann_lsh" ->
-      """WITH emb AS (SELECT vec_id, embedding,
-           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-              + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bkt
-           FROM embeddings),
-         q AS (SELECT vec_id AS qid, embedding AS qe, bkt AS qbkt FROM emb
-           WHERE vec_id IN (0,1,2)),
-         c AS (SELECT vec_id, embedding AS ce, bkt FROM emb
-           WHERE vec_id NOT IN (0,1,2)),
-         dots AS (SELECT qid, vec_id, bkt,
-             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
-             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
-             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
-           FROM q JOIN c ON bkt = qbkt, range(1, 65) t(i)
-           GROUP BY qid, vec_id, bkt),
-         s AS (SELECT qid, vec_id, bkt, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
-         SELECT qid, vec_id, bkt,
+      s"""WITH $lshBucketsSql,
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+           FROM bits q JOIN bits c ON q.tbl = c.tbl AND q.bkt = c.bkt
+           WHERE q.vec_id IN (0,1,2) AND c.vec_id NOT IN (0,1,2)),
+         dots AS (SELECT cand.qid, cand.vid AS vec_id,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nc
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+             JOIN embeddings b ON b.vec_id = cand.vid, range(1, 65) t(i)
+           GROUP BY 1, 2),
+         s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
+         SELECT qid, vec_id,
            CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
-         FROM (SELECT qid, vec_id, bkt, cos,
+         FROM (SELECT qid, vec_id, cos,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""")

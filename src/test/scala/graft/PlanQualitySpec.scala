@@ -99,6 +99,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles <= 3, s"composite pipeline should reuse partitioning, got $shuffles")
   }
 
+  test("d_embed_neardup_lsh: no all-pairs join — every join is hash-based") {
+    val plan = planString(q("d_embed_neardup_lsh"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"LSH near-dup must not contain an all-pairs join:\n$plan")
+  }
+
+  test("v_ann_lsh: corpus side never self-joins or nested-loops") {
+    val plan = planString(q("v_ann_lsh"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"LSH ANN must not contain an all-pairs join:\n$plan")
+  }
+
   test("documents scan for token stats prunes to the referenced columns") {
     val plan = planString(q("x_text_stats"))
     val readSchema = plan.split("ReadSchema:").last

@@ -18,8 +18,10 @@ import graft.functions.PixelOps
 object Visual {
 
   /** S12 — fuse three band block-rows (r/g/b pivoted to columns) into a
-    * packed RGB byte array after linear scaling to 0..255 (P3). Transparent
-    * where all three are nodata.
+    * packed RGBA struct array after linear scaling to 0..255 (P3). Alpha
+    * is 0 (transparent) where all three raw bands are nodata — the
+    * reference's transparent-nodata quicklook
+    * (`cube_builder/utils/processing.py:1291-1324`).
     */
   def rgbComposite(blocks: DataFrame, rBand: String, gBand: String, bBand: String,
                    inMin: Double, inMax: Double): DataFrame = {
@@ -30,14 +32,23 @@ object Visual {
       .groupBy($"cube", $"tileId", $"p_start", $"p_end", $"blockY", $"blockX",
         $"height", $"width")
       .pivot("band", Seq(rBand, gBand, bBand).distinct)
-      .agg(first($"value"))
-    def scaled(c: String) = transform(col(c), px =>
+      .agg(first(struct($"value".as("v"), $"nodata".as("nd"))))
+    def raw(c: String) = col(c).getField("v")
+    def nd(c: String) = col(c).getField("nd")
+    def scaled(c: String) = transform(raw(c), px =>
       PixelOps.linearScaleS(px, inMin, inMax, 0, 255).cast("int"))
+    val scaledTriple = zip_with(zip_with(scaled(rBand), scaled(gBand), (r, g) =>
+      struct(r.as("r"), g.as("g"))), scaled(bBand), (rg, b) =>
+      struct(rg.getField("r").as("r"), rg.getField("g").as("g"), b.as("b")))
+    val rawTriple = zip_with(zip_with(raw(rBand), raw(gBand), (r, g) =>
+      struct(r.as("r"), g.as("g"))), raw(bBand), (rg, b) =>
+      struct(rg.getField("r").as("r"), rg.getField("g").as("g"), b.as("b")))
     pivoted.select($"cube", $"tileId", $"p_start", $"p_end",
       $"blockY", $"blockX", $"height", $"width",
-      zip_with(zip_with(scaled(rBand), scaled(gBand), (r, g) =>
-        struct(r.as("r"), g.as("g"))), scaled(bBand), (rg, b) =>
-        struct(rg.getField("r").as("r"), rg.getField("g").as("g"), b.as("b")))
+      zip_with(scaledTriple, rawTriple, (s, w) => struct(
+        s.getField("r").as("r"), s.getField("g").as("g"), s.getField("b").as("b"),
+        when(w.getField("r") === nd(rBand) && w.getField("g") === nd(gBand) &&
+          w.getField("b") === nd(bBand), 0).otherwise(255).as("a")))
         .as("rgb"))
   }
 
@@ -49,6 +60,16 @@ object Visual {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, width, height, rgb, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** S11 — PNG with alpha: packed ARGB ints, transparent where alpha=0. */
+  def encodePngArgb(argb: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, width, height, argb, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

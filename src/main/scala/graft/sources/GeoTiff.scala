@@ -48,12 +48,29 @@ object GeoTiff {
   private val TGdalNodata = 42113
 
   /** Parse the header + first IFD of a TIFF byte array. */
-  def readInfo(bytes: Array[Byte]): TiffInfo = {
+  def readInfo(bytes: Array[Byte]): TiffInfo = readInfos(bytes).head
+
+  /** Parse every IFD in the chain: the full-resolution image first, then
+    * one entry per reduced-resolution overview (COG layout).
+    */
+  def readInfos(bytes: Array[Byte]): Seq[TiffInfo] = {
     val bb = ByteBuffer.wrap(bytes)
     val le = bytes(0) == 'I'
     bb.order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     require(bb.getShort(2) == 42, "not a TIFF")
-    val ifdOff = bb.getInt(4)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TiffInfo]
+    var off = bb.getInt(4)
+    while (off != 0) {
+      val (info, next) = parseIfd(bb, bytes, off)
+      out += info
+      off = next
+    }
+    out.toSeq
+  }
+
+  /** Parse one IFD at `ifdOff`; returns its info + the next-IFD offset. */
+  private def parseIfd(bb: ByteBuffer, bytes: Array[Byte],
+                       ifdOff: Int): (TiffInfo, Int) = {
     var width = 0; var height = 0; var bps = 16; var fmt = 2
     var tw = 0; var th = 0; var rowsPerStrip = 0
     var tileOffsets = Array.empty[Long]; var tileCounts = Array.empty[Long]
@@ -111,8 +128,9 @@ object GeoTiff {
       tileOffsets = stripOffsets
       tileCounts = stripCounts
     }
-    TiffInfo(width, height, bps, fmt, tw, th, tileOffsets, tileCounts,
-      ox, oy, sx, sy, nodata, compression)
+    (TiffInfo(width, height, bps, fmt, tw, th, tileOffsets, tileCounts,
+      ox, oy, sx, sy, nodata, compression),
+      bb.getInt(ifdOff + 2 + n * 12))
   }
 
   /** Read one tile (tileY, tileX) as an Int array (row-major, padded to
@@ -125,6 +143,8 @@ object GeoTiff {
     val off = info.tileOffsets(idx).toInt
     val len = info.tileByteCounts(idx).toInt
     val count = info.tileWidth * info.tileHeight
+    if (len == 0 || off == 0) // sparse tile (GDAL convention): all nodata
+      return Array.fill(count)(if (info.nodata.isNaN) 0 else info.nodata.toInt)
     val bytesPerSample = info.bitsPerSample / 8
     val tileBytes: Array[Byte] =
       if (info.compression == 8) {

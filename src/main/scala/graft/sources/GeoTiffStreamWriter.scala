@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable
+
+/** Classic TIFF offsets are unsigned 32-bit: a file that would cross 4 GB
+  * must be BigTIFF. The writer fails loudly with this instead of silently
+  * wrapping offsets (reference switches drivers at the same boundary,
+  * `cube_builder/utils/image.py:309-378`).
+  */
+final class BigTiffRequired(size: Long)
+    extends RuntimeException(
+      s"raster needs BigTIFF: encoded size $size exceeds the 4 GB classic-TIFF" +
+        " offset limit — shrink the tile, enable deflate, or split the output")
+
+/** S9 — incremental single-band tiled GeoTIFF/COG writer.
+  *
+  * Blocks stream in one at a time (any order; one block = one TIFF tile)
+  * and go straight to disk, so memory stays O(one tile) no matter how
+  * large the raster is — a 10560² reference tile never materializes in
+  * one buffer. On `close` the writer builds reduced-resolution overview
+  * IFDs GDAL-style: it reads the just-written level-(k−1) tiles back from
+  * the file 2×2 at a time, decimates by 2 (nearest neighbor), and appends
+  * the overview tiles, halving until the level fits one tile. Missing
+  * blocks become sparse tiles (offset 0 — GDAL reads them as nodata).
+  *
+  * Reference behavior mirrored: COG write with tiling + overviews
+  * (`cube_builder/utils/image.py:309-378`).
+  */
+final class GeoTiffStreamWriter(
+    path: java.nio.file.Path,
+    tileWidth: Int, tileHeight: Int,
+    bitsPerSample: Int = 16, sampleFormat: Int = 2,
+    nodata: Double = Double.NaN,
+    deflate: Boolean = true,
+    overviews: Boolean = true) {
+
+  private val bytesPerSample = bitsPerSample / 8
+  private val raf = new java.io.RandomAccessFile(path.toFile, "rw")
+  raf.setLength(0)
+  raf.seek(8) // header written last, once the IFD offset is known
+  private var pos: Long = 8
+
+  private final case class TileRef(offset: Long, count: Int)
+
+  // level-0 registry + grid extent (blocks may arrive in any order)
+  private val tiles0 = mutable.Map.empty[(Int, Int), TileRef]
+  private var maxBY = -1; private var maxBX = -1
+  private var lastRowH = 0; private var lastColW = 0
+
+  /** Append one block as one TIFF tile (padded to tileWidth×tileHeight). */
+  def writeBlock(blockY: Int, blockX: Int, h: Int, w: Int,
+                 pixels: Array[Int]): Unit = {
+    require(h <= tileHeight && w <= tileWidth,
+      s"block ${h}x$w exceeds tile ${tileHeight}x$tileWidth")
+    require(pixels.length >= h * w, "short pixel array")
+    val padded =
+      if (h == tileHeight && w == tileWidth) pixels
+      else {
+        val p = new Array[Int](tileHeight * tileWidth)
+        var r = 0
+        while (r < h) {
+          System.arraycopy(pixels, r * w, p, r * tileWidth, w)
+          r += 1
+        }
+        p
+      }
+    appendTile((blockY, blockX), padded, tiles0)
+    if (blockY > maxBY) { maxBY = blockY; lastRowH = h }
+    if (blockX > maxBX) { maxBX = blockX; lastColW = w }
+  }
+
+  private def encodeTile(padded: Array[Int]): Array[Byte] = {
+    val raw = ByteBuffer.allocate(tileWidth * tileHeight * bytesPerSample)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    bitsPerSample match {
+      case 8 => while (i < padded.length) { raw.put(padded(i).toByte); i += 1 }
+      case 16 => while (i < padded.length) { raw.putShort(padded(i).toShort); i += 1 }
+      case 32 => while (i < padded.length) { raw.putInt(padded(i)); i += 1 }
+      case b => throw new IllegalArgumentException(s"unsupported bits/sample: $b")
+    }
+    if (deflate) {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.array()); d.finish()
+      val buf = new Array[Byte](raw.array().length + 128)
+      val n = d.deflate(buf)
+      require(d.finished(), "deflate output larger than bound")
+      d.end()
+      java.util.Arrays.copyOf(buf, n)
+    } else raw.array()
+  }
+
+  private def appendTile(key: (Int, Int), padded: Array[Int],
+                         registry: mutable.Map[(Int, Int), TileRef]): Unit = {
+    val data = encodeTile(padded)
+    if (pos + data.length > 0xfffffff0L) throw new BigTiffRequired(pos + data.length)
+    raf.write(data)
+    registry(key) = TileRef(pos, data.length)
+    pos += data.length
+  }
+
+  /** Read one already-written tile back (for overview construction). */
+  private def readBack(ref: TileRef): Array[Int] = {
+    val data = new Array[Byte](ref.count)
+    val mark = raf.getFilePointer
+    raf.seek(ref.offset); raf.readFully(data); raf.seek(mark)
+    val count = tileWidth * tileHeight
+    val tileBytes =
+      if (deflate) {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        val out = new Array[Byte](count * bytesPerSample)
+        var written = 0
+        while (written < out.length && !inf.finished())
+          written += inf.inflate(out, written, out.length - written)
+        inf.end()
+        out
+      } else data
+    val bb = ByteBuffer.wrap(tileBytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Int](count)
+    var i = 0
+    bitsPerSample match {
+      case 8 => while (i < count) { out(i) = tileBytes(i) & 0xff; i += 1 }
+      case 16 => while (i < count) {
+        val v = bb.getShort(i * 2)
+        out(i) = if (sampleFormat == 2) v.toInt else v & 0xffff
+        i += 1
+      }
+      case 32 => while (i < count) { out(i) = bb.getInt(i * 4); i += 1 }
+    }
+    out
+  }
+
+  /** Finish: build overview pyramids, write the tag trailer + IFD chain,
+    * then the header. Returns the final file length.
+    */
+  def close(originX: Double, originY: Double,
+            scaleX: Double, scaleY: Double): Long = {
+    require(maxBY >= 0 && maxBX >= 0, "no blocks written")
+    val width0 = maxBX * tileWidth + lastColW
+    val height0 = maxBY * tileHeight + lastRowH
+    val pad = if (nodata.isNaN) 0 else nodata.toInt
+
+    // (width, height, row-major tile table) per level, level 0 first
+    final case class Level(w: Int, h: Int, tiles: Array[TileRef])
+    def table(m: mutable.Map[(Int, Int), TileRef], w: Int, h: Int): Array[TileRef] = {
+      val across = (w + tileWidth - 1) / tileWidth
+      val down = (h + tileHeight - 1) / tileHeight
+      Array.tabulate(across * down)(i =>
+        m.getOrElse((i / across, i % across), TileRef(0, 0))) // sparse
+    }
+    val levels = mutable.ArrayBuffer(Level(width0, height0, table(tiles0, width0, height0)))
+
+    while (overviews &&
+        math.max(levels.last.w, levels.last.h) > math.max(tileWidth, tileHeight)) {
+      val prev = levels.last
+      val w1 = (prev.w + 1) / 2; val h1 = (prev.h + 1) / 2
+      val prevAcross = (prev.w + tileWidth - 1) / tileWidth
+      val prevDown = (prev.h + tileHeight - 1) / tileHeight
+      val across = (w1 + tileWidth - 1) / tileWidth
+      val down = (h1 + tileHeight - 1) / tileHeight
+      val reg = mutable.Map.empty[(Int, Int), TileRef]
+      for (ty <- 0 until down; tx <- 0 until across) {
+        // assemble the 2×2 source tiles, then 2× nearest-neighbor decimate
+        val buf = Array.fill(4 * tileHeight * tileWidth)(pad)
+        for (dy <- 0 to 1; dx <- 0 to 1) {
+          val sy = 2 * ty + dy; val sx = 2 * tx + dx
+          if (sy < prevDown && sx < prevAcross) {
+            val ref = prev.tiles(sy * prevAcross + sx)
+            if (ref.count > 0) {
+              val src = readBack(ref)
+              var r = 0
+              while (r < tileHeight) {
+                System.arraycopy(src, r * tileWidth,
+                  buf, (dy * tileHeight + r) * 2 * tileWidth + dx * tileWidth,
+                  tileWidth)
+                r += 1
+              }
+            }
+          }
+        }
+        val out = Array.fill(tileHeight * tileWidth)(pad)
+        val vh = math.min(tileHeight, h1 - ty * tileHeight)
+        val vw = math.min(tileWidth, w1 - tx * tileWidth)
+        var r = 0
+        while (r < vh) {
+          var c = 0
+          while (c < vw) {
+            out(r * tileWidth + c) = buf(2 * r * 2 * tileWidth + 2 * c)
+            c += 1
+          }
+          r += 1
+        }
+        appendTile((ty, tx), out, reg)
+      }
+      levels += Level(w1, h1, table(reg, w1, h1))
+    }
+
+    // ---- trailer: geo doubles | per-level offset/count arrays | nodata | IFDs
+    val nodataAscii =
+      if (nodata.isNaN) Array.empty[Byte]
+      else {
+        val s = if (nodata == math.rint(nodata) && !nodata.isInfinite)
+          nodata.toLong.toString else nodata.toString
+        (s + "\u0000    ").getBytes("ASCII")
+      }
+    val doublesStart = pos
+    var cursor = doublesStart + (3 + 6) * 8
+    val arrayStarts = levels.map { l =>
+      val s = (cursor, cursor + l.tiles.length * 4L); cursor = s._2 + l.tiles.length * 4L; s
+    }
+    val nodataStart = cursor
+    cursor += nodataAscii.length
+
+    // entry lists per IFD (tag, type, count, value)
+    def entriesFor(li: Int, l: Level, offsetsAt: Long, countsAt: Long) = {
+      val e = mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+      if (li > 0) e += ((254, 4, 1, 1L)) // NewSubfileType: reduced-resolution
+      e += ((256, 3, 1, l.w.toLong))
+      e += ((257, 3, 1, l.h.toLong))
+      e += ((258, 3, 1, bitsPerSample.toLong))
+      e += ((259, 3, 1, if (deflate) 8L else 1L))
+      e += ((262, 3, 1, 1L))
+      e += ((277, 3, 1, 1L))
+      e += ((322, 3, 1, tileWidth.toLong))
+      e += ((323, 3, 1, tileHeight.toLong))
+      e += ((324, 4, l.tiles.length,
+        if (l.tiles.length == 1) l.tiles(0).offset else offsetsAt))
+      e += ((325, 4, l.tiles.length,
+        if (l.tiles.length == 1) l.tiles(0).count.toLong else countsAt))
+      e += ((339, 3, 1, sampleFormat.toLong))
+      if (li == 0) {
+        e += ((33550, 12, 3, doublesStart))
+        e += ((33922, 12, 6, doublesStart + 24))
+      }
+      if (nodataAscii.nonEmpty) e += ((42113, 2, nodataAscii.length, nodataStart))
+      e.sortBy(_._1)
+    }
+    val perIfd = levels.zipWithIndex.map { case (l, i) =>
+      entriesFor(i, l, arrayStarts(i)._1, arrayStarts(i)._2)
+    }
+    val ifdStarts = perIfd.scanLeft(cursor)((a, es) => a + 2 + es.length * 12 + 4).init
+    val totalLen = ifdStarts.last + 2 + perIfd.last.length * 12 + 4
+    if (totalLen > 0xfffffff0L) throw new BigTiffRequired(totalLen)
+
+    val trailer = ByteBuffer.allocate((totalLen - doublesStart).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    trailer.putDouble(scaleX).putDouble(scaleY).putDouble(0)
+    trailer.putDouble(0).putDouble(0).putDouble(0)
+    trailer.putDouble(originX).putDouble(originY).putDouble(0)
+    levels.foreach { l =>
+      l.tiles.foreach(t => trailer.putInt(t.offset.toInt))
+      l.tiles.foreach(t => trailer.putInt(t.count))
+    }
+    trailer.put(nodataAscii)
+    perIfd.zipWithIndex.foreach { case (es, i) =>
+      trailer.putShort(es.length.toShort)
+      for ((tag, typ, count, value) <- es) {
+        trailer.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        if (typ == 3 && count == 1) trailer.putShort(value.toShort).putShort(0)
+        else trailer.putInt(value.toInt)
+      }
+      trailer.putInt(if (i < perIfd.length - 1) ifdStarts(i + 1).toInt else 0)
+    }
+    raf.seek(doublesStart)
+    raf.write(trailer.array())
+    raf.seek(0)
+    val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    header.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdStarts.head.toInt)
+    raf.write(header.array())
+    raf.close()
+    totalLen
+  }
+}

@@ -71,59 +71,57 @@ object RasterIO {
   }
 
   /** S9 — write one GeoTIFF per (cube, tileId, date|period, band) from
-    * block rows, executor-side. Blocks of one output raster are collected
-    * within their group (bounded: one tile's blocks), assembled and
-    * encoded with the block grid as the TIFF tile grid.
+    * block rows, executor-side and streaming: blocks repartition by output
+    * file and sort within the partition, so each raster's blocks arrive in
+    * row-major order at a [[GeoTiffStreamWriter]] that appends one TIFF
+    * tile per block. Peak memory per task is one block (~1 MB), never a
+    * full tile raster — a 10560² reference tile streams through unchanged.
+    * The block grid IS the TIFF tile grid; overviews build at close.
     */
   def writeGeoTiffs(blocks: DataFrame, outDir: String,
-                    periodCols: Seq[String] = Seq("date")): Unit = {
+                    periodCols: Seq[String] = Seq("date"),
+                    deflate: Boolean = true,
+                    overviews: Boolean = true): Unit = {
     val spark = blocks.sparkSession
     import spark.implicits._
     val keyCols = Seq("cube", "tileId", "band") ++ periodCols
-    val grouped = blocks
+    blocks
       .withColumn("k", concat_ws("_", keyCols.map(c => col(c).cast("string")): _*))
-      .groupBy($"k")
-      .agg(
-        collect_list(struct($"blockY", $"blockX", $"height", $"width",
-          $"x0", $"y0", $"resX", $"resY", $"nodata", $"pixels")).as("bs"))
-    grouped.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      rows.foreach { row =>
-        val key = row.getString(0)
-        val bs = row.getSeq[org.apache.spark.sql.Row](1)
-        val maxY = bs.map(b => b.getInt(0)).max
-        val maxX = bs.map(b => b.getInt(1)).max
-        val bh = bs.head.getInt(2); val bw = bs.head.getInt(3)
-        // full raster dims from the block grid (last block may be partial)
-        val lastRow = bs.filter(_.getInt(0) == maxY).head
-        val lastCol = bs.filter(_.getInt(1) == maxX).head
-        val height = maxY * bh + lastRow.getInt(2)
-        val width = maxX * bw + lastCol.getInt(3)
-        val nodata = bs.head.getInt(8)
-        val full = Array.fill(height * width)(nodata)
-        bs.foreach { b =>
-          val by = b.getInt(0); val bx = b.getInt(1)
-          val h = b.getInt(2); val w = b.getInt(3)
-          val px = b.getSeq[Int](9)
-          var r = 0
-          while (r < h) {
-            var c = 0
-            while (c < w) {
-              full((by * bh + r) * width + bx * bw + c) = px(r * w + c)
-              c += 1
-            }
-            r += 1
+      .select($"k", $"blockY", $"blockX", $"height", $"width",
+        $"x0", $"y0", $"resX", $"resY", $"nodata", $"pixels")
+      .repartition($"k")
+      .sortWithinPartitions($"k", $"blockY", $"blockX")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        var key: String = null
+        var writer: GeoTiffStreamWriter = null
+        var ox, oy, sx, sy = 0.0
+        def finish(): Unit = if (writer != null) { writer.close(ox, oy, sx, sy); writer = null }
+        rows.foreach { row =>
+          // columns: k, blockY, blockX, height, width, x0, y0, resX, resY,
+          //          nodata, pixels
+          val k = row.getString(0)
+          val by = row.getInt(1); val bx = row.getInt(2)
+          val h = row.getInt(3); val w = row.getInt(4)
+          if (k != key) {
+            finish()
+            key = k
+            val out = java.nio.file.Paths.get(outDir, s"$k.tif")
+            java.nio.file.Files.createDirectories(out.getParent)
+            // sorted order ⇒ the first block is (minY, minX): full-size
+            // unless the raster itself is narrower than one block
+            writer = new GeoTiffStreamWriter(out, tileWidth = w, tileHeight = h,
+              bitsPerSample = 16, sampleFormat = 2,
+              nodata = row.getInt(9).toDouble, deflate = deflate,
+              overviews = overviews)
+            sx = row.getDouble(7); sy = row.getDouble(8)
+            // this block's corner back-projects to the raster origin
+            ox = row.getDouble(5) - bx * w * sx
+            oy = row.getDouble(6) + by * h * sy
           }
+          val px = row.getSeq[Int](10)
+          writer.writeBlock(by, bx, h, w, px.toArray)
         }
-        val origin = bs.minBy(b => (b.getInt(0), b.getInt(1)))
-        val bytes = GeoTiff.write(full, width, height,
-          tileSize = 256, bitsPerSample = 16, sampleFormat = 2,
-          originX = origin.getDouble(4), originY = origin.getDouble(5),
-          scaleX = origin.getDouble(6), scaleY = origin.getDouble(7),
-          nodata = nodata.toDouble)
-        val out = java.nio.file.Paths.get(outDir, s"$key.tif")
-        java.nio.file.Files.createDirectories(out.getParent)
-        java.nio.file.Files.write(out, bytes)
+        finish()
       }
-    }
   }
 }

@@ -58,8 +58,23 @@ object BandExprParser {
     case Bin('+', l, r) => toColumn(l, env) + toColumn(r, env)
     case Bin('-', l, r) => toColumn(l, env) - toColumn(r, env)
     case Bin('*', l, r) => toColumn(l, env) * toColumn(r, env)
-    case Bin('/', l, r) => toColumn(l, env) / toColumn(r, env)
-    case Bin('%', l, r) => toColumn(l, env) % toColumn(r, env)
+    case Bin('/', l, r) =>
+      // Spark's Divide returns null on a zero divisor (non-ANSI); the
+      // generated-Java array path follows IEEE 754 (±Inf / NaN), matching
+      // numpy in the reference. Emit IEEE semantics here so scalar and
+      // array P8 agree (x/0 → ±Inf → dtype clamp; 0/0 → NaN → nodata).
+      val lc = toColumn(l, env).cast("double")
+      val rc = toColumn(r, env).cast("double")
+      when(rc === 0.0,
+        when(lc > 0.0, lit(Double.PositiveInfinity))
+          .when(lc < 0.0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(lc / rc)
+    case Bin('%', l, r) =>
+      // Same alignment: Java's % with a zero divisor is NaN, not null.
+      val lc = toColumn(l, env).cast("double")
+      val rc = toColumn(r, env).cast("double")
+      when(rc === 0.0, lit(Double.NaN)).otherwise(lc % rc)
     case Bin('^', l, r) => pow(toColumn(l, env), toColumn(r, env))
     case Bin(op, _, _)  => throw new IllegalArgumentException(s"bad op '$op'")
     case Neg(a)         => negate(toColumn(a, env))
@@ -115,6 +130,50 @@ object BandExprParser {
         case _ =>
           throw new IllegalArgumentException(s"unsupported function '$name'")
       }
+  }
+
+  /** Compile the AST once into a closure over an index-bound sample
+    * array (the non-codegen fallback of [[BandExprArray]]) — no per-pixel
+    * Map allocation, no per-pixel name lookup. Semantics mirror
+    * [[toJava]] exactly (IEEE division, Java Math functions).
+    */
+  def compileIndexed(ast: Ast, names: Seq[String]): Array[Double] => Double = {
+    val idx = names.zipWithIndex.toMap
+    def c(a: Ast): Array[Double] => Double = a match {
+      case Num(v) => _ => v
+      case Ref(n) =>
+        val j = idx.getOrElse(n,
+          throw new IllegalArgumentException(s"unbound band '$n'"))
+        arr => arr(j)
+      case Bin('+', l, r) => val lf = c(l); val rf = c(r); arr => lf(arr) + rf(arr)
+      case Bin('-', l, r) => val lf = c(l); val rf = c(r); arr => lf(arr) - rf(arr)
+      case Bin('*', l, r) => val lf = c(l); val rf = c(r); arr => lf(arr) * rf(arr)
+      case Bin('/', l, r) => val lf = c(l); val rf = c(r); arr => lf(arr) / rf(arr)
+      case Bin('%', l, r) => val lf = c(l); val rf = c(r); arr => lf(arr) % rf(arr)
+      case Bin('^', l, r) =>
+        val lf = c(l); val rf = c(r); arr => math.pow(lf(arr), rf(arr))
+      case Bin(op, _, _) => throw new IllegalArgumentException(s"bad op '$op'")
+      case Neg(x)        => val f = c(x); arr => -f(arr)
+      case Fn(name, args) =>
+        val fs = args.map(c).toArray
+        (name, fs.length) match {
+          case ("sqrt", 1)  => arr => math.sqrt(fs(0)(arr))
+          case ("abs", 1)   => arr => math.abs(fs(0)(arr))
+          case ("min", k) if k >= 2 =>
+            arr => { var m = fs(0)(arr); var i = 1; while (i < fs.length) { m = math.min(m, fs(i)(arr)); i += 1 }; m }
+          case ("max", k) if k >= 2 =>
+            arr => { var m = fs(0)(arr); var i = 1; while (i < fs.length) { m = math.max(m, fs(i)(arr)); i += 1 }; m }
+          case ("pow", 2)   => arr => math.pow(fs(0)(arr), fs(1)(arr))
+          case ("floor", 1) => arr => math.floor(fs(0)(arr))
+          case ("ceil", 1)  => arr => math.ceil(fs(0)(arr))
+          case ("exp", 1)   => arr => math.exp(fs(0)(arr))
+          case ("log", 1)   => arr => math.log(fs(0)(arr))
+          case ("clip", 3)  => arr => math.min(math.max(fs(0)(arr), fs(1)(arr)), fs(2)(arr))
+          case _ =>
+            throw new IllegalArgumentException(s"unsupported function '$name'")
+        }
+    }
+    c(ast)
   }
 
   /** Interpreted evaluation over bound samples (the non-codegen fallback

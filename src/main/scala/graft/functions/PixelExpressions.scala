@@ -183,17 +183,33 @@ case class RepairQualityExpr(qa: Expression, qaNodata: Expression,
 
   override def children: Seq[Expression] = Seq(qa, qaNodata, sat) ++ bands ++ nodatas
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = qa.nullable
+  override def nullable: Boolean = children.exists(_.nullable)
 
   override def eval(input: InternalRow): Any = {
     val qv = qa.eval(input)
     if (qv == null) return null
     val qaArr = qv.asInstanceOf[ArrayData]
-    val qaNd = qaNodata.eval(input).asInstanceOf[Int]
-    val satV = sat.eval(input).asInstanceOf[Int]
-    val bandArrs = bands.map(_.eval(input).asInstanceOf[ArrayData]).toArray
-    val nds = nodatas.map(_.eval(input).asInstanceOf[Int]).toArray
+    val qaNdV = qaNodata.eval(input)
+    val satVV = sat.eval(input)
+    if (qaNdV == null || satVV == null) return null
+    val qaNd = qaNdV.asInstanceOf[Int]
+    val satV = satVV.asInstanceOf[Int]
     val n = qaArr.numElements()
+    val bandArrs = new Array[ArrayData](bands.length)
+    val nds = new Array[Int](bands.length)
+    var bi = 0
+    while (bi < bands.length) {
+      val bv = bands(bi).eval(input)
+      val nv = nodatas(bi).eval(input)
+      if (bv == null || nv == null) return null
+      bandArrs(bi) = bv.asInstanceOf[ArrayData]
+      nds(bi) = nv.asInstanceOf[Int]
+      if (bandArrs(bi).numElements() != n)
+        throw new IllegalArgumentException(
+          s"graft_repair_quality: band $bi has ${bandArrs(bi).numElements()} " +
+          s"samples but the QA block has $n — band blocks must be aligned")
+      bi += 1
+    }
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -229,20 +245,32 @@ case class RepairQualityExpr(qa: Expression, qaNodata: Expression,
       .mkString(" || ")
     val childCode = (Seq(ndGen, satGen) ++ bandGens ++ ndGens)
       .map(_.code.toString).mkString("\n")
+    val anyChildNull = (Seq(ndGen, satGen) ++ bandGens ++ ndGens)
+      .map(_.isNull.toString).mkString(" || ")
+    val lengthChecks = bandGens.zipWithIndex.map { case (b, bi) =>
+      s"""if (${b.value}.numElements() != $n)
+            throw new IllegalArgumentException(
+              "graft_repair_quality: band $bi has " + ${b.value}.numElements() +
+              " samples but the QA block has " + $n + " - band blocks must be aligned");"""
+    }.mkString("\n")
     ev.copy(code = code"""
       ${qaGen.code}
       boolean ${ev.isNull} = ${qaGen.isNull};
       ArrayData ${ev.value} = null;
       if (!${ev.isNull}) {
         $childCode
-        ArrayData $arr = ${qaGen.value};
-        int $n = $arr.numElements();
-        int[] $out = new int[$n];
-        for (int $i = 0; $i < $n; $i++) {
-          int $q = $arr.getInt($i);
-          $out[$i] = ($q == ${ndGen.value}) ? $q : (($hit) ? ${satGen.value} : $q);
+        ${ev.isNull} = $anyChildNull;
+        if (!${ev.isNull}) {
+          ArrayData $arr = ${qaGen.value};
+          int $n = $arr.numElements();
+          $lengthChecks
+          int[] $out = new int[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            int $q = $arr.getInt($i);
+            $out[$i] = ($q == ${ndGen.value}) ? $q : (($hit) ? ${satGen.value} : $q);
+          }
+          ${ev.value} = UnsafeArrayData.fromPrimitiveArray($out);
         }
-        ${ev.value} = UnsafeArrayData.fromPrimitiveArray($out);
       }""")
   }
 
@@ -402,6 +430,11 @@ case class BandExprArray(bands: Seq[Expression], names: Seq[String],
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = bands.exists(_.nullable)
 
+  // Index-bound evaluator compiled once per expression instance — the
+  // interpreted fallback must not allocate a Map per pixel.
+  @transient private lazy val evaluator: Array[Double] => Double =
+    BandExprParser.compileIndexed(ast, names)
+
   override def eval(input: InternalRow): Any = {
     val arrs = new Array[ArrayData](bands.length)
     var b = 0
@@ -412,11 +445,21 @@ case class BandExprArray(bands: Seq[Expression], names: Seq[String],
       b += 1
     }
     val n = arrs(0).numElements()
+    b = 1
+    while (b < arrs.length) {
+      if (arrs(b).numElements() != n)
+        throw new IllegalArgumentException(
+          s"graft_band_expr: band '${names(b)}' has ${arrs(b).numElements()} " +
+          s"samples but band '${names.head}' has $n — band blocks must be aligned")
+      b += 1
+    }
     val out = new Array[Int](n)
+    val samples = new Array[Double](arrs.length)
     var i = 0
     while (i < n) {
-      val env = names.indices.map(j => names(j) -> arrs(j).getInt(i).toDouble).toMap
-      val v = BandExprParser.evalAst(ast, env)
+      var j = 0
+      while (j < arrs.length) { samples(j) = arrs(j).getInt(i).toDouble; j += 1 }
+      val v = evaluator(samples)
       out(i) =
         if (v.isNaN) nodata
         else math.min(math.max(v, lo), hi).toLong.toInt
@@ -439,12 +482,20 @@ case class BandExprArray(bands: Seq[Expression], names: Seq[String],
       .mkString("\n")
     val nullCheck = gens.map(g => g.isNull.toString).mkString(" || ")
     val childCode = gens.map(_.code.toString).mkString("\n")
+    val lengthChecks = gens.tail.zip(names.tail).map { case (g, nm) =>
+      s"""if (${g.value}.numElements() != $n)
+            throw new IllegalArgumentException(
+              "graft_band_expr: band '$nm' has " + ${g.value}.numElements() +
+              " samples but band '${names.head}' has " + $n +
+              " - band blocks must be aligned");"""
+    }.mkString("\n")
     ev.copy(code = code"""
       $childCode
       boolean ${ev.isNull} = $nullCheck;
       ArrayData ${ev.value} = null;
       if (!${ev.isNull}) {
         int $n = ${gens.head.value}.numElements();
+        $lengthChecks
         int[] $out = new int[$n];
         for (int $i = 0; $i < $n; $i++) {
           $loads

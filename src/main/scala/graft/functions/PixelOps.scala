@@ -93,6 +93,45 @@ object PixelOps {
     }
   }
 
+  private val ConfidenceRulePattern = """^(\w+)\s*(>=|<=|==|!=|>|<)\s*(\w+)$""".r
+
+  /** P7 — rule-string parser (reference `utils/image.py:427-511`): turns
+    * the reference's confidence rule strings (`"cloud >= MEDIUM"`) into
+    * the `(offset, op, level)` triples consumed by [[confidenceS]] /
+    * [[qaMaskBitwiseS]]. Fields map to the Landsat C2 QA_PIXEL 2-bit
+    * confidence ranges (cloud@8, cloud_shadow@10, snow@12, cirrus@14);
+    * levels are NO_CONFIDENCE=0, LOW=1, MEDIUM=RESERVED=2, HIGH=3.
+    */
+  def parseConfidenceRule(rule: String): (Int, String, Int) = rule.trim match {
+    case ConfidenceRulePattern(field, op, level) =>
+      val offset = field.toLowerCase match {
+        case "cloud"                   => 8
+        case "cloud_shadow" | "shadow" => 10
+        case "snow" | "snow_ice"       => 12
+        case "cirrus"                  => 14
+        case f => throw new IllegalArgumentException(
+          s"unknown confidence field '$f' in rule '$rule'")
+      }
+      val lvl = level.toUpperCase match {
+        case "NO_CONFIDENCE" | "NO"  => 0
+        case "LOW"                   => 1
+        case "MEDIUM" | "RESERVED"   => 2
+        case "HIGH"                  => 3
+        case n if n.forall(_.isDigit) => n.toInt
+        case l => throw new IllegalArgumentException(
+          s"unknown confidence level '$l' in rule '$rule'")
+      }
+      (offset, op, lvl)
+    case _ => throw new IllegalArgumentException(
+      s"bad confidence rule: '$rule' (expected '<field> <op> <level>')")
+  }
+
+  /** P7 over a reference-style rule string, e.g. `"cloud >= MEDIUM"`. */
+  def confidenceS(qa: Column, rule: String): Column = {
+    val (offset, op, level) = parseConfidenceRule(rule)
+    confidenceS(qa, offset, op, level)
+  }
+
   /** P6 bitwise mode — Landsat C2 QA_PIXEL mask (reference `get_qa_mask`,
     * `utils/image.py:514-608`): a sample is usable iff
     *
@@ -124,6 +163,13 @@ object PixelOps {
       .foldLeft(lit(false))(_ || _)
     qa =!= nodata && !confHit && !anyNotClear && anyClear
   }
+
+  /** [[qaMaskBitwiseS]] with reference-style rule strings. */
+  def qaMaskBitwiseRulesS(qa: Column, clearBits: Seq[Int], notClearBits: Seq[Int],
+                          nodata: Long, rules: Seq[String],
+                          oli: Column = lit(true)): Column =
+    qaMaskBitwiseS(qa, clearBits, notClearBits, nodata,
+      rules.map(parseConfidenceRule), oli)
 
   /** S6 — Sentinel-2 processing-baseline offset (reference
     * `sentinel/sentinel2.py:136-174`): baseline ≥ 4 subtracts 1000; results

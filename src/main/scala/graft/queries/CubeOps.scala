@@ -288,15 +288,16 @@ object CubeOps {
         .orderBy($"p_start")
     }),
 
-    // P7 — Landsat C2 confidence rule over a 2-bit field
+    // P7 — Landsat C2 confidence rules, parsed from reference-style rule
+    // strings ("cloud >= MEDIUM", utils/image.py:434-511)
     "p7_confidence" -> ((s, d) => {
       import s.implicits._
       orders(s, d).filter($"o_orderkey" <= 4000)
         .select($"o_orderkey",
           PixelOps.bitRangeS($"o_orderkey", 8, 9).cast("int").as("conf_field"),
-          when(PixelOps.confidenceS($"o_orderkey", 8, ">=", 2), 1)
+          when(PixelOps.confidenceS($"o_orderkey", "cloud >= MEDIUM"), 1)
             .otherwise(0).cast("int").as("cloud_ge_medium"),
-          when(PixelOps.confidenceS($"o_orderkey", 8, "==", 3), 1)
+          when(PixelOps.confidenceS($"o_orderkey", "cloud == HIGH"), 1)
             .otherwise(0).cast("int").as("cloud_high"))
         .orderBy($"o_orderkey")
     }),
@@ -339,6 +340,39 @@ object CubeOps {
         .map(t => (t.tileId, t.xmin, t.ymin, t.xmax, t.ymax))
         .toDF("tile_id", "xmin", "ymin", "xmax", "ymax")
         .orderBy($"tile_id")
+    }),
+
+    // S8 — availability probe over asset links (HEAD/readability check in
+    // mapPartitions) feeding the per-date merge audit (validate_merges)
+    "s8_availability" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Availability
+      val assets = nation(s, d).select(
+        $"n_nationkey".cast("int").as("key"),
+        concat(lit("B"), ($"n_nationkey" % 4 + 1).cast("int")).as("band"),
+        format_string("1995-%02d", ($"n_nationkey" % 12 + 1).cast("int")).as("date"),
+        when($"n_nationkey" % 3 === 0, lit(s"$d/nation.parquet"))
+          .otherwise(concat(lit(s"$d/missing_"), $"n_nationkey".cast("int"),
+            lit(".tif"))).as("link"))
+      Availability.mergeAudit(Availability.probe(assets))
+        .select($"date", $"total", $"ok_n", $"err_n",
+          concat_ws(";", $"bands").as("bands"),
+          concat_ws(";", $"errors").as("errs"))
+        .orderBy($"date")
+    }),
+
+    // C11 — BandSRC provenance edges derived from band expressions by the
+    // same parser that executes them
+    "c11_band_src" -> ((s, d) => {
+      import s.implicits._
+      import graft.catalog.BandLineage
+      import BandLineage.BandDef
+      val catalog = Seq(
+        BandDef(1, "B02"), BandDef(2, "B04"), BandDef(3, "B07"), BandDef(4, "B8A"),
+        BandDef(9, "NDVI", Some("10000.*((B8A-B04)/(B8A+B04))")),
+        BandDef(10, "EVI", Some("10000.*(2.5*(B8A-B04)/(B8A+6.*B04-7.5*B02+10000.))")),
+        BandDef(11, "NBR", Some("10000.*((B8A-B07)/(B8A+B07))")))
+      BandLineage.edges(s, catalog).orderBy($"band_id", $"band_src_id")
     }),
 
     // §2.8 — tumbling-window aggregation over the events stream (batch shape
@@ -538,6 +572,26 @@ object CubeOps {
               range(CAST(trunc((10000000.0 - 9000000.0) / 100000.0) AS INT),
                     CAST(trunc((10000000.0 - 8000000.0) / 100000.0) AS INT) + 1) u(iv)
          ORDER BY tile_id""",
+    "s8_availability" ->
+      """SELECT date, total, ok_n, err_n, bands, errs FROM (
+           SELECT printf('1995-%02d', CAST(n_nationkey % 12 + 1 AS INT)) AS date,
+             count(*) AS total,
+             CAST(sum(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok_n,
+             CAST(sum(CASE WHEN n_nationkey % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS err_n,
+             string_agg(DISTINCT 'B' || CAST(n_nationkey % 4 + 1 AS INT), ';'
+               ORDER BY 'B' || CAST(n_nationkey % 4 + 1 AS INT)) AS bands,
+             coalesce(string_agg('File not found missing_' || CAST(n_nationkey AS INT) || '.tif', ';'
+               ORDER BY 'File not found missing_' || CAST(n_nationkey AS INT) || '.tif')
+               FILTER (WHERE n_nationkey % 3 <> 0), '') AS errs
+           FROM nation GROUP BY 1)
+         ORDER BY date""",
+    "c11_band_src" ->
+      """SELECT band_id, band_src_id, src_name FROM (VALUES
+           (9, 4, 'B8A'), (9, 2, 'B04'),
+           (10, 4, 'B8A'), (10, 2, 'B04'), (10, 1, 'B02'),
+           (11, 4, 'B8A'), (11, 3, 'B07'))
+           t(band_id, band_src_id, src_name)
+         ORDER BY band_id, band_src_id""",
     "w_events_tumbling" ->
       """SELECT user_id,
          strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS wstart,

@@ -159,6 +159,89 @@ class PixelOpsSpec extends SparkSpec {
     assert(got == "LC8-16D_V001_007011_20200101")
   }
 
+  test("P7 rule-string parser maps reference rules to (offset, op, level)") {
+    assert(PixelOps.parseConfidenceRule("cloud >= MEDIUM") == ((8, ">=", 2)))
+    assert(PixelOps.parseConfidenceRule("cloud_shadow > LOW") == ((10, ">", 1)))
+    assert(PixelOps.parseConfidenceRule("snow == HIGH") == ((12, "==", 3)))
+    assert(PixelOps.parseConfidenceRule("cirrus != NO_CONFIDENCE") == ((14, "!=", 0)))
+    assert(PixelOps.parseConfidenceRule("cloud <= 1") == ((8, "<=", 1)))
+    intercept[IllegalArgumentException](PixelOps.parseConfidenceRule("fog >= LOW"))
+    intercept[IllegalArgumentException](PixelOps.parseConfidenceRule("cloud >= WET"))
+    intercept[IllegalArgumentException](PixelOps.parseConfidenceRule("cloud"))
+    // string form and triple form agree on a live column
+    import spark.implicits._
+    val df = Seq(3 << 8, 1 << 8).toDF("qa")
+    val got = df.select(
+      PixelOps.confidenceS($"qa", "cloud >= MEDIUM"),
+      PixelOps.confidenceS($"qa", 8, ">=", 2)).collect()
+    assert(got.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  private def messageChain(t: Throwable): Seq[String] = {
+    var cur = t; val out = Seq.newBuilder[String]
+    while (cur != null) { if (cur.getMessage != null) out += cur.getMessage; cur = cur.getCause }
+    out.result()
+  }
+
+  test("P8 array kernel rejects misaligned band blocks with a clear error") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2, 3), Seq(1, 2))).toDF("A", "B")
+    val ex = intercept[Exception] {
+      df.select(PixelOps.bandExpr(Map("A" -> $"A", "B" -> $"B"),
+        "A+B", "int16", -9999)).collect()
+    }
+    assert(messageChain(ex).exists(_.contains("must be aligned")))
+  }
+
+  test("P9 repair kernel: null band block yields null, not an NPE") {
+    import spark.implicits._
+    import graft.functions.PixelExpressions
+    val df = Seq((Seq(0, 2), true), (Seq(0, 2), false)).toDF("qa", "f")
+    val maybeNull = when(!$"f", array(lit(-9999), lit(1)))
+    val out = df.select(PixelExpressions.repairQuality(
+      $"qa", lit(255), lit(1), Seq((maybeNull, lit(-9999)))).as("r"))
+      .collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getSeq[Int](0) == Seq(1, 2)) // b=-9999 at i=0 → saturated
+  }
+
+  test("P9 repair kernel rejects misaligned band blocks") {
+    import spark.implicits._
+    import graft.functions.PixelExpressions
+    val df = Seq((Seq(0, 2), Seq(1))).toDF("qa", "b")
+    val ex = intercept[Exception] {
+      df.select(PixelExpressions.repairQuality(
+        $"qa", lit(255), lit(1), Seq(($"b", lit(-9999))))).collect()
+    }
+    assert(messageChain(ex).exists(_.contains("must be aligned")))
+  }
+
+  test("P8 scalar and array paths agree on division by zero (IEEE, not null)") {
+    import spark.implicits._
+    val df = Seq((5, 0), (0, 0), (-5, 0), (6, 2)).toDF("num", "den")
+    val arr = df.select(array($"num").as("N"), array($"den").as("D"))
+      .select(PixelOps.bandExpr(Map("N" -> $"N", "D" -> $"D"),
+        "N/D", "int16", -9999).as("r"))
+      .collect().map(_.getSeq[Int](0).head)
+    val sc = df.select(PixelOps.bandExprS(Map("N" -> $"num", "D" -> $"den"),
+      "N/D", "int16", -9999).as("r"))
+      .collect().map(_.getInt(0))
+    assert(arr.toSeq == Seq(32767, -9999, -32768, 3)) // +Inf→hi, NaN→nodata, -Inf→lo
+    assert(sc.toSeq == arr.toSeq)
+  }
+
+  test("P8 interpreted fallback: index-bound evaluator matches Map evaluator") {
+    val ast = BandExprParser.parse("10000.*((B8A-B04)/(B8A+B04))")
+    val f = BandExprParser.compileIndexed(ast, Seq("B8A", "B04"))
+    assert(f(Array(5000.0, 3000.0)) ==
+      BandExprParser.evalAst(ast, Map("B8A" -> 5000.0, "B04" -> 3000.0)))
+    assert(f(Array(0.0, 0.0)).isNaN)
+    val clip = BandExprParser.parse("clip(a % b, min(a, b, 0), max(a, 2))")
+    val g = BandExprParser.compileIndexed(clip, Seq("a", "b"))
+    assert(g(Array(7.0, 4.0)) ==
+      BandExprParser.evalAst(clip, Map("a" -> 7.0, "b" -> 4.0)))
+  }
+
   test("P3 linear scale maps input range onto output range") {
     import spark.implicits._
     val df = Seq((0, 5000, 10000, 12000)).toDF("a", "b", "c", "d")

@@ -290,8 +290,14 @@ object CubeBuilder {
   }
 
   /** Stage 3c — S11/S12 quicklook: RGB-compose three bands per block (P3
-    * linear scale), assemble per (tile, period) in the executor, downsample
-    * to ≤ `maxRows` rows, PNG-encode. One small binary row per item.
+    * linear scale), stride-downsample EACH BLOCK to its share of the
+    * thumbnail grid, then assemble only the ≤`maxRows`-row thumbnail per
+    * (tile, period). No row ever materializes a full tile: a block
+    * contributes ≤ ceil(bh/stride)×ceil(bw/stride) ARGB ints, and the
+    * assembly group collects ≤ maxRows² ints (~2.4 MB) regardless of tile
+    * size — at the reference's 10560² tile the old collect-then-assemble
+    * row was ~446 MB/band. Transparent-nodata alpha is preserved
+    * (reference `processing.py:1291-1324`).
     */
   def quicklook(composited: DataFrame, collection: Collection,
                 inMin: Double, inMax: Double, maxRows: Int = 768): DataFrame = {
@@ -301,39 +307,87 @@ object CubeBuilder {
     val rgb = graft.operators.Visual.rgbComposite(
       composited.withColumn("value", compositeBand(collection)),
       r, g, b, inMin, inMax)
-    rgb.groupBy($"cube", $"tileId", $"p_start", $"p_end")
-      .agg(collect_list(struct($"blockY", $"blockX", $"height", $"width",
-        $"rgb")).as("bs"))
-      .as[(String, String, java.sql.Date, java.sql.Date, Seq[QlBlock])]
-      .map { case (cube, tile, ps, pe, bs) =>
-        val bh = bs.head.height; val bw = bs.head.width
-        val maxY = bs.map(_.blockY).max; val maxX = bs.map(_.blockX).max
-        val h = maxY * bh + bs.filter(_.blockY == maxY).head.height
-        val w = maxX * bw + bs.filter(_.blockX == maxX).head.width
-        val full = new Array[Int](h * w)
-        bs.foreach { blk =>
+
+    // Tile dimensions per item: tiny aggregate, broadcast back. Only the
+    // last block row/column can be truncated, so bh = max(height) and
+    // th = maxBlockY·bh + height(any block in that row).
+    val dims = rgb.groupBy($"cube", $"tileId", $"p_start", $"p_end")
+      .agg(max($"height").as("bh"), max($"width").as("bw"),
+        (max($"blockY") * max($"height") + max_by($"height", $"blockY")).as("th"),
+        (max($"blockX") * max($"width") + max_by($"width", $"blockX")).as("tw"))
+
+    val patches = rgb
+      .join(broadcast(dims), Seq("cube", "tileId", "p_start", "p_end"))
+      .select($"cube", $"tileId", $"p_start", $"p_end",
+        $"blockY", $"blockX", $"height", $"width", $"bh", $"bw", $"th", $"tw",
+        $"rgb")
+      .as[QlBlockDims]
+      .map { blk =>
+        val stride = graft.operators.Visual.quicklookStride(blk.th, maxRows)
+        val qh = math.max(1, blk.th / stride)
+        val qw = math.max(1, blk.tw / stride)
+        val gy0 = blk.blockY * blk.bh
+        val gx0 = blk.blockX * blk.bw
+        // global stride-grid positions that fall inside this block
+        def gridIn(g0: Int, len: Int, qMax: Int): Array[Int] = {
+          val first = ((g0 + stride - 1) / stride) * stride
+          Iterator.iterate(first)(_ + stride)
+            .takeWhile(p => p < g0 + len && p / stride < qMax).toArray
+        }
+        val rows = gridIn(gy0, blk.height, qh)
+        val cols = gridIn(gx0, blk.width, qw)
+        val px = new Array[Int](rows.length * cols.length)
+        var i = 0
+        while (i < rows.length) {
+          var j = 0
+          while (j < cols.length) {
+            val p = blk.rgb((rows(i) - gy0) * blk.width + (cols(j) - gx0))
+            px(i * cols.length + j) =
+              (p.a << 24) | (p.r << 16) | (p.g << 8) | p.b
+            j += 1
+          }
+          i += 1
+        }
+        QlPatch(blk.cube, blk.tileId, blk.p_start.toString, blk.p_end.toString,
+          qh, qw,
+          if (rows.isEmpty) 0 else rows(0) / stride,
+          if (cols.isEmpty) 0 else cols(0) / stride,
+          rows.length, cols.length, px)
+      }
+      .filter(p => p.ph > 0 && p.pw > 0)
+
+    patches
+      .groupByKey(p => (p.cube, p.tileId, p.p_start, p.p_end))
+      .mapGroups { (key: (String, String, String, String), it: Iterator[QlPatch]) =>
+        val (cube, tile, ps, pe) = key
+        var qh = 0; var qw = 0
+        var canvas: Array[Int] = null
+        it.foreach { p =>
+          if (canvas == null) { qh = p.qh; qw = p.qw; canvas = new Array[Int](qh * qw) }
           var i = 0
-          while (i < blk.rgb.length) {
-            val row = blk.blockY * bh + i / blk.width
-            val col = blk.blockX * bw + i % blk.width
-            val p = blk.rgb(i)
-            full(row * w + col) = (p.r << 16) | (p.g << 8) | p.b
+          while (i < p.ph) {
+            System.arraycopy(p.px, i * p.pw, canvas, (p.qy0 + i) * qw + p.qx0, p.pw)
             i += 1
           }
         }
-        val stride = graft.operators.Visual.quicklookStride(h, maxRows)
-        val qh = h / stride; val qw = w / stride
-        val small = Array.tabulate(qh * qw)(i =>
-          full((i / qw) * stride * w + (i % qw) * stride))
-        (cube, tile, ps.toString, pe.toString,
-          graft.operators.Visual.encodePng(small, qw, qh))
+        (cube, tile, ps, pe, graft.operators.Visual.encodePngArgb(canvas, qw, qh))
       }
       .toDF("cube", "tileId", "p_start", "p_end", "png")
   }
 
   final case class Rgb(r: Int, g: Int, b: Int)
+  final case class Rgba(r: Int, g: Int, b: Int, a: Int)
   final case class QlBlock(blockY: Int, blockX: Int, height: Int, width: Int,
                            rgb: Seq[Rgb])
+  final case class QlBlockDims(cube: String, tileId: String,
+                               p_start: java.sql.Date, p_end: java.sql.Date,
+                               blockY: Int, blockX: Int, height: Int, width: Int,
+                               bh: Int, bw: Int, th: Int, tw: Int,
+                               rgb: Seq[Rgba])
+  final case class QlPatch(cube: String, tileId: String,
+                           p_start: String, p_end: String,
+                           qh: Int, qw: Int, qy0: Int, qx0: Int,
+                           ph: Int, pw: Int, px: Array[Int])
 
   /** Period dimension table from the collection's temporal schema (C12). */
   def periodTable(spark: SparkSession, collection: Collection,

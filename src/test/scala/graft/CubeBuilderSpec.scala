@@ -157,6 +157,45 @@ class CubeBuilderSpec extends SparkSpec {
     assert(img.getWidth == 2 && img.getHeight == 2)
   }
 
+  test("quicklook stride-downsamples per block: large tile, thumbnail-sized rows only") {
+    import spark.implicits._
+    // 1600×1200 tile in 512-px blocks (truncated edge blocks); maxRows=400
+    // → stride 4, thumbnail 400×300. Every block contributes only its
+    // stride-grid pixels; the assembled PNG must equal direct sampling.
+    val bh = 512; val bw = 512; val th = 1600; val tw = 1200
+    def v8a(gy: Int, gx: Int) = (gy * 7 + gx * 13) % 1000
+    def v04(gy: Int, gx: Int) = (gy * 11 + gx * 3) % 1000
+    val rows = for {
+      by <- 0 until (th + bh - 1) / bh
+      bx <- 0 until (tw + bw - 1) / bw
+      band <- Seq("B8A", "B04")
+    } yield {
+      val h = math.min(bh, th - by * bh); val w = math.min(bw, tw - bx * bw)
+      val f = if (band == "B8A") v8a _ else v04 _
+      val px = Array.tabulate(h * w)(i => f(by * bh + i / w, bx * bw + i % w))
+      ("c1", "t9", java.sql.Date.valueOf("2020-01-01"),
+        java.sql.Date.valueOf("2020-01-16"), by, bx, h, w, band, -9999, px)
+    }
+    val composited = rows.toDF("cube", "tileId", "p_start", "p_end",
+      "blockY", "blockX", "height", "width", "band", "nodata", "value")
+    val collQl = coll.copy(quicklook = Seq("B8A", "B04", "B04"))
+    val ql = CubeBuilder.quicklook(composited, collQl, 0, 1000, maxRows = 400)
+      .collect()
+    assert(ql.length == 1)
+    val png = ql.head.getAs[Array[Byte]]("png")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getHeight == 400 && img.getWidth == 300)
+    def lum(v: Int): Int = ((v.toDouble / 1000.0) * 255.0).toInt // P3 + int trunc
+    for ((qy, qx) <- Seq((0, 0), (127, 128), (128, 127), (399, 299), (200, 150))) {
+      val argb = img.getRGB(qx, qy)
+      val (gy, gx) = (qy * 4, qx * 4)
+      assert(((argb >> 16) & 0xff) == lum(v8a(gy, gx)), s"r at ($qy,$qx)")
+      assert(((argb >> 8) & 0xff) == lum(v04(gy, gx)), s"g at ($qy,$qx)")
+      assert((argb & 0xff) == lum(v04(gy, gx)), s"b at ($qy,$qx)")
+      assert(((argb >> 24) & 0xff) == 255, s"alpha at ($qy,$qx)")
+    }
+  }
+
   test("M4 saturated-band propagation masks RADSAT-flagged pixels") {
     import spark.implicits._
     val maskSat = mask.copy(saturatedBand = "RADSAT", saturatedData = Seq(9L))

@@ -46,7 +46,8 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag", $"l_linestatus")
     })) ++
-      gq.Relational.queries ++ gq.CubeOps.queries ++ gq.Pipeline.queries
+      gq.Relational.queries ++ gq.CubeOps.queries ++ gq.EngineOps.queries ++
+      gq.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -62,5 +63,6 @@ object SparkEntry {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""") ++
-      gq.Relational.oracles ++ gq.CubeOps.oracles ++ gq.Pipeline.oracles
+      gq.Relational.oracles ++ gq.CubeOps.oracles ++ gq.EngineOps.oracles ++
+      gq.Pipeline.oracles
 }

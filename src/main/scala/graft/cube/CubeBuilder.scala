@@ -85,10 +85,7 @@ object CubeBuilder {
         .select($"tileId", $"date", $"blockY", $"blockX", $"pixels".as("radsat"))
       qualityRaw.join(sat, Seq("tileId", "date", "blockY", "blockX"), "left")
         .select($"tileId", $"date", $"blockY", $"blockX",
-          when($"radsat".isNull, $"qa").otherwise(
-            zip_with($"qa", $"radsat", (q, r) =>
-              when(PixelOps.bitRangeS(r, 1, 7) =!= 0, lit(marker.toInt))
-                .otherwise(q))).as("qa"))
+          Composite.saturatedPropagate($"qa", $"radsat", marker.toInt).as("qa"))
     } else qualityRaw
 
     val spectral = merged.filter($"band" =!= collection.qualityBand &&

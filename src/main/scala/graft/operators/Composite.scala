@@ -522,6 +522,18 @@ object Composite {
     (efficacy, cloud)
   }
 
+  /** M4 — saturated-mask propagation (reference `tasks.py:355-366`,
+    * `processing.py:787-791`): where the RADSAT companion block has any of
+    * bits 1..7 set, rewrite the QA sample to the saturated `marker` so the
+    * composite's usability predicate rejects it. A null RADSAT block (date
+    * has no companion band) passes QA through unchanged.
+    */
+  def saturatedPropagate(qa: Column, radsat: Column, marker: Int): Column =
+    when(radsat.isNull, qa).otherwise(
+      zip_with(qa, radsat, (q, r) =>
+        when(graft.functions.PixelOps.bitRangeS(r, 1, 7) =!= 0, lit(marker))
+          .otherwise(q)))
+
   /** P9 — cross-band nodata repair (reference `post_processing_quality`,
     * `processing.py:446-518`): where any spectral band holds nodata but the
     * QA sample is not QA-nodata, force QA := `saturatedValue` (1 for

@@ -31,7 +31,7 @@ object CubeOps {
     * row_number over the unique triple (linenumber, partkey, suppkey) —
     * identical in Spark and the oracle, making arg-min/-max picks total.
     */
-  private def pixelModel(s: SparkSession, d: String): DataFrame = {
+  private[queries] def pixelModel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"l_orderkey")
@@ -48,7 +48,7 @@ object CubeOps {
       .drop("l_linenumber", "l_partkey", "l_suppkey")
   }
 
-  private val pixelModelSql =
+  private[queries] val pixelModelSql =
     """SELECT l_orderkey,
        CAST(row_number() OVER (PARTITION BY l_orderkey
          ORDER BY l_linenumber, l_partkey, l_suppkey) AS INT) AS rn,

@@ -9,11 +9,11 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample run as per-partition
   * kernels over batches of rows.
   *
-  * The actual codec work is STUBBED (this container ships no image/audio
-  * libraries): [[FakeCodec]] is a deterministic header-parser over a tiny
-  * self-describing binary layout, so the Spark-side plumbing — schema,
-  * partitioning, kernel signature, batch shape — is real and tested, and
-  * swapping in a real decoder is a one-function change.
+  * Codecs are pluggable behind [[Multimodal.Codec]]: [[ImageCodec]] is a
+  * REAL decoder (JDK `javax.imageio` — PNG/BMP/GIF/JPEG, no external
+  * dependency) producing a luma sample plane; [[FakeCodec]] remains the
+  * deterministic stand-in for audio/video formats the JDK cannot decode.
+  * [[Multimodal.codecFor]] sniffs the payload and routes.
   *
   * Scale design: media rows are large (MBs); the kernels are
   * `mapPartitions` so one task streams a partition without per-row
@@ -46,12 +46,80 @@ object Multimodal {
       StructField("sampleRateHz", IntegerType, nullable = false))), nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
+  /** Pluggable payload codec: metadata sniff, sample-plane decode,
+    * re-encode. `decodeMeta` returns (width, height, frames, sampleRateHz).
+    */
+  trait Codec extends Serializable {
+    def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)]
+    def samples(payload: Array[Byte]): Array[Byte]
+    def encode(meta: MediaMeta, samples: Array[Byte]): Array[Byte]
+  }
+
+  /** Route a payload to its codec: GRFT header → [[FakeCodec]], anything
+    * `javax.imageio` recognizes (PNG/BMP/GIF/JPEG) → [[ImageCodec]].
+    */
+  def codecFor(payload: Array[Byte]): Codec =
+    if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'R' &&
+        payload(2) == 'F' && payload(3) == 'T') FakeCodec
+    else ImageCodec
+
+  /** REAL image codec over the JDK's `javax.imageio` readers (PNG, BMP,
+    * GIF, JPEG — no external dependency). The sample plane is 8-bit luma
+    * (ITU-R BT.601 integer weights); `encode` writes grayscale PNG.
+    * Single-frame by definition (`frames = 1`).
+    */
+  object ImageCodec extends Codec {
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    override def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      decodeImage(payload).map(img => (img.getWidth, img.getHeight, 1, 0))
+
+    override def samples(payload: Array[Byte]): Array[Byte] =
+      decodeImage(payload) match {
+        case None => Array.emptyByteArray
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+            // read the gray raster raw — getRGB would run the samples
+            // through sRGB gamma conversion and break the round-trip
+            val out = new Array[Byte](w * h)
+            img.getRaster.getDataElements(0, 0, w, h, out)
+            out
+          } else {
+            val out = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                out(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+      }
+
+    override def encode(meta: MediaMeta, samples: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(meta.width, meta.height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, meta.width, meta.height, samples)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Deterministic stand-in codec over a 16-byte header + raw "samples":
     * bytes 0-3 magic "GRFT", 4-5 width, 6-7 height, 8-11 frame count,
     * 12-15 sample rate; payload after the header is one byte per sample.
-    * A real decoder (JPEG/PCM/video) replaces exactly these two functions.
+    * Kept for the audio/video kinds the JDK cannot decode.
     */
-  object FakeCodec {
+  object FakeCodec extends Codec {
     val HeaderLen = 16
 
     def encode(meta: MediaMeta, samples: Array[Byte]): Array[Byte] = {
@@ -89,8 +157,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { row =>
-        FakeCodec.decodeMeta(row.payload).map { _ =>
-          val s = FakeCodec.samples(row.payload)
+        val codec = codecFor(row.payload)
+        codec.decodeMeta(row.payload).map { _ =>
+          val s = codec.samples(row.payload)
           val hist = new Array[Long](8)
           var sum = 0.0
           var i = 0
@@ -114,9 +183,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { row =>
-        FakeCodec.decodeMeta(row.payload) match {
+        val codec = codecFor(row.payload)
+        codec.decodeMeta(row.payload) match {
           case Some((w, h, frames, rate)) if w >= factor && h >= factor =>
-            val s = FakeCodec.samples(row.payload)
+            val s = codec.samples(row.payload)
             val nw = w / factor; val nh = h / factor
             val out = new Array[Byte](nw * nh)
             var y = 0
@@ -130,7 +200,7 @@ object Multimodal {
               y += 1
             }
             val meta = row.meta.copy(width = nw, height = nh)
-            MediaRow(row.media_id, meta, FakeCodec.encode(meta, out))
+            MediaRow(row.media_id, meta, codec.encode(meta, out))
           case _ => row
         }
       }
@@ -138,15 +208,17 @@ object Multimodal {
   }
 
   /** Frame sampling: keep every `stride`-th frame of a multi-frame payload
-    * (frames are consecutive width×height planes).
+    * (frames are consecutive width×height planes). Single-frame payloads
+    * (all [[ImageCodec]] media) pass through unchanged.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { row =>
-        FakeCodec.decodeMeta(row.payload) match {
+        val codec = codecFor(row.payload)
+        codec.decodeMeta(row.payload) match {
           case Some((w, h, frames, rate)) if frames > 1 =>
-            val s = FakeCodec.samples(row.payload)
+            val s = codec.samples(row.payload)
             val plane = w * h
             val kept = (0 until frames by stride).toArray
             val out = new Array[Byte](kept.length * plane)
@@ -156,7 +228,7 @@ object Multimodal {
                 System.arraycopy(s, from, out, i * plane, plane)
             }
             val meta = row.meta.copy(frames = kept.length)
-            MediaRow(row.media_id, meta, FakeCodec.encode(meta, out))
+            MediaRow(row.media_id, meta, codec.encode(meta, out))
           case _ => row
         }
       }

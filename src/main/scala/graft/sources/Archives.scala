@@ -48,11 +48,16 @@ object Archives {
   }
 
   /** S4 — extract one zip member by predicate (e.g. band routing). */
-  def zipMember(payload: Array[Byte], select: String => Boolean): Option[Array[Byte]] = {
+  def zipMember(payload: Array[Byte], select: String => Boolean): Option[Array[Byte]] =
+    zipMemberWithName(payload, select).map(_._2)
+
+  /** S4 — like [[zipMember]] but keeps the member name (for typed errors). */
+  def zipMemberWithName(payload: Array[Byte],
+                        select: String => Boolean): Option[(String, Array[Byte])] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(payload))
     try {
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .collectFirst { case e if select(e.getName) => zin.readAllBytes() }
+        .collectFirst { case e if select(e.getName) => (e.getName, zin.readAllBytes()) }
     } finally zin.close()
   }
 
@@ -89,11 +94,37 @@ object Archives {
   def landsatBandSelector(band: String): String => Boolean =
     name => name.matches(s".*_$band\\.(TIF|tif)$$")
 
-  /** S3/S4/S5 unified open: route by format, extract the band payload. */
+  /** Thrown when band routing lands on a JPEG-2000 member: this engine
+    * ships no JP2 codec (the reference decodes JP2 through rasterio/GDAL,
+    * `drivers/sentinel/sentinel2.py:44-111`). Typed and loud — never
+    * silent nodata, never an untyped "not a TIFF" downstream.
+    */
+  final case class Jp2UnsupportedException(member: String)
+      extends UnsupportedOperationException(
+        s"JPEG-2000 member '$member' has no decoder in this engine; " +
+        "re-package the scene as GeoTIFF/COG (the reference reads JP2 via GDAL)")
+
+  /** JP2 sniff: JP2 signature box or a raw JPEG-2000 codestream. */
+  def isJp2(payload: Array[Byte]): Boolean =
+    (payload.length >= 8 && payload(0) == 0 && payload(1) == 0 &&
+      payload(2) == 0 && (payload(3) & 0xff) == 0x0c &&
+      payload(4) == 'j' && payload(5) == 'P') ||
+    (payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0x4f && (payload(2) & 0xff) == 0xff &&
+      (payload(3) & 0xff) == 0x51)
+
+  /** S3/S4/S5 unified open: route by format, extract the band payload.
+    * @throws Jp2UnsupportedException when the routed member is JPEG-2000
+    */
   def openBand(payload: Array[Byte], band: String): Option[Array[Byte]] =
     detect(payload) match {
       case TiffFormat => Some(payload)
-      case ZipFormat  => zipMember(payload, safeBandSelector(band))
+      case ZipFormat =>
+        zipMemberWithName(payload, safeBandSelector(band)).map {
+          case (name, bytes) =>
+            if (isJp2(bytes)) throw Jp2UnsupportedException(name)
+            bytes
+        }
       case TarFormat  => tarMember(payload, landsatBandSelector(band))
       case UnknownFormat => None
     }

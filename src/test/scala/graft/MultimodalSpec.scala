@@ -20,6 +20,56 @@ class MultimodalSpec extends SparkSpec {
     assert(FakeCodec.decodeMeta("nope".getBytes) == None)
   }
 
+  test("ImageCodec decodes real PNG bytes: meta, luma samples, round-trip") {
+    // hand-built 4×2 RGB PNG via ImageIO (the JDK encoder is the fixture)
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, ((x * 60) << 16) | ((y * 100) << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    assert(Multimodal.codecFor(png) eq ImageCodec)
+    assert(ImageCodec.decodeMeta(png).contains((4, 2, 1, 0)))
+    val s = ImageCodec.samples(png)
+    assert(s.length == 8)
+    // BT.601 integer luma of pixel (x=1, y=1): r=60, g=100, b=30
+    assert((s(5) & 0xff) == (60 * 299 + 100 * 587 + 30 * 114) / 1000)
+    // grayscale re-encode decodes back to the same plane
+    val back = ImageCodec.encode(MediaMeta("image", "png", 4, 2, 1, 0), s)
+    assert(ImageCodec.decodeMeta(back).contains((4, 2, 1, 0)))
+    assert(ImageCodec.samples(back).toSeq == s.toSeq)
+    // non-image bytes are rejected, not crashed on
+    assert(ImageCodec.decodeMeta(Array[Byte](1, 2, 3)) == None)
+  }
+
+  test("kernels route real PNG payloads through ImageCodec") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, (x * 30) << 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq(MediaRow(1L, MediaMeta("image", "png", 8, 6, 1, 0), png)).toDS()
+
+    val feats = extractFeatures(rows).collect()
+    assert(feats.length == 1 && feats.head.histogram.sum == 48L)
+
+    val resized = resize(rows, 2).collect().head
+    assert(resized.meta.width == 4 && resized.meta.height == 3)
+    assert(ImageCodec.decodeMeta(resized.payload).contains((4, 3, 1, 0)))
+    // nearest-neighbor: resized (x,y) samples source (2x, 2y)
+    val rs = ImageCodec.samples(resized.payload)
+    val os = ImageCodec.samples(png)
+    assert((rs(1) & 0xff) == (os(2) & 0xff))
+
+    // single-frame → sampleFrames is a pass-through
+    val sampled = sampleFrames(rows, 2).collect().head
+    assert(sampled.payload.toSeq == png.toSeq)
+  }
+
   test("feature extraction runs per-partition and is deterministic") {
     val f1 = extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = extractFeatures(media).collect().sortBy(_.media_id)

@@ -45,6 +45,22 @@ object Pipeline {
   private def lshTables(e: Column): Column =
     graft.functions.VectorExpressions.lshBuckets(e, lshSignMatrix, LshBits)
 
+  /** Mega-bucket cap — the one residual skew hazard at 100 TB: a
+    * degenerate bucket (near-empty docs or zero-ish embeddings hashing
+    * identically) would explode O(k²) pairs inside a single task. Buckets
+    * larger than [[MaxBucketIds]] are dropped before pair generation; the
+    * dropped-bucket count rides the plan as an `observe` metric
+    * (`dropped_mega_buckets`) so production runs alert on it with no extra
+    * job. The oracles apply the identical bound.
+    */
+  val MaxBucketIds = 64
+
+  private def capBuckets(grouped: DataFrame): DataFrame =
+    grouped.observe("lsh_bucket_cap",
+      sum(when(size(col("ids")) > MaxBucketIds, 1L).otherwise(0L))
+        .as("dropped_mega_buckets"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketIds)
+
   /** Oracle-side mirror of the bucket construction (DuckDB SQL): integer-
     * quantized projection against MD5-derived ±1 weights, packed per table.
     */
@@ -90,9 +106,8 @@ object Pipeline {
           md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary"))
             .as("h"))): _*)).as("bh"))
         .select($"doc_id", $"bh.band", $"bh.h")
-      bands.groupBy($"band", $"h")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .filter(size($"ids") > 1)
+      capBuckets(bands.groupBy($"band", $"h")
+        .agg(sort_array(collect_list($"doc_id")).as("ids")))
         .select(explode(flatten(transform($"ids", (x, i) =>
           transform(slice($"ids", i + 2, size($"ids")),
             y => struct(x.as("id1"), y.as("id2")))))).as("p"))
@@ -205,9 +220,8 @@ object Pipeline {
       val emb = embeddings(s, d).select($"vec_id", $"embedding")
       val bucketed = emb.select($"vec_id",
         posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
-      val cand = bucketed.groupBy($"tbl", $"bkt")
-        .agg(sort_array(collect_list($"vec_id")).as("ids"))
-        .filter(size($"ids") > 1)
+      val cand = capBuckets(bucketed.groupBy($"tbl", $"bkt")
+        .agg(sort_array(collect_list($"vec_id")).as("ids")))
         .select(explode(flatten(transform($"ids", (x, i) =>
           transform(slice($"ids", i + 2, size($"ids")),
             y => struct(x.as("id1"), y.as("id2")))))).as("p"))
@@ -315,10 +329,13 @@ object Pipeline {
            SELECT doc_id, 0 AS band, h0 AS h FROM sig UNION ALL
            SELECT doc_id, 1, h1 FROM sig UNION ALL
            SELECT doc_id, 2, h2 FROM sig UNION ALL
-           SELECT doc_id, 3, h3 FROM sig)
+           SELECT doc_id, 3, h3 FROM sig),
+         bok AS (SELECT band, h FROM bands GROUP BY band, h
+           HAVING count(*) <= 64)
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         JOIN bok ON bok.band = a.band AND bok.h = a.h
          ORDER BY id1, id2""",
     "d_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id,
@@ -385,9 +402,12 @@ object Pipeline {
          FROM s WHERE cos >= 0.45 ORDER BY id1, id2""",
     "d_embed_neardup_lsh" ->
       s"""WITH $lshBucketsSql,
+         bok AS (SELECT tbl, bkt FROM bits GROUP BY tbl, bkt
+           HAVING count(*) <= 64),
          cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
            FROM bits a JOIN bits b
-             ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+             ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+           JOIN bok ON bok.tbl = a.tbl AND bok.bkt = a.bkt),
          dots AS (SELECT cand.id1, cand.id2,
              sum(CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS dp,
              sum(CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)) AS na,

@@ -16,14 +16,16 @@ final case class StacAssetRow(
     band: String, href: String)
 
 /** The server-side predicate set a STAC `/search` accepts — exactly what
-  * the DSv2 scan pushes down (`maestro.py:632-639`: intersects + datetime
-  * + limit=1000 + per-dataset collections).
+  * the DSv2 scan pushes down (`maestro.py:630-639`: intersects + datetime
+  * + limit=1000 + per-dataset collections + the `eo:cloud_cover` lte
+  * query the reference sends when a cloud threshold is configured).
   */
 final case class StacSearch(
     collection: String,
     bbox: Option[(Double, Double, Double, Double)],
     startDate: Option[String], endDate: Option[String],
-    limit: Int = 1000)
+    limit: Int = 1000,
+    maxCloudCover: Option[Double] = None)
 
 /** One page of search results plus the continuation token, mirroring STAC
   * API paging (`links[rel=next]` / legacy `page` tokens).
@@ -89,12 +91,18 @@ final class FileStacEndpoint(path: String) extends StacEndpoint {
     files.sortBy(_.getName)
   }
 
-  private def allFeatures(): Seq[JsonNode] = listFiles().flatMap { f =>
-    val root = StacJson.parse(
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    if (root.has("features")) root.get("features").elements().asScala.toSeq
-    else Seq(root)
-  }
+  // Parsed once per endpoint instance (per executor after serialization):
+  // paging a K-page search must not re-list and re-parse the catalog K
+  // times — O(catalog) total, not O(catalog × pages).
+  @transient private lazy val cachedRows: Seq[StacAssetRow] =
+    listFiles().flatMap { f =>
+      val root = StacJson.parse(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      val features =
+        if (root.has("features")) root.get("features").elements().asScala.toSeq
+        else Seq(root)
+      features.flatMap(StacJson.featureRows)
+    }
 
   private def matches(r: StacAssetRow, q: StacSearch): Boolean = {
     val okColl = q.collection == null || q.collection.isEmpty ||
@@ -103,13 +111,13 @@ final class FileStacEndpoint(path: String) extends StacEndpoint {
     val okBox = q.bbox.forall { case (x0, y0, x1, y1) =>
       r.xmin < x1 && r.xmax > x0 && r.ymin < y1 && r.ymax > y0
     }
-    okColl && okDate && okBox
+    val okCloud = q.maxCloudCover.forall(r.cloudCover <= _)
+    okColl && okDate && okBox && okCloud
   }
 
   override def search(request: StacSearch, token: Option[String]): StacPage = {
     val offset = token.map(_.toInt).getOrElse(0)
-    val hits = allFeatures().flatMap(StacJson.featureRows)
-      .filter(matches(_, request))
+    val hits = cachedRows.filter(matches(_, request))
     val page = hits.slice(offset, offset + request.limit)
     val next =
       if (offset + request.limit < hits.size) Some((offset + request.limit).toString)
@@ -143,6 +151,10 @@ final class HttpStacEndpoint(uri: String, headers: Map[String, String] = Map.emp
       case (Some(s), None) => o.put("datetime", s"${s}T00:00:00Z/..")
       case (None, Some(e)) => o.put("datetime", s"../${e}T23:59:59Z")
       case _ =>
+    }
+    request.maxCloudCover.foreach { c =>
+      // reference queries eo:cloud_cover lte (maestro.py:630-637)
+      o.putObject("query").putObject("eo:cloud_cover").put("lte", c)
     }
     o.put("limit", request.limit)
     token.foreach(o.put("token", _))

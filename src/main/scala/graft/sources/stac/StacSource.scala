@@ -82,6 +82,7 @@ class StacScanBuilder(options: Map[String, String])
   private var collection: Option[String] = None
   private var startDate: Option[String] = None
   private var endDate: Option[String] = None
+  private var maxCloud: Option[Double] = None
   // bbox query corners recovered from the canonical intersection predicate
   // (xmin < qx1 && xmax > qx0 && ymin < qy1 && ymax > qy0)
   private var qx0, qy0: Option[Double] = None
@@ -111,6 +112,10 @@ class StacScanBuilder(options: Map[String, String])
     case sources.GreaterThan("xmax", v) => dbl(v).exists { d => qx0 = Some(d); true }
     case sources.LessThan("ymin", v) => dbl(v).exists { d => qy1 = Some(d); true }
     case sources.GreaterThan("ymax", v) => dbl(v).exists { d => qy0 = Some(d); true }
+    // eo:cloud_cover supports lte in the search query (maestro.py:630-637);
+    // strict < is NOT absorbed — the request would readmit == rows
+    case sources.LessThanOrEqual("cloudCover", v) =>
+      dbl(v).exists { d => maxCloud = Some(d); true }
     case sources.And(l, r) => absorb(l) && absorb(r)
     case _ => false
   }
@@ -133,7 +138,7 @@ class StacScanBuilder(options: Map[String, String])
       case _ => None
     }
     new StacScan(options, requiredSchema,
-      collection.getOrElse(""), bbox, startDate, endDate, pushed)
+      collection.getOrElse(""), bbox, startDate, endDate, maxCloud, pushed)
   }
 }
 
@@ -141,6 +146,7 @@ class StacScan(options: Map[String, String], required: StructType,
                collection: String,
                bbox: Option[(Double, Double, Double, Double)],
                startDate: Option[String], endDate: Option[String],
+               maxCloud: Option[Double],
                pushed: Array[Filter])
     extends Scan with Batch {
 
@@ -151,7 +157,8 @@ class StacScan(options: Map[String, String], required: StructType,
     val parts = Seq(
       Some(s"collection=${if (collection.isEmpty) "*" else collection}"),
       bbox.map(b => s"bbox=$b"),
-      startDate.map(s => s"start=$s"), endDate.map(e => s"end=$e"))
+      startDate.map(s => s"start=$s"), endDate.map(e => s"end=$e"),
+      maxCloud.map(c => s"cloudCover<=$c"))
     s"STACScan(${parts.flatten.mkString(", ")}) " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   }
@@ -177,7 +184,8 @@ class StacScan(options: Map[String, String], required: StructType,
         case other => Seq(other)
       }
     chunks.map(c => StacInputPartition(options,
-      StacSearch(collection, bbox, c._1, c._2, pageSize)): InputPartition).toArray
+      StacSearch(collection, bbox, c._1, c._2, pageSize, maxCloud))
+      : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

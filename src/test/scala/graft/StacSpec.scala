@@ -88,6 +88,26 @@ class StacSpec extends SparkSpec {
       .toSeq == Seq("s1", "s2"))
   }
 
+  test("DSv2: cloudCover <= pushes into the search; strict < stays post-scan") {
+    val df = dsv2.load().filter(col("cloudCover") <= 20.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cloudCover<=20.0"), plan)
+    assert(df.select("sceneId").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("s1", "s3"))
+    // endpoint-level: the request itself filters
+    val ep = new graft.sources.stac.FileStacEndpoint(catalogDir)
+    val q = graft.sources.stac.StacSearch("", None, None, None,
+      maxCloudCover = Some(20.0))
+    assert(ep.search(q, None).features.map(_.sceneId).distinct.sorted ==
+      Seq("s1", "s3"))
+    // strict < is not absorbed (lte semantics would readmit == rows)
+    val strict = dsv2.load().filter(col("cloudCover") < 12.5)
+    val strictPlan = strict.queryExecution.executedPlan.toString
+    assert(!strictPlan.contains("cloudCover<="), strictPlan)
+    assert(strict.select("sceneId").distinct().collect().map(_.getString(0))
+      .sorted.toSeq == Seq("s3"))
+  }
+
   test("DSv2: reader pages through results at pageSize granularity") {
     // 12 asset rows, pageSize 5 → the reader must walk 3 pages
     val df = spark.read.format("stac")

@@ -199,6 +199,106 @@ object EngineOps {
         .orderBy($"tile_id", $"band")
     }),
 
+    // S4/S5/S7 — archive band routing: zip (SAFE) and tar (Landsat C2)
+    // payloads built in-memory, format-sniffed and routed by the engine
+    "s4_archive_route" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.Archives
+      def zip(members: (String, Array[Byte])*): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        members.foreach { case (n, b) =>
+          z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(b); z.closeEntry()
+        }
+        z.close(); bos.toByteArray
+      }
+      def tar(members: (String, Array[Byte])*): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        members.foreach { case (n, b) =>
+          val hdr = new Array[Byte](512)
+          n.getBytes("ASCII").copyToArray(hdr)
+          ("%011o" format b.length).getBytes("ASCII").copyToArray(hdr, 124)
+          "ustar".getBytes("ASCII").copyToArray(hdr, 257)
+          bos.write(hdr); bos.write(b)
+          bos.write(new Array[Byte](((b.length + 511) / 512) * 512 - b.length))
+        }
+        bos.write(new Array[Byte](1024)); bos.toByteArray
+      }
+      def body(k: Int): Array[Byte] = Array.tabulate(8)(i => (k * 10 + i).toByte)
+      val payloads = Seq(
+        ("safe.zip", zip("GRANULE/T22_20200105_B04.tif" -> body(1),
+          "GRANULE/T22_20200105_B08.tif" -> body(2)), Seq("B04", "B08")),
+        ("c2.tar", tar("LC08_L2SP_20200105_SR_B4.TIF" -> body(3),
+          "LC08_L2SP_20200105_QA_PIXEL.TIF" -> body(4)),
+          Seq("SR_B4", "QA_PIXEL")))
+      payloads.flatMap { case (name, payload, bands) =>
+        bands.map(b => (name, b, payload))
+      }.toDF("archive", "band", "payload")
+        .as[(String, String, Array[Byte])]
+        .map { case (name, band, payload) =>
+          val fmt = Archives.detect(payload).toString
+          val member = Archives.openBand(payload, band)
+          (name, band, fmt,
+            member.map(_.map(_.toLong).sum).getOrElse(-1L),
+            member.map(_.length).getOrElse(-1))
+        }
+        .toDF("archive", "band", "fmt", "byte_sum", "byte_len")
+        .orderBy($"archive", $"band")
+    }),
+
+    // S11/S12 — quicklook: P3-scaled RGB composite, per-block stride
+    // downsample, ARGB PNG encode; the query decodes the PNG back and
+    // pins channel sums (transparent-nodata alpha included)
+    "s11_quicklook_png" -> ((s, d) => {
+      import s.implicits._
+      val coll = Collection(name = "ql", version = 1, grid = "G",
+        compositeFunction = "LCF", temporalSchema = "Continuous",
+        temporalUnit = "day", temporalStep = 16,
+        bands = Seq(Band("B8A", "nir", "int16", Nodata),
+          Band("B04", "red", "int16", Nodata)),
+        quicklook = Seq("B8A", "B04", "B04"))
+      val rows = for {
+        (by, bx, h, w) <- graft.raster.Raster.blockWindows(96, 96, 32)
+        band <- Seq("B8A", "B04")
+      } yield {
+        val px = Array.tabulate(h * w) { i =>
+          val gy = by * 32 + i / w; val gx = bx * 32 + i % w
+          if ((gy * 96 + gx) % 37 == 0) Nodata
+          else if (band == "B8A") (gy * 7 + gx * 13) % 1000
+          else (gy * 11 + gx * 3) % 1000
+        }
+        ("c", "t1", java.sql.Date.valueOf("2020-01-01"),
+          java.sql.Date.valueOf("2020-01-16"), by, bx, h, w, band, Nodata, px)
+      }
+      val composited = rows.toDF("cube", "tileId", "p_start", "p_end",
+        "blockY", "blockX", "height", "width", "band", "nodata", "value")
+      CubeBuilder.quicklook(composited, coll, 0, 1000, maxRows = 48)
+        .as[(String, String, String, String, Array[Byte])]
+        .map { case (cube, tile, ps, pe, png) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          var rs, gs, as = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff
+            as += (p >>> 24) & 0xff
+          }
+          (cube, tile, ps, pe, img.getWidth, img.getHeight, rs, gs, as)
+        }
+        .toDF("cube", "tile_id", "p_start", "p_end", "qw", "qh",
+          "r_sum", "g_sum", "a_sum")
+        .orderBy($"tile_id")
+    }),
+
+    // P10 — convex hull over block-corner points (monotone chain)
+    "p10_hull" -> ((s, d) => {
+      import s.implicits._
+      val pts = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+        (2.0, 2.0), (1.0, 3.0), (3.0, 1.0), (2.0, 0.0), (0.0, 2.0))
+      graft.operators.Visual.convexHull(pts).sorted
+        .toDF("x", "y").orderBy($"x", $"y")
+    }),
+
     // S2/S3/S9/S10/S13 — raster round-trip: deterministic blocks stream
     // out as tiled GeoTIFFs (S9), the directory is re-scanned (S2),
     // integrity-checked (S13) and decoded back to blocks (S3); per-band
@@ -332,6 +432,37 @@ object EngineOps {
              (o_orderkey % 5) * 100.0::DOUBLE AS y0
            FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 12 <> 0)
          GROUP BY tile_id, band ORDER BY tile_id, band""",
+    "s4_archive_route" ->
+      """SELECT archive, band, fmt, byte_sum, byte_len FROM (VALUES
+           ('c2.tar', 'QA_PIXEL', 'TarFormat', CAST(348 AS BIGINT), CAST(8 AS INT)),
+           ('c2.tar', 'SR_B4', 'TarFormat', CAST(268 AS BIGINT), CAST(8 AS INT)),
+           ('safe.zip', 'B04', 'ZipFormat', CAST(108 AS BIGINT), CAST(8 AS INT)),
+           ('safe.zip', 'B08', 'ZipFormat', CAST(188 AS BIGINT), CAST(8 AS INT)))
+           t(archive, band, fmt, byte_sum, byte_len)
+         ORDER BY archive, band""",
+    "s11_quicklook_png" ->
+      """WITH q AS (SELECT 2*a.qy AS gy, 2*b.qx AS gx
+           FROM range(0, 48) a(qy), range(0, 48) b(qx)),
+         v AS (SELECT gy, gx,
+             CASE WHEN (gy*96 + gx) % 37 = 0 THEN 0
+                  ELSE (gy*7 + gx*13) % 1000 END AS v8a,
+             CASE WHEN (gy*96 + gx) % 37 = 0 THEN 0
+                  ELSE (gy*11 + gx*3) % 1000 END AS v04,
+             CASE WHEN (gy*96 + gx) % 37 = 0 THEN 0 ELSE 255 END AS alpha
+           FROM q)
+         SELECT 'c' AS cube, 't1' AS tile_id,
+           '2020-01-01' AS p_start, '2020-01-16' AS p_end,
+           CAST(48 AS INT) AS qw, CAST(48 AS INT) AS qh,
+           CAST(sum(CAST(trunc((v8a::DOUBLE - 0.0::DOUBLE) / 1000.0::DOUBLE
+             * 255.0::DOUBLE + 0.0::DOUBLE) AS BIGINT)) AS BIGINT) AS r_sum,
+           CAST(sum(CAST(trunc((v04::DOUBLE - 0.0::DOUBLE) / 1000.0::DOUBLE
+             * 255.0::DOUBLE + 0.0::DOUBLE) AS BIGINT)) AS BIGINT) AS g_sum,
+           CAST(sum(alpha) AS BIGINT) AS a_sum
+         FROM v""",
+    "p10_hull" ->
+      """SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM (VALUES
+           (0.0, 0.0), (0.0, 4.0), (4.0, 0.0), (4.0, 4.0)) t(x, y)
+         ORDER BY x, y""",
     "s_raster_roundtrip" ->
       """WITH g AS (SELECT a.gy AS gy, b.gx AS gx
            FROM range(0, 48) a(gy), range(0, 48) b(gx))

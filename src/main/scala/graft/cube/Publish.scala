@@ -1,0 +1,72 @@
+package graft.cube
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+
+import scala.jdk.CollectionConverters._
+
+/** C2 — transactional item publication (reference `publish_datacube`,
+  * `processing.py:1038-1155`): every asset of an item is written to a WORK
+  * directory first; publishing "commits" the item by moving its files into
+  * the DATA directory only once the full asset set exists, then cleans the
+  * item's work directory. A crash mid-write leaves the data dir untouched
+  * and the re-run regenerates the work dir from scratch — the same
+  * write-then-move discipline as the reference's `files_to_move` executed
+  * after the database commit.
+  */
+object Publish {
+
+  /** Work-directory path for one item's assets. */
+  def itemWorkDir(workRoot: String, cube: String, tileId: String,
+                  period: String): Path =
+    Paths.get(workRoot, cube, tileId, period)
+
+  /** Commit one item: move every regular file under `workDir` to the same
+    * relative location under `dataRoot`, then remove the emptied work
+    * tree. Existing targets are replaced (idempotent re-publish, the
+    * reference's get_or_create + move). Returns the destination paths.
+    */
+  def commitItem(workDir: Path, dataRoot: Path): Seq[Path] = {
+    if (!Files.isDirectory(workDir)) return Nil
+    val files = Files.walk(workDir).iterator().asScala
+      .filter(Files.isRegularFile(_)).toList.sortBy(_.toString)
+    val moved = files.map { f =>
+      val rel = workDir.relativize(f)
+      val dest = dataRoot.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      // ATOMIC_MOVE within a filesystem; fall back to replace-copy across
+      try Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
+      dest
+    }
+    // clean the emptied work tree, deepest-first (reference `cleanup`);
+    // emptiness must be re-checked after each child deletion
+    def isEmptyDir(p: Path): Boolean = Files.isDirectory(p) && {
+      val s = Files.list(p)
+      try !s.iterator().hasNext finally s.close()
+    }
+    Files.walk(workDir).iterator().asScala.toList.reverse.foreach { p =>
+      if (isEmptyDir(p)) Files.deleteIfExists(p)
+    }
+    moved
+  }
+
+  /** Stage composite blocks as GeoTIFFs in the work root and commit each
+    * (cube, tile, period) item into the data root — S9 write + C2 commit.
+    * One file move set per item, executed only after the item's full band
+    * set streamed out.
+    */
+  def publishGeoTiffs(blocks: DataFrame, workRoot: String, dataRoot: String,
+                      periodCols: Seq[String] = Seq("p_start")): Seq[Path] = {
+    graft.sources.RasterIO.writeGeoTiffs(blocks, workRoot, periodCols)
+    // writeGeoTiffs keys files flat as cube_tile_band_period.tif under
+    // workRoot; the move into dataRoot is the commit point — it happens
+    // only after every band file of the batch finished streaming out
+    commitItem(Paths.get(workRoot), Paths.get(dataRoot))
+  }
+}

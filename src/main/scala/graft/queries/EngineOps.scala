@@ -299,6 +299,40 @@ object EngineOps {
         .toDF("x", "y").orderBy($"x", $"y")
     }),
 
+    // S1 — DSv2 STAC source end-to-end: a temp JSON catalog read through
+    // spark.read.format("stac") with collection/date/bbox/cloud pushdown
+    "s1_stac_search" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("stac_q").toFile
+      def item(id: Int): String = {
+        val cloud = (id * 7) % 100
+        val x0 = (id % 5) * 10
+        val date = f"2020-${id % 3 + 1}%02d-${id % 27 + 1}%02d"
+        s"""{"id":"scene$id","collection":"S2_L2A",
+            "bbox":[$x0,0,${x0 + 12},12],
+            "properties":{"datetime":"${date}T10:00:00Z","eo:cloud_cover":$cloud},
+            "assets":{"B04":{"href":"mem://$id/B04"},
+                      "B8A":{"href":"mem://$id/B8A"}}}"""
+          .replaceAll("\n\\s*", "")
+      }
+      val fc = (0 until 40).map(item).mkString(
+        """{"type":"FeatureCollection","features":[""", ",", "]}")
+      java.nio.file.Files.write(
+        new java.io.File(dir, "catalog.json").toPath, fc.getBytes("UTF-8"))
+      s.read.format("stac").option("path", dir.getAbsolutePath)
+        .option("pageSize", "7").load()
+        .filter($"collection" === "S2_L2A")
+        .filter($"date" >= lit("2020-02-01").cast("date") &&
+                $"date" <= lit("2020-03-31").cast("date"))
+        .filter($"xmin" < 25.0 && $"xmax" > 5.0 &&
+                $"ymin" < 12.0 && $"ymax" > 0.0)
+        .filter($"cloudCover" <= 60.0)
+        .select($"sceneId".as("scene_id"),
+          date_format($"date", "yyyy-MM-dd").as("date"),
+          $"cloudCover".as("cloud"), $"band", $"href")
+        .orderBy($"scene_id", $"band")
+    }),
+
     // S2/S3/S9/S10/S13 — raster round-trip: deterministic blocks stream
     // out as tiled GeoTIFFs (S9), the directory is re-scanned (S2),
     // integrity-checked (S13) and decoded back to blocks (S3); per-band
@@ -432,6 +466,17 @@ object EngineOps {
              (o_orderkey % 5) * 100.0::DOUBLE AS y0
            FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 12 <> 0)
          GROUP BY tile_id, band ORDER BY tile_id, band""",
+    "s1_stac_search" ->
+      """SELECT scene_id, date, cloud, band, href FROM (
+           SELECT 'scene' || CAST(id AS VARCHAR) AS scene_id,
+             printf('2020-%02d-%02d', CAST(id % 3 + 1 AS INT),
+               CAST(id % 27 + 1 AS INT)) AS date,
+             CAST((id * 7) % 100 AS DOUBLE) AS cloud,
+             band, 'mem://' || CAST(id AS VARCHAR) || '/' || band AS href
+           FROM range(0, 40) t(id), (VALUES ('B04'), ('B8A')) b(band)
+           WHERE id % 3 IN (1, 2) AND id % 5 IN (0, 1, 2)
+             AND (id * 7) % 100 <= 60)
+         ORDER BY scene_id, band""",
     "s4_archive_route" ->
       """SELECT archive, band, fmt, byte_sum, byte_len FROM (VALUES
            ('c2.tar', 'QA_PIXEL', 'TarFormat', CAST(348 AS BIGINT), CAST(8 AS INT)),

@@ -375,6 +375,21 @@ object CubeOps {
       BandLineage.edges(s, catalog).orderBy($"band_id", $"band_src_id")
     }),
 
+    // §2.8 — gap-based session windows over the events stream (batch shape
+    // of StreamOps.sessionize; session_window is the same operator Spark
+    // runs under Structured Streaming)
+    "w_events_sessions" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"value") * 100 + 0.5).cast("long").as("value_x100"))
+        .select($"user_id",
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("sstart"),
+          $"n", $"value_x100")
+        .orderBy($"user_id", $"sstart")
+    }),
+
     // §2.8 — tumbling-window aggregation over the events stream (batch shape
     // of the Structured-Streaming plan; see graft.streaming)
     "w_events_tumbling" -> ((s, d) => {
@@ -592,6 +607,21 @@ object CubeOps {
            (11, 4, 'B8A'), (11, 3, 'B07'))
            t(band_id, band_src_id, src_name)
          ORDER BY band_id, band_src_id""",
+    "w_events_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         m AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM e),
+         g AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart,
+           count(*) AS n, CAST(floor(sum(value)*100 + 0.5) AS BIGINT) AS value_x100
+         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""",
     "w_events_tumbling" ->
       """SELECT user_id,
          strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS wstart,

@@ -26,9 +26,14 @@ object GeoTiff {
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       nodata: Double,
       /** 1 = none, 8 = deflate */
-      compression: Int = 1)
+      compression: Int = 1,
+      /** TIFF NewSubfileType: 0 full, 1 reduced-res, 4 mask, 5 both */
+      subfileType: Int = 0,
+      /** TIFF PhotometricInterpretation: 1 min-is-black, 4 transparency mask */
+      photometric: Int = 1)
 
   // TIFF tag ids
+  private val TNewSubfileType = 254
   private val TImageWidth = 256
   private val TImageLength = 257
   private val TBitsPerSample = 258
@@ -78,6 +83,8 @@ object GeoTiff {
     var sx = 1.0; var sy = 1.0; var ox = 0.0; var oy = 0.0
     var nodata = Double.NaN
     var compression = 1
+    var subfileType = 0
+    var photometric = 1
 
     val n = bb.getShort(ifdOff) & 0xffff
     for (i <- 0 until n) {
@@ -98,6 +105,8 @@ object GeoTiff {
       def readDouble(idx: Int): Double = bb.getDouble(valOff + idx * 8)
       def readLongs: Array[Long] = Array.tabulate(count)(readValue)
       tag match {
+        case TNewSubfileType => subfileType = readValue(0).toInt
+        case TPhotometric => photometric = readValue(0).toInt
         case TImageWidth => width = readValue(0).toInt
         case TImageLength => height = readValue(0).toInt
         case TBitsPerSample => bps = readValue(0).toInt
@@ -129,7 +138,7 @@ object GeoTiff {
       tileCounts = stripCounts
     }
     (TiffInfo(width, height, bps, fmt, tw, th, tileOffsets, tileCounts,
-      ox, oy, sx, sy, nodata, compression),
+      ox, oy, sx, sy, nodata, compression, subfileType, photometric),
       bb.getInt(ifdOff + 2 + n * 12))
   }
 

@@ -33,7 +33,14 @@ final class GeoTiffStreamWriter(
     bitsPerSample: Int = 16, sampleFormat: Int = 2,
     nodata: Double = Double.NaN,
     deflate: Boolean = true,
-    overviews: Boolean = true) {
+    overviews: Boolean = true,
+    /** GDAL-convention internal mask: one 1-bit transparency-mask subIFD
+      * (NewSubfileType 4, photometric 4) per resolution level, bit=1 where
+      * the sample is valid (!= nodata) — the reference writes the same via
+      * GDAL_TIFF_INTERNAL_MASK (`utils/image.py:360-378`). Requires a
+      * concrete `nodata`.
+      */
+    internalMask: Boolean = false) {
 
   private val bytesPerSample = bitsPerSample / 8
   private val raf = new java.io.RandomAccessFile(path.toFile, "rw")
@@ -70,6 +77,17 @@ final class GeoTiffStreamWriter(
     if (blockX > maxBX) { maxBX = blockX; lastColW = w }
   }
 
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] =
+    if (deflate) {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 128)
+      val n = d.deflate(buf)
+      require(d.finished(), "deflate output larger than bound")
+      d.end()
+      java.util.Arrays.copyOf(buf, n)
+    } else raw
+
   private def encodeTile(padded: Array[Int]): Array[Byte] = {
     val raw = ByteBuffer.allocate(tileWidth * tileHeight * bytesPerSample)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -80,25 +98,42 @@ final class GeoTiffStreamWriter(
       case 32 => while (i < padded.length) { raw.putInt(padded(i)); i += 1 }
       case b => throw new IllegalArgumentException(s"unsupported bits/sample: $b")
     }
-    if (deflate) {
-      val d = new java.util.zip.Deflater()
-      d.setInput(raw.array()); d.finish()
-      val buf = new Array[Byte](raw.array().length + 128)
-      val n = d.deflate(buf)
-      require(d.finished(), "deflate output larger than bound")
-      d.end()
-      java.util.Arrays.copyOf(buf, n)
-    } else raw.array()
+    deflateBytes(raw.array())
   }
 
-  private def appendTile(key: (Int, Int), padded: Array[Int],
-                         registry: mutable.Map[(Int, Int), TileRef]): Unit = {
-    val data = encodeTile(padded)
+  /** 1-bit mask plane of one tile: MSB-first, rows padded to whole bytes
+    * (TIFF bilevel layout); bit set where the sample is valid.
+    */
+  private def encodeMaskTile(padded: Array[Int]): Array[Byte] = {
+    val nd = nodata.toInt
+    val bpr = (tileWidth + 7) / 8
+    val raw = new Array[Byte](bpr * tileHeight)
+    var r = 0
+    while (r < tileHeight) {
+      var c = 0
+      while (c < tileWidth) {
+        if (padded(r * tileWidth + c) != nd) {
+          val bi = r * bpr + (c >> 3)
+          raw(bi) = (raw(bi) | (1 << (7 - (c & 7)))).toByte
+        }
+        c += 1
+      }
+      r += 1
+    }
+    deflateBytes(raw)
+  }
+
+  private def appendRaw(key: (Int, Int), data: Array[Byte],
+                        registry: mutable.Map[(Int, Int), TileRef]): Unit = {
     if (pos + data.length > 0xfffffff0L) throw new BigTiffRequired(pos + data.length)
     raf.write(data)
     registry(key) = TileRef(pos, data.length)
     pos += data.length
   }
+
+  private def appendTile(key: (Int, Int), padded: Array[Int],
+                         registry: mutable.Map[(Int, Int), TileRef]): Unit =
+    appendRaw(key, encodeTile(padded), registry)
 
   /** Read one already-written tile back (for overview construction). */
   private def readBack(ref: TileRef): Array[Int] = {
@@ -197,7 +232,20 @@ final class GeoTiffStreamWriter(
       levels += Level(w1, h1, table(reg, w1, h1))
     }
 
-    // ---- trailer: geo doubles | per-level offset/count arrays | nodata | IFDs
+    // internal mask planes: one 1-bit mask level per resolution level
+    // (sparse data tiles get sparse mask tiles — both read as invalid)
+    val maskLevels: Seq[Level] =
+      if (internalMask && !nodata.isNaN) levels.toSeq.map { l =>
+        val across = (l.w + tileWidth - 1) / tileWidth
+        val reg = mutable.Map.empty[(Int, Int), TileRef]
+        l.tiles.zipWithIndex.foreach { case (ref, i) =>
+          if (ref.count > 0)
+            appendRaw((i / across, i % across), encodeMaskTile(readBack(ref)), reg)
+        }
+        Level(l.w, l.h, table(reg, l.w, l.h))
+      } else Nil
+
+    // ---- trailer: geo doubles | per-IFD offset/count arrays | nodata | IFDs
     val nodataAscii =
       if (nodata.isNaN) Array.empty[Byte]
       else {
@@ -205,40 +253,54 @@ final class GeoTiffStreamWriter(
           nodata.toLong.toString else nodata.toString
         (s + "\u0000    ").getBytes("ASCII")
       }
+    final case class IfdSpec(w: Int, h: Int, tiles: Array[TileRef],
+                             subfile: Long, isMask: Boolean, isLevel0: Boolean)
+    val ifds =
+      levels.zipWithIndex.map { case (l, i) =>
+        IfdSpec(l.w, l.h, l.tiles, if (i == 0) 0L else 1L,
+          isMask = false, isLevel0 = i == 0)
+      } ++
+      maskLevels.zipWithIndex.map { case (l, i) =>
+        IfdSpec(l.w, l.h, l.tiles, if (i == 0) 4L else 5L,
+          isMask = true, isLevel0 = false)
+      }
+
     val doublesStart = pos
     var cursor = doublesStart + (3 + 6) * 8
-    val arrayStarts = levels.map { l =>
-      val s = (cursor, cursor + l.tiles.length * 4L); cursor = s._2 + l.tiles.length * 4L; s
+    val arrayStarts = ifds.map { s =>
+      val a = (cursor, cursor + s.tiles.length * 4L)
+      cursor = a._2 + s.tiles.length * 4L; a
     }
     val nodataStart = cursor
     cursor += nodataAscii.length
 
     // entry lists per IFD (tag, type, count, value)
-    def entriesFor(li: Int, l: Level, offsetsAt: Long, countsAt: Long) = {
+    def entriesFor(s: IfdSpec, offsetsAt: Long, countsAt: Long) = {
       val e = mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
-      if (li > 0) e += ((254, 4, 1, 1L)) // NewSubfileType: reduced-resolution
-      e += ((256, 3, 1, l.w.toLong))
-      e += ((257, 3, 1, l.h.toLong))
-      e += ((258, 3, 1, bitsPerSample.toLong))
+      if (s.subfile != 0) e += ((254, 4, 1, s.subfile))
+      e += ((256, 3, 1, s.w.toLong))
+      e += ((257, 3, 1, s.h.toLong))
+      e += ((258, 3, 1, if (s.isMask) 1L else bitsPerSample.toLong))
       e += ((259, 3, 1, if (deflate) 8L else 1L))
-      e += ((262, 3, 1, 1L))
+      e += ((262, 3, 1, if (s.isMask) 4L else 1L)) // photometric: 4 = mask
       e += ((277, 3, 1, 1L))
       e += ((322, 3, 1, tileWidth.toLong))
       e += ((323, 3, 1, tileHeight.toLong))
-      e += ((324, 4, l.tiles.length,
-        if (l.tiles.length == 1) l.tiles(0).offset else offsetsAt))
-      e += ((325, 4, l.tiles.length,
-        if (l.tiles.length == 1) l.tiles(0).count.toLong else countsAt))
-      e += ((339, 3, 1, sampleFormat.toLong))
-      if (li == 0) {
+      e += ((324, 4, s.tiles.length,
+        if (s.tiles.length == 1) s.tiles(0).offset else offsetsAt))
+      e += ((325, 4, s.tiles.length,
+        if (s.tiles.length == 1) s.tiles(0).count.toLong else countsAt))
+      if (!s.isMask) e += ((339, 3, 1, sampleFormat.toLong))
+      if (s.isLevel0) {
         e += ((33550, 12, 3, doublesStart))
         e += ((33922, 12, 6, doublesStart + 24))
       }
-      if (nodataAscii.nonEmpty) e += ((42113, 2, nodataAscii.length, nodataStart))
+      if (!s.isMask && nodataAscii.nonEmpty)
+        e += ((42113, 2, nodataAscii.length, nodataStart))
       e.sortBy(_._1)
     }
-    val perIfd = levels.zipWithIndex.map { case (l, i) =>
-      entriesFor(i, l, arrayStarts(i)._1, arrayStarts(i)._2)
+    val perIfd = ifds.zipWithIndex.map { case (s, i) =>
+      entriesFor(s, arrayStarts(i)._1, arrayStarts(i)._2)
     }
     val ifdStarts = perIfd.scanLeft(cursor)((a, es) => a + 2 + es.length * 12 + 4).init
     val totalLen = ifdStarts.last + 2 + perIfd.last.length * 12 + 4
@@ -249,9 +311,9 @@ final class GeoTiffStreamWriter(
     trailer.putDouble(scaleX).putDouble(scaleY).putDouble(0)
     trailer.putDouble(0).putDouble(0).putDouble(0)
     trailer.putDouble(originX).putDouble(originY).putDouble(0)
-    levels.foreach { l =>
-      l.tiles.foreach(t => trailer.putInt(t.offset.toInt))
-      l.tiles.foreach(t => trailer.putInt(t.count))
+    ifds.foreach { s =>
+      s.tiles.foreach(t => trailer.putInt(t.offset.toInt))
+      s.tiles.foreach(t => trailer.putInt(t.count))
     }
     trailer.put(nodataAscii)
     perIfd.zipWithIndex.foreach { case (es, i) =>

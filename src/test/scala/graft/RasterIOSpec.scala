@@ -81,6 +81,53 @@ class RasterIOSpec extends SparkSpec {
     assert(b00.getAs[Double]("y0") == 640.0)
   }
 
+  test("internal mask: 1-bit mask subIFDs per level, bits track validity") {
+    val out = java.nio.file.Files.createTempDirectory("masktif").resolve("m.tif")
+    val w = new graft.sources.GeoTiffStreamWriter(out, 32, 32,
+      bitsPerSample = 16, sampleFormat = 2, nodata = -9999,
+      deflate = true, overviews = true, internalMask = true)
+    // 64×64 raster, 4 blocks; nodata where (gy + gx) % 5 == 0
+    for (by <- 0 to 1; bx <- 0 to 1) {
+      val px = Array.tabulate(32 * 32) { i =>
+        val gy = by * 32 + i / 32; val gx = bx * 32 + i % 32
+        if ((gy + gx) % 5 == 0) -9999 else gy * 100 + gx
+      }
+      w.writeBlock(by, bx, 32, 32, px)
+    }
+    w.close(0.0, 640.0, 10.0, 10.0)
+
+    val bytes = java.nio.file.Files.readAllBytes(out)
+    val infos = GeoTiff.readInfos(bytes)
+    val masks = infos.filter(i => (i.subfileType & 4) != 0)
+    val mains = infos.filterNot(i => (i.subfileType & 4) != 0)
+    assert(masks.nonEmpty, "no mask IFDs found")
+    assert(masks.length == mains.length, "one mask level per data level")
+    masks.foreach { m =>
+      assert(m.photometric == 4 && m.bitsPerSample == 1)
+      assert(mains.exists(d => d.width == m.width && d.height == m.height))
+    }
+    // decode mask tile (0,0) of the full-res mask and compare bit-for-bit
+    val m0 = masks.find(m => m.width == 64 && m.height == 64).get
+    val raw = new Array[Byte](m0.tileByteCounts(0).toInt)
+    System.arraycopy(bytes, m0.tileOffsets(0).toInt, raw, 0, raw.length)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val plane = new Array[Byte](4 * 32) // 32 rows × 4 bytes/row
+    var n = 0
+    while (n < plane.length && !inf.finished())
+      n += inf.inflate(plane, n, plane.length - n)
+    inf.end()
+    for (gy <- 0 until 32; gx <- 0 until 32) {
+      val bit = (plane(gy * 4 + (gx >> 3)) >> (7 - (gx & 7))) & 1
+      val valid = (gy + gx) % 5 != 0
+      assert(bit == (if (valid) 1 else 0), s"mask bit at ($gy,$gx)")
+    }
+    // data still decodes unchanged underneath the mask chain
+    val d0 = mains.find(_.width == 64).get
+    val back = GeoTiff.readWindow(bytes, d0, 0, 0, 64, 64)
+    assert(back(0) == -9999 && back(1) == 1)
+  }
+
   test("writeGeoTiffs reassembles blocks into one tiled file per band") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scenes2")

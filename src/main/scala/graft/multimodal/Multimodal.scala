@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,10 +12,12 @@ import org.apache.spark.sql.types._
   * kernels over batches of rows.
   *
   * Codecs are pluggable behind [[Multimodal.Codec]]: [[ImageCodec]] is a
-  * REAL decoder (JDK `javax.imageio` — PNG/BMP/GIF/JPEG, no external
-  * dependency) producing a luma sample plane; [[FakeCodec]] remains the
-  * deterministic stand-in for audio/video formats the JDK cannot decode.
-  * [[Multimodal.codecFor]] sniffs the payload and routes.
+  * REAL image decoder (JDK `javax.imageio` — PNG/BMP/GIF/JPEG, no
+  * external dependency) producing a luma sample plane; [[WavCodec]] is a
+  * REAL audio decoder (RIFF/WAVE PCM parsed from scratch);
+  * [[FakeCodec]] remains the deterministic stand-in for video formats
+  * the JDK cannot decode. [[Multimodal.codecFor]] sniffs the payload
+  * and routes.
   *
   * Scale design: media rows are large (MBs); the kernels are
   * `mapPartitions` so one task streams a partition without per-row
@@ -55,13 +59,102 @@ object Multimodal {
     def encode(meta: MediaMeta, samples: Array[Byte]): Array[Byte]
   }
 
-  /** Route a payload to its codec: GRFT header → [[FakeCodec]], anything
-    * `javax.imageio` recognizes (PNG/BMP/GIF/JPEG) → [[ImageCodec]].
+  /** Route a payload to its codec: GRFT header → [[FakeCodec]],
+    * RIFF/WAVE → [[WavCodec]], anything `javax.imageio` recognizes
+    * (PNG/BMP/GIF/JPEG) → [[ImageCodec]].
     */
   def codecFor(payload: Array[Byte]): Codec =
     if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'R' &&
         payload(2) == 'F' && payload(3) == 'T') FakeCodec
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+        payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') WavCodec
     else ImageCodec
+
+  /** REAL audio codec: RIFF/WAVE PCM, parsed from scratch (the container
+    * is a public byte format — no library involved). `decodeMeta` maps
+    * (channels, bitsPerSample, frames, sampleRateHz) onto the generic
+    * (width, height, frames, rate) slots. The 8-bit sample plane is the
+    * interleaved PCM stream down-converted per sample: 16-bit signed →
+    * `(s >> 8) + 128`, 8-bit PCM is already unsigned and passes through.
+    * `encode` writes a canonical 44-byte-header PCM file; unknown chunks
+    * (LIST/fact/…) are skipped on read like any compliant parser.
+    */
+  object WavCodec extends Codec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** (fmtOffset, dataOffset, dataLen) of the fmt and data chunks. */
+    private def chunks(p: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (p.length < 12) return None
+      var off = 12
+      var fmt = -1; var data = -1; var dataLen = 0
+      while (off + 8 <= p.length && (fmt < 0 || data < 0)) {
+        val id = new String(p, off, 4, "ASCII")
+        val len = u32(p, off + 4).toInt
+        if (id == "fmt ") fmt = off + 8
+        else if (id == "data") { data = off + 8; dataLen = math.min(len, p.length - data) }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (fmt >= 0 && data >= 0) Some((fmt, data, dataLen)) else None
+    }
+
+    override def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      chunks(payload).flatMap { case (fmt, _, dataLen) =>
+        val audioFormat = u16(payload, fmt)
+        val channels = u16(payload, fmt + 2)
+        val rate = u32(payload, fmt + 4).toInt
+        val bits = u16(payload, fmt + 14)
+        val frameBytes = channels * (bits / 8)
+        if (audioFormat != 1 || channels == 0 || (bits != 8 && bits != 16)) None
+        else Some((channels, bits, dataLen / frameBytes, rate))
+      }
+
+    override def samples(payload: Array[Byte]): Array[Byte] =
+      chunks(payload) match {
+        case None => Array.emptyByteArray
+        case Some((fmt, data, dataLen)) =>
+          val bits = u16(payload, fmt + 14)
+          if (bits == 8) java.util.Arrays.copyOfRange(payload, data, data + dataLen)
+          else {
+            val n = dataLen / 2
+            val out = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              val s = ((payload(data + 2 * i) & 0xff) |
+                (payload(data + 2 * i + 1) << 8)).toShort
+              out(i) = ((s >> 8) + 128).toByte
+              i += 1
+            }
+            out
+          }
+      }
+
+    /** meta.width = channels, meta.height = bitsPerSample. */
+    override def encode(meta: MediaMeta, samples: Array[Byte]): Array[Byte] = {
+      val bits = if (meta.height == 8) 8 else 16
+      val channels = math.max(meta.width, 1)
+      val dataLen = samples.length * (bits / 8)
+      val out = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("ASCII"))
+      out.put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(meta.sampleRateHz)
+        .putInt(meta.sampleRateHz * channels * (bits / 8))
+        .putShort((channels * (bits / 8)).toShort).putShort(bits.toShort)
+      out.put("data".getBytes("ASCII")).putInt(dataLen)
+      var i = 0
+      if (bits == 8) out.put(samples)
+      else while (i < samples.length) {
+        out.putShort((((samples(i) & 0xff) - 128) << 8).toShort)
+        i += 1
+      }
+      out.array()
+    }
+  }
 
   /** REAL image codec over the JDK's `javax.imageio` readers (PNG, BMP,
     * GIF, JPEG — no external dependency). The sample plane is 8-bit luma

@@ -95,6 +95,84 @@ object Visual {
         max($"y0").as("ymax"))
   }
 
+  /** P10 — pixel-perfect footprint polygonize of a binary mask (the
+    * reference polygonizes whole rasters via rasterio/GDAL,
+    * `cube_builder/utils/image.py:665-708`; this is the same semantics
+    * re-derived from scratch). Pixel (r, c) occupies the unit square
+    * x ∈ [c, c+1], y ∈ [r, r+1] (y down). Every pixel side facing an
+    * invalid neighbor becomes a directed unit edge with the interior on
+    * its LEFT; edges stitch into closed rectilinear rings by walking
+    * with left-turn preference (which splits diagonal-touching pixels
+    * into separate rings — 4-connected component semantics), and
+    * collinear vertices are merged. Outer rings and holes come out with
+    * opposite winding, so the signed shoelace sum over all rings is
+    * ±(valid-pixel count) — the `p10_polygonize` gate query pins exactly
+    * that against an oracle that counts pixels directly.
+    *
+    * Scale shape: one footprint is traced per (tile, period) group whose
+    * mask is bounded by the tile raster; the trace is O(boundary), driven
+    * per group inside `mapGroups` — no driver-side collection.
+    *
+    * @param valid set of valid (row, col) pixels
+    * @return rings as vertex cycles (x, y), each rotated to start at its
+    *         lexicographically smallest vertex; rings ordered by head
+    */
+  def polygonize(valid: Set[(Int, Int)]): Seq[Vector[(Int, Int)]] = {
+    if (valid.isEmpty) return Seq.empty
+    type Pt = (Int, Int)
+    def has(r: Int, c: Int) = valid.contains((r, c))
+    val outgoing = scala.collection.mutable.Map.empty[Pt, scala.collection.mutable.Set[Pt]]
+    def addEdge(a: Pt, b: Pt): Unit =
+      outgoing.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+    valid.foreach { case (r, c) =>
+      if (!has(r - 1, c)) addEdge((c + 1, r), (c, r)) // top, walking -x
+      if (!has(r + 1, c)) addEdge((c, r + 1), (c + 1, r + 1)) // bottom, +x
+      if (!has(r, c - 1)) addEdge((c, r), (c, r + 1)) // left, +y
+      if (!has(r, c + 1)) addEdge((c + 1, r + 1), (c + 1, r)) // right, -y
+    }
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Vector[Pt]]
+    for (s0 <- outgoing.keys.toSeq.sorted) {
+      while (outgoing.get(s0).exists(_.nonEmpty)) {
+        val firstEnd = outgoing(s0).min
+        outgoing(s0) -= firstEnd
+        val d0 = (firstEnd._1 - s0._1, firstEnd._2 - s0._2)
+        var ring = Vector(s0)
+        var cur = firstEnd
+        var d = d0
+        while (cur != s0) {
+          // left turn hugs the interior; straight merges collinear runs
+          val next = Seq((d._2, -d._1), d, (-d._2, d._1)).iterator
+            .map(p => ((cur._1 + p._1, cur._2 + p._2), p))
+            .collectFirst {
+              case (nxt, nd) if outgoing.get(cur).exists(_.contains(nxt)) => (nxt, nd)
+            }.getOrElse(sys.error(s"open boundary at $cur"))
+          outgoing(cur) -= next._1
+          if (next._2 != d) ring :+= cur // corner
+          cur = next._1
+          d = next._2
+        }
+        if (d == d0) ring = ring.tail // s0 itself was collinear
+        val i = ring.indexOf(ring.min)
+        rings += (ring.drop(i) ++ ring.take(i))
+      }
+    }
+    rings.toSeq.sortBy(_.head)
+  }
+
+  /** (ring count, vertex count, |shoelace| area in pixels, perimeter) of a
+    * polygonize result.
+    */
+  def ringStats(rings: Seq[Vector[(Int, Int)]]): (Int, Int, Long, Long) = {
+    def pairs(r: Vector[(Int, Int)]) = r.zip(r.tail :+ r.head)
+    val shoelace = rings.map(pairs(_).map {
+      case (a, b) => a._1.toLong * b._2 - b._1.toLong * a._2
+    }.sum).sum
+    val perim = rings.map(pairs(_).map {
+      case (a, b) => (math.abs(a._1 - b._1) + math.abs(a._2 - b._2)).toLong
+    }.sum).sum
+    (rings.size, rings.map(_.size).sum, math.abs(shoelace) / 2, perim)
+  }
+
   /** P10 — convex hull (monotone chain) over 2-D points; used on the
     * block-corner cloud of valid blocks per tile (small).
     */

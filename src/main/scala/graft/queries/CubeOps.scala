@@ -390,6 +390,23 @@ object CubeOps {
         .orderBy($"user_id", $"sstart")
     }),
 
+    // §2.8 — stateful streaming dedup (batch shape of
+    // StreamOps.dedupFirstSeen: first event per (user, type) key; the
+    // flatMapGroupsWithState path is pinned against this shape in
+    // StreamingSpec)
+    "w_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      events(s, d)
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"user_id", $"event_type", $"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          floor($"value" * 100 + 0.5).cast("long").as("value_x100"))
+        .orderBy($"user_id", $"event_type")
+    }),
+
     // §2.8 — tumbling-window aggregation over the events stream (batch shape
     // of the Structured-Streaming plan; see graft.streaming)
     "w_events_tumbling" -> ((s, d) => {
@@ -622,6 +639,16 @@ object CubeOps {
          SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart,
            count(*) AS n, CAST(floor(sum(value)*100 + 0.5) AS BIGINT) AS value_x100
          FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""",
+    "w_stream_dedup" ->
+      """WITH r AS (SELECT user_id, event_type, event_id,
+             CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+           FROM events)
+         SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_x100
+         FROM r WHERE rk = 1 ORDER BY user_id, event_type""",
     "w_events_tumbling" ->
       """SELECT user_id,
          strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS wstart,

@@ -290,6 +290,33 @@ object EngineOps {
         .orderBy($"tile_id")
     }),
 
+    // P10 — pixel-level footprint polygonize: a deterministic 12×12 mask
+    // per tile is traced into rectilinear rings; shoelace area from the
+    // traced rings must equal the oracle's direct pixel count, the vertex
+    // count must equal the oracle's 2×2-window corner census, and the
+    // perimeter the oracle's exposed-edge census — three independent
+    // closed forms over the same mask
+    "p10_polygonize" -> ((s, d) => {
+      import s.implicits._
+      val px = orders(s, d).filter($"o_orderkey" <= 1200)
+        .select(($"o_custkey" % 4).cast("int").as("tile"),
+          ($"o_orderkey" % 12).cast("int").as("r"),
+          (($"o_orderkey" % 144) / lit(12)).cast("int").as("c"))
+        .distinct()
+      px.as[(Int, Int, Int)].groupByKey(_._1)
+        .mapGroups { (tile, it) =>
+          val valid = it.map(t => (t._2, t._3)).toSet
+          val (nRings, verts, area, perim) =
+            graft.operators.Visual.ringStats(
+              graft.operators.Visual.polygonize(valid))
+          (tile, nRings, verts, area, perim)
+        }
+        .toDF("tile_id", "n_rings", "vertices", "area_px", "perimeter")
+        .drop("n_rings") // ring count = components + holes: unit-tested,
+                         // not closed-form in SQL
+        .orderBy($"tile_id")
+    }),
+
     // P10 — convex hull over block-corner points (monotone chain)
     "p10_hull" -> ((s, d) => {
       import s.implicits._
@@ -504,6 +531,48 @@ object EngineOps {
              * 255.0::DOUBLE + 0.0::DOUBLE) AS BIGINT)) AS BIGINT) AS g_sum,
            CAST(sum(alpha) AS BIGINT) AS a_sum
          FROM v""",
+    "p10_polygonize" ->
+      """WITH px AS (SELECT DISTINCT CAST(o_custkey % 4 AS INT) AS tile,
+             CAST(o_orderkey % 12 AS INT) AS r,
+             CAST((o_orderkey % 144) // 12 AS INT) AS c
+           FROM orders WHERE o_orderkey <= 1200),
+         perim AS (SELECT tile, CAST(sum(
+             (CASE WHEN NOT EXISTS (SELECT 1 FROM px n
+                WHERE n.tile = p.tile AND n.r = p.r - 1 AND n.c = p.c)
+              THEN 1 ELSE 0 END) +
+             (CASE WHEN NOT EXISTS (SELECT 1 FROM px n
+                WHERE n.tile = p.tile AND n.r = p.r + 1 AND n.c = p.c)
+              THEN 1 ELSE 0 END) +
+             (CASE WHEN NOT EXISTS (SELECT 1 FROM px n
+                WHERE n.tile = p.tile AND n.r = p.r AND n.c = p.c - 1)
+              THEN 1 ELSE 0 END) +
+             (CASE WHEN NOT EXISTS (SELECT 1 FROM px n
+                WHERE n.tile = p.tile AND n.r = p.r AND n.c = p.c + 1)
+              THEN 1 ELSE 0 END)) AS BIGINT) AS perimeter
+           FROM px p GROUP BY tile),
+         gp AS (SELECT DISTINCT tile, c + dx AS x, r + dy AS y
+           FROM px, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) v(dx, dy)),
+         cn AS (SELECT gp.tile, gp.x, gp.y,
+             CAST(EXISTS (SELECT 1 FROM px p WHERE p.tile = gp.tile
+               AND p.r = gp.y - 1 AND p.c = gp.x - 1) AS INT) AS ul,
+             CAST(EXISTS (SELECT 1 FROM px p WHERE p.tile = gp.tile
+               AND p.r = gp.y - 1 AND p.c = gp.x) AS INT) AS ur,
+             CAST(EXISTS (SELECT 1 FROM px p WHERE p.tile = gp.tile
+               AND p.r = gp.y AND p.c = gp.x - 1) AS INT) AS ll,
+             CAST(EXISTS (SELECT 1 FROM px p WHERE p.tile = gp.tile
+               AND p.r = gp.y AND p.c = gp.x) AS INT) AS lr
+           FROM gp),
+         vx AS (SELECT tile, CAST(sum(
+             CASE WHEN ul + ur + ll + lr IN (1, 3) THEN 1
+                  WHEN ul + ur + ll + lr = 2 AND ul = lr THEN 2
+                  ELSE 0 END) AS INT) AS vertices
+           FROM cn GROUP BY tile),
+         ar AS (SELECT tile, CAST(count(*) AS BIGINT) AS area_px
+           FROM px GROUP BY tile)
+         SELECT ar.tile AS tile_id, vx.vertices, ar.area_px, perim.perimeter
+         FROM ar JOIN vx ON vx.tile = ar.tile
+           JOIN perim ON perim.tile = ar.tile
+         ORDER BY tile_id""",
     "p10_hull" ->
       """SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM (VALUES
            (0.0, 0.0), (0.0, 4.0), (4.0, 0.0), (4.0, 4.0)) t(x, y)

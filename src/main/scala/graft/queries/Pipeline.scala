@@ -268,6 +268,96 @@ object Pipeline {
         .orderBy($"qid", $"rnk")
     }),
 
+    // IVF ANN (coarse-quantizer scale path): K deterministic centroids
+    // (integer-quantized dim sums over vec_id % K seed groups — summation-
+    // order-free, so the oracle rebuilds them exactly), every vector
+    // assigned to its max-inner-product centroid, queries probe the
+    // nprobe=2 best inverted lists, exact cosine re-score inside them.
+    // All joins are broadcast-hash against the K×64-row centroid table —
+    // at 100 TB the corpus is touched by one explode + one hash agg and
+    // never self-joins.
+    "v_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val K = 8; val NProbe = 2; val TopK = 5
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val dims = emb.select($"vec_id", ($"vec_id" % K).cast("int").as("grp"),
+        posexplode($"embedding").as(Seq("k", "v")))
+        .select($"vec_id", $"grp", $"k",
+          floor($"v".cast("double") * 1000).cast("long").as("qv"))
+      val cent = dims.groupBy($"grp", $"k").agg(sum($"qv").as("cs"))
+        .select($"grp".as("cgrp"), $"k", $"cs")
+      val scores = dims.join(broadcast(cent), Seq("k"))
+        .groupBy($"vec_id", $"cgrp").agg(sum($"qv" * $"cs").as("ip"))
+      import org.apache.spark.sql.expressions.Window
+      val byIp = Window.partitionBy($"vec_id").orderBy(desc("ip"), $"cgrp")
+      val ranked = scores.withColumn("rk", row_number().over(byIp))
+      val assign = ranked.filter($"rk" === 1).select($"vec_id", $"cgrp")
+      val probe = ranked.filter($"vec_id".isin(0, 1, 2) && $"rk" <= NProbe)
+        .select($"vec_id".as("qid"), $"cgrp")
+      val cand = assign.filter(!$"vec_id".isin(0, 1, 2))
+        .join(broadcast(probe), Seq("cgrp"))
+        .select($"qid", $"vec_id").distinct()
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.select($"vec_id", $"embedding".as("ce"))
+      val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      val byCos = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      scored.withColumn("rnk", row_number().over(byCos))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"vec_id",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
+        .orderBy($"qid", $"rnk")
+    }),
+
+    // Gopher-style document quality flags: integer-only rules (token count
+    // band, mean-word-length band via cross-multiplication, stopword
+    // presence, symbol ratio) composed into a 0-4 score
+    "x_quality_score" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"text", words($"text").as("w"))
+        .select($"doc_id",
+          size($"w").as("tokens"),
+          length(regexp_replace($"text", " ", "")).as("chars_ns"),
+          length($"text").as("chars"),
+          length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).as("symbols"),
+          size(filter($"w", x => x.isin("the", "a", "of", "and"))).as("stop_hits"))
+      base.select($"doc_id", $"tokens", $"stop_hits",
+          when($"tokens" >= 5 && $"tokens" <= 200, 1).otherwise(0).as("ok_tokens"),
+          when($"chars_ns" * 100 >= $"tokens" * 300 &&
+               $"chars_ns" * 100 <= $"tokens" * 1000, 1).otherwise(0).as("ok_mwl"),
+          when($"stop_hits" > 0, 1).otherwise(0).as("has_stop"),
+          when($"symbols" * 10 <= $"chars", 1).otherwise(0).as("ok_symbol"))
+        .withColumn("quality_score",
+          $"ok_tokens" + $"ok_mwl" + $"has_stop" + $"ok_symbol")
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal audio: a deterministic PCM waveform per document is
+    // encoded to real RIFF/WAVE bytes and decoded back through the
+    // from-scratch WavCodec (routing via the payload sniffer); the oracle
+    // recomputes the closed-form sample sums the round-trip must preserve
+    "x_audio_wav" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      documents(s, d).select($"doc_id").as[Long].map { id =>
+        val n = (64 + id % 64).toInt
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val raw = Array.tabulate(n)(i => ((id * 131 + i * 7) % 251).toByte)
+        val meta = Multimodal.MediaMeta("audio", "wav", 1, 16, n, rate)
+        val payload = Multimodal.WavCodec.encode(meta, raw)
+        val codec = Multimodal.codecFor(payload)
+        val (channels, bits, frames, outRate) = codec.decodeMeta(payload)
+          .getOrElse(sys.error(s"WAV round-trip failed to parse for doc $id"))
+        val back = codec.samples(payload)
+        (id, outRate, frames, channels, bits,
+          back.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }.toDF("doc_id", "sample_rate", "n_samples", "channels", "bits",
+          "sample_sum")
+        .orderBy($"doc_id")
+    }),
+
     // LSH-bucketed ANN (scale path): same 32-plane / 4-table sign-hyperplane
     // machinery as d_embed_neardup_lsh — a candidate is any vector sharing
     // at least one table bucket with the query, re-scored by exact cosine.
@@ -432,6 +522,68 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "v_ann_ivf" ->
+      """WITH dims AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS grp, k,
+             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM embeddings, range(0, 64) t(k)),
+         cent AS (SELECT grp AS cgrp, k, CAST(sum(qv) AS BIGINT) AS cs
+           FROM dims GROUP BY 1, 2),
+         scores AS (SELECT d.vec_id, c.cgrp, sum(d.qv * c.cs) AS ip
+           FROM dims d JOIN cent c USING (k) GROUP BY 1, 2),
+         ranked AS (SELECT vec_id, cgrp,
+             row_number() OVER (PARTITION BY vec_id ORDER BY ip DESC, cgrp) AS rk
+           FROM scores),
+         assign AS (SELECT vec_id, cgrp FROM ranked WHERE rk = 1),
+         probe AS (SELECT vec_id AS qid, cgrp FROM ranked
+           WHERE vec_id IN (0, 1, 2) AND rk <= 2),
+         cand AS (SELECT DISTINCT p.qid, a.vec_id
+           FROM assign a JOIN probe p USING (cgrp)
+           WHERE a.vec_id NOT IN (0, 1, 2)),
+         dots AS (SELECT cand.qid, cand.vec_id,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nc
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+             JOIN embeddings b ON b.vec_id = cand.vec_id, range(1, 65) t(i)
+           GROUP BY 1, 2),
+         s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
+         SELECT qid, vec_id,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
+               AS rnk FROM s)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "x_quality_score" ->
+      """WITH base AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS tokens,
+             CAST(length(replace(text, ' ', '')) AS INT) AS chars_ns,
+             CAST(length(text) AS INT) AS chars,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INT)
+               AS symbols,
+             CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+               x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS stop_hits
+           FROM documents WHERE length(trim(text)) > 0),
+         f AS (SELECT doc_id, tokens, stop_hits,
+             CASE WHEN tokens BETWEEN 5 AND 200 THEN 1 ELSE 0 END AS ok_tokens,
+             CASE WHEN chars_ns * 100 >= tokens * 300
+                   AND chars_ns * 100 <= tokens * 1000 THEN 1 ELSE 0 END AS ok_mwl,
+             CASE WHEN stop_hits > 0 THEN 1 ELSE 0 END AS has_stop,
+             CASE WHEN symbols * 10 <= chars THEN 1 ELSE 0 END AS ok_symbol
+           FROM base)
+         SELECT doc_id, tokens, stop_hits, ok_tokens, ok_mwl, has_stop, ok_symbol,
+           ok_tokens + ok_mwl + has_stop + ok_symbol AS quality_score
+         FROM f ORDER BY doc_id""",
+    "x_audio_wav" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n,
+             8000 + (doc_id % 4) * 4000 AS rate
+           FROM documents),
+         s AS (SELECT d.doc_id, d.n, d.rate,
+             sum((d.doc_id * 131 + i * 7) % 251) AS ssum
+           FROM d, range(0, 128) t(i) WHERE i < d.n GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples, 1 AS channels, 16 AS bits,
+           CAST(ssum AS BIGINT) AS sample_sum
+         FROM s ORDER BY doc_id""",
     "v_ann_lsh" ->
       s"""WITH $lshBucketsSql,
          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid

@@ -67,6 +67,34 @@ object StreamOps {
       }
   }
 
+  final case class KeyedEvent(user_id: Long, event_type: String,
+                              event_id: Long, ts: java.sql.Timestamp,
+                              value: Double)
+
+  /** Streaming first-occurrence dedup via `flatMapGroupsWithState`: the
+    * first event of each (user, type) key is emitted, every later arrival
+    * is dropped — the streaming analog of the exact-dedup batch operator
+    * (state is one boolean per key; contrast with `dropDuplicates`, whose
+    * state grows with the number of distinct *events*). Within one
+    * micro-batch the earliest (ts, event_id) row wins, so a single
+    * `Trigger.AvailableNow` pass reproduces the batch
+    * `row_number() = 1` shape exactly (pinned by StreamingSpec and the
+    * `w_stream_dedup` gate query).
+    */
+  def dedupFirstSeen(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Boolean, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(rows.minBy(e => (e.ts.getTime, e.event_id)))
+          }
+      }
+  }
+
   /** Incremental backfill source: newly-arrived scene files as a stream
     * (`readStream` over a directory of parquet block files), for the C4
     * missing-timeline catch-up path with `Trigger.AvailableNow`.

@@ -106,4 +106,55 @@ class MultimodalSpec extends SparkSpec {
     val origPlane = FakeCodec.samples(orig.payload).take(32 * 24).toSeq
     assert(FakeCodec.samples(out.payload).take(32 * 24).toSeq == origPlane)
   }
+
+  test("WavCodec: 16-bit PCM round-trip, meta fields, sniffer routing") {
+    val raw = Array.tabulate(200)(i => ((i * 7) % 251).toByte)
+    val meta = MediaMeta("audio", "wav", 1, 16, raw.length, 44100)
+    val payload = WavCodec.encode(meta, raw)
+    assert(payload.length == 44 + 2 * raw.length)
+    assert(new String(payload, 0, 4, "ASCII") == "RIFF")
+    assert(Multimodal.codecFor(payload) eq WavCodec)
+    assert(WavCodec.decodeMeta(payload).contains((1, 16, 200, 44100)))
+    assert(WavCodec.samples(payload).toSeq == raw.toSeq)
+  }
+
+  test("WavCodec: 8-bit PCM and stereo frame counting") {
+    val raw = Array.tabulate(64)(i => (i * 3).toByte)
+    val payload = WavCodec.encode(MediaMeta("audio", "wav", 2, 8, 32, 8000), raw)
+    // 64 interleaved 8-bit samples over 2 channels = 32 frames
+    assert(WavCodec.decodeMeta(payload).contains((2, 8, 32, 8000)))
+    assert(WavCodec.samples(payload).toSeq == raw.toSeq)
+  }
+
+  test("WavCodec: skips unknown chunks before data (LIST)") {
+    val raw = Array.tabulate(10)(i => (i + 1).toByte)
+    val base = WavCodec.encode(MediaMeta("audio", "wav", 1, 16, 10, 16000), raw)
+    // splice an odd-length LIST chunk between fmt and data (tests the
+    // word-alignment skip too)
+    val listBody = "INFOxyz".getBytes("ASCII") // 7 bytes, padded to 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 36) // RIFF header + fmt chunk
+    out.write("LIST".getBytes("ASCII")); out.write(Array[Byte](7, 0, 0, 0))
+    out.write(listBody); out.write(0)
+    out.write(base, 36, base.length - 36) // data chunk
+    val spliced = out.toByteArray
+    assert(WavCodec.decodeMeta(spliced).contains((1, 16, 10, 16000)))
+    assert(WavCodec.samples(spliced).toSeq == raw.toSeq)
+    assert(WavCodec.decodeMeta("RIFFxxxxWAVE".getBytes("ASCII")).isEmpty)
+  }
+
+  test("feature extraction runs over real WAV payloads") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = spark.range(0, 6).as[Long].map { id =>
+      val raw = Array.tabulate(50)(i => ((id * 11 + i) % 256).toByte)
+      val meta = MediaMeta("audio", "wav", 1, 16, raw.length, 16000)
+      MediaRow(id, meta, WavCodec.encode(meta, raw))
+    }
+    val feats = extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(feats.length == 6)
+    val expected0 = Array.tabulate(50)(i => (i % 256) & 0xff).sum / 50.0
+    assert(math.abs(feats(0).meanLuma - expected0) < 1e-9)
+    assert(feats.forall(_.histogram.sum == 50))
+  }
 }

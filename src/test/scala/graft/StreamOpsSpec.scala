@@ -67,4 +67,64 @@ class StreamOpsSpec extends SparkSpec {
     // batch 1 snapshot: count 2 sum 7; batch 2 snapshot: count 3 sum 12
     assert(snaps.toSet == Set((1L, 2L, 7.0, false), (1L, 3L, 12.0, false)))
   }
+
+  test("first-seen dedup keeps one event per key across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.KeyedEvent
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamOps.dedupFirstSeen(input.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+
+    // batch 1: two rows for (1, click) out of ts order → earliest wins;
+    // one row for (2, view)
+    input.addData(
+      KeyedEvent(1L, "click", 11L, ts("2024-01-01 00:00:05"), 5.0),
+      KeyedEvent(1L, "click", 10L, ts("2024-01-01 00:00:01"), 1.0),
+      KeyedEvent(2L, "view", 20L, ts("2024-01-01 00:00:02"), 2.0))
+    q.processAllAvailable()
+    // batch 2: duplicates for both existing keys are dropped, a new key
+    // passes through
+    input.addData(
+      KeyedEvent(1L, "click", 12L, ts("2024-01-01 00:00:00"), 9.0),
+      KeyedEvent(2L, "view", 21L, ts("2024-01-01 00:00:09"), 9.0),
+      KeyedEvent(1L, "view", 30L, ts("2024-01-01 00:00:03"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSet == Set(
+      (1L, "click", 10L), (2L, "view", 20L), (1L, "view", 30L)))
+  }
+
+  test("single-batch dedup matches the w_stream_dedup batch shape") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.KeyedEvent
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val evs = graft.queries.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      .as[KeyedEvent].collect().toSeq
+    val input = MemoryStream[KeyedEvent]
+    input.addData(evs)
+    val q = StreamOps.dedupFirstSeen(input.toDS())
+      .writeStream.format("memory").queryName("dedup_batch")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"event_type", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
 }

@@ -44,29 +44,50 @@ object Publish {
       }
       dest
     }
-    // clean the emptied work tree, deepest-first (reference `cleanup`);
-    // emptiness must be re-checked after each child deletion
+    cleanEmpty(workDir)
+    moved
+  }
+
+  /** Remove the emptied tree under `root`, deepest-first (reference
+    * `cleanup`); emptiness is re-checked after each child deletion.
+    */
+  private def cleanEmpty(root: Path): Unit = {
     def isEmptyDir(p: Path): Boolean = Files.isDirectory(p) && {
       val s = Files.list(p)
       try !s.iterator().hasNext finally s.close()
     }
-    Files.walk(workDir).iterator().asScala.toList.reverse.foreach { p =>
-      if (isEmptyDir(p)) Files.deleteIfExists(p)
-    }
-    moved
+    if (Files.isDirectory(root))
+      Files.walk(root).iterator().asScala.toList.reverse.foreach { p =>
+        if (isEmptyDir(p)) Files.deleteIfExists(p)
+      }
   }
 
   /** Stage composite blocks as GeoTIFFs in the work root and commit each
     * (cube, tile, period) item into the data root — S9 write + C2 commit.
-    * One file move set per item, executed only after the item's full band
-    * set streamed out.
+    * The write lands in per-item directories
+    * (`workRoot/cube/tile/period/…`), and the move into the data root
+    * happens one ITEM at a time, only after that item's full band set
+    * finished streaming out — the reference's per-item
+    * `files_to_move`-after-commit granularity (`processing.py:1038-1155`).
+    * A crash between items leaves every earlier item fully published and
+    * every later item absent; no item is ever half-visible.
     */
   def publishGeoTiffs(blocks: DataFrame, workRoot: String, dataRoot: String,
                       periodCols: Seq[String] = Seq("p_start")): Seq[Path] = {
-    graft.sources.RasterIO.writeGeoTiffs(blocks, workRoot, periodCols)
-    // writeGeoTiffs keys files flat as cube_tile_band_period.tif under
-    // workRoot; the move into dataRoot is the commit point — it happens
-    // only after every band file of the batch finished streaming out
-    commitItem(Paths.get(workRoot), Paths.get(dataRoot))
+    graft.sources.RasterIO.writeGeoTiffs(blocks, workRoot, periodCols,
+      itemTree = true)
+    val work = Paths.get(workRoot)
+    val depth = 2 + periodCols.size // cube / tile / period…
+    val itemDirs =
+      if (!Files.isDirectory(work)) Nil
+      else Files.walk(work, depth).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          work.relativize(p).getNameCount == depth)
+        .toList.sortBy(_.toString)
+    val moved = itemDirs.flatMap { d =>
+      commitItem(d, Paths.get(dataRoot).resolve(work.relativize(d)))
+    }
+    cleanEmpty(work)
+    moved
   }
 }

@@ -81,14 +81,23 @@ object RasterIO {
   def writeGeoTiffs(blocks: DataFrame, outDir: String,
                     periodCols: Seq[String] = Seq("date"),
                     deflate: Boolean = true,
-                    overviews: Boolean = true): Unit = {
+                    overviews: Boolean = true,
+                    /** nest files as `cube/tileId/period…/<flat-name>.tif`
+                      * so each (cube, tile, period) item owns a directory —
+                      * the unit `Publish.publishGeoTiffs` commits
+                      * independently */
+                    itemTree: Boolean = false): Unit = {
     val spark = blocks.sparkSession
     import spark.implicits._
     val keyCols = Seq("cube", "tileId", "band") ++ periodCols
+    val dirCols = Seq("cube", "tileId") ++ periodCols
     blocks
       .withColumn("k", concat_ws("_", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumn("dirk",
+        if (itemTree) concat_ws("/", dirCols.map(c => col(c).cast("string")): _*)
+        else lit(""))
       .select($"k", $"blockY", $"blockX", $"height", $"width",
-        $"x0", $"y0", $"resX", $"resY", $"nodata", $"pixels")
+        $"x0", $"y0", $"resX", $"resY", $"nodata", $"pixels", $"dirk")
       .repartition($"k")
       .sortWithinPartitions($"k", $"blockY", $"blockX")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -98,14 +107,14 @@ object RasterIO {
         def finish(): Unit = if (writer != null) { writer.close(ox, oy, sx, sy); writer = null }
         rows.foreach { row =>
           // columns: k, blockY, blockX, height, width, x0, y0, resX, resY,
-          //          nodata, pixels
+          //          nodata, pixels, dirk
           val k = row.getString(0)
           val by = row.getInt(1); val bx = row.getInt(2)
           val h = row.getInt(3); val w = row.getInt(4)
           if (k != key) {
             finish()
             key = k
-            val out = java.nio.file.Paths.get(outDir, s"$k.tif")
+            val out = java.nio.file.Paths.get(outDir, row.getString(11), s"$k.tif")
             java.nio.file.Files.createDirectories(out.getParent)
             // sorted order ⇒ the first block is (minY, minX): full-size
             // unless the raster itself is narrower than one block

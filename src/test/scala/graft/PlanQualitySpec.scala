@@ -106,6 +106,16 @@ class PlanQualitySpec extends SparkSpec {
       s"LSH near-dup must not contain an all-pairs join:\n$plan")
   }
 
+  test("v_ann_ivf: centroid joins broadcast, corpus never nested-loops") {
+    val df = q("v_ann_ivf")
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"IVF ANN must not contain an all-pairs join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the K×64 centroid table should broadcast:\n$plan")
+  }
+
   test("v_ann_lsh: corpus side never self-joins or nested-loops") {
     val plan = planString(q("v_ann_lsh"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

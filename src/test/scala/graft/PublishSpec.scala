@@ -71,4 +71,29 @@ class PublishSpec extends SparkSpec {
       0, 0, 2, 2)
     assert(px.toSeq == Seq(1, 2, 3, 4))
   }
+
+  test("publishGeoTiffs commits one item directory at a time") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("pub_work4").toString
+    val data = Files.createTempDirectory("pub_data4").toString
+    val blocks = (for {
+      tile <- Seq("t1", "t2"); band <- Seq("B04", "B8A")
+    } yield ("c1", tile, "2020-01-01", band, 0, 0, 2, 2, 0.0, 20.0, 10.0,
+      10.0, -9999, Array(1, 2, 3, 4)))
+      .toDF("cube", "tileId", "p_start", "band", "blockY", "blockX", "height",
+        "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    val moved = Publish.publishGeoTiffs(blocks, work, data)
+    assert(moved.size == 4)
+    // per-item directories: each (cube, tile, period) owns its own subtree
+    for (tile <- Seq("t1", "t2"); band <- Seq("B04", "B8A"))
+      assert(Files.isRegularFile(Paths.get(data, "c1", tile, "2020-01-01",
+        s"c1_${tile}_${band}_2020-01-01.tif")))
+    assert(!Files.exists(Paths.get(work)) ||
+      !Files.list(Paths.get(work)).iterator().hasNext)
+    // a later item's work dir re-stages and commits without touching the
+    // first item (idempotent per-item re-publish)
+    val again = Publish.publishGeoTiffs(blocks.filter($"tileId" === "t2"),
+      work, data)
+    assert(again.size == 2 && again.forall(_.toString.contains("/t2/")))
+  }
 }

@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * REAL image decoder (JDK `javax.imageio` — PNG/BMP/GIF/JPEG, no
   * external dependency) producing a luma sample plane; [[WavCodec]] is a
   * REAL audio decoder (RIFF/WAVE PCM parsed from scratch);
-  * [[FakeCodec]] remains the deterministic stand-in for video formats
-  * the JDK cannot decode. [[Multimodal.codecFor]] sniffs the payload
-  * and routes.
+  * [[AviMjpegCodec]] is a REAL video codec (MJPEG frames in an AVI/RIFF
+  * container, frames through the JDK JPEG reader); [[FakeCodec]] remains
+  * a deterministic synthetic stand-in for tests and benchmarks.
+  * [[Multimodal.codecFor]] sniffs the payload and routes.
   *
   * Scale design: media rows are large (MBs); the kernels are
   * `mapPartitions` so one task streams a partition without per-row
@@ -63,13 +64,17 @@ object Multimodal {
     * RIFF/WAVE → [[WavCodec]], anything `javax.imageio` recognizes
     * (PNG/BMP/GIF/JPEG) → [[ImageCodec]].
     */
-  def codecFor(payload: Array[Byte]): Codec =
+  def codecFor(payload: Array[Byte]): Codec = {
+    def riffType(t: String) = payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == t(0) && payload(9) == t(1) &&
+      payload(10) == t(2) && payload(11) == t(3)
     if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'R' &&
         payload(2) == 'F' && payload(3) == 'T') FakeCodec
-    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
-        payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
-        payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') WavCodec
+    else if (riffType("WAVE")) WavCodec
+    else if (riffType("AVI ")) AviMjpegCodec
     else ImageCodec
+  }
 
   /** REAL audio codec: RIFF/WAVE PCM, parsed from scratch (the container
     * is a public byte format — no library involved). `decodeMeta` maps
@@ -95,6 +100,7 @@ object Multimodal {
       while (off + 8 <= p.length && (fmt < 0 || data < 0)) {
         val id = new String(p, off, 4, "ASCII")
         val len = u32(p, off + 4).toInt
+        if (len < 0) return None // malformed/overflowing chunk length
         if (id == "fmt ") fmt = off + 8
         else if (id == "data") { data = off + 8; dataLen = math.min(len, p.length - data) }
         off += 8 + len + (len & 1) // chunks are word-aligned
@@ -207,10 +213,138 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec: MJPEG inside an AVI/RIFF container, both public
+    * byte formats. The container walk (nested LIST chunks, `avih` header,
+    * `..dc`/`..db` frame chunks) is parsed from scratch; each frame is a
+    * complete JPEG image decoded through the JDK reader into an 8-bit
+    * luma plane, and `samples` concatenates the planes in frame order.
+    * `encode` writes a canonical hdrl+movi AVI whose frames are JPEG
+    * (quality 0.98) — lossy like any MJPEG writer, so round-trips are
+    * near-exact, not bit-exact (metadata IS exact).
+    * meta mapping: width × height per frame, `frames` = frame count,
+    * `sampleRateHz` = frames per second.
+    */
+  object AviMjpegCodec extends Codec {
+    private def u32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private final case class Parsed(width: Int, height: Int, usPerFrame: Int,
+                                    frames: List[(Int, Int)])
+
+    private def parse(p: Array[Byte]): Option[Parsed] = {
+      if (p.length < 12) return None
+      var width = 0; var height = 0; var usf = 0
+      val frames = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = new String(p, off, 4, "ASCII")
+          val len = u32(p, off + 4)
+          val body = off + 8
+          if (len < 0 || body + len > p.length) return // truncated chunk
+          if (id == "LIST") walk(body + 4, body + len)
+          else if (id == "avih") {
+            usf = u32(p, body); width = u32(p, body + 32)
+            height = u32(p, body + 36)
+          } else if (id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db")) && len > 0)
+            frames += ((body, len))
+          off = body + len + (len & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, p.length)
+      if (width > 0 && height > 0 && frames.nonEmpty)
+        Some(Parsed(width, height, usf, frames.toList))
+      else None
+    }
+
+    override def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      parse(payload).map { v =>
+        val fps = if (v.usPerFrame > 0) (1000000 + v.usPerFrame / 2) / v.usPerFrame else 0
+        (v.width, v.height, v.frames.size, fps)
+      }
+
+    override def samples(payload: Array[Byte]): Array[Byte] =
+      parse(payload) match {
+        case None => Array.emptyByteArray
+        case Some(v) =>
+          val plane = v.width * v.height
+          val out = new Array[Byte](plane * v.frames.size)
+          v.frames.zipWithIndex.foreach { case ((off, len), fi) =>
+            val jpeg = java.util.Arrays.copyOfRange(payload, off, off + len)
+            // ImageCodec reads gray rasters raw (getRGB would gamma-shift)
+            val luma = ImageCodec.samples(jpeg)
+            System.arraycopy(luma, 0, out, fi * plane,
+              math.min(plane, luma.length))
+          }
+          out
+      }
+
+    private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.98f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+
+    override def encode(meta: MediaMeta, samples: Array[Byte]): Array[Byte] = {
+      val w = meta.width; val h = meta.height
+      val plane = w * h
+      val fps = math.max(meta.sampleRateHz, 1)
+      val frames = (0 until meta.frames).map { fi =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val pl = new Array[Byte](plane)
+        val from = fi * plane
+        if (from + plane <= samples.length)
+          System.arraycopy(samples, from, pl, 0, plane)
+        img.getRaster.setDataElements(0, 0, w, h, pl)
+        jpegBytes(img)
+      }
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length & 1
+        val out = ByteBuffer.allocate(8 + body.length + pad)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        out.put(id.getBytes("ASCII")).putInt(body.length).put(body)
+        out.array()
+      }
+      def list(typ: String, children: Array[Byte]): Array[Byte] =
+        chunk("LIST", typ.getBytes("ASCII") ++ children)
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)
+      val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      strh.put("vids".getBytes("ASCII")).put("MJPG".getBytes("ASCII"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(fps) // dwScale=1, dwRate=fps
+        .putInt(0).putInt(frames.size)
+      val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put("MJPG".getBytes("ASCII")).putInt(plane * 3)
+      val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+        list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+      val movi = list("movi", frames.map(chunk("00dc", _)).fold(Array.emptyByteArray)(_ ++ _))
+      val payload = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+      val out = ByteBuffer.allocate(8 + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("ASCII")).putInt(payload.length).put(payload)
+      out.array()
+    }
+  }
+
   /** Deterministic stand-in codec over a 16-byte header + raw "samples":
     * bytes 0-3 magic "GRFT", 4-5 width, 6-7 height, 8-11 frame count,
     * 12-15 sample rate; payload after the header is one byte per sample.
-    * Kept for the audio/video kinds the JDK cannot decode.
+    * Kept as the loss-free synthetic payload for tests and benchmarks
+    * (every real codec here except WAV is lossy or format-bound).
     */
   object FakeCodec extends Codec {
     val HeaderLen = 16

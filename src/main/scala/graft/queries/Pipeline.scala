@@ -45,6 +45,13 @@ object Pipeline {
   private def lshTables(e: Column): Column =
     graft.functions.VectorExpressions.lshBuckets(e, lshSignMatrix, LshBits)
 
+  /** Shared PII regexes (plain syntax that Java regex and RE2 interpret
+    * identically, so the DuckDB oracle applies the same patterns).
+    */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
   /** Mega-bucket cap — the one residual skew hazard at 100 TB: a
     * degenerate bucket (near-empty docs or zero-ish embeddings hashing
     * identically) would explode O(k²) pairs inside a single task. Buckets
@@ -54,6 +61,37 @@ object Pipeline {
     * job. The oracles apply the identical bound.
     */
   val MaxBucketIds = 64
+
+  /** MinHash+LSH candidate pairs (id1 < id2, distinct): word-bigram
+    * shingles → 8 salted-MD5 minhashes → 4 bands of 2 → capped-bucket
+    * pair generation. Single pass: bands unpivot through one generator,
+    * pairs explode inside each bucket group — the signature plan runs
+    * once and the corpus never self-joins.
+    */
+  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 2)
+    val sh = base.select($"doc_id",
+      explode(transform(sequence(lit(1), size($"w") - 1),
+        i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1)))).as("s"))
+    val minCols = (0 until 8).map(j =>
+      min(md5(concat(lit(s"$j|"), $"s").cast("binary"))).as(s"m$j"))
+    val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = sig.select($"doc_id", explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary"))
+          .as("h"))): _*)).as("bh"))
+      .select($"doc_id", $"bh.band", $"bh.h")
+    capBuckets(bands.groupBy($"band", $"h")
+      .agg(sort_array(collect_list($"doc_id")).as("ids")))
+      .select(explode(flatten(transform($"ids", (x, i) =>
+        transform(slice($"ids", i + 2, size($"ids")),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select($"p.id1", $"p.id2")
+      .distinct()
+  }
 
   private def capBuckets(grouped: DataFrame): DataFrame =
     grouped.observe("lsh_bucket_cap",
@@ -88,32 +126,46 @@ object Pipeline {
 
     // MinHash + LSH near-dup candidate pairs: word-bigram shingles →
     // 8 salted-MD5 minhashes → 4 bands of 2 → bucket join
-    "d_minhash_lsh" -> ((s, d) => {
+    "d_minhash_lsh" -> ((s, d) =>
+      minhashCandidatePairs(s, d).orderBy(col("id1"), col("id2"))),
+
+    // Near-dup CLUSTERS: connected components over the MinHash candidate
+    // pairs by min-label propagation (each doc's cluster id = smallest
+    // doc_id reachable through near-dup edges). The loop runs
+    // synchronous label-propagation rounds to a fixpoint with
+    // `localCheckpoint` truncating the plan each round — near-dup
+    // components have tiny diameters (they're quasi-cliques), so rounds
+    // ≈ 3-5 even at corpus scale; the 100 TB upgrade path is
+    // alternating large-star/small-star (Kiveris et al.), same join
+    // shape per round. The oracle walks the same edges with a recursive
+    // CTE.
+    "d_dedup_clusters" -> ((s, d) => {
       import s.implicits._
-      val base = documents(s, d)
-        .select($"doc_id", words($"text").as("w"))
-        .filter(size($"w") >= 2)
-      val sh = base.select($"doc_id",
-        explode(transform(sequence(lit(1), size($"w") - 1),
-          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1)))).as("s"))
-      val minCols = (0 until 8).map(j =>
-        min(md5(concat(lit(s"$j|"), $"s").cast("binary"))).as(s"m$j"))
-      val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-      // single pass: unpivot bands with one generator, then bucket-group and
-      // emit intra-bucket pairs — no self-join, the signature plan runs once
-      val bands = sig.select($"doc_id", explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary"))
-            .as("h"))): _*)).as("bh"))
-        .select($"doc_id", $"bh.band", $"bh.h")
-      capBuckets(bands.groupBy($"band", $"h")
-        .agg(sort_array(collect_list($"doc_id")).as("ids")))
-        .select(explode(flatten(transform($"ids", (x, i) =>
-          transform(slice($"ids", i + 2, size($"ids")),
-            y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-        .select($"p.id1", $"p.id2")
-        .distinct()
-        .orderBy($"id1", $"id2")
+      val pairs = minhashCandidatePairs(s, d).localCheckpoint()
+      val sym = pairs.select($"id1".as("a"), $"id2".as("b"))
+        .unionAll(pairs.select($"id2".as("a"), $"id1".as("b")))
+      var labels = documents(s, d).select($"doc_id", $"doc_id".as("lbl"))
+        .localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 25) {
+        val neigh = sym.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
+          .groupBy($"a").agg(min($"nl").as("minn"))
+        val next = labels
+          .join(neigh.select($"a".as("doc_id"), $"minn"), Seq("doc_id"), "left")
+          .select($"doc_id",
+            least($"lbl", coalesce($"minn", $"lbl")).as("lbl"))
+          .localCheckpoint()
+        converged = next.join(labels.select($"doc_id", $"lbl".as("old")), "doc_id")
+          .filter($"lbl" =!= $"old").isEmpty
+        labels = next
+        rounds += 1
+      }
+      import org.apache.spark.sql.expressions.Window
+      labels.select($"doc_id", $"lbl".as("cluster_id"))
+        .withColumn("members",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")))
+        .orderBy($"doc_id")
     }),
 
     // n-gram (word-set) Jaccard similarity over a bounded pair set
@@ -245,6 +297,30 @@ object Pipeline {
           size(regexp_extract_all($"text",
             lit("[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
           size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("word_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII scrubbing: deterministic synthetic PII (email, IPv4, phone) is
+    // appended to each document, then redacted with the shared regexes;
+    // match counts and the MD5 of the redacted text pin the rewrite
+    "x_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val doc = documents(s, d).select($"doc_id",
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com via 10.0."), ($"doc_id" % 256),
+          lit(".7 or "), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+          lit("-555-0199")).as("t"))
+      val scrubbed = doc.select($"doc_id",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"t", PiiEmailRe, "<EMAIL>"),
+            PiiIpRe, "<IP>"),
+          PiiPhoneRe, "<PHONE>").as("red"),
+        size(regexp_extract_all($"t", lit(PiiEmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all($"t", lit(PiiIpRe), lit(0))).as("n_ip"))
+      scrubbed.select($"doc_id", $"n_email", $"n_ip",
+          size(regexp_extract_all($"red", lit("<PHONE>"), lit(0))).as("n_phone"),
+          md5($"red".cast("binary")).as("red_md5"))
         .orderBy($"doc_id")
     }),
 
@@ -385,22 +461,12 @@ object Pipeline {
         .orderBy($"qid", $"rnk")
     }))
 
-  private val cosineSqlBody =
-    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)),
-       c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id NOT IN (0,1,2)),
-       dots AS (SELECT qid, vec_id,
-           sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
-           sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
-           sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
-         FROM q, c, range(1, 65) t(i) GROUP BY qid, vec_id),
-       s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)"""
-
-  val oracles: Map[String, String] = Map(
-    "d_dedup_exact" ->
-      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies
-         FROM documents GROUP BY md5(text) ORDER BY h""",
-    "d_minhash_lsh" ->
-      """WITH base AS (
+  /** Oracle-side mirror of [[minhashCandidatePairs]]: shared CTE block +
+    * the pair SELECT, so the clusters oracle can stack a recursive CTE on
+    * the identical candidate-pair construction.
+    */
+  private val minhashCtesSql =
+    """base AS (
            SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
          base2 AS (SELECT doc_id, w FROM base WHERE len(w) >= 2),
          sh AS (SELECT doc_id,
@@ -421,12 +487,67 @@ object Pipeline {
            SELECT doc_id, 2, h2 FROM sig UNION ALL
            SELECT doc_id, 3, h3 FROM sig),
          bok AS (SELECT band, h FROM bands GROUP BY band, h
-           HAVING count(*) <= 64)
-         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           HAVING count(*) <= 64)"""
+
+  private val minhashPairSelectSql =
+    """SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-         JOIN bok ON bok.band = a.band AND bok.h = a.h
+         JOIN bok ON bok.band = a.band AND bok.h = a.h"""
+
+  private val cosineSqlBody =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)),
+       c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id NOT IN (0,1,2)),
+       dots AS (SELECT qid, vec_id,
+           sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+           sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+           sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+         FROM q, c, range(1, 65) t(i) GROUP BY qid, vec_id),
+       s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)"""
+
+  val oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "d_minhash_lsh" ->
+      s"""WITH $minhashCtesSql
+         $minhashPairSelectSql
          ORDER BY id1, id2""",
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pr AS ($minhashPairSelectSql),
+         sym AS (SELECT id1 AS a, id2 AS b FROM pr
+           UNION ALL SELECT id2, id1 FROM pr),
+         reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.doc_id = s.b),
+         cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+         SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS members
+         FROM cl ORDER BY doc_id""",
+    "x_pii_scrub" ->
+      """WITH doc AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.7 or ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-555-0199' AS t
+           FROM documents),
+         scr AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_email,
+             CAST(len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip
+           FROM doc)
+         SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(red, '<PHONE>')) AS INT) AS n_phone,
+           md5(red) AS red_md5
+         FROM scr ORDER BY doc_id""",
     "d_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id,
              list_distinct(string_split_regex(trim(text), ' +')) AS w

@@ -143,6 +143,40 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.decodeMeta("RIFFxxxxWAVE".getBytes("ASCII")).isEmpty)
   }
 
+  test("AviMjpegCodec: metadata exact, luma planes near-exact, routing") {
+    val w = 32; val h = 24; val nf = 3
+    val samples = Array.tabulate(nf * w * h) { i =>
+      // smooth (wrap-free) gradient: JPEG ringing stays negligible
+      val f = i / (w * h); val y = (i / w) % h; val x = i % w
+      (x * 4 + y * 3 + f * 20).toByte
+    }
+    val meta = MediaMeta("video", "mjpeg", w, h, nf, 10)
+    val payload = AviMjpegCodec.encode(meta, samples)
+    assert(new String(payload, 8, 4, "ASCII") == "AVI ")
+    assert(Multimodal.codecFor(payload) eq AviMjpegCodec)
+    assert(AviMjpegCodec.decodeMeta(payload).contains((w, h, nf, 10)))
+    val back = AviMjpegCodec.samples(payload)
+    assert(back.length == samples.length)
+    // MJPEG is lossy; smooth gradients at q=0.98 stay within a few levels
+    val maxErr = samples.zip(back)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 6, s"JPEG drift too large: $maxErr")
+  }
+
+  test("frame sampling works on real AVI payloads through the codec API") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val w = 16; val h = 12; val nf = 4
+    val rows = spark.range(0, 3).as[Long].map { id =>
+      val samples = Array.tabulate(nf * w * h)(i => ((id * 9 + i) % 180).toByte)
+      val meta = MediaMeta("video", "mjpeg", w, h, nf, 5)
+      MediaRow(id, meta, AviMjpegCodec.encode(meta, samples))
+    }
+    val out = sampleFrames(rows, 2).collect().head
+    assert(AviMjpegCodec.decodeMeta(out.payload).exists(_._3 == 2))
+    assert(AviMjpegCodec.samples(out.payload).length == 2 * w * h)
+  }
+
   test("feature extraction runs over real WAV payloads") {
     val sparkS = spark
     import sparkS.implicits._

@@ -173,6 +173,132 @@ object Visual {
     (rings.size, rings.map(_.size).sum, math.abs(shoelace) / 2, perim)
   }
 
+  /** Group traced rings into shells with their holes by even-odd
+    * containment depth. The representative point of a ring is the cell
+    * diagonally inside its lexicographically-smallest vertex — a
+    * half-integer point, so the ray cast never grazes a vertex. A ring at
+    * even depth (counting the OTHER rings that contain its
+    * representative) is a shell; odd depth is a hole, attached to the
+    * shell one level up that contains it (islands inside holes become
+    * their own shells at depth 2).
+    */
+  def assemblePolygons(rings: Seq[Vector[(Int, Int)]])
+      : Seq[(Vector[(Int, Int)], Seq[Vector[(Int, Int)]])] = {
+    def contains(ring: Vector[(Int, Int)], px: Double, py: Double): Boolean = {
+      var c = false
+      ring.zip(ring.tail :+ ring.head).foreach { case ((x1, y1), (x2, y2)) =>
+        if ((y1 > py) != (y2 > py)) {
+          val xint = x1 + (py - y1) / (y2 - y1).toDouble * (x2 - x1)
+          if (xint > px) c = !c
+        }
+      }
+      c
+    }
+    val reps = rings.map { r =>
+      val m = r.min
+      (m._1 + 0.5, m._2 + 0.5)
+    }
+    val depth = rings.indices.map(i => rings.indices.count(j =>
+      j != i && contains(rings(j), reps(i)._1, reps(i)._2)))
+    rings.indices.filter(depth(_) % 2 == 0).map { si =>
+      val holes = rings.indices.filter { hi =>
+        depth(hi) == depth(si) + 1 &&
+          contains(rings(si), reps(hi)._1, reps(hi)._2)
+      }
+      (rings(si), holes.map(rings(_)).toSeq)
+    }
+  }
+
+  /** P10 — item footprint as WKT: polygonize the valid mask of every
+    * (cube, tileId, p_start, p_end) group of composited blocks and print
+    * a world-coordinate POLYGON/MULTIPOLYGON (shells counter-clockwise,
+    * holes clockwise — the reference extracts the same geometry with
+    * raster_extent/polygonize, `cube_builder/utils/image.py:665-708`).
+    *
+    * Blocks must be grid-aligned (same resX/resY across the item, x0/y0
+    * on the pixel lattice — true for every warp/composite output here).
+    * `stride` coarsens the mask before tracing (a stride-s cell is valid
+    * if any sampled pixel in it is valid), bounding trace cost on huge
+    * tiles the same way the quicklook bounds pixels.
+    *
+    * Scale shape: one `mapGroups` trace per item over block-local strided
+    * coords — the full-resolution mask never assembles anywhere.
+    */
+  def footprintWkt(blocks: DataFrame, stride: Int = 1): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val rows = blocks.select(
+      $"cube", $"tileId", $"p_start".cast("string"), $"p_end".cast("string"),
+      $"x0".cast("double"), $"y0".cast("double"),
+      $"resX".cast("double"), $"resY".cast("double"),
+      $"height".cast("int"), $"width".cast("int"),
+      $"nodata".cast("int"), $"value")
+      .as[(String, String, String, String, Double, Double, Double, Double,
+        Int, Int, Int, Array[Int])]
+    rows.groupByKey(t => (t._1, t._2, t._3, t._4))
+      .mapGroups { (key: (String, String, String, String),
+                    it: Iterator[(String, String, String, String, Double,
+                      Double, Double, Double, Int, Int, Int, Array[Int])]) =>
+        val (cube, tile, ps, pe) = key
+        // stream blocks one at a time: strided valid cells land on an
+        // ABSOLUTE world-pixel lattice (x0/resX, -y0/resY), so no anchor
+        // pre-pass is needed and the item never materializes whole
+        val bit = it.buffered
+        val resX = bit.head._7; val resY = bit.head._8
+        val cells = scala.collection.mutable.Set.empty[(Int, Int)]
+        bit.foreach { case (_, _, _, _, x0, y0, _, _, h, w, nd, v) =>
+          val offX = math.round(x0 / resX).toInt
+          val offY = math.round(-y0 / resY).toInt
+          var r = 0
+          while (r < h) {
+            var c = 0
+            while (c < w) {
+              if (v(r * w + c) != nd)
+                cells += ((Math.floorDiv(offY + r, stride),
+                  Math.floorDiv(offX + c, stride)))
+              c += stride
+            }
+            r += stride
+          }
+        }
+        val rings = polygonize(cells.toSet)
+        val polys = assemblePolygons(rings)
+        def fmt(d: Double): String =
+          if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+          else d.toString
+        def world(p: (Int, Int)): (Double, Double) =
+          (p._1 * stride * resX, -(p._2 * stride * resY))
+        def signedArea(r: Vector[(Double, Double)]): Double =
+          r.zip(r.tail :+ r.head).map { case (a, b) =>
+            a._1 * b._2 - b._1 * a._2
+          }.sum
+        def orient(r: Vector[(Double, Double)], ccw: Boolean) = {
+          val oriented =
+            if ((signedArea(r) > 0) == ccw) r
+            else r.head +: r.tail.reverse // keep the canonical start vertex
+          oriented
+        }
+        def ringStr(r: Vector[(Double, Double)]): String =
+          (r :+ r.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}")
+            .mkString("(", ", ", ")")
+        def polyStr(shell: Vector[(Int, Int)], holes: Seq[Vector[(Int, Int)]]) =
+          (orient(shell.map(world), ccw = true) +:
+            holes.map(h => orient(h.map(world), ccw = false)))
+            .map(ringStr).mkString("(", ", ", ")")
+        val wkt = polys match {
+          case Seq() => "POLYGON EMPTY"
+          case Seq((shell, holes)) => s"POLYGON ${polyStr(shell, holes)}"
+          case many =>
+            many.map { case (sh, ho) => polyStr(sh, ho) }
+              .mkString("MULTIPOLYGON (", ", ", ")")
+        }
+        (cube, tile, ps, pe, wkt, polys.size,
+          polys.map(_._2.size).sum, cells.size.toLong)
+      }
+      .toDF("cube", "tileId", "p_start", "p_end", "wkt", "n_shells",
+        "n_holes", "valid_cells")
+  }
+
   /** P10 — convex hull (monotone chain) over 2-D points; used on the
     * block-corner cloud of valid blocks per tile (small).
     */

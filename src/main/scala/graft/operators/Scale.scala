@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics for the 100 TB story (builder-prompt mandate): the two
+  * levers the cube pipeline reaches for when a shuffle becomes the
+  * bottleneck.
+  *
+  *  - **Bucketed co-located joins**: the scene↔tile and ledger↔timeline
+  *    joins repeat every run on the same keys; persisting both sides
+  *    bucketed by the join key lets Spark plan a SortMergeJoin with ZERO
+  *    shuffle exchanges (each bucket pair joins in place). At 100 TB this
+  *    converts the dominant repeated shuffle into a one-time write cost.
+  *    ScaleSpec pins the exchange-free plan.
+  *  - **Salted skew joins**: a heavy-hitter key (one mega-tile, one
+  *    degenerate QA value) funnels its whole partition through one task.
+  *    Salting splits the big side's key into `salts` sub-keys and
+  *    replicates the small side across them, bounding any task at
+  *    1/salts of the hot key. AQE's skew-join handles moderate skew
+  *    automatically; explicit salting is for the pathological key that
+  *    exceeds a single executor. Inner/left joins only (the replicated
+  *    small side would duplicate unmatched rows under right/outer).
+  */
+object Scale {
+
+  /** Persist `df` bucketed+sorted by `key` for shuffle-free joins against
+    * other tables bucketed the same way (same key, same bucket count).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Join two big frames on `key` with the big side salted into `salts`
+    * sub-keys and the smaller side replicated across them. The salt is
+    * derived per-row (not from the key), so a single hot key spreads
+    * evenly; results are salt-invariant.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer",
+      s"salted join replicates the small side — $joinType would duplicate" +
+        " unmatched small-side rows")
+    val saltCol = pmod(hash(monotonically_increasing_id()), lit(salts))
+    val bigS = big.withColumn("__salt", saltCol)
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

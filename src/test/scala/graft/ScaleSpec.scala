@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+/** The two explicit 100 TB levers: bucketed joins plan with zero shuffle
+  * exchanges; salted joins spread a hot key without changing results.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val scenes = spark.range(0, 1000)
+        .select(($"id" % 50).as("tile_id"), $"id".as("scene_id"))
+      val ledger = spark.range(0, 200)
+        .select(($"id" % 50).as("tile_id"), $"id".as("entry_id"))
+      Scale.writeBucketed(scenes, "b_scenes", "tile_id", 8)
+      Scale.writeBucketed(ledger, "b_ledger", "tile_id", 8)
+      val joined = spark.table("b_scenes").join(spark.table("b_ledger"), "tile_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000L * 200 / 50)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_scenes")
+      spark.sql("DROP TABLE IF EXISTS b_ledger")
+    }
+  }
+
+  test("salted join: same result as plain join, hot key spread over salts") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 10k rows of one hot key + a tail
+    val big = spark.range(0, 10000)
+      .select(when($"id" < 9000, lit(7)).otherwise($"id" % 20).as("k"),
+        $"id".as("v"))
+    val small = spark.range(0, 20).select($"id".as("k"), ($"id" * 10).as("w"))
+    val salted = Scale.saltedJoin(big, small, "k", salts = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() == plain.count())
+    val a = salted.agg(sum($"v"), sum($"w")).collect().head
+    val b = plain.agg(sum($"v"), sum($"w")).collect().head
+    assert(a == b)
+    // the hot key's rows really carry distinct salts (spread across tasks)
+    val bigS = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(8)))
+    val spread = bigS.filter($"k" === 7)
+      .select(countDistinct($"__salt")).collect().head.getLong(0)
+    assert(spread >= 4, s"hot key only hit $spread salts")
+  }
+
+  test("salted join rejects join types that would duplicate rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq((1, 2)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(df, df, "k", 4, joinType = "full_outer")
+    }
+  }
+}

@@ -434,6 +434,71 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Multimodal image: a deterministic gray ramp per document is encoded
+    // to real PNG bytes (JDK imageio) and decoded back through codecFor
+    // routing; grayscale PNG is lossless, so the oracle recomputes the
+    // exact closed-form luma sums the round-trip must preserve
+    "x_image_png" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      documents(s, d).select($"doc_id").as[Long].map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (6 + id % 6).toInt
+        val raw = Array.tabulate(w * h)(i => ((id * 131 + i * 7) % 251).toByte)
+        val meta = Multimodal.MediaMeta("image", "png", w, h, 1, 0)
+        val payload = Multimodal.ImageCodec.encode(meta, raw)
+        val codec = Multimodal.codecFor(payload)
+        val (ow, oh, frames, _) = codec.decodeMeta(payload)
+          .getOrElse(sys.error(s"PNG round-trip failed to parse for doc $id"))
+        val back = codec.samples(payload)
+        (id, ow, oh, frames, back.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }.toDF("doc_id", "width", "height", "frames", "luma_sum")
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal video: 2-4 uniform-gray frames per document are encoded
+    // to a real MJPEG-in-AVI payload and decoded back. Container metadata
+    // (dims, frame count, fps) and the sample-plane length are pinned
+    // exactly; JPEG frames are lossy, so pixel content is gated as a
+    // bounded-deviation flag (per-frame mean luma within 4 of the encoded
+    // value — DC-only blocks at quality 0.98 sit well inside that)
+    "x_video_avi" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      documents(s, d).select($"doc_id").as[Long].map { id =>
+        val w = 16; val h = 8; val plane = w * h
+        val nf = (2 + id % 3).toInt
+        val fps = (10 + id % 5).toInt
+        val expect = Array.tabulate(nf)(fi => ((id * 37 + fi * 29) % 200 + 20).toInt)
+        val raw = new Array[Byte](nf * plane)
+        var fi = 0
+        while (fi < nf) {
+          java.util.Arrays.fill(raw, fi * plane, (fi + 1) * plane, expect(fi).toByte)
+          fi += 1
+        }
+        val meta = Multimodal.MediaMeta("video", "mjpg", w, h, nf, fps)
+        val payload = Multimodal.AviMjpegCodec.encode(meta, raw)
+        val codec = Multimodal.codecFor(payload)
+        val (ow, oh, of, ofps) = codec.decodeMeta(payload)
+          .getOrElse(sys.error(s"AVI round-trip failed to parse for doc $id"))
+        val back = codec.samples(payload)
+        var maxDev = 0
+        fi = 0
+        while (fi < of) {
+          var sum = 0L
+          var i = fi * plane
+          val end = math.min((fi + 1) * plane, back.length)
+          while (i < end) { sum += (back(i) & 0xff); i += 1 }
+          val dev = math.abs((sum / plane).toInt - expect(math.min(fi, nf - 1)))
+          if (dev > maxDev) maxDev = dev
+          fi += 1
+        }
+        (id, ow, oh, of, ofps, back.length.toLong, if (maxDev <= 4) 1 else 0)
+      }.toDF("doc_id", "width", "height", "n_frames", "fps", "plane_len",
+          "frames_ok")
+        .orderBy($"doc_id")
+    }),
+
     // LSH-bucketed ANN (scale path): same 32-plane / 4-table sign-hyperplane
     // machinery as d_embed_neardup_lsh — a candidate is any vector sharing
     // at least one table bucket with the query, re-scored by exact cosine.
@@ -705,6 +770,22 @@ object Pipeline {
            CAST(n AS INT) AS n_samples, 1 AS channels, 16 AS bits,
            CAST(ssum AS BIGINT) AS sample_sum
          FROM s ORDER BY doc_id""",
+    "x_image_png" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+           FROM documents),
+         s AS (SELECT d.doc_id, d.w, d.h,
+             sum((d.doc_id * 131 + i * 7) % 251) AS lsum
+           FROM d, range(0, 165) t(i) WHERE i < d.w * d.h GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           1 AS frames, CAST(lsum AS BIGINT) AS luma_sum
+         FROM s ORDER BY doc_id""",
+    "x_video_avi" ->
+      """SELECT doc_id, 16 AS width, 8 AS height,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           CAST(10 + doc_id % 5 AS INT) AS fps,
+           CAST((2 + doc_id % 3) * 128 AS BIGINT) AS plane_len,
+           1 AS frames_ok
+         FROM documents ORDER BY doc_id""",
     "v_ann_lsh" ->
       s"""WITH $lshBucketsSql,
          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid

@@ -262,15 +262,20 @@ object CubeBuilder {
     val refDates = spectral.groupBy($"tileId", $"band")
       .agg(max_by($"date", $"prio").as("refDate"))
 
-    val exploded = spectral
-      .select($"tileId", $"band", $"date", explode($"pixels").as("value"),
-        $"nodata")
-      .filter($"value" =!= $"nodata")
-    val withRef = exploded.join(broadcast(refDates), Seq("tileId", "band"))
+    // Collapse each block to its value histogram BEFORE anything widens:
+    // the explode emits ≤ |distinct sample values| rows per block (int16
+    // imagery ⇒ ≤65k) instead of O(pixels) — at the reference's 10560²
+    // tile that is ~3 orders of magnitude less data into the shuffle.
+    val hist = spectral
+      .select($"tileId", $"band", $"date",
+        explode(PixelExpressions.valueHistogram($"pixels", $"nodata")).as("vc"))
+      .select($"tileId", $"band", $"date",
+        $"vc.value".as("value"), $"vc.cnt".as("cnt"))
+    val withRef = hist.join(broadcast(refDates), Seq("tileId", "band"))
     val src = withRef.filter($"date" =!= $"refDate")
-      .select($"tileId", $"band", $"date", $"value")
+      .select($"tileId", $"band", $"date", $"value", $"cnt")
     val ref = withRef.filter($"date" === $"refDate")
-      .select($"tileId", $"band", $"value")
+      .select($"tileId", $"band", $"value", $"cnt")
 
     val mapping = graft.operators.HistogramMatch.matchToReference(
       src, ref, Seq("tileId", "band"), "date")

@@ -78,6 +78,16 @@ object PixelExpressions {
   /** `arraySumLong(arr)`: sum of an int array as long (publish stats). */
   def arraySumLong(pixels: Column): Column =
     ColumnBridge.column(ArraySumLong(ColumnBridge.expression(pixels)))
+
+  /** `valueHistogram(arr, nodata)`: per-block value→count histogram as
+    * `array<struct<value:int, cnt:long>>`, nodata excluded. The T10 shuffle
+    * reducer: a 10560²-pixel block collapses to ≤ |distinct values| rows
+    * (int16 imagery ⇒ ≤65k) before any explode reaches an exchange.
+    */
+  def valueHistogram(pixels: Column, nodata: Column): Column =
+    ColumnBridge.column(ValueHistogram(
+      ColumnBridge.expression(pixels),
+      ColumnBridge.expression(nodata.cast("int"))))
 }
 
 /** Count of samples equal to any of `values`. */
@@ -170,6 +180,56 @@ case class ArraySumLong(child: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
   override def prettyName: String = "graft_array_sum"
+}
+
+/** Per-block value histogram: `array<struct<value:int, cnt:long>>` of the
+  * distinct non-nodata sample values in an int pixel block, ascending by
+  * value. The per-pixel loop runs inside `eval` as compiled Scala;
+  * complex-typed construction stays interpreted ([[CodegenFallback]]) —
+  * one call per block row, so the row-dispatch overhead is O(blocks),
+  * not O(pixels), and the surrounding stage keeps codegen.
+  */
+case class ValueHistogram(child: Expression, nodata: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(child, nodata)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", IntegerType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable || nodata.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    val nd = nodata.eval(input)
+    if (a == null || nd == null) return null
+    val arr = a.asInstanceOf[ArrayData]
+    val skip = nd.asInstanceOf[Int]
+    val n = arr.numElements()
+    val counts = new java.util.TreeMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val v = arr.getInt(i)
+      if (v != skip) {
+        val prev = counts.get(v)
+        counts.put(v, if (prev == null) 1L else prev.longValue() + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(e.getKey.intValue(), e.getValue.longValue())
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), nodata = newChildren(1))
+  override def prettyName: String = "graft_value_histogram"
 }
 
 /** P9 cross-band repair kernel: `qa==qaNodata → qa`, else any band sample

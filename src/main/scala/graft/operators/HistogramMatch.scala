@@ -79,6 +79,12 @@ object HistogramMatch {
     * (groupCols..., value) — the reference CDF is built once per group and
     * bracket-joined against all scene CDFs in a single sort-merge pass.
     *
+    * Inputs may carry a pre-aggregated weight column `cnt` (one row per
+    * distinct value with its occurrence count) — the CDFs then sum the
+    * weights instead of counting rows, so callers can collapse O(pixels)
+    * to O(distinct values) BEFORE this shuffle (see
+    * [[graft.cube.CubeBuilder.histogramMatchScenes]]).
+    *
     * Returns (groupCols..., sceneCol, value, matched).
     */
   def matchToReference(src: DataFrame, ref: DataFrame,
@@ -87,10 +93,12 @@ object HistogramMatch {
     val spark = src.sparkSession
     import spark.implicits._
     val g = groupCols.map(col)
+    def cntAgg(df: DataFrame): Column =
+      if (df.columns.contains("cnt")) sum(col("cnt")) else count(lit(1))
 
     val srcCdf = {
       val counts = src.groupBy((g :+ col(sceneCol) :+ col(valueCol)): _*)
-        .agg(count(lit(1)).as("cnt"))
+        .agg(cntAgg(src).as("cnt"))
       val w = Window.partitionBy((g :+ col(sceneCol)): _*).orderBy(col(valueCol))
       val tot = Window.partitionBy((g :+ col(sceneCol)): _*)
       counts.select((g :+ col(sceneCol) :+ col(valueCol).as("v") :+
@@ -99,7 +107,7 @@ object HistogramMatch {
     }
     val refCdf = {
       val counts = ref.groupBy((g :+ col(valueCol)): _*)
-        .agg(count(lit(1)).as("cnt"))
+        .agg(cntAgg(ref).as("cnt"))
       val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
       val tot = Window.partitionBy(g: _*)
       counts.select((g :+ col(valueCol).as("v") :+

@@ -137,27 +137,43 @@ object Pipeline {
     // components have tiny diameters (they're quasi-cliques), so rounds
     // ≈ 3-5 even at corpus scale; the 100 TB upgrade path is
     // alternating large-star/small-star (Kiveris et al.), same join
-    // shape per round. The oracle walks the same edges with a recursive
-    // CTE.
+    // shape per round. Convergence detection rides the SAME job as the
+    // propagation: an `observe` metric counts changed labels while the
+    // checkpoint materializes, so each round is one job, not two. The
+    // oracle walks the same edges with a recursive CTE.
     "d_dedup_clusters" -> ((s, d) => {
       import s.implicits._
       val pairs = minhashCandidatePairs(s, d).localCheckpoint()
       val sym = pairs.select($"id1".as("a"), $"id2".as("b"))
         .unionAll(pairs.select($"id2".as("a"), $"id1".as("b")))
-      var labels = documents(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      var labels = documents(s, d)
+        .select($"doc_id", $"doc_id".as("lbl"), lit(false).as("changed"))
         .localCheckpoint()
       var converged = false
       var rounds = 0
       while (!converged && rounds < 25) {
         val neigh = sym.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
           .groupBy($"a").agg(min($"nl").as("minn"))
+        val newLbl = least($"lbl", coalesce($"minn", $"lbl"))
+        val obs = org.apache.spark.sql.Observation()
         val next = labels
           .join(neigh.select($"a".as("doc_id"), $"minn"), Seq("doc_id"), "left")
-          .select($"doc_id",
-            least($"lbl", coalesce($"minn", $"lbl")).as("lbl"))
+          .select($"doc_id", newLbl.as("nl"), (newLbl =!= $"lbl").as("changed"))
+          .observe(obs, sum(when($"changed", 1L).otherwise(0L)).as("changed_labels"))
+          .withColumnRenamed("nl", "lbl")
           .localCheckpoint()
-        converged = next.join(labels.select($"doc_id", $"lbl".as("old")), "doc_id")
-          .filter($"lbl" =!= $"old").isEmpty
+        // the checkpoint above already ran the job; the metric arrives with
+        // its QueryExecution listener — wait briefly, and if the listener
+        // races, fall back to a cheap scan of the materialized checkpoint
+        // (never a join recompute)
+        converged =
+          try scala.concurrent.Await
+            .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
+            .getAs[Long]("changed_labels") == 0L
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              next.filter($"changed").isEmpty
+          }
         labels = next
         rounds += 1
       }

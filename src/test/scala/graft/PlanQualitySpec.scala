@@ -129,4 +129,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       s"unused document columns must be pruned: $readSchema")
   }
+
+  test("observe metric is delivered by the localCheckpoint action") {
+    // d_dedup_clusters' one-job-per-round convergence check depends on
+    // localCheckpoint running through withAction so the Observation
+    // listener fires; pin that here so the 5 s fallback path can never
+    // silently become the norm.
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    Seq(1L, 2L, 3L).toDF("v")
+      .observe(obs, org.apache.spark.sql.functions.sum($"v").as("s"))
+      .localCheckpoint()
+    val row = scala.concurrent.Await
+      .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
+    assert(row.getAs[Long]("s") == 6L)
+  }
+
+  test("t10 histogram match: blocks collapse to value histograms pre-shuffle") {
+    import spark.implicits._
+    def block(date: String, px: Array[Int]) =
+      ("c1", "t1", java.sql.Date.valueOf(date), "B04", 0, 0, 2, 2,
+        0.0, 20.0, 10.0, 10.0, -9999, px)
+    val merged = Seq(
+      block("2020-01-10", Array(10, 20, 30, 40)),
+      block("2020-01-05", Array(110, 120, 130, 140)))
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX",
+        "height", "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    val matched = graft.cube.CubeBuilder.histogramMatchScenes(
+      merged, org.apache.spark.sql.functions.dayofyear($"date").cast("double"),
+      "QA")
+    val plan = matched.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_value_histogram"),
+      s"CDF input must be per-block value histograms:\n$plan")
+    // the only Generate allowed is over the histogram, never raw pixels
+    plan.linesIterator.filter(_.contains("Generate explode")).foreach { l =>
+      assert(l.contains("graft_value_histogram"),
+        s"pixel explode must not precede the shuffle: $l")
+    }
+  }
 }

@@ -68,20 +68,59 @@ object Availability {
     * partition. The probe is the only non-relational step; everything
     * upstream (pushdown, pruning) and downstream (the audit aggregation)
     * stays in Catalyst.
+    *
+    * HEAD probes are latency-bound, not CPU-bound, so each task keeps up
+    * to `concurrency` requests in flight on a bounded per-partition pool
+    * (the reference hides the same latency with a cpu_count thread pool,
+    * `utils/image.py:107-117`, `config.py:83`). Rows are emitted in input
+    * order — batches are submitted together and collected in order — so
+    * results stay deterministic.
     */
   def probe(df: DataFrame, urlCol: String = "link",
-            apiKey: Option[String] = None): DataFrame = {
+            apiKey: Option[String] = None,
+            concurrency: Int = 8): DataFrame = {
     val urlIdx = df.schema.fieldIndex(urlCol)
     val outSchema = df.schema
       .add("ok", BooleanType, nullable = false)
       .add("status", IntegerType, nullable = false)
       .add("error", StringType, nullable = true)
     df.mapPartitions { rows =>
-      rows.map { r =>
-        val p = probeUrl(r.getString(urlIdx), apiKey)
-        Row.fromSeq(r.toSeq ++ Seq(p.ok, p.status, p.error.orNull))
-      }
+      probeRows(rows, urlIdx, apiKey, concurrency)
     }(Encoders.row(outSchema))
+  }
+
+  /** Per-partition kernel behind [[probe]] (factored out for direct unit
+    * testing of the latency batching). Probes at most `concurrency` URLs
+    * concurrently; preserves input order.
+    */
+  private[graft] def probeRows(rows: Iterator[Row], urlIdx: Int,
+                               apiKey: Option[String],
+                               concurrency: Int): Iterator[Row] = {
+    def out(r: Row, p: Probe): Row =
+      Row.fromSeq(r.toSeq ++ Seq(p.ok, p.status, p.error.orNull))
+    if (concurrency <= 1) rows.map(r => out(r, probeUrl(r.getString(urlIdx), apiKey)))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+      val it = rows.grouped(concurrency * 4).flatMap { batch =>
+        batch.map { r =>
+          pool.submit(new java.util.concurrent.Callable[Row] {
+            override def call(): Row = out(r, probeUrl(r.getString(urlIdx), apiKey))
+          })
+        }.map(_.get())
+      }
+      // eagerly shut the pool once drained (task listener is the backstop
+      // for partial consumption, e.g. under LIMIT)
+      new Iterator[Row] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) pool.shutdown()
+          h
+        }
+        override def next(): Row = it.next()
+      }
+    }
   }
 
   /** Per-date merge audit over probed assets (`validate_merges` output

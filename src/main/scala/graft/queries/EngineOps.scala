@@ -70,15 +70,9 @@ object EngineOps {
       val assets = orders(s, d).filter($"o_custkey" <= 3)
         .select(to_date($"o_orderdate").as("date"))
       val empty = graft.sources.Stac.emptyPeriods(periods, assets)
-      val emptyStarts = empty.select($"p_start").as[java.sql.Date]
-        .collect().sortBy(_.toString)
-      if (emptyStarts.isEmpty)
-        Seq.empty[(String, Long, Long)].toDF("p_start", "blocks", "nodata_n")
-      else emptyStarts.map(ps =>
-        graft.raster.Raster.emptyRaster(s, "c", "t1", ps, "B1",
+      graft.raster.Raster.emptyRasters(empty, "p_start", "c", "t1", "B1",
           tileWidthPx = 48, tileHeightPx = 48, xmin = 0.0, ymax = 4800.0,
-          res = 100.0, nodata = Nodata, blockSize = 32))
-        .reduce(_ unionByName _)
+          res = 100.0, nodata = Nodata, blockSize = 32)
         .groupBy($"date")
         .agg(count(lit(1)).as("blocks"),
           sum(PixelExpressions.countInList($"pixels", Seq(Nodata.toLong)))

@@ -93,6 +93,33 @@ object Raster {
         array_repeat(lit(nodata), $"height" * $"width").as("pixels"))
   }
 
+  /** S10 over a PERIODS DataFrame: one all-nodata band per input date,
+    * generated as a broadcast cross-join against the (tiny) block grid —
+    * the production M6 route. No driver-side collect: at scale the empty
+    * periods are themselves a DataFrame (anti-join output) and stay one.
+    */
+  def emptyRasters(periods: DataFrame, dateCol: String,
+                   cube: String, tileId: String, band: String,
+                   tileWidthPx: Int, tileHeightPx: Int,
+                   xmin: Double, ymax: Double, res: Double, nodata: Int,
+                   blockSize: Int = DefaultBlockSize): DataFrame = {
+    val spark = periods.sparkSession
+    import spark.implicits._
+    val windows = blockWindows(tileWidthPx, tileHeightPx, blockSize)
+      .toDF("blockY", "blockX", "height", "width")
+    periods.select(col(dateCol).cast("date").as("date"))
+      .crossJoin(broadcast(windows))
+      .select(
+        lit(cube).as("cube"), lit(tileId).as("tileId"), $"date",
+        lit(band).as("band"),
+        $"blockY", $"blockX", $"height", $"width",
+        (lit(xmin) + $"blockX" * blockSize * res).as("x0"),
+        (lit(ymax) - $"blockY" * blockSize * res).as("y0"),
+        lit(res).as("resX"), lit(res).as("resY"),
+        lit(nodata).as("nodata"),
+        array_repeat(lit(nodata), $"height" * $"width").as("pixels"))
+  }
+
   /** Build an in-memory block DataFrame from dense test arrays
     * (row-major, one entry per (date, band)). Test/fixture helper.
     */

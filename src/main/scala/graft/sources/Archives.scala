@@ -95,14 +95,26 @@ object Archives {
     name => name.matches(s".*_$band\\.(TIF|tif)$$")
 
   /** Thrown when band routing lands on a JPEG-2000 member: this engine
-    * ships no JP2 codec (the reference decodes JP2 through rasterio/GDAL,
-    * `drivers/sentinel/sentinel2.py:44-111`). Typed and loud — never
-    * silent nodata, never an untyped "not a TIFF" downstream.
+    * ships no JP2 entropy decoder (the reference decodes JP2 through
+    * rasterio/GDAL, `drivers/sentinel/sentinel2.py:44-111`). Typed and
+    * loud — never silent nodata, never an untyped "not a TIFF"
+    * downstream — and as precise as the public container format allows:
+    * the ISO 15444-1 ihdr/SIZ geometry (see [[jp2Meta]]) names the band
+    * and raster dimensions in the message.
     */
-  final case class Jp2UnsupportedException(member: String)
-      extends UnsupportedOperationException(
-        s"JPEG-2000 member '$member' has no decoder in this engine; " +
-        "re-package the scene as GeoTIFF/COG (the reference reads JP2 via GDAL)")
+  final case class Jp2UnsupportedException(member: String, band: String = "",
+      geometry: Option[(Int, Int, Int)] = None)
+      extends UnsupportedOperationException({
+        val what = geometry match {
+          case Some((w, h, nc)) => s"($w x $h px, $nc component(s))"
+          case None => "(geometry unreadable)"
+        }
+        val forBand = if (band.isEmpty) "" else s" for band $band"
+        s"JPEG-2000 member '$member' $what$forBand has no decoder in this " +
+        "engine; add a GeoTIFF sidecar with the same basename (.tif) to " +
+        "the archive, or re-package the scene as GeoTIFF/COG (the " +
+        "reference reads JP2 via GDAL)"
+      })
 
   /** JP2 sniff: JP2 signature box or a raw JPEG-2000 codestream. */
   def isJp2(payload: Array[Byte]): Boolean =
@@ -113,16 +125,75 @@ object Archives {
       (payload(1) & 0xff) == 0x4f && (payload(2) & 0xff) == 0xff &&
       (payload(3) & 0xff) == 0x51)
 
+  /** JP2 metadata decode — (width, height, components) from the PUBLIC
+    * container structures of ISO/IEC 15444-1, no entropy decoding:
+    * either the `jp2h`/`ihdr` box of a JP2 file (Annex I: height, width
+    * as big-endian u32, component count u16), or the SIZ marker segment
+    * of a raw codestream (Annex A.5.1: width = Xsiz-XOsiz,
+    * height = Ysiz-YOsiz, components = Csiz). Lets S4 report scene
+    * geometry and fail precisely even though the payload stays undecoded.
+    */
+  def jp2Meta(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def be16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    def be32(o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    if (!isJp2(p)) None
+    else if ((p(0) & 0xff) == 0xff) {
+      // raw codestream: SOC(2) SIZ(2) Lsiz(2) Rsiz(2) Xsiz Ysiz XOsiz
+      // YOsiz ... Csiz at offset 40
+      if (p.length < 42) None
+      else Some((be32(8) - be32(16), be32(12) - be32(20), be16(40)))
+    } else {
+      // box walk: find jp2h superbox, then its ihdr child
+      def findBox(tpe: String, from: Int, until: Int): Option[(Int, Int)] = {
+        var off = from
+        while (off + 8 <= until) {
+          val lbox = be32(off)
+          val id = new String(p, off + 4, 4, "ISO-8859-1")
+          // LBox 0 = "to end of file"; 1 = 64-bit XLBox (never needed for
+          // the small header boxes this walks, but skip correctly)
+          val (body, end) =
+            if (lbox == 0) (off + 8, until)
+            else if (lbox == 1) {
+              if (off + 16 > until) return None
+              val xl = be32(off + 12) // low 32 bits; headers are tiny
+              (off + 16, off + xl)
+            } else (off + 8, off + lbox)
+          if (end > until || end <= off) return None
+          if (id == tpe) return Some((body, end))
+          off = end
+        }
+        None
+      }
+      findBox("jp2h", 0, p.length).flatMap { case (from, until) =>
+        findBox("ihdr", from, until).collect {
+          case (b, e) if e - b >= 10 => (be32(b + 4), be32(b), be16(b + 8))
+        }
+      }
+    }
+  }
+
   /** S3/S4/S5 unified open: route by format, extract the band payload.
+    * For SAFE archives carrying JP2 band rasters, a GeoTIFF sidecar
+    * member with the same band suffix (`..._B04.tif`) is preferred when
+    * present — the documented ingest path for pre-converted archives.
     * @throws Jp2UnsupportedException when the routed member is JPEG-2000
+    *         and no sidecar exists (message carries band + ihdr geometry)
     */
   def openBand(payload: Array[Byte], band: String): Option[Array[Byte]] =
     detect(payload) match {
       case TiffFormat => Some(payload)
       case ZipFormat =>
-        zipMemberWithName(payload, safeBandSelector(band)).map {
+        val select = safeBandSelector(band)
+        val names = zipMembers(payload).filter(select)
+        val chosen = names.find(n => n.toLowerCase.endsWith(".tif") ||
+            n.toLowerCase.endsWith(".tiff"))
+          .orElse(names.headOption)
+        chosen.flatMap(n => zipMemberWithName(payload, _ == n)).map {
           case (name, bytes) =>
-            if (isJp2(bytes)) throw Jp2UnsupportedException(name)
+            if (isJp2(bytes))
+              throw Jp2UnsupportedException(name, band, jp2Meta(bytes))
             bytes
         }
       case TarFormat  => tarMember(payload, landsatBandSelector(band))

@@ -392,9 +392,79 @@ object EngineOps {
           sum(PixelExpressions.arraySumLong($"pixels")).as("px_sum"),
           min($"nodata").as("nodata"))
       integrity.join(decoded, Seq("band")).orderBy($"band")
+    }),
+
+    // End-to-end CubeRun gate: scan → decode → merge → composite →
+    // publish → ledger over a deterministic synthetic scene directory,
+    // run TWICE — the second run must plan 0 units (the idempotence
+    // invariant, reference `tasks.py:126-182`). Each period holds one
+    // scene, so the LCF composite equals the scene and the oracle
+    // recomputes the block pixel sums in closed form.
+    "e2e_cube_run" -> ((s, d) => {
+      import s.implicits._
+      val sceneDir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_e2e_out").toString
+      val w = 32; val h = 32
+      for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+           band <- Seq("B04", "B8A", "QA")) {
+        val isQa = band == "QA"
+        val px = Array.tabulate(w * h)(i =>
+          if (isQa) (if ((i + seed) % 5 == 0) 4 else 0)
+          else 100 + (i * 7 + seed * 13) % 900)
+        val bytes = graft.sources.GeoTiff.write(px, w, h, tileSize = 32,
+          originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+          nodata = if (isQa) 255 else Nodata)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(sceneDir, s"S_T9_${date}_$band.tif"), bytes)
+      }
+      val coll = Collection(
+        name = "e2e", version = 1, grid = "G", compositeFunction = "LCF",
+        temporalSchema = "Continuous", temporalUnit = "day", temporalStep = 16,
+        bands = Seq(
+          Band("B04", "red", "int16", Nodata),
+          Band("B8A", "nir", "int16", Nodata),
+          Band("QA", "quality", "uint8", 255)),
+        qualityBand = "QA")
+      val runMask = MaskDef(clearData = Seq(0L, 1L),
+        notClearData = Seq(2L, 3L, 4L), nodata = 255L)
+      def go() = graft.cube.CubeRun.run(s, coll, runMask, sceneDir, outDir,
+        "t9", LocalDate.of(2020, 1, 1), LocalDate.of(2020, 1, 31),
+        blockSize = 32)
+      val r1 = go()
+      val r2 = go()
+      val blocks = s.read.parquet(s"$outDir/blocks")
+      def scalar(name: String, df: DataFrame, agg: org.apache.spark.sql.Column) =
+        df.agg(agg.cast("long").as("value")).select(lit(name).as("metric"), $"value")
+      Seq(("planned_run1", r1.planned), ("planned_run2", r2.planned))
+        .toDF("metric", "value")
+        .unionByName(scalar("items", s.read.parquet(s"$outDir/items"), count(lit(1))))
+        .unionByName(scalar("ledger_success", s.read.parquet(s"$outDir/ledger")
+          .filter($"status" === Ledger.StatusSuccess), count(lit(1))))
+        .unionByName(scalar("blocks_n", blocks, count(lit(1))))
+        .unionByName(blocks
+          .groupBy(concat(lit("sum_"), $"band", lit("_"), $"p_start").as("metric"))
+          .agg(sum(PixelExpressions.arraySumLong($"value")).cast("long").as("value")))
+        .orderBy($"metric")
     }))
 
   val oracles: Map[String, String] = Map(
+    "e2e_cube_run" ->
+      """WITH s1 AS (SELECT sum(100 + (i*7 + 13) % 900) AS v
+           FROM range(0, 1024) t(i)),
+         s2 AS (SELECT sum(100 + (i*7 + 26) % 900) AS v
+           FROM range(0, 1024) t(i)),
+         m AS (
+           SELECT 'planned_run1' AS metric, 6::BIGINT AS value UNION ALL
+           SELECT 'planned_run2', 0 UNION ALL
+           SELECT 'items', 2 UNION ALL
+           SELECT 'ledger_success', 6 UNION ALL
+           SELECT 'blocks_n', 4 UNION ALL
+           SELECT 'sum_B04_2020-01-01', (SELECT v FROM s1) UNION ALL
+           SELECT 'sum_B8A_2020-01-01', (SELECT v FROM s1) UNION ALL
+           SELECT 'sum_B04_2020-01-17', (SELECT v FROM s2) UNION ALL
+           SELECT 'sum_B8A_2020-01-17', (SELECT v FROM s2))
+         SELECT metric, CAST(value AS BIGINT) AS value FROM m
+         ORDER BY metric""",
     "t9_valid_range" ->
       s"""WITH px AS (${CubeOps.pixelModelSql})
          SELECT l_orderkey,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Components
+
+/** Large-star/small-star connected components: equivalence with a
+  * driver-side union-find oracle on seeded random graphs of several
+  * shapes (sparse, chain-heavy, clique-heavy).
+  */
+class ComponentsSpec extends SparkSpec {
+
+  /** Driver-side union-find over the same edges. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n.toLong.toInt)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min vertex per component
+    val minOf = scala.collection.mutable.Map.empty[Int, Long]
+    (0 until n).foreach { v =>
+      val r = find(v)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), v.toLong)
+    }
+    (0 until n).map(v => v.toLong -> minOf(find(v))).toMap
+  }
+
+  private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val want = unionFind(n, edges)
+    val got = Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only vertices with at least one edge appear in the result
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got.keySet == touched)
+    touched.foreach { v =>
+      assert(got(v) == want(v), s"vertex $v: got ${got(v)} want ${want(v)}")
+    }
+  }
+
+  test("random sparse graph matches union-find") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    check(n, edges)
+  }
+
+  test("long chains (worst case for propagation) match union-find") {
+    // two chains of 50 plus a ring of 30
+    val chain1 = (0L until 49L).map(i => (i, i + 1))
+    val chain2 = (60L until 109L).map(i => (i, i + 1))
+    val ring = (120L until 149L).map(i => (i, i + 1)) :+ (149L, 120L)
+    check(150, chain1 ++ chain2 ++ ring)
+  }
+
+  test("clique-heavy graph (near-dup shape) matches union-find") {
+    val rnd = new scala.util.Random(7)
+    val cliques = (0 until 6).flatMap { c =>
+      val base = c * 20L
+      val ids = (0 until 8).map(i => base + rnd.nextInt(15))
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    check(120, cliques)
+  }
+
+  test("agrees with the min-label propagation used by d_dedup_clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 80
+    val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val want = unionFind(n, edges)
+    val got = Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (v, c) => assert(want(v) == c) }
+  }
+
+  test("empty and single-edge graphs") {
+    import spark.implicits._
+    assert(Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    val one = Components.connectedComponents(Seq((5L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(5L -> 2L, 2L -> 2L))
+  }
+}

@@ -108,13 +108,94 @@ object Grid {
     }
   }
 
-  /** Reference projections by name ("aea" | "sinu" | "longlat"). */
+  /** Ellipsoidal Transverse Mercator (Snyder 8-9..8-17 forward,
+    * 8-18..8-25 inverse with the 3-26 footpoint-latitude series) — the
+    * projection of every UTM zone, i.e. of Sentinel-2's native MGRS
+    * tiling. WGS84 by default; `a`/`invF` are parameters so historic
+    * datums (Clarke 1866 etc.) project too.
+    */
+  final case class TransverseMercator(lon0Deg: Double, k0: Double = 0.9996,
+                                      x0: Double = 500000.0, y0: Double = 0.0,
+                                      a: Double = 6378137.0,
+                                      invF: Double = 298.257223563 /* WGS84 */)
+      extends Projection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val ep2 = e2 / (1 - e2)
+    private val lam0 = math.toRadians(lon0Deg)
+
+    /** Meridional arc M(φ), Snyder 3-21. */
+    private def arc(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val sinP = math.sin(phi); val cosP = math.cos(phi)
+      val bigN = a / math.sqrt(1 - e2 * sinP * sinP)
+      val t = (sinP / cosP) * (sinP / cosP)
+      val c = ep2 * cosP * cosP
+      val bigA = cosP * (lam - lam0)
+      val x = k0 * bigN * (bigA + (1 - t + c) * bigA * bigA * bigA / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * ep2) *
+          math.pow(bigA, 5) / 120)
+      val y = k0 * (arc(phi) + bigN * (sinP / cosP) * (bigA * bigA / 2 +
+        (5 - t + 9 * c + 4 * c * c) * math.pow(bigA, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * ep2) *
+          math.pow(bigA, 6) / 720))
+      (x0 + x, y0 + y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val bigM = (y - y0) / k0
+      val mu = bigM / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val phi1 = mu +
+        (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sin1 = math.sin(phi1); val cos1 = math.cos(phi1)
+      val c1 = ep2 * cos1 * cos1
+      val t1 = (sin1 / cos1) * (sin1 / cos1)
+      val n1 = a / math.sqrt(1 - e2 * sin1 * sin1)
+      val r1 = a * (1 - e2) / math.pow(1 - e2 * sin1 * sin1, 1.5)
+      val d = (x - x0) / (n1 * k0)
+      val phi = phi1 - (n1 * (sin1 / cos1) / r1) * (d * d / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
+          math.pow(d, 6) / 720)
+      val lam = lam0 + (d - (1 + 2 * t1 + c1) * d * d * d / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
+          math.pow(d, 5) / 120) / cos1
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** UTM zone (1-60), northern or southern variant, on WGS84. */
+  def utm(zone: Int, south: Boolean): Projection = {
+    require(zone >= 1 && zone <= 60, s"UTM zone out of range: $zone")
+    TransverseMercator(lon0Deg = zone * 6.0 - 183.0,
+      y0 = if (south) 10000000.0 else 0.0)
+  }
+
+  private val UtmName = "utm([0-9]{1,2})([ns])".r
+
+  /** Reference projections by name ("aea" | "sinu" | "longlat"), plus
+    * "tmerc" (central meridian = `meridian`) and "utm<zone><n|s>"
+    * (e.g. "utm23s") for Sentinel-2's native UTM grids.
+    */
   def projectionFor(name: String, meridian: Double): Projection = name match {
     case "aea" =>
       AlbersEqualArea(lon0Deg = meridian, lat0Deg = -12, lat1Deg = -2, lat2Deg = -22,
         x0 = 5000000, y0 = 10000000)
     case "sinu" => Sinusoidal(meridian)
     case "longlat" => LongLat
+    case "tmerc" => TransverseMercator(lon0Deg = meridian)
+    case UtmName(zone, hemi) => utm(zone.toInt, hemi == "s")
     case other => throw new IllegalArgumentException(s"unsupported projection: $other")
   }
 

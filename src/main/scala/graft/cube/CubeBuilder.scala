@@ -252,6 +252,22 @@ object CubeBuilder {
     * applied to the pixel arrays with a codegen'd `transform` — no
     * explode/regroup of pixel payloads.
     */
+  /** Per-block value→count histograms of `(tileId, band, date, pixels,
+    * nodata)` rows: the T10 shuffle reducer. The explode emits
+    * ≤ |distinct sample values| rows per block (int16 imagery ⇒ ≤65k)
+    * instead of O(pixels) — at the reference's 10560² tile that is ~3
+    * orders of magnitude less data into the shuffle.
+    */
+  private[graft] def blockValueHistograms(spectral: DataFrame): DataFrame = {
+    val spark = spectral.sparkSession
+    import spark.implicits._
+    spectral
+      .select($"tileId", $"band", $"date",
+        explode(PixelExpressions.valueHistogram($"pixels", $"nodata")).as("vc"))
+      .select($"tileId", $"band", $"date",
+        $"vc.value".as("value"), $"vc.cnt".as("cnt"))
+  }
+
   def histogramMatchScenes(merged: DataFrame, priority: Column,
                            qualityBand: String): DataFrame = {
     val spark = merged.sparkSession
@@ -262,15 +278,13 @@ object CubeBuilder {
     val refDates = spectral.groupBy($"tileId", $"band")
       .agg(max_by($"date", $"prio").as("refDate"))
 
-    // Collapse each block to its value histogram BEFORE anything widens:
-    // the explode emits ≤ |distinct sample values| rows per block (int16
-    // imagery ⇒ ≤65k) instead of O(pixels) — at the reference's 10560²
-    // tile that is ~3 orders of magnitude less data into the shuffle.
-    val hist = spectral
-      .select($"tileId", $"band", $"date",
-        explode(PixelExpressions.valueHistogram($"pixels", $"nodata")).as("vc"))
-      .select($"tileId", $"band", $"date",
-        $"vc.value".as("value"), $"vc.cnt".as("cnt"))
+    // Collapse each block to its value histogram BEFORE anything widens
+    // (see [[blockValueHistograms]]), then materialize the collapsed
+    // result ONCE: the src and ref CDF branches below would otherwise
+    // each recompute the histogram subtree — i.e. scan the pixel blocks
+    // twice. The checkpointed histogram is ~3 orders of magnitude
+    // smaller than the pixels, so this is cheap insurance.
+    val hist = blockValueHistograms(spectral).localCheckpoint()
     val withRef = hist.join(broadcast(refDates), Seq("tileId", "band"))
     val src = withRef.filter($"date" =!= $"refDate")
       .select($"tileId", $"band", $"date", $"value", $"cnt")

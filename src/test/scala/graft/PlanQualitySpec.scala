@@ -155,16 +155,24 @@ class PlanQualitySpec extends SparkSpec {
       block("2020-01-05", Array(110, 120, 130, 140)))
       .toDF("cube", "tileId", "date", "band", "blockY", "blockX",
         "height", "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
-    val matched = graft.cube.CubeBuilder.histogramMatchScenes(
-      merged, org.apache.spark.sql.functions.dayofyear($"date").cast("double"),
-      "QA")
-    val plan = matched.queryExecution.optimizedPlan.toString
-    assert(plan.contains("graft_value_histogram"),
-      s"CDF input must be per-block value histograms:\n$plan")
-    // the only Generate allowed is over the histogram, never raw pixels
-    plan.linesIterator.filter(_.contains("Generate explode")).foreach { l =>
+    // the histogram stage: per-block collapse, explode only over the
+    // histogram struct array, never raw pixels
+    val hist = graft.cube.CubeBuilder.blockValueHistograms(merged)
+    val hplan = hist.queryExecution.optimizedPlan.toString
+    assert(hplan.contains("graft_value_histogram"),
+      s"CDF input must be per-block value histograms:\n$hplan")
+    hplan.linesIterator.filter(_.contains("Generate explode")).foreach { l =>
       assert(l.contains("graft_value_histogram"),
         s"pixel explode must not precede the shuffle: $l")
     }
+    // the full operator materializes that histogram ONCE (localCheckpoint)
+    // — the src/ref CDF branches must not re-scan the pixel blocks, so
+    // the histogram expression never appears in the downstream plan
+    val matched = graft.cube.CubeBuilder.histogramMatchScenes(
+      merged, org.apache.spark.sql.functions.dayofyear($"date").cast("double"),
+      "QA")
+    val plan = matched.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_value_histogram"),
+      s"histogram subtree must be checkpointed, not recomputed per branch:\n$plan")
   }
 }

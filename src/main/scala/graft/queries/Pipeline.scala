@@ -184,6 +184,26 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Near-dup clusters via the SCALE path: alternating large-star /
+    // small-star contraction (operators.Components) over the same
+    // MinHash candidate pairs — O(log² n) rounds on any graph shape.
+    // Same recursive-CTE oracle as d_dedup_clusters: both paths must
+    // produce identical components.
+    "d_dedup_clusters_star" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = minhashCandidatePairs(s, d)
+      val comp = graft.operators.Components.connectedComponents(
+        pairs.select($"id1".as("src"), $"id2".as("dst")))
+        .withColumnRenamed("vertex", "doc_id")
+      documents(s, d).select($"doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"))
+        .withColumn("members",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")))
+        .orderBy($"doc_id")
+    }),
+
     // n-gram (word-set) Jaccard similarity over a bounded pair set
     "d_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
@@ -595,6 +615,21 @@ object Pipeline {
          $minhashPairSelectSql
          ORDER BY id1, id2""",
     "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pr AS ($minhashPairSelectSql),
+         sym AS (SELECT id1 AS a, id2 AS b FROM pr
+           UNION ALL SELECT id2, id1 FROM pr),
+         reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.doc_id = s.b),
+         cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+         SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS members
+         FROM cl ORDER BY doc_id""",
+    // identical components regardless of algorithm: the star-contraction
+    // path is gated against the SAME recursive-CTE walk
+    "d_dedup_clusters_star" ->
       s"""WITH RECURSIVE $minhashCtesSql,
          pr AS ($minhashPairSelectSql),
          sym AS (SELECT id1 AS a, id2 AS b FROM pr

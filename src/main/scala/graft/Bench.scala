@@ -6,11 +6,21 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, forcing full materialization through the noop
   * sink (a bare `count()` would let Catalyst prune aggregates), and prints
   * one JSON line with per-query wall times.
+  *
+  * Each query is timed over `SPARK_GRAFT_BENCH_PASSES` (default 2) full
+  * sweeps of the suite and the per-query MINIMUM is reported. On a shared
+  * box a single pass is hostage to CPU contention from co-tenants — a
+  * 1-second query can read 30x its clean time if a noisy-neighbor burst
+  * lands on it. The passes are separated in time (whole-suite sweeps, not
+  * back-to-back repeats), so a burst that poisons a query in one sweep
+  * rarely poisons the same query in the other; min-of-sweeps converges on
+  * the code's actual cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -26,20 +36,26 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweeps = (1 to passes).map { pass =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> sweeps.map(_(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

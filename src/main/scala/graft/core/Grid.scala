@@ -34,9 +34,9 @@ object Grid {
     def inverse(x: Double, y: Double): (Double, Double) = (x, y)
   }
 
-  /** Spherical sinusoidal, R = 6371007.181 (MODIS sphere). */
-  final case class Sinusoidal(lon0Deg: Double, x0: Double = 0, y0: Double = 0) extends Projection {
-    private val R = 6371007.181
+  /** Spherical sinusoidal, R = 6371007.181 (MODIS sphere) by default. */
+  final case class Sinusoidal(lon0Deg: Double, x0: Double = 0, y0: Double = 0,
+                              R: Double = 6371007.181) extends Projection {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val lam = math.toRadians(lonDeg - lon0Deg)
       val phi = math.toRadians(latDeg)
@@ -117,7 +117,8 @@ object Grid {
   final case class TransverseMercator(lon0Deg: Double, k0: Double = 0.9996,
                                       x0: Double = 500000.0, y0: Double = 0.0,
                                       a: Double = 6378137.0,
-                                      invF: Double = 298.257223563 /* WGS84 */)
+                                      invF: Double = 298.257223563, /* WGS84 */
+                                      lat0Deg: Double = 0.0)
       extends Projection {
     private val f = 1.0 / invF
     private val e2 = f * (2 - f)
@@ -131,6 +132,9 @@ object Grid {
         + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
         - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
 
+    /** Arc at the latitude of origin (Snyder 8-13: y measures from φ0). */
+    private val m0 = arc(math.toRadians(lat0Deg))
+
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
       val lam = math.toRadians(lonDeg)
@@ -142,7 +146,7 @@ object Grid {
       val x = k0 * bigN * (bigA + (1 - t + c) * bigA * bigA * bigA / 6 +
         (5 - 18 * t + t * t + 72 * c - 58 * ep2) *
           math.pow(bigA, 5) / 120)
-      val y = k0 * (arc(phi) + bigN * (sinP / cosP) * (bigA * bigA / 2 +
+      val y = k0 * (arc(phi) - m0 + bigN * (sinP / cosP) * (bigA * bigA / 2 +
         (5 - t + 9 * c + 4 * c * c) * math.pow(bigA, 4) / 24 +
         (61 - 58 * t + t * t + 600 * c - 330 * ep2) *
           math.pow(bigA, 6) / 720))
@@ -150,7 +154,7 @@ object Grid {
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val bigM = (y - y0) / k0
+      val bigM = m0 + (y - y0) / k0
       val mu = bigM / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
       val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
       val phi1 = mu +
@@ -175,6 +179,45 @@ object Grid {
     }
   }
 
+  /** Mercator (Snyder 7-7..7-10); `invF = Infinity` gives the spherical
+    * form, which with a = 6378137 is Web Mercator (EPSG:3857). Inverse
+    * latitude by fixed-point iteration on Snyder 7-9 (converges in ≤5
+    * rounds at double precision).
+    */
+  final case class Mercator(lon0Deg: Double, k0: Double = 1.0,
+                            x0: Double = 0.0, y0: Double = 0.0,
+                            a: Double = 6378137.0,
+                            invF: Double = Double.PositiveInfinity)
+      extends Projection {
+    private val f = if (invF.isInfinity) 0.0 else 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    private val lam0 = math.toRadians(lon0Deg)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val esin = e * math.sin(phi)
+      val y = a * k0 * math.log(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - esin) / (1 + esin), e / 2))
+      (x0 + a * k0 * (lam - lam0), y0 + y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-(y - y0) / (a * k0))
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        val esin = e * math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        if (math.abs(next - phi) < 1e-12) i = 8 else i += 1
+        phi = next
+      }
+      (math.toDegrees(lam0 + (x - x0) / (a * k0)), math.toDegrees(phi))
+    }
+  }
+
   /** UTM zone (1-60), northern or southern variant, on WGS84. */
   def utm(zone: Int, south: Boolean): Projection = {
     require(zone >= 1 && zone <= 60, s"UTM zone out of range: $zone")
@@ -184,11 +227,108 @@ object Grid {
 
   private val UtmName = "utm([0-9]{1,2})([ns])".r
 
+  /** Named reference ellipsoids: (semi-major a, inverse flattening rf).
+    * `rf = Infinity` marks a sphere. Values are the standard published
+    * constants (EPSG / Snyder PP1395 table 1).
+    */
+  private val Ellipsoids: Map[String, (Double, Double)] = Map(
+    "wgs84" -> (6378137.0, 298.257223563),
+    "grs80" -> (6378137.0, 298.257222101),
+    "clrk66" -> (6378206.4, 294.9786982),
+    "intl" -> (6378388.0, 297.0),
+    "sphere" -> (6370997.0, Double.PositiveInfinity))
+
+  /** Parse a proj4 string (`"+proj=utm +zone=23 +south +datum=WGS84"`)
+    * into a [[Projection]]. Covers the families this engine implements —
+    * longlat, sinu, aea, tmerc, utm, merc — with +ellps/+datum/+a/+b/+rf/
+    * +R ellipsoid resolution, +lat_ts for Mercator, and GDAL's leniency
+    * toward irrelevant keys (+units, +no_defs, +towgs84=0,0,0 …).
+    * Projections outside the set fail with a typed message naming the
+    * +proj value, mirroring how unsupported JP2 payloads are reported
+    * (reference accepts any CRS through rasterio/GDAL:
+    * cube_builder/grids.py:92-99, utils/processing.py:223-231).
+    */
+  def fromProj4(proj4: String): Projection = {
+    val kv: Map[String, String] = proj4.trim.split("\\s+").toSeq
+      .filter(_.startsWith("+"))
+      .map { tok =>
+        tok.stripPrefix("+").split("=", 2) match {
+          case Array(k, v) => k.toLowerCase -> v
+          case Array(k) => k.toLowerCase -> ""
+        }
+      }.toMap
+    def num(k: String): Option[Double] = kv.get(k).map(_.toDouble)
+
+    // Ellipsoid: explicit +a/+b/+rf/+R beats +ellps beats +datum; WGS84
+    // when nothing is named (proj's own default).
+    val named = kv.get("ellps").orElse(kv.get("datum")).map(_.toLowerCase)
+      .flatMap(Ellipsoids.get)
+    val base = named.getOrElse(Ellipsoids("wgs84"))
+    val aAxis = num("r").orElse(num("a")).getOrElse(base._1)
+    val rf = num("rf").getOrElse {
+      num("b").orElse(num("r")) match {
+        case Some(b) if b == aAxis => Double.PositiveInfinity
+        case Some(b) => aAxis / (aAxis - b)
+        case None => base._2
+      }
+    }
+
+    val lon0 = num("lon_0").getOrElse(0.0)
+    val lat0 = num("lat_0").getOrElse(0.0)
+    val x0 = num("x_0").getOrElse(0.0)
+    val y0 = num("y_0").getOrElse(0.0)
+    val k = num("k").orElse(num("k_0"))
+
+    kv.getOrElse("proj", "") match {
+      case "longlat" | "latlong" | "lonlat" => LongLat
+      case "sinu" =>
+        // Spherical form: an explicit sphere (+R or +a=+b) sets the
+        // radius; otherwise the MODIS authalic sphere default applies.
+        val r = if (rf.isInfinity) aAxis else 6371007.181
+        Sinusoidal(lon0, x0, y0, r)
+      case "aea" =>
+        AlbersEqualArea(lon0Deg = lon0, lat0Deg = lat0,
+          lat1Deg = num("lat_1").getOrElse(0.0),
+          lat2Deg = num("lat_2").getOrElse(0.0),
+          x0 = x0, y0 = y0, a = aAxis, invF = rf)
+      case "tmerc" =>
+        TransverseMercator(lon0Deg = lon0, k0 = k.getOrElse(1.0),
+          x0 = x0, y0 = y0, a = aAxis, invF = rf, lat0Deg = lat0)
+      case "utm" =>
+        val zone = num("zone").map(_.toInt).getOrElse(throw new IllegalArgumentException(
+          s"proj4 +proj=utm requires +zone: $proj4"))
+        require(zone >= 1 && zone <= 60, s"UTM zone out of range: $zone")
+        TransverseMercator(lon0Deg = zone * 6.0 - 183.0, k0 = 0.9996,
+          x0 = 500000.0, y0 = if (kv.contains("south")) 10000000.0 else 0.0,
+          a = aAxis, invF = rf)
+      case "merc" =>
+        // +lat_ts sets the latitude of true scale: k0 = cos φts / √(1 −
+        // e² sin² φts) (Snyder 7-?: scale along a parallel); explicit +k
+        // wins when both appear.
+        val k0 = k.getOrElse(num("lat_ts") match {
+          case Some(ts) =>
+            val phi = math.toRadians(ts)
+            val f = if (rf.isInfinity) 0.0 else 1.0 / rf
+            val e2 = f * (2 - f)
+            math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+          case None => 1.0
+        })
+        Mercator(lon0Deg = lon0, k0 = k0, x0 = x0, y0 = y0,
+          a = aAxis, invF = rf)
+      case "" => throw new IllegalArgumentException(s"proj4 string has no +proj: $proj4")
+      case other => throw new IllegalArgumentException(
+        s"unsupported proj4 projection '+proj=$other' " +
+          s"(supported: longlat sinu aea tmerc utm merc): $proj4")
+    }
+  }
+
   /** Reference projections by name ("aea" | "sinu" | "longlat"), plus
     * "tmerc" (central meridian = `meridian`) and "utm<zone><n|s>"
-    * (e.g. "utm23s") for Sentinel-2's native UTM grids.
+    * (e.g. "utm23s") for Sentinel-2's native UTM grids. A name starting
+    * with "+" is parsed as a full proj4 string via [[fromProj4]].
     */
   def projectionFor(name: String, meridian: Double): Projection = name match {
+    case p4 if p4.startsWith("+") => fromProj4(p4)
     case "aea" =>
       AlbersEqualArea(lon0Deg = meridian, lat0Deg = -12, lat1Deg = -2, lat2Deg = -22,
         x0 = 5000000, y0 = 10000000)

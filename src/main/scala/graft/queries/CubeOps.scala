@@ -342,6 +342,27 @@ object CubeOps {
         .orderBy($"tile_id")
     }),
 
+    // C13b — proj4-string CRS front-end: Grid.fromProj4 parses the MODIS
+    // sinusoidal sphere string and the forward math runs per-row on the
+    // executors; the oracle recomputes the spherical sinusoidal formulas
+    // with DuckDB trig (whole-meter rounding absorbs libm ULP skew)
+    "g2_proj4_forward" -> ((s, d) => {
+      import s.implicits._
+      val proj = graft.core.Grid.fromProj4(
+        "+proj=sinu +lon_0=-54 +a=6371007.181 +b=6371007.181 +units=m +no_defs")
+      val fwd = udf((lon: Double, lat: Double) => {
+        val (x, y) = proj.forward(lon, lat); Array(x, y)
+      })
+      nation(s, d).select($"n_nationkey".cast("int").as("key"),
+          (lit(-74.0) + ($"n_nationkey" % 25).cast("double") * 1.8).as("lon"),
+          (lit(-33.0) + ($"n_nationkey" * 7 % 37).cast("double")).as("lat"))
+        .withColumn("xy", fwd($"lon", $"lat"))
+        .select($"key",
+          floor($"xy"(0) + 0.5).cast("long").as("x_m"),
+          floor($"xy"(1) + 0.5).cast("long").as("y_m"))
+        .orderBy($"key")
+    }),
+
     // S8 — availability probe over asset links (HEAD/readability check in
     // mapPartitions) feeding the per-date merge audit (validate_merges)
     "s8_availability" -> ((s, d) => {
@@ -604,6 +625,16 @@ object CubeOps {
               range(CAST(trunc((10000000.0 - 9000000.0) / 100000.0) AS INT),
                     CAST(trunc((10000000.0 - 8000000.0) / 100000.0) AS INT) + 1) u(iv)
          ORDER BY tile_id""",
+    "g2_proj4_forward" ->
+      """SELECT key,
+         CAST(floor(6371007.181::DOUBLE * radians(lon - (-54.0::DOUBLE))
+           * cos(radians(lat)) + 0.5::DOUBLE) AS BIGINT) AS x_m,
+         CAST(floor(6371007.181::DOUBLE * radians(lat) + 0.5::DOUBLE) AS BIGINT) AS y_m
+         FROM (SELECT CAST(n_nationkey AS INT) AS key,
+           -74.0::DOUBLE + CAST(n_nationkey % 25 AS INT) * 1.8::DOUBLE AS lon,
+           (-33.0::DOUBLE + CAST(n_nationkey * 7 % 37 AS INT))::DOUBLE AS lat
+           FROM nation)
+         ORDER BY key""",
     "s8_availability" ->
       """SELECT date, total, ok_n, err_n, bands, errs FROM (
            SELECT printf('1995-%02d', CAST(n_nationkey % 12 + 1 AS INT)) AS date,

@@ -90,4 +90,77 @@ class GridSpec extends AnyFunSuite {
     val (lon3, lat3) = tm.inverse _ tupled tm.forward(-62.2, 4.4)
     assert(math.abs(lon3 - (-62.2)) < 1e-7 && math.abs(lat3 - 4.4) < 1e-7)
   }
+
+  test("Mercator: Web Mercator constants and ellipsoidal round-trip") {
+    // EPSG:3857 — the sphere a=6378137 makes the projected world square:
+    // x(180°) = y(85.05112878°) = 20037508.342789244
+    val web = Grid.fromProj4(
+      "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +units=m +no_defs")
+    val (xMax, _) = web.forward(180.0, 0.0)
+    assert(math.abs(xMax - 20037508.342789244) < 1e-6, s"x=$xMax")
+    val (_, yTop) = web.forward(0.0, 85.05112878)
+    assert(math.abs(yTop - 20037508.342789244) < 0.5, s"y=$yTop")
+    // ellipsoidal form round-trips through the iterative inverse
+    val merc = Grid.Mercator(lon0Deg = -43, a = 6378137.0, invF = 298.257223563)
+    for (lon <- Seq(-60.0, -43.0, -20.0); lat <- Seq(-35.0, 0.0, 48.0, 70.0)) {
+      val (x, y) = merc.forward(lon, lat)
+      val (lon2, lat2) = merc.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // equator maps to y=0 on both forms
+    assert(math.abs(merc.forward(-50, 0)._2) < 1e-9)
+  }
+
+  test("proj4 strings resolve to the equivalent named projections") {
+    // BDC Albers grid string == projectionFor("aea", -54)
+    val aea = Grid.fromProj4("+proj=aea +lat_0=-12 +lon_0=-54 +lat_1=-2 " +
+      "+lat_2=-22 +x_0=5000000 +y_0=10000000 +ellps=GRS80 +units=m +no_defs")
+    val aeaNamed = Grid.projectionFor("aea", -54)
+    for (lon <- Seq(-70.0, -54.0, -30.0); lat <- Seq(-30.0, -12.0, 3.0)) {
+      val (x1, y1) = aea.forward(lon, lat)
+      val (x2, y2) = aeaNamed.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+    }
+    // UTM 23S == utm(23, south = true); +datum resolves the ellipsoid
+    val u23s = Grid.fromProj4("+proj=utm +zone=23 +south +datum=WGS84")
+    val named = Grid.utm(23, south = true)
+    val (xa, ya) = u23s.forward(-44.2, -19.9)
+    val (xb, yb) = named.forward(-44.2, -19.9)
+    assert(math.abs(xa - xb) < 1e-9 && math.abs(ya - yb) < 1e-9)
+    // MODIS sinusoidal sphere via +a=+b
+    val sinu = Grid.fromProj4("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 " +
+      "+a=6371007.181 +b=6371007.181 +units=m +no_defs")
+    val sinuNamed = Grid.projectionFor("sinu", 0)
+    val (xs2, ys2) = sinu.forward(-54.0, -12.0)
+    val (xn, yn) = sinuNamed.forward(-54.0, -12.0)
+    assert(math.abs(xs2 - xn) < 1e-9 && math.abs(ys2 - yn) < 1e-9)
+    // longlat passes coordinates through
+    assert(Grid.fromProj4("+proj=longlat +datum=WGS84 +no_defs")
+      .forward(-54.5, -12.25) == ((-54.5, -12.25)))
+    // projectionFor dispatches "+..." names to the parser
+    val viaName = Grid.projectionFor("+proj=utm +zone=23 +south +datum=WGS84", 0)
+    assert(viaName.forward(-44.2, -19.9) == ((xa, ya)))
+  }
+
+  test("tmerc honors +lat_0 and unsupported +proj fails with a typed message") {
+    // y measures from lat_0: the origin projects to (x_0, y_0) exactly
+    val tm = Grid.fromProj4("+proj=tmerc +lat_0=-33 +lon_0=19 +k=1 " +
+      "+x_0=100000 +y_0=50000 +ellps=WGS84")
+    val (x0, y0) = tm.forward(19.0, -33.0)
+    assert(math.abs(x0 - 100000.0) < 1e-6 && math.abs(y0 - 50000.0) < 1e-6)
+    val (lonR, latR) = tm.inverse _ tupled tm.forward(19.8, -33.9)
+    assert(math.abs(lonR - 19.8) < 1e-7 && math.abs(latR - (-33.9)) < 1e-7)
+    // lat_0=0 stays byte-identical with the historical behavior
+    val plain = Grid.TransverseMercator(lon0Deg = -75)
+    val withLat0 = Grid.fromProj4("+proj=tmerc +lat_0=0 +lon_0=-75 " +
+      "+k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84")
+    assert(plain.forward(-74.1, 40.0) == withLat0.forward(-74.1, 40.0))
+    val err = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=lcc +lat_1=33 +lat_2=45"))
+    assert(err.getMessage.contains("+proj=lcc"))
+    val noZone = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=utm +south"))
+    assert(noZone.getMessage.contains("+zone"))
+  }
 }

@@ -428,6 +428,42 @@ object CubeOps {
         .orderBy($"user_id", $"event_type")
     }),
 
+    // §2.8 — sliding-window aggregation (batch shape of
+    // StreamOps.slidingCounts: 1h windows sliding every 30min, so each
+    // event lands in exactly two windows)
+    "w_events_sliding" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"user_id", window($"ts", "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"value") * 100 + 0.5).cast("long").as("value_x100"))
+        .select($"user_id",
+          date_format($"w.start", "yyyy-MM-dd HH:mm").as("wstart"),
+          $"n", $"value_x100")
+        .orderBy($"user_id", $"wstart")
+    }),
+
+    // §2.8 — stream-stream interval join through StreamOps.intervalJoin
+    // (click → purchase within 30 minutes per user); batch runs the same
+    // plan with the watermark eliminated
+    "w_stream_join" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.streaming.StreamOps.intervalJoin(clicks, purchases, "30 MINUTES")
+        .select(col("l.user_id").as("user_id"),
+          (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"),
+          col("r.value").as("value"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"gap_us").as("gap_us_sum"),
+          floor(sum($"value") * 100 + 0.5).cast("long").as("value_x100"))
+        .orderBy($"user_id")
+    }),
+
     // §2.8 — tumbling-window aggregation over the events stream (batch shape
     // of the Structured-Streaming plan; see graft.streaming)
     "w_events_tumbling" -> ((s, d) => {
@@ -680,6 +716,27 @@ object CubeOps {
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_x100
          FROM r WHERE rk = 1 ORDER BY user_id, event_type""",
+    "w_events_sliding" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         w AS (SELECT user_id,
+             time_bucket(INTERVAL 30 MINUTE, ts) - o * INTERVAL 30 MINUTE AS ws,
+             value
+           FROM e CROSS JOIN (VALUES (0), (1)) t(o))
+         SELECT user_id, strftime(ws, '%Y-%m-%d %H:%M') AS wstart,
+           count(*) AS n,
+           CAST(floor(sum(value)*100 + 0.5) AS BIGINT) AS value_x100
+         FROM w GROUP BY user_id, ws ORDER BY user_id, wstart""",
+    "w_stream_join" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+             FROM events),
+         c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id AS user_id, count(*) AS n_pairs,
+           CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us_sum,
+           CAST(floor(sum(p.value)*100 + 0.5) AS BIGINT) AS value_x100
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         GROUP BY c.user_id ORDER BY user_id""",
     "w_events_tumbling" ->
       """SELECT user_id,
          strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS wstart,

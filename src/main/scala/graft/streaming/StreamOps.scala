@@ -29,6 +29,41 @@ object StreamOps {
       .select($"user_id", $"w.start".as("wstart"), $"n", $"value_sum")
   }
 
+  /** Sliding event-time aggregation — same operator as
+    * [[tumblingCounts]] but each event lands in `window/slide` windows
+    * (Spark expands the window spec before the shuffle, so state is
+    * per-(key, window) exactly as for tumbling; the watermark still
+    * bounds it).
+    */
+  def slidingCounts(events: DataFrame, windowLength: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy($"user_id", window($"ts", windowLength, slide).as("w"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("value_sum"))
+      .select($"user_id", $"w.start".as("wstart"), $"n", $"value_sum")
+  }
+
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same user in `[l.ts, l.ts + maxGap]`. Both sides carry
+    * a watermark and the join condition bounds the event-time skew, so
+    * Spark can expire join state — the unbounded-state hazard of a plain
+    * stream-stream equi-join. Output columns stay alias-qualified
+    * (`l.*` / `r.*`); callers select what they need. In batch the same
+    * plan runs with the watermark eliminated, so one definition serves
+    * the gate query and the streaming path (pinned by StreamOpsSpec).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   maxGap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $maxGap"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(count: Long, sum: Double, lastTs: Long)
   final case class SessionOut(user_id: Long, count: Long, sum: Double,

@@ -100,6 +100,78 @@ class StreamOpsSpec extends SparkSpec {
       (1L, "click", 10L), (2L, "view", 20L), (1L, "view", 30L)))
   }
 
+  test("sliding windows emit one row per (key, covering window) after watermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.slidingCounts(df, "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 00:10:00"), 10.0),
+      (1L, ts("2024-01-01 00:40:00"), 5.0))
+    q.processAllAvailable()
+    // advance the watermark to 03:00, then run a batch with it
+    input.addData((1L, ts("2024-01-01 05:00:00"), 2.0))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 06:00:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sliding")
+      .orderBy("user_id", "wstart").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    // each event lands in two 1h/30min windows; all windows ending before
+    // the 03:00 watermark finalize
+    assert(rows.toSeq == Seq(
+      (1L, "2023-12-31 23:30:00.0", 1L, 10.0),
+      (1L, "2024-01-01 00:00:00.0", 2L, 15.0),
+      (1L, "2024-01-01 00:30:00.0", 1L, 5.0)))
+  }
+
+  test("stream-stream interval join pairs within the gap; matches batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.intervalJoin(cdf, pdf, "30 MINUTES", "2 hours")
+      .select($"l.user_id".as("user_id"), $"l.ts".as("cts"),
+        $"r.ts".as("pts"), $"r.value".as("value"))
+      .writeStream.format("memory").queryName("ijoin")
+      .outputMode("append").start()
+    val cRows = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:50:00")),
+      (2L, ts("2024-01-01 01:00:00")))
+    val pRows = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, ts("2024-01-01 01:05:00"), 7.0),
+      (2L, ts("2024-01-01 01:20:00"), 9.0),
+      (2L, ts("2024-01-01 02:00:00"), 1.0)) // 30:00 past user 2's click
+    clicks.addData(cRows)
+    purchases.addData(pRows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ijoin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getDouble(3))).toSet
+    assert(streamed == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 5.0),
+      (1L, "2024-01-01 00:50:00.0", "2024-01-01 01:05:00.0", 7.0),
+      (2L, "2024-01-01 01:00:00.0", "2024-01-01 01:20:00.0", 9.0)))
+    // the same definition in batch (watermark eliminated) agrees
+    val batch = StreamOps.intervalJoin(
+        cRows.toDF("user_id", "ts"), pRows.toDF("user_id", "ts", "value"),
+        "30 MINUTES", "2 hours")
+      .select($"l.user_id", $"l.ts", $"r.ts", $"r.value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getDouble(3))).toSet
+    assert(batch == streamed)
+  }
+
   test("single-batch dedup matches the w_stream_dedup batch shape") {
     val sparkS = spark
     import sparkS.implicits._

@@ -28,6 +28,33 @@ object Pipeline {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProduct(a, b)
 
+  private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  /** Per-(lang, source) token-count quantiles over `documents`, the
+    * engine behind percentile-based length filtering. `exact = true` runs
+    * `percentile` (R-7 linear interpolation, same definition as DuckDB's
+    * `quantile_cont`) — it buffers each group's values, so it is the
+    * small-N oracle baseline. `exact = false` is the scale path:
+    * `approx_percentile`'s Greenwald-Khanna sketch is single-pass,
+    * mergeable across partitions (partial aggregation works), and holds
+    * O(accuracy·log n) state per group regardless of group size — rank
+    * error ≤ n/accuracy. ScaleSpec pins the sketch inside the exact
+    * neighboring-quantile band.
+    */
+  def tokenQuantiles(docs: DataFrame, exact: Boolean,
+                     accuracy: Int = 10000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ps = array(QuantilePs.map(lit): _*)
+    val toks = docs.filter(length(trim($"text")) > 0)
+      .select($"lang", $"source",
+        size(words($"text")).cast("double").as("tokens"))
+    val q =
+      if (exact) percentile($"tokens", ps)
+      else percentile_approx($"tokens", ps, lit(accuracy))
+    toks.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"), q.as("qs"))
+  }
+
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -425,6 +452,21 @@ object Pipeline {
     // Gopher-style document quality flags: integer-only rules (token count
     // band, mean-word-length band via cross-multiplication, stopword
     // presence, symbol ratio) composed into a 0-4 score
+    // Per-(lang, source) token-count quantiles — the percentile-based
+    // length filter of a training-data pipeline. Exact path gated here;
+    // the approx_percentile sketch is the 100 TB path (see tokenQuantiles
+    // and the ScaleSpec pin)
+    "x_len_quantiles" -> ((s, d) => {
+      import s.implicits._
+      tokenQuantiles(documents(s, d), exact = true)
+        .select($"lang", $"source", $"n",
+          floor($"qs"(0) * 1000 + 0.5).cast("long").as("q25_x1000"),
+          floor($"qs"(1) * 1000 + 0.5).cast("long").as("q50_x1000"),
+          floor($"qs"(2) * 1000 + 0.5).cast("long").as("q75_x1000"),
+          floor($"qs"(3) * 1000 + 0.5).cast("long").as("q90_x1000"))
+        .orderBy($"lang", $"source")
+    }),
+
     "x_quality_score" -> ((s, d) => {
       import s.implicits._
       val base = documents(s, d).filter(length(trim($"text")) > 0)
@@ -790,6 +832,16 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "x_len_quantiles" ->
+      """SELECT lang, source, count(*) AS n,
+         CAST(floor(quantile_cont(tokens, 0.25)*1000 + 0.5) AS BIGINT) AS q25_x1000,
+         CAST(floor(quantile_cont(tokens, 0.5)*1000 + 0.5) AS BIGINT) AS q50_x1000,
+         CAST(floor(quantile_cont(tokens, 0.75)*1000 + 0.5) AS BIGINT) AS q75_x1000,
+         CAST(floor(quantile_cont(tokens, 0.9)*1000 + 0.5) AS BIGINT) AS q90_x1000
+         FROM (SELECT lang, source,
+             len(string_split_regex(trim(text), ' +'))::DOUBLE AS tokens
+           FROM documents WHERE len(trim(text)) > 0)
+         GROUP BY lang, source ORDER BY lang, source""",
     "x_quality_score" ->
       """WITH base AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS tokens,

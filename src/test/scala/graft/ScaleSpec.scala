@@ -62,4 +62,55 @@ class ScaleSpec extends SparkSpec {
       Scale.saltedJoin(df, df, "k", 4, joinType = "full_outer")
     }
   }
+
+  test("approx token quantiles stay inside the exact neighboring band") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 10k docs per group with ~1000 distinct token counts: large enough
+    // that the GK sketch's rank guarantee (error ≤ n/accuracy = 1 rank)
+    // is meaningful, unlike the handful-sized sf0.001 groups where the
+    // discrete sketch and interpolated exact quantile legitimately differ.
+    val docs = spark.range(0, 20000).select(
+      when($"id" % 2 === 0, "en").otherwise("de").as("lang"),
+      lit("s").as("source"),
+      concat(repeat(lit("w "), ($"id" % 997 + 10).cast("int")), lit("w")).as("text"))
+    val exM = collectQs(graft.queries.Pipeline.tokenQuantiles(docs, exact = true))
+    val apM = collectQs(graft.queries.Pipeline.tokenQuantiles(docs, exact = false))
+    // exact band at p ± 0.01 brackets a sketch with ≤ 1-rank error
+    val loM = widened(docs, -0.01)
+    val hiM = widened(docs, +0.01)
+    assert(apM.nonEmpty && apM.keySet == exM.keySet)
+    apM.foreach { case (key, qs) =>
+      qs.indices.foreach { i =>
+        assert(qs(i) >= loM(key)(i) && qs(i) <= hiM(key)(i),
+          s"$key p#$i: approx ${qs(i)} outside [${loM(key)(i)}, ${hiM(key)(i)}]")
+      }
+    }
+    // the exact quantiles themselves sit inside their own band
+    exM.foreach { case (key, qs) =>
+      qs.indices.foreach(i => assert(qs(i) >= loM(key)(i) && qs(i) <= hiM(key)(i)))
+    }
+  }
+
+  private def collectQs(df: org.apache.spark.sql.DataFrame) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    df.select($"lang", $"source", $"qs").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getSeq[Double](2))).toMap
+  }
+
+  /** Exact quantiles at p+delta (clamped to [0,1]) per (lang, source). */
+  private def widened(docs: org.apache.spark.sql.DataFrame, delta: Double) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+      .map(p => math.min(1.0, math.max(0.0, p + delta)))
+    docs.filter(length(trim($"text")) > 0)
+      .select($"lang", $"source",
+        size(split(trim($"text"), " +")).cast("double").as("tokens"))
+      .groupBy($"lang", $"source")
+      .agg(percentile($"tokens", array(ps.map(lit): _*)).as("qs"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getSeq[Double](2))).toMap
+  }
 }

@@ -30,6 +30,30 @@ object Pipeline {
 
   private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.9)
 
+  /** Deterministic per-key hash sampling with per-stratum rates: keep a
+    * row iff the first 4 hex chars of `md5(salt:key)` fall under the
+    * stratum's threshold (rate quantized to 1/65536; lowercase hex
+    * compares lexicographically = numerically). Unlike `df.sample`, the
+    * decision is a pure function of the key — stable across runs,
+    * partitionings, and engines (so the DuckDB oracle reproduces it
+    * exactly), and re-running a 100 TB pipeline keeps the same sample
+    * without any state. A narrow filter: no shuffle, pushes inside
+    * whole-stage codegen.
+    */
+  def stratifiedHashSample(df: DataFrame, key: Column, strata: Column,
+                           rates: Map[String, Double], defaultRate: Double,
+                           salt: String = "s"): DataFrame = {
+    def thr(r: Double): String = {
+      require(r >= 0.0 && r <= 1.0, s"rate out of range: $r")
+      f"${math.round(r * 65536).toInt}%04x"
+    }
+    val thrCol = rates.foldLeft(lit(thr(defaultRate))) { case (acc, (k, r)) =>
+      when(strata === k, lit(thr(r))).otherwise(acc)
+    }
+    df.filter(substring(
+      md5(concat(lit(salt + ":"), key.cast("string")).cast("binary")), 1, 4) < thrCol)
+  }
+
   /** Per-(lang, source) token-count quantiles over `documents`, the
     * engine behind percentile-based length filtering. `exact = true` runs
     * `percentile` (R-7 linear interpolation, same definition as DuckDB's
@@ -452,6 +476,46 @@ object Pipeline {
     // Gopher-style document quality flags: integer-only rules (token count
     // band, mean-word-length band via cross-multiplication, stopword
     // presence, symbol ratio) composed into a 0-4 score
+    // Deterministic stratified hash sampling: 20% of English docs, 5% of
+    // the rest, decided purely by md5(salt:doc_id) so the oracle can
+    // replay the exact membership
+    "x_hash_sample" -> ((s, d) => {
+      import s.implicits._
+      stratifiedHashSample(documents(s, d), $"doc_id", $"lang",
+        Map("en" -> 0.2), defaultRate = 0.05)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Gopher-style repetition signals: most-frequent word and bigram
+    // fractions per document (flat word-stream texts, so line/paragraph
+    // dup fractions have no carrier here)
+    "x_repetition" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words($"text").as("w"))
+      val uni = docs
+        .select($"doc_id", size($"w").as("tokens"), explode($"w").as("word"))
+        .groupBy($"doc_id", $"tokens", $"word").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id", $"tokens").agg(max($"n").as("top_word_n"))
+      val big = docs
+        .select($"doc_id", explode(zip_with(
+          slice($"w", lit(1), size($"w") - 1), slice($"w", lit(2), size($"w") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id").agg(max($"n").as("top_bigram_n"), sum($"n").as("bigrams"))
+      uni.join(big, Seq("doc_id"), "left")
+        .select($"doc_id", $"tokens", $"top_word_n",
+          coalesce($"bigrams", lit(0L)).as("bigrams"),
+          coalesce($"top_bigram_n", lit(0L)).as("top_bigram_n"),
+          floor(lit(10000.0) * $"top_word_n" / $"tokens" + 0.5).cast("long")
+            .as("top_word_x10000"),
+          when(coalesce($"bigrams", lit(0L)) === 0, 0L)
+            .otherwise(floor(lit(10000.0) * $"top_bigram_n" / $"bigrams" + 0.5)
+              .cast("long")).as("top_bigram_x10000"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-(lang, source) token-count quantiles — the percentile-based
     // length filter of a training-data pipeline. Exact path gated here;
     // the approx_percentile sketch is the 100 TB path (see tokenQuantiles
@@ -832,6 +896,32 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "x_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4)
+           < CASE WHEN lang = 'en' THEN '3333' ELSE '0ccd' END
+         ORDER BY doc_id""",
+    "x_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         u AS (SELECT doc_id, CAST(len(w) AS INT) AS tokens, unnest(w) AS word FROM d),
+         uc AS (SELECT doc_id, tokens, word, count(*) AS n FROM u GROUP BY 1, 2, 3),
+         um AS (SELECT doc_id, tokens, max(n) AS top_word_n FROM uc GROUP BY 1, 2),
+         b AS (SELECT doc_id, unnest(list_transform(list_zip(w[:-2], w[2:]),
+                 s -> s[1] || ' ' || s[2])) AS bg FROM d),
+         bc AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+         bm AS (SELECT doc_id, max(n) AS top_bigram_n, sum(n) AS bigrams FROM bc GROUP BY 1)
+         SELECT um.doc_id AS doc_id, um.tokens AS tokens,
+           um.top_word_n AS top_word_n,
+           CAST(coalesce(bm.bigrams, 0) AS BIGINT) AS bigrams,
+           CAST(coalesce(bm.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(floor(10000.0::DOUBLE * um.top_word_n / um.tokens + 0.5::DOUBLE)
+             AS BIGINT) AS top_word_x10000,
+           CAST(CASE WHEN coalesce(bm.bigrams, 0) = 0 THEN 0
+             ELSE floor(10000.0::DOUBLE * bm.top_bigram_n / bm.bigrams + 0.5::DOUBLE)
+             END AS BIGINT) AS top_bigram_x10000
+         FROM um LEFT JOIN bm ON um.doc_id = bm.doc_id
+         ORDER BY doc_id""",
     "x_len_quantiles" ->
       """SELECT lang, source, count(*) AS n,
          CAST(floor(quantile_cont(tokens, 0.25)*1000 + 0.5) AS BIGINT) AS q25_x1000,

@@ -175,4 +175,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("graft_value_histogram"),
       s"histogram subtree must be checkpointed, not recomputed per branch:\n$plan")
   }
+
+  test("w_stream_join: equi-key extracted — hash/merge join, no nested loop") {
+    // the interval condition must ride as a post-join filter on the
+    // user_id equi-join, not degrade the join to BNLJ/cartesian
+    val plan = planString(q("w_stream_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join must keep the user_id equi-key:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected a hash/merge join:\n$plan")
+  }
+
+  test("c2_publish_items: unused pixel-model window is pruned from the plan") {
+    // pixelModel computes a row_number() the C2 aggregation never reads;
+    // Catalyst's column pruning must drop the Window (and its sort)
+    // entirely or C2 pays an O(rows log rows) per-partition sort for
+    // nothing at 100 TB
+    val plan = planString(q("c2_publish_items"))
+    assert(!plan.contains("Window"),
+      s"unused row_number window must be pruned:\n$plan")
+  }
+
+  test("x_hash_sample: sampling filter stays inside codegen, no shuffle") {
+    val df = q("x_hash_sample")
+    val plan = planString(df)
+    // one shuffle is the output orderBy; the filter itself is narrow
+    val shuffles = plan.split("Exchange").length - 1
+    assert(shuffles <= 1, s"hash sampling must not shuffle beyond the sort:\n$plan")
+  }
 }

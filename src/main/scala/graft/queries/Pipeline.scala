@@ -476,6 +476,29 @@ object Pipeline {
     // Gopher-style document quality flags: integer-only rules (token count
     // band, mean-word-length band via cross-multiplication, stopword
     // presence, symbol ratio) composed into a 0-4 score
+    // TF-IDF top term per document. The idf is integer-quantized
+    // ((1e6 · N) div df — rank-preserving for fixed N) so scores are
+    // exact integers in both engines and the (score desc, term asc)
+    // tie-break can never split on a float ULP. df-join shuffles on term
+    // (the scale path — vocabulary is unbounded); N broadcasts.
+    "x_tfidf_top" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words($"text").as("w"))
+      val tf = docs.select($"doc_id", explode($"w").as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .select($"doc_id", $"term", $"tf", $"df",
+          ($"tf" * expr("(1000000 * n_docs) div df")).as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"doc_id", $"term", $"tf", $"df", $"score")
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified hash sampling: 20% of English docs, 5% of
     // the rest, decided purely by md5(salt:doc_id) so the oracle can
     // replay the exact membership
@@ -896,6 +919,20 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "x_tfidf_top" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM d),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf * ((1000000 * n.n_docs) // dfq.df) AS BIGINT) AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rk FROM s)
+         SELECT doc_id, term, tf, df, score FROM r WHERE rk = 1
+         ORDER BY doc_id""",
     "x_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4)

@@ -473,6 +473,28 @@ object Pipeline {
         .orderBy($"qid", $"rnk")
     }),
 
+    // Embedding outlier filter: per-label integer-quantized centroid
+    // (order-free dim sums, same scheme as v_ann_ivf) and the 5 vectors
+    // least aligned with their label centroid by exact integer inner
+    // product — the "drop far-from-cluster examples" pipeline op. The
+    // centroid table (labels × 64 rows) broadcasts; the corpus sees one
+    // explode + two partial-aggregated shuffles and never self-joins.
+    "v_centroid_outliers" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dims = embeddings(s, d).select($"vec_id", $"label",
+          posexplode($"embedding").as(Seq("k", "v")))
+        .select($"vec_id", $"label", $"k",
+          floor($"v".cast("double") * 1000).cast("long").as("qv"))
+      val cent = dims.groupBy($"label", $"k").agg(sum($"qv").as("cs"))
+      val ip = dims.join(broadcast(cent), Seq("label", "k"))
+        .groupBy($"vec_id", $"label").agg(sum($"qv" * $"cs").as("ip"))
+      val w = Window.partitionBy($"label").orderBy($"ip".asc, $"vec_id")
+      ip.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"label", $"rk", $"vec_id", $"ip")
+        .orderBy($"label", $"rk")
+    }),
+
     // Gopher-style document quality flags: integer-only rules (token count
     // band, mean-word-length band via cross-multiplication, stopword
     // presence, symbol ratio) composed into a 0-4 score
@@ -919,6 +941,21 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "v_centroid_outliers" ->
+      """WITH dims AS (SELECT vec_id, label, k,
+             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM embeddings, range(0, 64) t(k)),
+         cent AS (SELECT label, k, CAST(sum(qv) AS BIGINT) AS cs
+           FROM dims GROUP BY 1, 2),
+         ip AS (SELECT d.vec_id, d.label, CAST(sum(d.qv * c.cs) AS BIGINT) AS ip
+           FROM dims d JOIN cent c ON d.label = c.label AND d.k = c.k
+           GROUP BY 1, 2),
+         r AS (SELECT label, vec_id, ip,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY ip ASC, vec_id)
+               AS INT) AS rk
+           FROM ip)
+         SELECT label, rk, vec_id, ip FROM r WHERE rk <= 5
+         ORDER BY label, rk""",
     "x_tfidf_top" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

@@ -179,6 +179,72 @@ object Grid {
     }
   }
 
+  /** Lambert Conformal Conic on an ellipsoid (Snyder 15-1..15-11) — the
+    * standard projection of regional/weather grids. Two standard
+    * parallels; `lat1Deg == lat2Deg` degenerates to the single-parallel
+    * form (n = sin φ1). Inverse latitude by fixed-point iteration on
+    * Snyder 7-9 applied to t (converges in ≤6 rounds at double
+    * precision).
+    */
+  final case class LambertConformal(lon0Deg: Double, lat0Deg: Double,
+                                    lat1Deg: Double, lat2Deg: Double,
+                                    x0: Double = 0.0, y0: Double = 0.0,
+                                    a: Double = 6378137.0,
+                                    invF: Double = 298.257223563 /* WGS84 */)
+      extends Projection {
+    private val f = 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+
+    /** Snyder 15-9. */
+    private def t(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), e / 2)
+    }
+    /** Snyder 14-15. */
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+
+    private val phi0 = math.toRadians(lat0Deg)
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val t0 = t(phi0); private val t1 = t(phi1); private val t2 = t(phi2)
+    private val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (math.log(m(phi1)) - math.log(m(phi2))) / (math.log(t1) - math.log(t2))
+    private val bigF = m(phi1) / (n * math.pow(t1, n))
+    private def rho(tv: Double): Double = a * bigF * math.pow(tv, n)
+    private val rho0 = rho(t0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val r = rho(t(math.toRadians(latDeg)))
+      val theta = n * math.toRadians(lonDeg - lon0Deg)
+      (x0 + r * math.sin(theta), y0 + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - x0
+      val dy = rho0 - (y - y0)
+      val sign = if (n >= 0) 1.0 else -1.0
+      val r = sign * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sign * dx, sign * dy)
+      val tv = math.pow(r / (a * bigF), 1 / n)
+      var phi = math.Pi / 2 - 2 * math.atan(tv)
+      var i = 0
+      while (i < 10) {
+        val esin = e * math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(tv * math.pow((1 - esin) / (1 + esin), e / 2))
+        if (math.abs(next - phi) < 1e-13) i = 10 else i += 1
+        phi = next
+      }
+      (lon0Deg + math.toDegrees(theta / n), math.toDegrees(phi))
+    }
+  }
+
   /** Mercator (Snyder 7-7..7-10); `invF = Infinity` gives the spherical
     * form, which with a = 6378137 is Web Mercator (EPSG:3857). Inverse
     * latitude by fixed-point iteration on Snyder 7-9 (converges in ≤5
@@ -291,6 +357,11 @@ object Grid {
           lat1Deg = num("lat_1").getOrElse(0.0),
           lat2Deg = num("lat_2").getOrElse(0.0),
           x0 = x0, y0 = y0, a = aAxis, invF = rf)
+      case "lcc" =>
+        val lat1 = num("lat_1").getOrElse(lat0)
+        LambertConformal(lon0Deg = lon0, lat0Deg = lat0,
+          lat1Deg = lat1, lat2Deg = num("lat_2").getOrElse(lat1),
+          x0 = x0, y0 = y0, a = aAxis, invF = rf)
       case "tmerc" =>
         TransverseMercator(lon0Deg = lon0, k0 = k.getOrElse(1.0),
           x0 = x0, y0 = y0, a = aAxis, invF = rf, lat0Deg = lat0)
@@ -318,7 +389,7 @@ object Grid {
       case "" => throw new IllegalArgumentException(s"proj4 string has no +proj: $proj4")
       case other => throw new IllegalArgumentException(
         s"unsupported proj4 projection '+proj=$other' " +
-          s"(supported: longlat sinu aea tmerc utm merc): $proj4")
+          s"(supported: longlat sinu aea lcc tmerc utm merc): $proj4")
     }
   }
 

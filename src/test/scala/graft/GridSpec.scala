@@ -143,6 +143,44 @@ class GridSpec extends AnyFunSuite {
     assert(viaName.forward(-44.2, -19.9) == ((xa, ya)))
   }
 
+  test("Lambert conformal conic matches Snyder's published worked example") {
+    // Snyder PP1395 p.296-297 (ellipsoid example): Clarke 1866,
+    // lat_1=33, lat_2=45, lat_0=23, lon_0=-96; phi=35, lam=-75
+    // -> x = 1,894,410.9 m, y = 1,564,649.5 m
+    val lcc = Grid.LambertConformal(lon0Deg = -96, lat0Deg = 23,
+      lat1Deg = 33, lat2Deg = 45, a = 6378206.4, invF = 294.978698214)
+    val (x, y) = lcc.forward(-75.0, 35.0)
+    assert(math.abs(x - 1894410.9) < 0.5, s"x=$x")
+    assert(math.abs(y - 1564649.5) < 0.5, s"y=$y")
+    val (lon, lat) = lcc.inverse(x, y)
+    assert(math.abs(lon - (-75.0)) < 1e-8 && math.abs(lat - 35.0) < 1e-8)
+    // origin maps to the false origin
+    val viaP4 = Grid.fromProj4("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 " +
+      "+lon_0=-96 +x_0=2000 +y_0=500 +ellps=clrk66")
+    val (ox, oy) = viaP4.forward(-96.0, 23.0)
+    assert(math.abs(ox - 2000.0) < 1e-6 && math.abs(oy - 500.0) < 1e-6)
+    // conformality: unit scale along both standard parallels, >1 outside
+    def k(p: Grid.Projection, latDeg: Double): Double = {
+      val dLon = 1e-6
+      val (x1, y1) = p.forward(-96.0, latDeg)
+      val (x2, y2) = p.forward(-96.0 + dLon, latDeg)
+      val proj = math.hypot(x2 - x1, y2 - y1)
+      val phi = math.toRadians(latDeg)
+      val e2 = 1 - math.pow(1 - 1 / 294.978698214, 2) // ~first eccentricity²
+      val mr = 6378206.4 * math.cos(phi) /
+        math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      proj / (mr * math.toRadians(dLon))
+    }
+    assert(math.abs(k(lcc, 33.0) - 1.0) < 1e-6, s"k(33)=${k(lcc, 33.0)}")
+    assert(math.abs(k(lcc, 45.0) - 1.0) < 1e-6, s"k(45)=${k(lcc, 45.0)}")
+    assert(k(lcc, 25.0) > 1.0 && k(lcc, 55.0) > 1.0 && k(lcc, 39.0) < 1.0)
+    // single-parallel degenerate form round-trips
+    val single = Grid.fromProj4("+proj=lcc +lat_1=-10 +lat_0=-10 +lon_0=-54 " +
+      "+ellps=GRS80")
+    val (lo2, la2) = single.inverse _ tupled single.forward(-50.5, -14.25)
+    assert(math.abs(lo2 - (-50.5)) < 1e-8 && math.abs(la2 - (-14.25)) < 1e-8)
+  }
+
   test("tmerc honors +lat_0 and unsupported +proj fails with a typed message") {
     // y measures from lat_0: the origin projects to (x_0, y_0) exactly
     val tm = Grid.fromProj4("+proj=tmerc +lat_0=-33 +lon_0=19 +k=1 " +
@@ -157,8 +195,8 @@ class GridSpec extends AnyFunSuite {
       "+k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84")
     assert(plain.forward(-74.1, 40.0) == withLat0.forward(-74.1, 40.0))
     val err = intercept[IllegalArgumentException](
-      Grid.fromProj4("+proj=lcc +lat_1=33 +lat_2=45"))
-    assert(err.getMessage.contains("+proj=lcc"))
+      Grid.fromProj4("+proj=stere +lat_0=90"))
+    assert(err.getMessage.contains("+proj=stere"))
     val noZone = intercept[IllegalArgumentException](
       Grid.fromProj4("+proj=utm +south"))
     assert(noZone.getMessage.contains("+zone"))

@@ -431,6 +431,30 @@ object Pipeline {
         .orderBy($"qid", $"rnk")
     }),
 
+    // Brute-force cosine top-k again, but through the bounded-heap
+    // TopKAgg instead of a window sort: map-side partials trim every
+    // partition to k rows before the shuffle, so the exchange carries
+    // O(k · partitions) per query instead of the whole scored corpus —
+    // the aggregation shape ANN re-scoring needs at 100 TB. Same rows as
+    // v_ann_cosine (same oracle SQL), rank from array position.
+    "v_ann_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.filter(!$"vec_id".isin(0, 1, 2))
+        .select($"vec_id", $"embedding".as("ce"))
+      val scored = c.crossJoin(broadcast(q))
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      scored.groupBy($"qid")
+        .agg(graft.operators.TopKAgg.topKByScore($"cos", $"vec_id", 10).as("top"))
+        .select($"qid", posexplode($"top").as(Seq("i", "e")))
+        .select($"qid", $"e.id".as("vec_id"),
+          floor($"e.score" * 10000 + 0.5).cast("long").as("score_x10000"),
+          ($"i" + 1).cast("int").as("rnk"))
+        .orderBy($"qid", $"rnk")
+    }),
+
     // IVF ANN (coarse-quantizer scale path): K deterministic centroids
     // (integer-quantized dim sums over vec_id % K seed groups — summation-
     // order-free, so the oracle rebuilds them exactly), every vector
@@ -903,6 +927,14 @@ object Pipeline {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS word_tokens
          FROM documents ORDER BY doc_id""",
     "v_ann_cosine" ->
+      s"""$cosineSqlBody
+         SELECT qid, vec_id,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
+               AS rnk FROM s)
+         WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "v_ann_topk" ->
       s"""$cosineSqlBody
          SELECT qid, vec_id,
            CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk

@@ -197,6 +197,23 @@ class PlanQualitySpec extends SparkSpec {
       s"unused row_number window must be pruned:\n$plan")
   }
 
+  test("v_centroid_outliers: centroid table broadcasts, corpus never self-joins") {
+    val plan = planString(q("v_centroid_outliers"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle-join or cross-join:\n$plan")
+  }
+
+  test("x_tfidf_top: corpus count broadcasts; term join is hash-based") {
+    val plan = planString(q("x_tfidf_top"))
+    assert(!plan.contains("CartesianProduct"),
+      s"N must broadcast, not cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected broadcast for the single-row count:\n$plan")
+  }
+
   test("x_hash_sample: sampling filter stays inside codegen, no shuffle") {
     val df = q("x_hash_sample")
     val plan = planString(df)

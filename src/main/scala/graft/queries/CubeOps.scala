@@ -464,6 +464,26 @@ object CubeOps {
         .orderBy($"user_id")
     }),
 
+    // §2.8 — LEFT OUTER interval join: clicks with no purchase inside the
+    // gap survive null-padded (streaming: released once the watermark
+    // passes click_ts + gap). Output is per-user join cardinality plus
+    // the unmatched count
+    "w_stream_join_left" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.streaming.StreamOps
+        .intervalJoin(clicks, purchases, "30 MINUTES", "2 hours", "left_outer")
+        .select(col("l.user_id").as("user_id"), col("r.ts").as("pts"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"pts".isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .orderBy($"user_id")
+    }),
+
     // §2.8 — tumbling-window aggregation over the events stream (batch shape
     // of the Structured-Streaming plan; see graft.streaming)
     "w_events_tumbling" -> ((s, d) => {
@@ -735,6 +755,17 @@ object CubeOps {
            CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us_sum,
            CAST(floor(sum(p.value)*100 + 0.5) AS BIGINT) AS value_x100
          FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         GROUP BY c.user_id ORDER BY user_id""",
+    "w_stream_join_left" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+             FROM events),
+         c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id AS user_id, count(*) AS n_rows,
+           CAST(sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched
+         FROM c LEFT JOIN p ON c.user_id = p.user_id
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          GROUP BY c.user_id ORDER BY user_id""",
     "w_events_tumbling" ->

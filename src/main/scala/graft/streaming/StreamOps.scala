@@ -54,14 +54,19 @@ object StreamOps {
     * (`l.*` / `r.*`); callers select what they need. In batch the same
     * plan runs with the watermark eliminated, so one definition serves
     * the gate query and the streaming path (pinned by StreamOpsSpec).
+    * `joinType = "left_outer"` additionally emits each unmatched left row
+    * null-padded once the watermark passes `l.ts + maxGap` (in streaming;
+    * immediately in batch).
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    maxGap: String = "30 minutes",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r, expr(
-      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $maxGap"))
+      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $maxGap"),
+      joinType)
   }
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -172,6 +172,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("left-outer interval join releases unmatched rows after watermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamOps.intervalJoin(
+        clicks.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"),
+        "30 MINUTES", "2 hours", "left_outer")
+      .select($"l.user_id".as("user_id"), $"l.ts".as("cts"), $"r.ts".as("pts"))
+      .writeStream.format("memory").queryName("ljoin")
+      .outputMode("append").start()
+    // c1 matches; c2 has no purchase inside [02:00, 02:30]
+    clicks.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 02:00:00")))
+    purchases.addData((1L, ts("2024-01-01 00:10:00"), 5.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks to 08:00 (10:00 - 2h) > c2.ts + gap
+    clicks.addData((2L, ts("2024-01-01 10:00:00")))
+    purchases.addData((2L, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // run a batch WITH the advanced watermark: c2 emits null-padded
+    clicks.addData((3L, ts("2024-01-01 20:00:00")))
+    purchases.addData((3L, ts("2024-01-01 20:00:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ljoin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.getTimestamp(2)).map(_.toString).orNull)).toSet
+    assert(streamed == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      (1L, "2024-01-01 02:00:00.0", null),
+      (2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0"),
+      (3L, "2024-01-01 20:00:00.0", "2024-01-01 20:00:00.0")))
+  }
+
   test("single-batch dedup matches the w_stream_dedup batch shape") {
     val sparkS = spark
     import sparkS.implicits._

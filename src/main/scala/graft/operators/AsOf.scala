@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the latest right row with
+  * `r.ts <= l.ts` on the same key (the point-in-time lookup of feature
+  * stores and slowly-changing catalogs).
+  *
+  * Spark has no native as-of join; the naive encoding — a range
+  * theta-join followed by a per-left-row argmax — explodes to
+  * O(|L| · matches) intermediate rows and usually degrades to a
+  * broadcast-nested-loop. This operator instead UNIONS the two sides,
+  * tags them, and runs one window pass per key ordered by (ts, side):
+  * a running `last(right value, ignoreNulls)` carries each right row
+  * forward to every later left row. One shuffle on the key, no
+  * row-pair explosion, state bounded by the window frame — the shape
+  * that survives 100 TB. Right rows must be unique per (key, ts);
+  * pre-aggregate if they are not (the gate query does).
+  *
+  * Ordering at equal timestamps puts the right row first, so a right
+  * row AT `l.ts` is visible to that left row — matching DuckDB's
+  * `ASOF JOIN ... ON r.ts <= l.ts` inclusive semantics.
+  */
+object AsOf {
+
+  /** @param left      rows to annotate (must carry `keyCol` and `tsCol`)
+    * @param right     lookup rows (must carry `keyCol`, `tsCol`, and
+    *                  `valueCols`)
+    * @param keyCol    equi-join key column name
+    * @param tsCol     event-time column name (any orderable type)
+    * @param valueCols right columns carried onto each left row, null
+    *                  when the key has no right row at or before `ts`
+    *                  (emitted as `asof_<name>`, plus `asof_ts`)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast(right.schema(tsCol).dataType))
+    val carried = valueCols.map(c => right.col(c).as(s"__v_$c"))
+    val r = right.select(
+      (Seq(right.col(keyCol), right.col(tsCol)) ++ carried): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col(tsCol))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = valueCols.map(c =>
+      last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+    val withCarry = unioned.select(
+      (Seq(col("*"), last(col("__rts"), ignoreNulls = true).over(w).as("asof_ts"))
+        ++ carry): _*)
+    withCarry.filter(col("__side") === 1)
+      .select((leftCols.map(col) :+ col("asof_ts"))
+        ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Convenience: carry a single value column. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valueCol: String): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, Seq(valueCol))
+}

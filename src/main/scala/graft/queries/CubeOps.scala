@@ -464,6 +464,27 @@ object CubeOps {
         .orderBy($"user_id")
     }),
 
+    // As-of join (AsOf.asofJoin): each click annotated with the user's
+    // latest purchase at or before it — union + tagged carry-forward
+    // window, ONE shuffle on the key, no range-join row explosion. The
+    // oracle is DuckDB's native ASOF LEFT JOIN: a genuinely independent
+    // implementation of the same semantics
+    "r_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      // right rows must be unique per (key, ts): collapse value ties
+      val purchases = e.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("pval"))
+      graft.operators.AsOf.asofJoin(clicks, purchases, "user_id", "ts", Seq("pval"))
+        .select($"user_id", $"event_id",
+          unix_micros($"ts").as("cts_us"),
+          unix_micros($"asof_ts").as("pts_us"),
+          floor($"asof_pval" * 100 + 0.5).cast("long").as("pval_x100"))
+        .orderBy($"user_id", $"cts_us", $"event_id")
+    }),
+
     // §2.8 — LEFT OUTER interval join: clicks with no purchase inside the
     // gap survive null-padded (streaming: released once the watermark
     // passes click_ts + gap). Output is per-user join cardinality plus
@@ -757,6 +778,17 @@ object CubeOps {
          FROM c JOIN p ON c.user_id = p.user_id
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          GROUP BY c.user_id ORDER BY user_id""",
+    "r_asof_join" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+             FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, max(value) AS pval
+           FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             FROM events WHERE event_type = 'purchase') GROUP BY 1, 2)
+         SELECT c.user_id AS user_id, c.event_id AS event_id,
+           epoch_us(c.ts) AS cts_us, epoch_us(p.ts) AS pts_us,
+           CAST(floor(p.pval * 100 + 0.5) AS BIGINT) AS pval_x100
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY user_id, cts_us, event_id""",
     "w_stream_join_left" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
              FROM events),

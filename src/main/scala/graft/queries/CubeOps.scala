@@ -464,6 +464,24 @@ object CubeOps {
         .orderBy($"user_id")
     }),
 
+    // Rolling trailing-1h features at every event (range frame over
+    // event-time micros): count / sum / max over [ts - 1h, ts] per user —
+    // the per-event feature-engineering shape. One shuffle on user_id;
+    // the range frame holds only the trailing hour in memory
+    "w_rolling_1h" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", floor(sum($"value").over(w) * 100 + 0.5).cast("long"))
+        .withColumn("max_1h", floor(max($"value").over(w) * 100 + 0.5).cast("long"))
+        .select($"user_id", $"event_id", $"us", $"n_1h", $"sum_1h", $"max_1h")
+        .orderBy($"user_id", $"us", $"event_id")
+    }),
+
     // As-of join (AsOf.asofJoin): each click annotated with the user's
     // latest purchase at or before it — union + tagged carry-forward
     // window, ONE shuffle on the key, no range-join row explosion. The
@@ -778,6 +796,17 @@ object CubeOps {
          FROM c JOIN p ON c.user_id = p.user_id
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          GROUP BY c.user_id ORDER BY user_id""",
+    "w_rolling_1h" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+         SELECT user_id, event_id, us,
+           count(*) OVER w AS n_1h,
+           CAST(floor(sum(value) OVER w * 100 + 0.5) AS BIGINT) AS sum_1h,
+           CAST(floor(max(value) OVER w * 100 + 0.5) AS BIGINT) AS max_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, us, event_id""",
     "r_asof_join" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
              FROM events WHERE event_type = 'click'),

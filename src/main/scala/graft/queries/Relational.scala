@@ -21,6 +21,23 @@ object Relational {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // C7b — multi-level catalog summaries in ONE pass via ROLLUP
+    // (status, priority) → per-pair, per-status, and grand-total rows
+    // with the grouping level; Spark expands the sets before the
+    // aggregate, so it's still a single shuffle
+    "c15_rollup_stats" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("int").as("lvl"),
+          count(lit(1)).as("n"),
+          floor(sum($"o_totalprice") * 100 + 0.5).cast("long").as("total_x100"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"lvl", $"n", $"total_x100")
+        .orderBy($"status", $"priority")
+    }),
+
     // C5 — item listing: filter + join + order-by-desc + limit
     "c5_item_listing" -> ((s, d) => {
       import s.implicits._
@@ -160,6 +177,15 @@ object Relational {
     }))
 
   val oracles: Map[String, String] = Map(
+    "c15_rollup_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS lvl,
+         count(*) AS n,
+         CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS total_x100
+         FROM orders
+         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
     "c5_item_listing" ->
       """SELECT o_orderkey, c_name,
          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_x100,

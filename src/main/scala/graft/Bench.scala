@@ -40,16 +40,24 @@ object Bench {
     val sweeps = (1 to passes).map { pass =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+              false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }.toMap
     }
+    // a failed pass's time-to-exception is not a measurement: min over
+    // the successful passes; only if every pass failed does the elapsed
+    // time (still finite, keeps the JSON numeric) stand in
     val results = ordered.map { case (name, _) =>
-      name -> sweeps.map(_(name)).min
+      val runs = sweeps.map(_(name))
+      val good = runs.filter(_._2)
+      name -> (if (good.nonEmpty) good else runs).map(_._1).min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

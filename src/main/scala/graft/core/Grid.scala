@@ -56,6 +56,8 @@ object Grid {
                                    a: Double = 6378137.0,
                                    invF: Double = 298.257222101 /* GRS80 */)
       extends Projection {
+    require(!invF.isInfinity,
+      "spherical Albers (invF = Infinity) is not supported; the q() series needs e > 0")
     private val f = 1.0 / invF
     private val e2 = f * (2 - f)
     private val e = math.sqrt(e2)
@@ -74,7 +76,14 @@ object Grid {
     private val phi2 = math.toRadians(lat2Deg)
     private val m1 = m(phi1); private val m2 = m(phi2)
     private val q0 = q(phi0); private val q1 = q(phi1); private val q2 = q(phi2)
-    private val n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    // Snyder 14-6; coincident parallels degenerate to the single-parallel
+    // cone n = sin(phi1) (the two-parallel formula is 0/0 there)
+    private val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (m1 * m1 - m2 * m2) / (q2 - q1)
+    require(n != 0 && !n.isNaN && !n.isInfinity,
+      s"degenerate Albers cone (n = $n) for parallels $lat1Deg/$lat2Deg" +
+        " — symmetric or equatorial parallels have no valid cone")
     private val bigC = m1 * m1 + n * q1
     private val rho0 = a * math.sqrt(bigC - n * q0) / n
 
@@ -215,6 +224,9 @@ object Grid {
     private val n =
       if (lat1Deg == lat2Deg) math.sin(phi1)
       else (math.log(m(phi1)) - math.log(m(phi2))) / (math.log(t1) - math.log(t2))
+    require(n != 0 && !n.isNaN && !n.isInfinity,
+      s"degenerate Lambert cone (n = $n) for parallels $lat1Deg/$lat2Deg" +
+        " — equatorial or symmetric parallels have no valid cone")
     private val bigF = m(phi1) / (n * math.pow(t1, n))
     private def rho(tv: Double): Double = a * bigF * math.pow(tv, n)
     private val rho0 = rho(t0)
@@ -326,9 +338,14 @@ object Grid {
     def num(k: String): Option[Double] = kv.get(k).map(_.toDouble)
 
     // Ellipsoid: explicit +a/+b/+rf/+R beats +ellps beats +datum; WGS84
-    // when nothing is named (proj's own default).
-    val named = kv.get("ellps").orElse(kv.get("datum")).map(_.toLowerCase)
-      .flatMap(Ellipsoids.get)
+    // when nothing is named (proj's own default). A NAMED ellipsoid we
+    // don't know is a typed error, not a silent WGS84 swap — the axes
+    // differ by hundreds of meters.
+    val namedKey = kv.get("ellps").orElse(kv.get("datum")).map(_.toLowerCase)
+    val named = namedKey.map(n => Ellipsoids.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"unknown ellipsoid/datum '$n' " +
+          s"(supported: ${Ellipsoids.keys.toSeq.sorted.mkString(" ")}): $proj4")))
     val base = named.getOrElse(Ellipsoids("wgs84"))
     val aAxis = num("r").orElse(num("a")).getOrElse(base._1)
     val rf = num("rf").getOrElse {
@@ -348,17 +365,32 @@ object Grid {
     kv.getOrElse("proj", "") match {
       case "longlat" | "latlong" | "lonlat" => LongLat
       case "sinu" =>
-        // Spherical form: an explicit sphere (+R or +a=+b) sets the
-        // radius; otherwise the MODIS authalic sphere default applies.
-        val r = if (rf.isInfinity) aAxis else 6371007.181
+        // The implementation is SPHERICAL sinusoidal: an explicit radius
+        // (+R, or +a — with +b it must equal +a) or a named sphere sets
+        // it; the MODIS authalic sphere is the default. An ellipsoidal
+        // request must fail typed, not silently reproject on a sphere.
+        val explicitR = num("r").orElse(num("a"))
+        if (explicitR.exists(r0 => num("b").exists(_ != r0)))
+          throw new IllegalArgumentException(
+            s"ellipsoidal sinusoidal (+a != +b) is not supported: $proj4")
+        val r = explicitR.getOrElse {
+          if (namedKey.isDefined) {
+            if (rf.isInfinity) aAxis
+            else throw new IllegalArgumentException(
+              s"ellipsoidal sinusoidal (+ellps/+datum '${namedKey.get}') " +
+                s"is not supported; pass a sphere (+R / +a=+b): $proj4")
+          } else 6371007.181
+        }
         Sinusoidal(lon0, x0, y0, r)
       case "aea" =>
+        val lat1 = num("lat_1").getOrElse(throw new IllegalArgumentException(
+          s"proj4 +proj=aea requires +lat_1: $proj4"))
         AlbersEqualArea(lon0Deg = lon0, lat0Deg = lat0,
-          lat1Deg = num("lat_1").getOrElse(0.0),
-          lat2Deg = num("lat_2").getOrElse(0.0),
+          lat1Deg = lat1, lat2Deg = num("lat_2").getOrElse(lat1),
           x0 = x0, y0 = y0, a = aAxis, invF = rf)
       case "lcc" =>
-        val lat1 = num("lat_1").getOrElse(lat0)
+        val lat1 = num("lat_1").getOrElse(throw new IllegalArgumentException(
+          s"proj4 +proj=lcc requires +lat_1: $proj4"))
         LambertConformal(lon0Deg = lon0, lat0Deg = lat0,
           lat1Deg = lat1, lat2Deg = num("lat_2").getOrElse(lat1),
           x0 = x0, y0 = y0, a = aAxis, invF = rf)

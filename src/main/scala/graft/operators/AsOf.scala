@@ -37,27 +37,26 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val l = left
-      .withColumn("__side", lit(1))
-      .withColumn("__rts", lit(null).cast(right.schema(tsCol).dataType))
-    val carried = valueCols.map(c => right.col(c).as(s"__v_$c"))
+    val l = left.withColumn("__side", lit(1))
+    // the whole matched row rides as ONE struct: the struct itself is
+    // non-null for every right row, so the ignoreNulls carry-forward
+    // always takes the latest matched ROW — a null value INSIDE it stays
+    // null (carrying columns separately would backfill a null value from
+    // an older right row and mix columns across rows)
     val r = right.select(
-      (Seq(right.col(keyCol), right.col(tsCol)) ++ carried): _*)
+        col(keyCol), col(tsCol),
+        struct((col(tsCol).as("__ts") +: valueCols.map(col)): _*).as("__row"))
       .withColumn("__side", lit(0))
-      .withColumn("__rts", col(tsCol))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carry = valueCols.map(c =>
-      last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
-    val withCarry = unioned.select(
-      (Seq(col("*"), last(col("__rts"), ignoreNulls = true).over(w).as("asof_ts"))
-        ++ carry): _*)
+    val withCarry = unioned.withColumn("__asof",
+      last(col("__row"), ignoreNulls = true).over(w))
     withCarry.filter(col("__side") === 1)
-      .select((leftCols.map(col) :+ col("asof_ts"))
-        ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select((leftCols.map(col) :+ col("__asof.__ts").as("asof_ts"))
+        ++ valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Convenience: carry a single value column. */

@@ -34,9 +34,18 @@ object TopKAgg {
     val ids = new Array[Long](k)
     var n = 0
 
-    /** True iff (s1, id1) ranks strictly better than (s2, id2). */
-    @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && id1 < id2)
+    /** True iff (s1, id1) ranks strictly better than (s2, id2).
+      * `Double.compare` (not `>`/`==`): it is a TOTAL order — NaN sorts
+      * above every value and equal to itself, matching Spark's own sort
+      * ordering (a NaN cosine ranks first in a score-desc window), and
+      * keeps the comparator transitive for the eval-time sort (IEEE `>`
+      * is false for every NaN comparison, which would both silently drop
+      * NaN candidates from a full heap and break sortWith's contract).
+      */
+    @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
 
     private def siftUp(i0: Int): Unit = {
       var i = i0

@@ -45,7 +45,12 @@ object Pipeline {
                            salt: String = "s"): DataFrame = {
     def thr(r: Double): String = {
       require(r >= 0.0 && r <= 1.0, s"rate out of range: $r")
-      f"${math.round(r * 65536).toInt}%04x"
+      val buckets = math.round(r * 65536).toInt
+      // rate 1.0 → 65536 would format as the 5-char "10000", which
+      // compares lexicographically BELOW most 4-char prefixes ("abcd" >
+      // "10000") and silently keeps ~6% instead of all; any single
+      // character above 'f' is greater than every 4-hex prefix
+      if (buckets >= 65536) "g" else f"$buckets%04x"
     }
     val thrCol = rates.foldLeft(lit(thr(defaultRate))) { case (acc, (k, r)) =>
       when(strata === k, lit(thr(r))).otherwise(acc)

@@ -27,6 +27,19 @@ class AsOfSpec extends SparkSpec {
       ("d", -1L, -1.0)))  // key with no right rows -> null
   }
 
+  test("a matched row's null value stays null — no backfill from older rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val left = Seq((1L, 30L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some(100.0)), (1L, 20L, None))
+      .toDF("k", "ts", "v")
+    val out = AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select($"asof_ts", $"asof_v").collect().head
+    assert(out.getLong(0) == 20L) // the matched row is ts=20...
+    assert(out.isNullAt(1))       // ...and its null value is NOT papered
+                                  // over with ts=10's 100.0
+  }
+
   test("multiple carried columns and exactly one shuffle") {
     val sparkS = spark
     import sparkS.implicits._

@@ -201,4 +201,42 @@ class GridSpec extends AnyFunSuite {
       Grid.fromProj4("+proj=utm +south"))
     assert(noZone.getMessage.contains("+zone"))
   }
+
+  test("proj4 misconfigurations fail typed instead of emitting NaN") {
+    // unknown named ellipsoid: not a silent WGS84 swap
+    val badEllps = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=tmerc +lon_0=19 +ellps=bessel"))
+    assert(badEllps.getMessage.contains("bessel"))
+    // ellipsoidal sinusoidal requests are refused, not reprojected on
+    // the MODIS sphere
+    val sinuEllps = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=sinu +lon_0=0 +ellps=GRS80"))
+    assert(sinuEllps.getMessage.contains("sinusoidal"))
+    val sinuAB = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=sinu +a=6371007.181 +b=6356752.3"))
+    assert(sinuAB.getMessage.contains("sinusoidal"))
+    // a lone +a IS a sphere of that radius (proj semantics)
+    val (x, _) = Grid.fromProj4("+proj=sinu +a=6371000 +lon_0=0")
+      .forward(90.0, 0.0)
+    assert(math.abs(x - 6371000.0 * math.Pi / 2) < 1e-6)
+    // spherical Albers: the ellipsoidal q() series has no e=0 form
+    val sphereAea = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=aea +lat_1=-2 +lat_2=-22 +ellps=sphere"))
+    assert(sphereAea.getMessage.toLowerCase.contains("spherical albers"))
+    // conics without +lat_1, or with a degenerate (symmetric) cone
+    assert(intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=lcc +lon_0=-54")).getMessage.contains("+lat_1"))
+    assert(intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=aea +lon_0=-54")).getMessage.contains("+lat_1"))
+    assert(intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=lcc +lat_1=33 +lat_2=-33"))
+      .getMessage.contains("degenerate"))
+    assert(intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=aea +lat_1=20 +lat_2=-20"))
+      .getMessage.contains("degenerate"))
+    // single-parallel Albers works via n = sin(lat_1), round-trips
+    val aea1 = Grid.fromProj4("+proj=aea +lat_1=-12 +lat_0=-12 +lon_0=-54 +ellps=GRS80")
+    val (lo, la) = aea1.inverse _ tupled aea1.forward(-50.0, -15.0)
+    assert(math.abs(lo - (-50.0)) < 1e-9 && math.abs(la - (-15.0)) < 1e-9)
+  }
 }

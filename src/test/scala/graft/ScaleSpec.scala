@@ -63,6 +63,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling rate endpoints: 1.0 keeps everything, 0.0 nothing") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = spark.range(0, 500).select($"id".as("doc_id"),
+      when($"id" % 2 === 0, "en").otherwise("de").as("lang"))
+    def n(rates: Map[String, Double], default: Double): Long =
+      graft.queries.Pipeline
+        .stratifiedHashSample(docs, $"doc_id", $"lang", rates, default).count()
+    // rate 1.0 must not fall into the 5-char-hex-vs-4-char-prefix trap
+    assert(n(Map("en" -> 1.0), 1.0) == 500L)
+    assert(n(Map.empty, 0.0) == 0L)
+    assert(n(Map("en" -> 1.0), 0.0) == 250L)
+    val mid = n(Map.empty, 0.5)
+    assert(mid > 200 && mid < 300, s"~half expected, got $mid")
+  }
+
   test("approx token quantiles stay inside the exact neighboring band") {
     val sparkS = spark
     import sparkS.implicits._

@@ -53,6 +53,24 @@ class TopKAggSpec extends SparkSpec {
     assert(arg == Map(1L -> 11L, 2L -> 20L))
   }
 
+  test("NaN scores rank first, exactly like the row_number window") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = Seq((1L, 10L, 0.5), (1L, 11L, Double.NaN), (1L, 12L, 0.9),
+      (1L, 13L, Double.NaN), (1L, 14L, 0.1)).toDF("g", "id", "score")
+      .repartition(3)
+    val viaAgg = rows.groupBy($"g")
+      .agg(TopKAgg.topKByScore($"score", $"id", 3).as("top"))
+      .select(posexplode($"top").as(Seq("i", "e")))
+      .select($"e.id").as[Long].collect().toSeq
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = rows.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).orderBy($"rk")
+      .select($"id").as[Long].collect().toSeq
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Seq(11L, 13L, 12L)) // NaN above all, tie on id asc
+  }
+
   test("top-k aggregation plans partial (map-side) trimming, no window sort") {
     val sparkS = spark
     import sparkS.implicits._

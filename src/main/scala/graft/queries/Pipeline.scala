@@ -590,6 +590,18 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Decile bucketing (ntile over a total order): the "keep the top
+    // n% by quality" assignment — integer-exact in both engines
+    "x_quality_decile" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang").orderBy($"tokens", $"doc_id")
+      documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", size(words($"text")).as("tokens"))
+        .withColumn("decile", ntile(10).over(w))
+        .orderBy($"doc_id")
+    }),
+
     // Per-(lang, source) token-count quantiles — the percentile-based
     // length filter of a training-data pipeline. Exact path gated here;
     // the approx_percentile sketch is the 100 TB path (see tokenQuantiles
@@ -1032,6 +1044,14 @@ object Pipeline {
              ELSE floor(10000.0::DOUBLE * bm.top_bigram_n / bm.bigrams + 0.5::DOUBLE)
              END AS BIGINT) AS top_bigram_x10000
          FROM um LEFT JOIN bm ON um.doc_id = bm.doc_id
+         ORDER BY doc_id""",
+    "x_quality_decile" ->
+      """SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS tokens,
+         CAST(ntile(10) OVER (PARTITION BY lang
+           ORDER BY len(string_split_regex(trim(text), ' +')), doc_id)
+           AS INT) AS decile
+         FROM documents WHERE len(trim(text)) > 0
          ORDER BY doc_id""",
     "x_len_quantiles" ->
       """SELECT lang, source, count(*) AS n,

@@ -38,6 +38,36 @@ object Relational {
         .orderBy($"status", $"priority")
     }),
 
+    // §2.6 — lag/lead navigation: per-customer order gaps and the next
+    // order key (the scene-sequence navigation shape)
+    "s_window_funcs" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      orders(s, d).filter($"o_custkey" <= 200)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w))
+            .as("gap_prev_days"),
+          lead($"o_orderkey", 1).over(w).as("next_key"))
+        .orderBy($"o_custkey", $"odate", $"o_orderkey")
+    }),
+
+    // §2.6 — pivot: status × priority counts as a crosstab (one shuffle;
+    // Spark rewrites pivot to conditional aggregation, same as the oracle)
+    "c16_pivot" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).groupBy($"o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select($"o_orderstatus".as("status"),
+          col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+          col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
+          col("5-LOW").as("p5"))
+        .orderBy($"status")
+    }),
+
     // C5 — item listing: filter + join + order-by-desc + limit
     "c5_item_listing" -> ((s, d) => {
       import s.implicits._
@@ -177,6 +207,25 @@ object Relational {
     }))
 
   val oracles: Map[String, String] = Map(
+    "s_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS odate,
+         CAST(date_diff('day',
+           lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS INT) AS gap_prev_days,
+         lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS next_key
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_custkey, odate, o_orderkey""",
+    "c16_pivot" ->
+      """SELECT o_orderstatus AS status,
+         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+         count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+         count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+         count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+         count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
     "c15_rollup_stats" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(o_orderpriority, 'ALL') AS priority,

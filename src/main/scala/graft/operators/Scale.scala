@@ -24,6 +24,34 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Range join as an EQUI-join over coarse grid cells — the third lever,
+    * for when the range side outgrows a broadcast. A broadcast
+    * nested-loop range join (M1's shape) evaluates every (point, range)
+    * pair against a broadcast table; fine for dozens of tiles, fatal when
+    * the range table itself is millions of rows. Here each half-open
+    * range `[lo, hi)` explodes to the grid cells it covers (≤
+    * `span/cellSize + 1` rows — bounded when cellSize ~ typical span) and
+    * each point hashes to exactly ONE cell, so the join is a plain
+    * shuffled/broadcast HASH join on the cell id plus an exact range
+    * filter. No pair explosion: a (point, range) pair meets in at most
+    * one cell. Empty ranges (hi <= lo) match nothing.
+    */
+  def bucketedRangeJoin(points: DataFrame, pointCol: String,
+                        ranges: DataFrame, loCol: String, hiCol: String,
+                        cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive: $cellSize")
+    val cells = ranges.filter(col(hiCol) > col(loCol))
+      // last covered cell of [lo, hi) is ceil(hi/cs) - 1 (hi itself is out)
+      .withColumn("__cell", explode(sequence(
+        floor(col(loCol) / cellSize).cast("long"),
+        (ceil(col(hiCol) / cellSize) - 1).cast("long"))))
+    val pts = points.withColumn("__cell",
+      floor(col(pointCol) / cellSize).cast("long"))
+    pts.join(cells, Seq("__cell"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__cell")
+  }
+
   /** Persist `df` bucketed+sorted by `key` for shuffle-free joins against
     * other tables bucketed the same way (same key, same bucket count).
     */

@@ -83,6 +83,23 @@ object CubeOps {
         .orderBy($"tile")
     }),
 
+    // M1 at scale — the same bbox join through Scale.bucketedRangeJoin:
+    // ranges explode to coarse grid cells, points hash to one cell, and
+    // the join is a plain HASH join on the cell id (+ exact filter) —
+    // the shape that survives when the tile table outgrows a broadcast.
+    // Same rows as m1_bbox_join; plan-gated against nested loops
+    "m1b_bbox_bucket" -> ((s, d) => {
+      import s.implicits._
+      val tiles = Seq.tabulate(12)(i => (i, i * 50000.0, i * 50000.0 + 60000.0))
+        .toDF("tile", "lo", "hi")
+      graft.operators.Scale.bucketedRangeJoin(
+          orders(s, d), "o_totalprice", tiles, "lo", "hi", cellSize = 50000.0)
+        .groupBy($"tile")
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"o_totalprice") * 100 + 0.5).cast("long").as("total_x100"))
+        .orderBy($"tile")
+    }),
+
     // M2/M3 — mosaic overlay via the MosaicAggregator: combined mode fills
     // holes (first valid in asset order), single mode overwrites (last valid)
     "m2_mosaic_overlay" -> ((s, d) => {
@@ -543,6 +560,12 @@ object CubeOps {
 
   val oracles: Map[String, String] = Map(
     "m1_bbox_join" ->
+      s"""WITH tiles(tile, lo, hi) AS (VALUES $tilesValues)
+         SELECT tile, count(*) AS n,
+         CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS total_x100
+         FROM orders JOIN tiles ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY tile ORDER BY tile""",
+    "m1b_bbox_bucket" ->
       s"""WITH tiles(tile, lo, hi) AS (VALUES $tilesValues)
          SELECT tile, count(*) AS n,
          CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS total_x100

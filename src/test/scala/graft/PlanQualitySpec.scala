@@ -214,6 +214,15 @@ class PlanQualitySpec extends SparkSpec {
       s"expected broadcast for the single-row count:\n$plan")
   }
 
+  test("m1b: bucketed range join is hash-based, never a nested loop") {
+    val plan = planString(q("m1b_bbox_bucket"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"cell equi-join must not nested-loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected a hash join on __cell:\n$plan")
+  }
+
   test("x_hash_sample: sampling filter stays inside codegen, no shuffle") {
     val df = q("x_hash_sample")
     val plan = planString(df)

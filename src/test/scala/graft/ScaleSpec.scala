@@ -63,6 +63,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join equals the theta join, incl. boundary cells") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // ranges deliberately hit cell boundaries: hi exactly on a cell edge
+    // (100.0), spans >2 cells, empty range, negative lo
+    val ranges = Seq((0, -25.0, 30.0), (1, 0.0, 100.0), (2, 95.0, 96.0),
+      (3, 50.0, 50.0), (4, 10.0, 260.0)).toDF("rid", "lo", "hi")
+    val points = spark.range(-30, 300).select($"id".cast("double").as("p"))
+    val viaBucket = Scale.bucketedRangeJoin(points, "p", ranges, "lo", "hi", 50.0)
+      .select($"rid", $"p").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sorted.toSeq
+    val viaTheta = points.join(ranges, $"p" >= $"lo" && $"p" < $"hi")
+      .select($"rid", $"p").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sorted.toSeq
+    assert(viaBucket == viaTheta)
+    assert(viaBucket.nonEmpty && !viaBucket.exists(_._1 == 3)) // empty range
+  }
+
   test("hash sampling rate endpoints: 1.0 keeps everything, 0.0 nothing") {
     val sparkS = spark
     import sparkS.implicits._

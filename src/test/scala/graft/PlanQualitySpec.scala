@@ -223,6 +223,26 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), s"expected a hash join on __cell:\n$plan")
   }
 
+  test("single-shuffle pins: rolling window, rollup, pivot group once") {
+    // w_rolling_1h: one exchange for the user_id window + one output sort
+    val rolling = planString(q("w_rolling_1h"))
+    assert(rolling.split("Exchange").length - 1 <= 2,
+      s"rolling features must shuffle once plus the sort:\n$rolling")
+    // rollup expands grouping sets BEFORE the aggregate: still one
+    // group-by exchange (+ output sort)
+    val rollup = planString(q("c15_rollup_stats"))
+    assert(rollup.contains("Expand"), s"rollup should Expand grouping sets:\n$rollup")
+    assert(rollup.split("Exchange").length - 1 <= 2,
+      s"rollup must group once:\n$rollup")
+    // pivot rewrites to a two-level aggregation (pre-agg on
+    // (status, priority), then pivot_first over status): no join, two
+    // group-by exchanges + the output sort
+    val pivot = planString(q("c16_pivot"))
+    assert(!pivot.contains("Join"), s"pivot must not join:\n$pivot")
+    assert(pivot.split("Exchange").length - 1 <= 3,
+      s"pivot is two grouping levels plus the sort:\n$pivot")
+  }
+
   test("x_hash_sample: sampling filter stays inside codegen, no shuffle") {
     val df = q("x_hash_sample")
     val plan = planString(df)

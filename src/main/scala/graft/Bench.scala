@@ -36,26 +36,40 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
+    // Re-sweep budget: extra passes beyond the first stop once the
+    // harness has run this long (seconds). Guards the caller's own
+    // timeout — a heavily contended box could otherwise double an
+    // already-slow run; a partial second sweep still improves every
+    // query it reached, and skipped ones keep their pass-1 time.
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "900").toLong
+    val started = System.nanoTime()
+    def elapsedSecs: Long = (System.nanoTime() - started) / 1000000000L
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val sweeps = (1 to passes).map { pass =>
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
-              false
-          }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      ordered.flatMap { case (name, fn) =>
+        if (pass > 1 && elapsedSecs > budgetSecs) {
+          System.err.println(s"[bench] budget exhausted; skipping $name (pass $pass)")
+          None
+        } else {
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+                false
+            }
+          Some(name -> ((System.nanoTime() - t0) / 1e9, ok))
+        }
       }.toMap
     }
     // a failed pass's time-to-exception is not a measurement: min over
     // the successful passes; only if every pass failed does the elapsed
     // time (still finite, keeps the JSON numeric) stand in
     val results = ordered.map { case (name, _) =>
-      val runs = sweeps.map(_(name))
+      val runs = sweeps.flatMap(_.get(name)) // later sweeps may be partial
       val good = runs.filter(_._2)
       name -> (if (good.nonEmpty) good else runs).map(_._1).min
     }

@@ -60,6 +60,8 @@ class PropertySpec extends AnyFunSuite {
       ("webmerc", Grid.fromProj4("+proj=merc +a=6378137 +b=6378137"),
         box(-179, 179, -85, 85)),
       ("lcc", Grid.LambertConformal(-96, 23, 33, 45), box(-130, -60, 5, 70)),
+      ("lcc-south", Grid.LambertConformal(-60, -32, -18, -36),
+        box(-80, -40, -55, -5)),
       ("tmerc+lat0", Grid.fromProj4(
         "+proj=tmerc +lat_0=-33 +lon_0=19 +k=1 +x_0=1000 +y_0=2000 +ellps=WGS84"),
         box(16, 22, -60, 10)))

@@ -293,36 +293,37 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
-    // SimHash near-dup pairing: banded Hamming LSH over the L4
-    // fingerprints — docs sharing any 4-bit band become candidates via a
-    // plain equi-join on (band, nibble), then exact popcount filters to
-    // Hamming <= 3. The 16-bit/4-band shape is gate-scale; the 100 TB
-    // configuration is a 64-bit fingerprint with 8-bit bands (256
-    // buckets/band) plus the mega-bucket cap d_minhash_lsh carries
+    // SimHash near-dup pairing: banded Hamming LSH over a 32-bit
+    // fingerprint (all 32 md5 nibbles — the 16-bit L4 demo fingerprint
+    // collides massively at corpus scale) — docs sharing any 8-bit band
+    // become candidates via a plain equi-join on (band, byte), then
+    // exact popcount filters to Hamming <= 1 of 32. The 100 TB upgrade
+    // is a 64-bit fingerprint plus the mega-bucket cap d_minhash_lsh
+    // carries; the join shape is already the scale shape
     "d_simhash_neardup" -> ((s, d) => {
       import s.implicits._
       val w = documents(s, d)
         .select($"doc_id", explode(words($"text")).as("word"))
         .filter($"word" =!= "")
         .select($"doc_id", md5($"word".cast("binary")).as("h"))
-      val bitSums = (0 until 16).map(j =>
+      val bitSums = (0 until 32).map(j =>
         sum(when(substring($"h", j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
       val fp = w.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select($"doc_id",
-          (0 until 16).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+          (0 until 32).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
             .reduce(_ + _).as("fp"))
       val banded = fp.select($"doc_id", $"fp",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            (shiftright($"fp", 4 * b) % 16).cast("int").as("nib"))): _*)).as("e"))
-        .select($"doc_id", $"fp", $"e.band".as("band"), $"e.nib".as("nib"))
-      val a = banded.select($"band", $"nib", $"doc_id".as("id1"), $"fp".as("fp1"))
-      val c = banded.select($"band", $"nib", $"doc_id".as("id2"), $"fp".as("fp2"))
-      a.join(c, Seq("band", "nib")).filter($"id1" < $"id2")
+            (shiftright($"fp", 8 * b) % 256).cast("int").as("byte"))): _*)).as("e"))
+        .select($"doc_id", $"fp", $"e.band".as("band"), $"e.byte".as("byte"))
+      val a = banded.select($"band", $"byte", $"doc_id".as("id1"), $"fp".as("fp1"))
+      val c = banded.select($"band", $"byte", $"doc_id".as("id2"), $"fp".as("fp2"))
+      a.join(c, Seq("band", "byte")).filter($"id1" < $"id2")
         .select($"id1", $"id2",
           bit_count($"fp1".bitwiseXOR($"fp2")).as("hamming"))
         .distinct()
-        .filter($"hamming" <= 3)
+        .filter($"hamming" <= 1)
         .orderBy($"id1", $"id2")
     }),
 
@@ -920,17 +921,17 @@ object Pipeline {
          b AS (SELECT doc_id, j,
              CASE WHEN sum(CASE WHEN substr(h, j + 1, 1) >= '8' THEN 1 ELSE -1 END) > 0
                THEN 1 ELSE 0 END AS bit
-           FROM w2 CROSS JOIN range(0, 16) t(j) GROUP BY doc_id, j),
-         s AS (SELECT doc_id, CAST(sum(bit * (1 << j)) AS BIGINT) AS fp
+           FROM w2 CROSS JOIN range(0, 32) t(j) GROUP BY doc_id, j),
+         s AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS fp
            FROM b GROUP BY doc_id),
          bands AS (SELECT doc_id, fp, t.b AS band,
-             CAST((fp >> (4 * t.b)) % 16 AS INT) AS nib
+             CAST((fp >> (8 * t.b)) % 256 AS INT) AS byte
            FROM s CROSS JOIN range(0, 4) t(b)),
          pr AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
              CAST(bit_count(xor(a.fp, c.fp)) AS INT) AS hamming
            FROM bands a JOIN bands c
-             ON a.band = c.band AND a.nib = c.nib AND a.doc_id < c.doc_id)
-         SELECT id1, id2, hamming FROM pr WHERE hamming <= 3
+             ON a.band = c.band AND a.byte = c.byte AND a.doc_id < c.doc_id)
+         SELECT id1, id2, hamming FROM pr WHERE hamming <= 1
          ORDER BY id1, id2""",
     "d_fingerprint" ->
       """SELECT doc_id,

@@ -38,13 +38,25 @@ object Scale {
     */
   def bucketedRangeJoin(points: DataFrame, pointCol: String,
                         ranges: DataFrame, loCol: String, hiCol: String,
-                        cellSize: Double): DataFrame = {
+                        cellSize: Double,
+                        maxCellsPerRange: Long = 4096): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive: $cellSize")
-    val cells = ranges.filter(col(hiCol) > col(loCol))
+    val spanCells = ceil(col(hiCol) / cellSize) - floor(col(loCol) / cellSize)
+    // the guard rides INSIDE the sequence bound (a dropped side column
+    // would be pruned before it ever evaluated): fail fast with an
+    // actionable message instead of sequence()'s opaque array-size
+    // blow-up when cellSize is far below a span
+    val lastCell = when(spanCells > maxCellsPerRange,
+      raise_error(concat(
+        lit(s"bucketedRangeJoin: a range spans more than $maxCellsPerRange " +
+          s"cells at cellSize $cellSize; raise cellSize or maxCellsPerRange " +
+          "(range lo="), col(loCol).cast("string"),
+        lit(" hi="), col(hiCol).cast("string"), lit(")"))).cast("long"))
       // last covered cell of [lo, hi) is ceil(hi/cs) - 1 (hi itself is out)
+      .otherwise((ceil(col(hiCol) / cellSize) - 1).cast("long"))
+    val cells = ranges.filter(col(hiCol) > col(loCol))
       .withColumn("__cell", explode(sequence(
-        floor(col(loCol) / cellSize).cast("long"),
-        (ceil(col(hiCol) / cellSize) - 1).cast("long"))))
+        floor(col(loCol) / cellSize).cast("long"), lastCell)))
     val pts = points.withColumn("__cell",
       floor(col(pointCol) / cellSize).cast("long"))
     pts.join(cells, Seq("__cell"))

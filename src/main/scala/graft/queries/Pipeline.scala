@@ -30,6 +30,27 @@ object Pipeline {
 
   private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.9)
 
+  /** SimHash fingerprint of each non-empty document: per word, take the
+    * high bit of each of the first `bits` md5 hex nibbles; sum +1/-1
+    * votes per bit position; the fingerprint packs the positive-vote
+    * bits. Empty/whitespace-only docs are excluded up front — Spark's
+    * split-then-drop-empty-words would silently skip them while an
+    * unnest-based oracle would fingerprint md5('') (latent divergence).
+    */
+  private def simhashFp(s: SparkSession, d: String, bits: Int): DataFrame = {
+    import s.implicits._
+    val w = documents(s, d).filter(length(trim($"text")) > 0)
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .filter($"word" =!= "")
+      .select($"doc_id", md5($"word".cast("binary")).as("h"))
+    val bitSums = (0 until bits).map(j =>
+      sum(when(substring($"h", j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+    w.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until bits).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _).as("fp"))
+  }
+
   /** Deterministic per-key hash sampling with per-stratum rates: keep a
     * row iff the first 4 hex chars of `md5(salt:key)` fall under the
     * stratum's threshold (rate quantized to 1/65536; lowercase hex
@@ -280,16 +301,7 @@ object Pipeline {
     // SimHash (16-bit, nibble-high-bit construction) document fingerprints
     "d_simhash" -> ((s, d) => {
       import s.implicits._
-      val w = documents(s, d)
-        .select($"doc_id", explode(words($"text")).as("word"))
-        .filter($"word" =!= "")
-        .select($"doc_id", md5($"word".cast("binary")).as("h"))
-      val bitSums = (0 until 16).map(j =>
-        sum(when(substring($"h", j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
-      w.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id",
-          (0 until 16).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+      simhashFp(s, d, bits = 16).select($"doc_id", $"fp".as("simhash"))
         .orderBy($"doc_id")
     }),
 
@@ -302,17 +314,7 @@ object Pipeline {
     // carries; the join shape is already the scale shape
     "d_simhash_neardup" -> ((s, d) => {
       import s.implicits._
-      val w = documents(s, d)
-        .select($"doc_id", explode(words($"text")).as("word"))
-        .filter($"word" =!= "")
-        .select($"doc_id", md5($"word".cast("binary")).as("h"))
-      val bitSums = (0 until 32).map(j =>
-        sum(when(substring($"h", j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
-      val fp = w.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id",
-          (0 until 32).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
-            .reduce(_ + _).as("fp"))
-      val banded = fp.select($"doc_id", $"fp",
+      val banded = simhashFp(s, d, bits = 32).select($"doc_id", $"fp",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             (shiftright($"fp", 8 * b) % 256).cast("int").as("byte"))): _*)).as("e"))
@@ -322,8 +324,11 @@ object Pipeline {
       a.join(c, Seq("band", "byte")).filter($"id1" < $"id2")
         .select($"id1", $"id2",
           bit_count($"fp1".bitwiseXOR($"fp2")).as("hamming"))
-        .distinct()
+        // filter BEFORE distinct: hamming is a function of the pair, so
+        // the dedup shuffle carries only surviving near-dups, not the
+        // whole candidate set
         .filter($"hamming" <= 1)
+        .distinct()
         .orderBy($"id1", $"id2")
     }),
 
@@ -905,7 +910,7 @@ object Pipeline {
     "d_simhash" ->
       """WITH w AS (SELECT doc_id,
              md5(unnest(string_split_regex(trim(text), ' +'))) AS h
-           FROM documents),
+           FROM documents WHERE len(trim(text)) > 0),
          w2 AS (SELECT doc_id, h FROM w WHERE h IS NOT NULL),
          b AS (SELECT doc_id, j,
              CASE WHEN sum(CASE WHEN substr(h, j + 1, 1) >= '8' THEN 1 ELSE -1 END) > 0
@@ -916,7 +921,7 @@ object Pipeline {
     "d_simhash_neardup" ->
       """WITH w AS (SELECT doc_id,
              md5(unnest(string_split_regex(trim(text), ' +'))) AS h
-           FROM documents),
+           FROM documents WHERE len(trim(text)) > 0),
          w2 AS (SELECT doc_id, h FROM w WHERE h IS NOT NULL),
          b AS (SELECT doc_id, j,
              CASE WHEN sum(CASE WHEN substr(h, j + 1, 1) >= '8' THEN 1 ELSE -1 END) > 0

@@ -61,10 +61,14 @@ object Relational {
         .pivot("o_orderpriority",
           Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
         .agg(count(lit(1)))
+        // pivot emits NULL for an absent combo; the oracle's count(*)
+        // FILTER emits 0 — coalesce so an unpopulated cell can't diverge
         .select($"o_orderstatus".as("status"),
-          col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
-          col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
-          col("5-LOW").as("p5"))
+          coalesce(col("1-URGENT"), lit(0L)).as("p1"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p2"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4"),
+          coalesce(col("5-LOW"), lit(0L)).as("p5"))
         .orderBy($"status")
     }),
 

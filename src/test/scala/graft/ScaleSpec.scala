@@ -79,6 +79,13 @@ class ScaleSpec extends SparkSpec {
       .sorted.toSeq
     assert(viaBucket == viaTheta)
     assert(viaBucket.nonEmpty && !viaBucket.exists(_._1 == 3)) // empty range
+    // a range spanning more cells than the cap fails fast and actionably
+    val wide = Seq((9, 0.0, 1e9)).toDF("rid", "lo", "hi")
+    val err = intercept[Exception] {
+      Scale.bucketedRangeJoin(points, "p", wide, "lo", "hi", 1.0,
+        maxCellsPerRange = 100).count()
+    }
+    assert(err.getMessage.contains("bucketedRangeJoin"), err.getMessage)
   }
 
   test("hash sampling rate endpoints: 1.0 keeps everything, 0.0 nothing") {

@@ -46,8 +46,13 @@ object Bench {
     def elapsedSecs: Long = (System.nanoTime() - started) / 1000000000L
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Later sweeps alternate direction (pass 2 runs Z→A) so that when the
+    // budget truncates a sweep, the queries that ran LAST in pass 1 — and
+    // are therefore most likely to have absorbed end-of-run contention —
+    // get their second pass first rather than never.
     val sweeps = (1 to passes).map { pass =>
-      ordered.flatMap { case (name, fn) =>
+      val order = if (pass % 2 == 0) ordered.reverse else ordered
+      order.flatMap { case (name, fn) =>
         if (pass > 1 && elapsedSecs > budgetSecs) {
           System.err.println(s"[bench] budget exhausted; skipping $name (pass $pass)")
           None
@@ -71,13 +76,17 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       val runs = sweeps.flatMap(_.get(name)) // later sweeps may be partial
       val good = runs.filter(_._2)
-      name -> (if (good.nonEmpty) good else runs).map(_._1).min
+      name -> ((if (good.nonEmpty) good else runs).map(_._1).min, runs.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val passCounts = results.map { case (k, (_, n)) => "\"" + k + s"""":$n""" }
+      .mkString("{", ",", "}")
+    val truncated = results.collect { case (k, (_, n)) if n < passes => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2._1).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"method":"min-of-$passes%d-sweeps","passes_run":$passCounts,"budget_skipped":$truncated}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components at scale: alternating large-star / small-star
@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * loose thresholds).
   *
   * Both operations are plain groupBy/join rounds — equi-shuffles only, no
-  * driver-side graph state; each round is ONE job (`localCheckpoint`
-  * truncates the plan, and convergence is detected from an `observe`d
-  * (count, hash-sum) signature collected by that same job, like the
-  * propagation path in `queries.Pipeline`).
+  * driver-side graph state; `localCheckpoint` truncates the plan each
+  * round, and convergence is the direct star-forest fixpoint test
+  * ([[isStarForest]]) on the checkpointed edges — it fires in the round
+  * that FIRST produces the fixpoint, where the previous signature-repeat
+  * check paid one extra full star round to see the signature stabilize.
   */
 object Components {
 
@@ -51,45 +52,56 @@ object Components {
       .distinct()
   }
 
+  /** The alternation's fixpoint test, checked directly instead of waiting
+    * for a signature repeat: an edge set (distinct, every edge pointing
+    * strictly downward, which `smallStar`'s output guarantees) is a
+    * fixpoint of largeStar∘smallStar iff it is a union of downward stars —
+    * every src appears in exactly one edge and no vertex is both a src and
+    * a dst. (A multi-parent src is rewired by smallStar; a chain vertex is
+    * rewired by largeStar; conversely both maps are the identity on a star
+    * forest.) One cheap groupBy over the checkpointed edges per round,
+    * saving the full 6-shuffle star round the old signature-repeat check
+    * spent confirming an already-stable edge set.
+    */
+  private[operators] def isStarForest(edges: DataFrame): Boolean = {
+    val stats = edges.select(col("src").as("v"), lit(1L).as("s"), lit(0L).as("d"))
+      .unionAll(edges.select(col("dst").as("v"), lit(0L).as("s"), lit(1L).as("d")))
+      .groupBy(col("v"))
+      .agg(sum(col("s")).as("ns"), sum(col("d")).as("nd"))
+    stats.filter(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0)).isEmpty
+  }
+
   /** Component id (= minimum reachable vertex id) for every vertex that
     * appears in `edges` (long `src`/`dst` columns). Isolated vertices
     * don't appear — union the vertex table downstream if needed.
     *
     * @return (vertex, component) DataFrame
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, maxRounds)._1
+
+  /** As [[connectedComponents]], also returning how many star rounds ran —
+    * pinned by ComponentsSpec so the fixpoint detection can't silently
+    * regress to paying a confirmation round again.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     var e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var prevSig: Option[(Long, Long)] = None
-    var converged = e.isEmpty
+    var converged = isStarForest(e)
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val obs = Observation()
-      val next = smallStar(largeStar(e))
-        .observe(obs,
-          count(lit(1)).as("n"),
-          // xor (not sum): overflow-free under ANSI mode, and the edge
-          // set is distinct, so the xor is a faithful set signature
-          coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
-        .localCheckpoint()
-      val row = scala.concurrent.Await
-        .result(obs.future, scala.concurrent.duration.Duration(30, "s"))
-      val sig = (row.getAs[Long]("n"), row.getAs[Long]("h"))
-      // the edge multiset is deterministic, so an unchanged (count,
-      // hash-sum) signature means an unchanged edge set (modulo a 2^-64
-      // collision) — the star alternation has reached its fixpoint
-      converged = prevSig.contains(sig)
-      prevSig = Some(sig)
-      e = next
+      e = smallStar(largeStar(e)).localCheckpoint()
+      converged = isStarForest(e)
       rounds += 1
     }
     // fixpoint edges all point at roots: (larger vertex, its component);
     // roots get their own id
     val verts = e.select(col("src").as("vertex"), col("dst").as("component"))
       .unionAll(e.select(col("dst").as("vertex"), col("dst").as("component")))
-    verts.groupBy(col("vertex")).agg(min(col("component")).as("component"))
+    (verts.groupBy(col("vertex")).agg(min(col("component")).as("component")), rounds)
   }
 }

@@ -83,6 +83,35 @@ class ComponentsSpec extends SparkSpec {
     got.foreach { case (v, c) => assert(want(v) == c) }
   }
 
+  test("fixpoint fires in the round that first produces a star forest") {
+    import spark.implicits._
+    // already a star forest: zero star rounds — the old signature-repeat
+    // check burned a full confirmation round even here
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (9L, 7L), (10L, 7L))
+    val (starDf, starRounds) =
+      Components.connectedComponentsWithRounds(star.toDF("src", "dst"))
+    assert(starRounds == 0)
+    assert(starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 7L -> 7L, 9L -> 7L, 10L -> 7L))
+
+    // triangle: one large-star pass flattens it, detected the same round
+    val (triDf, triRounds) = Components.connectedComponentsWithRounds(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"))
+    assert(triRounds == 1)
+    assert(triDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+
+    // a 50-chain needs the O(log n) doubling rounds; pin the exact count
+    // so fixpoint detection can't regress to paying an extra round
+    val chain = (0L until 49L).map(i => (i, i + 1))
+    val (chDf, chRounds) =
+      Components.connectedComponentsWithRounds(chain.toDF("src", "dst"))
+    info(s"50-chain converged in $chRounds rounds")
+    assert(chRounds == 6)
+    assert(chDf.filter(col("component") =!= 0L).count() == 0)
+    assert(chDf.count() == 50)
+  }
+
   test("empty and single-edge graphs") {
     import spark.implicits._
     assert(Components.connectedComponents(

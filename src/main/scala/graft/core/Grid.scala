@@ -261,6 +261,13 @@ object Grid {
     * form, which with a = 6378137 is Web Mercator (EPSG:3857). Inverse
     * latitude by fixed-point iteration on Snyder 7-9 (converges in ≤5
     * rounds at double precision).
+    *
+    * NOTE the default is the SPHERICAL form (`invF = Infinity`, i.e. Web
+    * Mercator) — deliberately unlike the other projections here, whose
+    * defaults are ellipsoidal, because the dominant direct use of
+    * Mercator is EPSG:3857 tiling. Pass `invF = 298.257223563` (or go
+    * through [[fromProj4]] with `+ellps`/`+datum`) for ellipsoidal
+    * Mercator; the two differ by ~0.3% in northing.
     */
   final case class Mercator(lon0Deg: Double, k0: Double = 1.0,
                             x0: Double = 0.0, y0: Double = 0.0,
@@ -296,6 +303,183 @@ object Grid {
     }
   }
 
+  /** Polar Stereographic on an ellipsoid (Snyder 21-33/21-34 forward,
+    * 21-39/21-40 + 7-9 iterative latitude inverse) — the projection of
+    * polar EO scenes (EPSG:3413 Arctic, EPSG:3031 Antarctic). `south`
+    * selects the aspect; scale comes from the standard parallel
+    * `latTsDeg` when given (Snyder 21-34, the EPSG convention) or from
+    * `k0` at the pole (21-33). The spherical form falls out of e = 0.
+    */
+  final case class PolarStereographic(lon0Deg: Double, south: Boolean,
+                                      latTsDeg: Double = 90.0, k0: Double = 1.0,
+                                      x0: Double = 0.0, y0: Double = 0.0,
+                                      a: Double = 6378137.0,
+                                      invF: Double = 298.257223563 /* WGS84 */)
+      extends Projection {
+    private val f = if (invF.isInfinity) 0.0 else 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    // everything below runs in north-aspect terms; `south` mirrors the
+    // inputs (Snyder: reverse signs of φ, λ−λ0, x, y for the south aspect)
+    private val phiC = math.toRadians(math.abs(latTsDeg))
+    require(math.abs(latTsDeg) > 0,
+      s"polar stereographic standard parallel must be off the equator: $latTsDeg")
+
+    /** Snyder 15-9. */
+    private def t(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), e / 2)
+    }
+    // ρ = rhoK * t: 21-33 at the pole (scale by k0), 21-34 on a standard
+    // parallel (scale so the parallel is true)
+    private val rhoK =
+      if (math.abs(math.abs(latTsDeg) - 90) < 1e-12)
+        2 * a * k0 / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      else {
+        val s = math.sin(phiC)
+        val mc = math.cos(phiC) / math.sqrt(1 - e2 * s * s)
+        a * mc / t(phiC)
+      }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phiN = math.toRadians(if (south) -latDeg else latDeg)
+      val dLam = math.toRadians(lonDeg - lon0Deg)
+      val rho = rhoK * t(phiN)
+      val x = rho * math.sin(dLam)
+      val y = if (south) rho * math.cos(dLam) else -rho * math.cos(dLam)
+      (x0 + x, y0 + y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - x0
+      val dy = y - y0
+      val rho = math.hypot(dx, dy)
+      val dLam =
+        if (rho == 0) 0.0
+        else if (south) math.atan2(dx, dy)
+        else math.atan2(dx, -dy)
+      val tv = rho / rhoK
+      var phi = math.Pi / 2 - 2 * math.atan(tv)
+      var i = 0
+      while (i < 10) {
+        val esin = e * math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(tv * math.pow((1 - esin) / (1 + esin), e / 2))
+        if (math.abs(next - phi) < 1e-13) i = 10 else i += 1
+        phi = next
+      }
+      val lat = math.toDegrees(if (south) -phi else phi)
+      (lon0Deg + math.toDegrees(dLam), lat)
+    }
+  }
+
+  /** Lambert Azimuthal Equal-Area on an ellipsoid (Snyder 24-17..24-20
+    * oblique forward, 24-26..24-29 inverse, authalic-latitude machinery
+    * from 3-11..3-13 and the 3-16 iterative latitude) — continental
+    * equal-area grids (EPSG:3035 Europe, EPSG:6933-adjacent uses). Polar
+    * aspects (|lat0| = 90) use the exact 24-23/24-25 forms; the spherical
+    * case falls out of e = 0 with q = 2 sin φ.
+    */
+  final case class LambertAzimuthalEqualArea(lon0Deg: Double, lat0Deg: Double,
+                                             x0: Double = 0.0, y0: Double = 0.0,
+                                             a: Double = 6378137.0,
+                                             invF: Double = 298.257222101 /* GRS80 */)
+      extends Projection {
+    private val f = if (invF.isInfinity) 0.0 else 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+
+    /** Snyder 3-12 (sphere limit: q = 2 sin φ). */
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      if (e < 1e-12) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val qp = q(math.Pi / 2)
+    private val rq = a * math.sqrt(qp / 2) // 3-13 authalic radius
+    private val phi0 = math.toRadians(lat0Deg)
+    private val northPolar = lat0Deg >= 90.0 - 1e-12
+    private val southPolar = lat0Deg <= -90.0 + 1e-12
+    // oblique constants (unused — and divergent — at the poles)
+    private val beta1 = if (northPolar || southPolar) 0.0
+      else math.asin(clamp1(q(phi0) / qp))
+    private val sinB1 = math.sin(beta1)
+    private val cosB1 = math.cos(beta1)
+    private val d = if (northPolar || southPolar) 1.0 else {
+      val s = math.sin(phi0)
+      val m1 = math.cos(phi0) / math.sqrt(1 - e2 * s * s)
+      a * m1 / (rq * cosB1) // 24-20
+    }
+
+    private def clamp1(v: Double): Double = math.max(-1.0, math.min(1.0, v))
+
+    /** Snyder 3-16: latitude from the authalic q by iteration (exact in
+      * one step on the sphere).
+      */
+    private def phiFromQ(qq: Double): Double = {
+      if (e < 1e-12) return math.asin(clamp1(qq / 2))
+      if (math.abs(qq) >= math.abs(qp) - 1e-14) return math.signum(qq) * math.Pi / 2
+      var phi = math.asin(clamp1(qq / 2))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val one = 1 - e2 * s * s
+        val delta = (one * one) / (2 * math.cos(phi)) *
+          (qq / (1 - e2) - s / one +
+            math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+        phi += delta
+        i += 1
+      }
+      phi
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLam = math.toRadians(lonDeg - lon0Deg)
+      val qv = q(phi)
+      if (northPolar) {
+        val rho = a * math.sqrt(math.max(0, qp - qv)) // 24-23
+        (x0 + rho * math.sin(dLam), y0 - rho * math.cos(dLam))
+      } else if (southPolar) {
+        val rho = a * math.sqrt(math.max(0, qp + qv))
+        (x0 + rho * math.sin(dLam), y0 + rho * math.cos(dLam))
+      } else {
+        val beta = math.asin(clamp1(qv / qp))
+        val sinB = math.sin(beta); val cosB = math.cos(beta)
+        val denom = 1 + sinB1 * sinB + cosB1 * cosB * math.cos(dLam)
+        val b = rq * math.sqrt(2 / denom) // 24-19
+        (x0 + b * d * cosB * math.sin(dLam), // 24-17
+          y0 + (b / d) * (cosB1 * sinB - sinB1 * cosB * math.cos(dLam))) // 24-18
+      }
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - x0
+      val dy = y - y0
+      if (northPolar || southPolar) {
+        val rho = math.hypot(dx, dy)
+        val qq0 = qp - (rho / a) * (rho / a)
+        val qq = if (southPolar) -qq0 else qq0
+        val dLam =
+          if (rho == 0) 0.0
+          else if (southPolar) math.atan2(dx, dy)
+          else math.atan2(dx, -dy)
+        (lon0Deg + math.toDegrees(dLam), math.toDegrees(phiFromQ(qq)))
+      } else {
+        val rho = math.hypot(dx / d, d * dy) // 24-28
+        if (rho < 1e-12) return (lon0Deg, lat0Deg)
+        val ce = 2 * math.asin(clamp1(rho / (2 * rq))) // 24-29
+        val sinCe = math.sin(ce); val cosCe = math.cos(ce)
+        val qq = qp * (cosCe * sinB1 + d * dy * sinCe * cosB1 / rho) // 24-27
+        val lam = math.atan2(dx * sinCe, // 24-26
+          d * rho * cosB1 * cosCe - d * d * dy * sinB1 * sinCe)
+        (lon0Deg + math.toDegrees(lam), math.toDegrees(phiFromQ(qq)))
+      }
+    }
+  }
+
   /** UTM zone (1-60), northern or southern variant, on WGS84. */
   def utm(zone: Int, south: Boolean): Projection = {
     require(zone >= 1 && zone <= 60, s"UTM zone out of range: $zone")
@@ -318,8 +502,9 @@ object Grid {
 
   /** Parse a proj4 string (`"+proj=utm +zone=23 +south +datum=WGS84"`)
     * into a [[Projection]]. Covers the families this engine implements —
-    * longlat, sinu, aea, tmerc, utm, merc — with +ellps/+datum/+a/+b/+rf/
-    * +R ellipsoid resolution, +lat_ts for Mercator, and GDAL's leniency
+    * longlat, sinu, aea, lcc, tmerc, utm, merc, stere (polar aspects),
+    * laea — with +ellps/+datum/+a/+b/+rf/+R ellipsoid resolution,
+    * +lat_ts for Mercator and polar stereographic, and GDAL's leniency
     * toward irrelevant keys (+units, +no_defs, +towgs84=0,0,0 …).
     * Projections outside the set fail with a typed message naming the
     * +proj value, mirroring how unsupported JP2 payloads are reported
@@ -418,10 +603,27 @@ object Grid {
         })
         Mercator(lon0Deg = lon0, k0 = k0, x0 = x0, y0 = y0,
           a = aAxis, invF = rf)
+      case "stere" =>
+        // Polar aspects only (+lat_0=±90 — EPSG:3413/3031 and every polar
+        // EO product); the oblique/equatorial stereographic is a different
+        // formula set and fails typed rather than projecting wrong.
+        if (math.abs(math.abs(lat0) - 90) > 1e-9)
+          throw new IllegalArgumentException(
+            s"only polar stereographic (+lat_0=90 or -90) is supported, " +
+              s"got +lat_0=$lat0: $proj4")
+        // EPSG polar CRSs carry both +lat_ts and a vestigial +k=1: a
+        // standard parallel off the pole defines the scale and wins
+        val latTs = num("lat_ts").getOrElse(lat0)
+        PolarStereographic(lon0Deg = lon0, south = lat0 < 0,
+          latTsDeg = latTs, k0 = k.getOrElse(1.0),
+          x0 = x0, y0 = y0, a = aAxis, invF = rf)
+      case "laea" =>
+        LambertAzimuthalEqualArea(lon0Deg = lon0, lat0Deg = lat0,
+          x0 = x0, y0 = y0, a = aAxis, invF = rf)
       case "" => throw new IllegalArgumentException(s"proj4 string has no +proj: $proj4")
       case other => throw new IllegalArgumentException(
         s"unsupported proj4 projection '+proj=$other' " +
-          s"(supported: longlat sinu aea lcc tmerc utm merc): $proj4")
+          s"(supported: longlat sinu aea lcc tmerc utm merc stere laea): $proj4")
     }
   }
 

@@ -380,6 +380,49 @@ object CubeOps {
         .orderBy($"key")
     }),
 
+    // C13c — polar stereographic front-end (EPSG:3031-style Antarctic
+    // CRS): Grid.fromProj4 parses the +lat_ts form and the Snyder 21-34
+    // forward runs per-row on the executors; the oracle recomputes the
+    // same published equations in DuckDB trig (whole-meter rounding
+    // absorbs libm ULP skew, the g2 recipe)
+    "g3_stere_forward" -> ((s, d) => {
+      import s.implicits._
+      val proj = graft.core.Grid.fromProj4(
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +k=1 +x_0=0 +y_0=0 " +
+          "+datum=WGS84 +units=m +no_defs")
+      val fwd = udf((lon: Double, lat: Double) => {
+        val (x, y) = proj.forward(lon, lat); Array(x, y)
+      })
+      nation(s, d).select($"n_nationkey".cast("int").as("key"),
+          (lit(-180.0) + ($"n_nationkey" % 25).cast("double") * 14.3).as("lon"),
+          (lit(-85.0) + ($"n_nationkey" * 7 % 26).cast("double")).as("lat"))
+        .withColumn("xy", fwd($"lon", $"lat"))
+        .select($"key",
+          floor($"xy"(0) + 0.5).cast("long").as("x_m"),
+          floor($"xy"(1) + 0.5).cast("long").as("y_m"))
+        .orderBy($"key")
+    }),
+
+    // C13d — Lambert azimuthal equal-area front-end (EPSG:3035 Europe):
+    // same recipe over the Snyder 24-17..24-20 oblique ellipsoidal forward
+    "g4_laea_forward" -> ((s, d) => {
+      import s.implicits._
+      val proj = graft.core.Grid.fromProj4(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 " +
+          "+ellps=GRS80 +units=m +no_defs")
+      val fwd = udf((lon: Double, lat: Double) => {
+        val (x, y) = proj.forward(lon, lat); Array(x, y)
+      })
+      nation(s, d).select($"n_nationkey".cast("int").as("key"),
+          (lit(-25.0) + ($"n_nationkey" % 25).cast("double") * 2.8).as("lon"),
+          (lit(28.0) + ($"n_nationkey" * 7 % 44).cast("double")).as("lat"))
+        .withColumn("xy", fwd($"lon", $"lat"))
+        .select($"key",
+          floor($"xy"(0) + 0.5).cast("long").as("x_m"),
+          floor($"xy"(1) + 0.5).cast("long").as("y_m"))
+        .orderBy($"key")
+    }),
+
     // S8 — availability probe over asset links (HEAD/readability check in
     // mapPartitions) feeding the per-date merge audit (validate_merges)
     "s8_availability" -> ((s, d) => {
@@ -753,6 +796,69 @@ object CubeOps {
            (-33.0::DOUBLE + CAST(n_nationkey * 7 % 37 AS INT))::DOUBLE AS lat
            FROM nation)
          ORDER BY key""",
+    "g3_stere_forward" ->
+      """SELECT key,
+         CAST(floor(rho * sin(radians(lon)) + 0.5::DOUBLE) AS BIGINT) AS x_m,
+         CAST(floor(rho * cos(radians(lon)) + 0.5::DOUBLE) AS BIGINT) AS y_m
+         FROM (
+           SELECT key, lon,
+             6378137.0::DOUBLE
+               * (cos(radians(71.0::DOUBLE))
+                  / sqrt(1.0::DOUBLE - 0.0066943799901413165::DOUBLE
+                    * sin(radians(71.0::DOUBLE)) * sin(radians(71.0::DOUBLE))))
+               * (tan(pi() / 4.0::DOUBLE - radians(-lat) / 2.0::DOUBLE)
+                  / pow((1.0::DOUBLE - 0.08181919084262149::DOUBLE * sin(radians(-lat)))
+                      / (1.0::DOUBLE + 0.08181919084262149::DOUBLE * sin(radians(-lat))),
+                    0.08181919084262149::DOUBLE / 2.0::DOUBLE))
+               / (tan(pi() / 4.0::DOUBLE - radians(71.0::DOUBLE) / 2.0::DOUBLE)
+                  / pow((1.0::DOUBLE - 0.08181919084262149::DOUBLE * sin(radians(71.0::DOUBLE)))
+                      / (1.0::DOUBLE + 0.08181919084262149::DOUBLE * sin(radians(71.0::DOUBLE))),
+                    0.08181919084262149::DOUBLE / 2.0::DOUBLE)) AS rho
+           FROM (SELECT CAST(n_nationkey AS INT) AS key,
+             -180.0::DOUBLE + CAST(n_nationkey % 25 AS INT) * 14.3::DOUBLE AS lon,
+             (-85.0::DOUBLE + CAST(n_nationkey * 7 % 26 AS INT))::DOUBLE AS lat
+             FROM nation))
+         ORDER BY key""",
+    "g4_laea_forward" ->
+      """WITH pts AS (
+           SELECT CAST(n_nationkey AS INT) AS key,
+             -25.0::DOUBLE + CAST(n_nationkey % 25 AS INT) * 2.8::DOUBLE AS lon,
+             (28.0::DOUBLE + CAST(n_nationkey * 7 % 44 AS INT))::DOUBLE AS lat
+           FROM nation),
+         c1 AS (SELECT 6378137.0::DOUBLE AS a,
+             0.006694380022900787::DOUBLE AS e2,
+             0.08181919104281579::DOUBLE AS e,
+             radians(52.0::DOUBLE) AS phi0, radians(10.0::DOUBLE) AS lam0),
+         c2 AS (SELECT a, e2, e, phi0, lam0,
+             (1 - e2) * (1.0::DOUBLE / (1 - e2)
+               - (1.0::DOUBLE / (2 * e)) * ln((1 - e) / (1 + e))) AS qp,
+             (1 - e2) * (sin(phi0) / (1 - e2 * sin(phi0) * sin(phi0))
+               - (1.0::DOUBLE / (2 * e))
+                 * ln((1 - e * sin(phi0)) / (1 + e * sin(phi0)))) AS q0,
+             cos(phi0) / sqrt(1 - e2 * sin(phi0) * sin(phi0)) AS m1
+           FROM c1),
+         c3 AS (SELECT *, a * sqrt(qp / 2) AS rq, asin(q0 / qp) AS beta1 FROM c2),
+         c4 AS (SELECT *, a * m1 / (rq * cos(beta1)) AS dd FROM c3),
+         v AS (SELECT p.key, radians(p.lon) - lam0 AS dl,
+             asin(((1 - e2) * (sin(radians(p.lat))
+                 / (1 - e2 * sin(radians(p.lat)) * sin(radians(p.lat)))
+               - (1.0::DOUBLE / (2 * e))
+                 * ln((1 - e * sin(radians(p.lat)))
+                     / (1 + e * sin(radians(p.lat)))))) / qp) AS beta,
+             beta1, rq, dd
+           FROM pts p CROSS JOIN c4),
+         w AS (SELECT key, dl, beta, beta1, rq, dd,
+             rq * sqrt(2.0::DOUBLE
+               / (1 + sin(beta1) * sin(beta)
+                  + cos(beta1) * cos(beta) * cos(dl))) AS b
+           FROM v)
+         SELECT key,
+           CAST(floor(4321000.0::DOUBLE + b * dd * cos(beta) * sin(dl)
+             + 0.5::DOUBLE) AS BIGINT) AS x_m,
+           CAST(floor(3210000.0::DOUBLE + (b / dd)
+             * (cos(beta1) * sin(beta) - sin(beta1) * cos(beta) * cos(dl))
+             + 0.5::DOUBLE) AS BIGINT) AS y_m
+         FROM w ORDER BY key""",
     "s8_availability" ->
       """SELECT date, total, ok_n, err_n, bands, errs FROM (
            SELECT printf('1995-%02d', CAST(n_nationkey % 12 + 1 AS INT)) AS date,

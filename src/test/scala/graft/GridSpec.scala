@@ -195,11 +195,130 @@ class GridSpec extends AnyFunSuite {
       "+k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84")
     assert(plain.forward(-74.1, 40.0) == withLat0.forward(-74.1, 40.0))
     val err = intercept[IllegalArgumentException](
-      Grid.fromProj4("+proj=stere +lat_0=90"))
-    assert(err.getMessage.contains("+proj=stere"))
+      Grid.fromProj4("+proj=ortho +lat_0=90"))
+    assert(err.getMessage.contains("+proj=ortho"))
     val noZone = intercept[IllegalArgumentException](
       Grid.fromProj4("+proj=utm +south"))
     assert(noZone.getMessage.contains("+zone"))
+    // stere is polar-only: the oblique aspect fails typed, not wrong
+    val oblique = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=stere +lat_0=52 +lon_0=5"))
+    assert(oblique.getMessage.contains("polar"))
+  }
+
+  test("polar stereographic: EPSG:3031/3413 semantics") {
+    // EPSG:3031 Antarctic Polar Stereographic (WGS84, lat_ts=-71)
+    val sps = Grid.fromProj4("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 " +
+      "+k=1 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs")
+    // the pole is the origin
+    val (px, py) = sps.forward(0.0, -90.0)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    // defining property (Snyder 21-34): true scale on the standard
+    // parallel — an east-west step at lat_ts projects to exactly the
+    // ellipsoidal parallel-circle arc
+    val e2 = { val f = 1.0 / 298.257223563; f * (2 - f) }
+    def parallelR(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      6378137.0 * math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    }
+    def kPar(p: Grid.Projection, lonDeg: Double, latDeg: Double): Double = {
+      val dLon = 1e-6
+      val (x1, y1) = p.forward(lonDeg, latDeg)
+      val (x2, y2) = p.forward(lonDeg + dLon, latDeg)
+      math.hypot(x2 - x1, y2 - y1) / (parallelR(latDeg) * math.toRadians(dLon))
+    }
+    def kMer(p: Grid.Projection, lonDeg: Double, latDeg: Double): Double = {
+      val dLat = 1e-6
+      val (x1, y1) = p.forward(lonDeg, latDeg)
+      val (x2, y2) = p.forward(lonDeg, latDeg + dLat)
+      val phi = math.toRadians(latDeg)
+      val m = 6378137.0 * (1 - e2) / math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+      math.hypot(x2 - x1, y2 - y1) / (m * math.toRadians(dLat))
+    }
+    assert(math.abs(kPar(sps, 30.0, -71.0) - 1.0) < 1e-6,
+      s"k(lat_ts)=${kPar(sps, 30.0, -71.0)}")
+    // conformality: meridian scale == parallel scale everywhere
+    for ((lon, lat) <- Seq((150.0, -75.0), (-60.0, -65.0), (10.0, -85.0))) {
+      val ratio = kMer(sps, lon, lat) / kPar(sps, lon, lat)
+      assert(math.abs(ratio - 1.0) < 1e-5, s"isotropy at ($lon,$lat): $ratio")
+    }
+    // scale grows away from the standard parallel on both sides
+    assert(kPar(sps, 0.0, -60.0) > 1.0 && kPar(sps, 0.0, -80.0) < 1.0)
+    // north aspect (EPSG:3413-style): pole at origin, round-trips
+    val nps = Grid.fromProj4(
+      "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84")
+    val (nx, ny) = nps.forward(-45.0, 90.0)
+    assert(math.abs(nx) < 1e-6 && math.abs(ny) < 1e-6)
+    assert(math.abs(kPar(nps, 100.0, 70.0) - 1.0) < 1e-6)
+    for ((lon, lat) <- Seq((-45.0, 70.0), (130.0, 62.5), (-179.0, 88.0))) {
+      val (lon2, lat2) = nps.inverse _ tupled nps.forward(lon, lat)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // dual-implementation anchor (Snyder 21-34 south aspect computed by an
+    // independent implementation of the same published equations):
+    // International ellipsoid, lat_ts=-71, lon_0=-100, point (150E, 75S)
+    val intl = Grid.PolarStereographic(lon0Deg = -100, south = true,
+      latTsDeg = -71, a = 6378388.0, invF = 297.0)
+    val (ax, ay) = intl.forward(150.0, -75.0)
+    assert(math.abs(ax - -1540033.61) < 0.1, s"x=$ax")
+    assert(math.abs(ay - -560526.39) < 0.1, s"y=$ay")
+    // pole-scale variant (+k, no lat_ts): k0 halves coordinates linearly
+    val k1 = Grid.fromProj4("+proj=stere +lat_0=90 +lon_0=0 +k=1 +ellps=WGS84")
+    val kh = Grid.fromProj4("+proj=stere +lat_0=90 +lon_0=0 +k=0.5 +ellps=WGS84")
+    val (x1, y1) = k1.forward(77.0, 80.0)
+    val (xh, yh) = kh.forward(77.0, 80.0)
+    assert(math.abs(xh * 2 - x1) < 1e-6 && math.abs(yh * 2 - y1) < 1e-6)
+  }
+
+  test("laea matches Snyder's published worked example and preserves area") {
+    // Snyder PP1395 p.333-334 (ellipsoid example): Clarke 1866,
+    // lat_0=40, lon_0=-100; phi=30, lam=-110
+    // -> x = -965,932.1 m, y = -1,056,814.9 m
+    val laea = Grid.LambertAzimuthalEqualArea(lon0Deg = -100, lat0Deg = 40,
+      a = 6378206.4, invF = 294.978698214)
+    val (x, y) = laea.forward(-110.0, 30.0)
+    assert(math.abs(x - -965932.1) < 0.5, s"x=$x")
+    assert(math.abs(y - -1056814.9) < 0.5, s"y=$y")
+    val (lon, lat) = laea.inverse(x, y)
+    assert(math.abs(lon - (-110.0)) < 1e-7 && math.abs(lat - 30.0) < 1e-7)
+    // EPSG:3035 (Europe LAEA, GRS80): the center is the false origin
+    val eu = Grid.fromProj4("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 " +
+      "+y_0=3210000 +ellps=GRS80 +units=m +no_defs")
+    val (cx, cy) = eu.forward(10.0, 52.0)
+    assert(math.abs(cx - 4321000.0) < 1e-6 && math.abs(cy - 3210000.0) < 1e-6)
+    // defining property: the areal scale factor (Jacobian determinant
+    // over the ellipsoidal area element M·r) is 1 everywhere
+    val e2 = { val f = 1.0 / 298.257222101; f * (2 - f) }
+    def arealScale(p: Grid.Projection, lonDeg: Double, latDeg: Double): Double = {
+      val d = 1e-6
+      val (x0, y0) = p.forward(lonDeg, latDeg)
+      val (xl, yl) = p.forward(lonDeg + d, latDeg)
+      val (xp, yp) = p.forward(lonDeg, latDeg + d)
+      val jac = ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) /
+        (math.toRadians(d) * math.toRadians(d))
+      val phi = math.toRadians(latDeg)
+      val w2 = 1 - e2 * math.sin(phi) * math.sin(phi)
+      val mRad = 6378137.0 * (1 - e2) / math.pow(w2, 1.5)
+      val r = 6378137.0 * math.cos(phi) / math.sqrt(w2)
+      jac / (mRad * r)
+    }
+    for ((lo, la) <- Seq((10.0, 52.0), (-9.0, 38.5), (28.0, 66.0), (20.0, 45.0))) {
+      val s = arealScale(eu, lo, la)
+      assert(math.abs(s - 1.0) < 1e-4, s"areal scale at ($lo,$la): $s")
+    }
+    // polar aspect (Snyder 24-23/24-25): pole at origin, round-trips
+    val np = Grid.fromProj4("+proj=laea +lat_0=90 +lon_0=0 +datum=WGS84")
+    val (px, py) = np.forward(0.0, 90.0)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    for ((lo, la) <- Seq((33.0, 80.0), (-140.0, 55.0), (179.0, 89.5))) {
+      val (lo2, la2) = np.inverse _ tupled np.forward(lo, la)
+      assert(math.abs(lo2 - lo) < 1e-7 && math.abs(la2 - la) < 1e-7,
+        s"($lo,$la) -> ($lo2,$la2)")
+    }
+    val sp = Grid.fromProj4("+proj=laea +lat_0=-90 +lon_0=0 +datum=WGS84")
+    val (slo, sla) = sp.inverse _ tupled sp.forward(-77.0, -66.0)
+    assert(math.abs(slo - (-77.0)) < 1e-7 && math.abs(sla - (-66.0)) < 1e-7)
   }
 
   test("proj4 misconfigurations fail typed instead of emitting NaN") {

@@ -64,15 +64,31 @@ class PropertySpec extends AnyFunSuite {
         box(-80, -40, -55, -5)),
       ("tmerc+lat0", Grid.fromProj4(
         "+proj=tmerc +lat_0=-33 +lon_0=19 +k=1 +x_0=1000 +y_0=2000 +ellps=WGS84"),
-        box(16, 22, -60, 10)))
+        box(16, 22, -60, 10)),
+      ("stere-south", Grid.fromProj4(
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +k=1 +datum=WGS84"),
+        box(-179, 179, -89.5, -55)),
+      ("stere-north", Grid.fromProj4(
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84"),
+        box(-179, 179, 55, 89.5)),
+      ("laea-eu", Grid.fromProj4(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80"),
+        box(-25, 45, 27, 72)),
+      ("laea-polar", Grid.fromProj4("+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84"),
+        box(-179, 179, -89.5, -40)))
   }
 
   test("forward/inverse round-trips to 1e-7 degrees across each domain") {
+    // longitude compares on the circle: a domain whose Δλ crosses ±180°
+    // (e.g. polar aspects with lon_0 = -45) legitimately returns the
+    // wrapped representative of the same meridian
+    def lonDiff(a: Double, b: Double): Double =
+      math.abs(((a - b) % 360 + 540) % 360 - 180)
     projections.foreach { case (name, proj, dom) =>
       run(name)(forAll(dom) { case (lon, lat) =>
         val (x, y) = proj.forward(lon, lat)
         val (lon2, lat2) = proj.inverse(x, y)
-        math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7
+        lonDiff(lon2, lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7
       })
     }
   }

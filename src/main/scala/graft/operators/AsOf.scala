@@ -37,6 +37,15 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // reserved internal plumbing + emitted output names: a caller column
+    // with one of these names would be silently clobbered or duplicated
+    val reserved = Set("__side", "__row", "__asof", "asof_ts") ++
+      valueCols.map(c => s"asof_$c")
+    val clash = (leftCols ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin: input column(s) ${clash.distinct.mkString(", ")} collide " +
+        s"with reserved internal/output names (${reserved.mkString(", ")}); " +
+        "rename them before the join")
     val l = left.withColumn("__side", lit(1))
     // the whole matched row rides as ONE struct: the struct itself is
     // non-null for every right row, so the ignoreNulls carry-forward

@@ -66,11 +66,37 @@ object Scale {
 
   /** Persist `df` bucketed+sorted by `key` for shuffle-free joins against
     * other tables bucketed the same way (same key, same bucket count).
+    * With `path` the table is external (data at the given location,
+    * only metadata in the session catalog).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Number of shuffle exchanges in `df`'s physical plan — the levers in
+    * this object exist to make this zero for the joins they cover, and
+    * the gates assert it stays zero.
+    */
+  def shuffleExchangeCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case _: ShuffleExchangeExec => n += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
 
   /** Join two big frames on `key` with the big side salted into `salts`
     * sub-keys and the smaller side replicated across them. The salt is

@@ -100,6 +100,53 @@ object CubeOps {
         .orderBy($"tile")
     }),
 
+    // M1 under a hot key — the same rows through Scale.saltedJoin: ranges
+    // explode to grid cells (m1b shape) and the cell equi-join salts the
+    // big side into 8 sub-keys with the cell table replicated, so one
+    // mega-cell cannot pin a task. Output is salt-invariant: same rows
+    // as m1_bbox_join, gated against the identical oracle.
+    "m1c_salted" -> ((s, d) => {
+      import s.implicits._
+      val tiles = Seq.tabulate(12)(i => (i, i * 50000.0, i * 50000.0 + 60000.0))
+        .toDF("tile", "lo", "hi")
+      val cells = tiles.filter($"hi" > $"lo").withColumn("cell", explode(
+        sequence(floor($"lo" / 50000.0).cast("long"),
+          (ceil($"hi" / 50000.0) - 1).cast("long"))))
+      val pts = orders(s, d)
+        .withColumn("cell", floor($"o_totalprice" / 50000.0).cast("long"))
+      graft.operators.Scale.saltedJoin(pts, cells, "cell", salts = 8)
+        .filter($"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"tile")
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"o_totalprice") * 100 + 0.5).cast("long").as("total_x100"))
+        .orderBy($"tile")
+    }),
+
+    // Co-located join through Scale.writeBucketed: both sides persisted
+    // bucketed+sorted on the join key, then joined with a SELF-PINNED
+    // zero-exchange plan (the query raises if the join plans a shuffle) —
+    // the lever that converts a 100 TB repeated shuffle into a one-time
+    // write. Rows gated against the plain orders⋈customer oracle.
+    "m1e_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Scale
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      Scale.writeBucketed(orders(s, d).select($"o_custkey", $"o_totalprice"),
+        "g_orders_b", "o_custkey", 8, Some(s"$tmp/o"))
+      Scale.writeBucketed(
+        customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+        "g_cust_b", "o_custkey", 8, Some(s"$tmp/c"))
+      val probe = s.table("g_orders_b").join(s.table("g_cust_b"), "o_custkey")
+      val exchanges = Scale.shuffleExchangeCount(probe)
+      if (exchanges != 0)
+        throw new IllegalStateException(
+          s"bucketed join planned $exchanges shuffle exchange(s); expected 0")
+      probe.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"o_totalprice") * 100 + 0.5).cast("long").as("total_x100"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // M2/M3 — mosaic overlay via the MosaicAggregator: combined mode fills
     // holes (first valid in asset order), single mode overwrites (last valid)
     "m2_mosaic_overlay" -> ((s, d) => {
@@ -614,6 +661,17 @@ object CubeOps {
          CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS total_x100
          FROM orders JOIN tiles ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY tile ORDER BY tile""",
+    "m1c_salted" ->
+      s"""WITH tiles(tile, lo, hi) AS (VALUES $tilesValues)
+         SELECT tile, count(*) AS n,
+         CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS total_x100
+         FROM orders JOIN tiles ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY tile ORDER BY tile""",
+    "m1e_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS total_x100
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "m2_mosaic_overlay" ->
       s"""WITH px AS ($pixelModelSql)
          SELECT l_orderkey,

@@ -656,6 +656,37 @@ object Pipeline {
         .orderBy($"lang", $"source")
     }),
 
+    // The approx-quantile SCALE path itself, behind the driver gate via
+    // the bounded-deviation recipe: the GK sketch's returned element must
+    // sit within ±max(0.01·n, 1) of the requested rank in every
+    // (lang, source) group (the sketch guarantee is ε·n = n/10000, plus
+    // one element of integer-rank granularity in tiny groups). The query
+    // computes the real rank of each sketch quantile against the real
+    // token counts and emits the pass flags; the oracle pins them all 1.
+    "x_len_quantiles_approx" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"lang", $"source",
+          size(words($"text")).cast("double").as("tokens"))
+      val sk = tokenQuantiles(documents(s, d), exact = false)
+        .select($"lang", $"source", $"qs")
+      val counts = QuantilePs.indices.flatMap { i =>
+        Seq(sum(when($"tokens" < $"qs"(i), 1L).otherwise(0L)).as(s"lt_$i"),
+          sum(when($"tokens" <= $"qs"(i), 1L).otherwise(0L)).as(s"le_$i"))
+      }
+      val flags = QuantilePs.zipWithIndex.map { case (p, i) =>
+        val tol = greatest($"n" * 0.01, lit(1.0))
+        when(col(s"lt_$i") <= $"n" * p + tol &&
+             col(s"le_$i") >= $"n" * p - tol, 1).otherwise(0)
+          .cast("int").as(s"ok_q${(p * 100).toInt}")
+      }
+      toks.join(broadcast(sk), Seq("lang", "source"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n"), counts: _*)
+        .select($"lang" +: $"source" +: $"n" +: flags: _*)
+        .orderBy($"lang", $"source")
+    }),
+
     "x_quality_score" -> ((s, d) => {
       import s.implicits._
       val base = documents(s, d).filter(length(trim($"text")) > 0)
@@ -1121,6 +1152,11 @@ object Pipeline {
          FROM (SELECT lang, source,
              len(string_split_regex(trim(text), ' +'))::DOUBLE AS tokens
            FROM documents WHERE len(trim(text)) > 0)
+         GROUP BY lang, source ORDER BY lang, source""",
+    "x_len_quantiles_approx" ->
+      """SELECT lang, source, count(*) AS n,
+         1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q90
+         FROM documents WHERE len(trim(text)) > 0
          GROUP BY lang, source ORDER BY lang, source""",
     "x_quality_score" ->
       """WITH base AS (SELECT doc_id,

@@ -61,11 +61,20 @@ object StreamOps {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    maxGap: String = "30 minutes",
                    watermark: String = "2 hours",
-                   joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark("ts", watermark).alias("l")
-    val r = right.withWatermark("ts", watermark).alias("r")
+                   joinType: String = "inner",
+                   keyCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame = {
+    Seq(keyCol, tsCol).foreach { c =>
+      require(left.columns.contains(c) && right.columns.contains(c),
+        s"intervalJoin: both sides need a '$c' column " +
+          s"(left: ${left.columns.mkString(",")}; " +
+          s"right: ${right.columns.mkString(",")})")
+    }
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r, expr(
-      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $maxGap"),
+      s"l.$keyCol = r.$keyCol AND r.$tsCol >= l.$tsCol " +
+        s"AND r.$tsCol <= l.$tsCol + INTERVAL $maxGap"),
       joinType)
   }
 

@@ -64,4 +64,18 @@ class AsOfSpec extends SparkSpec {
       assert(got((k, ts)) == expected, s"k=$k ts=$ts")
     }
   }
+
+  test("reserved/output name collisions fail typed instead of clobbering") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 9L)).toDF("k", "ts", "asof_ts")
+    val r = Seq((1L, 1L, 2L)).toDF("k", "ts", "v")
+    val err = intercept[IllegalArgumentException](
+      AsOf.asofJoin(l, r, "k", "ts", Seq("v")))
+    assert(err.getMessage.contains("asof_ts"))
+    val l2 = Seq((1L, 1L)).toDF("k", "ts")
+    val r2 = Seq((1L, 1L, 2L, 0)).toDF("k", "ts", "v", "__side")
+    val err2 = intercept[IllegalArgumentException](
+      AsOf.asofJoin(l2, r2, "k", "ts", Seq("v")))
+    assert(err2.getMessage.contains("__side"))
+  }
 }

@@ -235,4 +235,22 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("interval join takes key/ts column names; missing columns fail typed") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val l = Seq((7L, ts("2024-01-01 00:00:00")))
+      .toDF("device", "seen_at")
+    val r = Seq((7L, ts("2024-01-01 00:10:00"), 5.0))
+      .toDF("device", "seen_at", "v")
+    val got = StreamOps.intervalJoin(l, r, "30 MINUTES", "2 hours",
+        keyCol = "device", tsCol = "seen_at")
+      .select($"l.device", $"r.v").collect()
+      .map(row => (row.getLong(0), row.getDouble(1))).toSet
+    assert(got == Set((7L, 5.0)))
+    // the default schema contract no longer binds silently to wrong columns
+    val err = intercept[IllegalArgumentException](
+      StreamOps.intervalJoin(l, r))
+    assert(err.getMessage.contains("user_id"))
+  }
 }

@@ -145,9 +145,16 @@ object Pipeline {
     * pairs explode inside each bucket group — the signature plan runs
     * once and the corpus never self-joins.
     */
-  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairsFor(documents(s, d))
+
+  /** Same pipeline over any (doc_id, text) frame — ScaleSpec's soak runs
+    * it on synthetic corpora at two sizes to pin linear shuffle growth.
+    */
+  private[graft] def minhashCandidatePairsFor(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val base = documents(s, d)
+    val base = docs
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 2)
     val sh = base.select($"doc_id",
@@ -281,14 +288,30 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
-    // n-gram (word-set) Jaccard similarity over a bounded pair set
+    // n-gram (word-set) Jaccard similarity over a bounded id range —
+    // exact-recall SCALE shape: prefix filtering (the SSJoin/PPJoin
+    // principle) generates candidates from an inverted-index EQUI-join
+    // over each doc's first |w| - ceil(t·|w|) + 1 tokens in a global
+    // token order (a pair with J >= t MUST share one of them — recall is
+    // exact, not probabilistic), then the exact Jaccard re-score runs on
+    // candidates only. No all-pairs theta-join anywhere (plan-pinned);
+    // the oracle rows are identical to the former bounded all-pairs form.
     "d_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
+      // t slightly under 0.3: the gate filter is on the ROUNDED
+      // jac_x10000 >= 3000, which admits true Jaccard down to 0.29995
+      val t = 0.2999
       val docs = documents(s, d).filter($"doc_id" < 60)
-        .select($"doc_id", array_distinct(words($"text")).as("w"))
-      val a = docs.select($"doc_id".as("id1"), $"w".as("w1"))
-      val b = docs.select($"doc_id".as("id2"), $"w".as("w2"))
-      a.join(b, $"id1" < $"id2")
+        .select($"doc_id", array_sort(array_distinct(words($"text"))).as("w"))
+      val pref = docs.select($"doc_id", explode(slice($"w", lit(1),
+        (size($"w") - ceil(lit(t) * size($"w")) + 1).cast("int"))).as("tok"))
+      val cand = pref.select($"tok", $"doc_id".as("id1"))
+        .join(pref.select($"tok", $"doc_id".as("id2")), Seq("tok"))
+        .filter($"id1" < $"id2")
+        .select($"id1", $"id2").distinct()
+      cand
+        .join(docs.select($"doc_id".as("id1"), $"w".as("w1")), Seq("id1"))
+        .join(docs.select($"doc_id".as("id2"), $"w".as("w2")), Seq("id2"))
         .select($"id1", $"id2",
           size(array_intersect($"w1", $"w2")).as("inter"),
           (size($"w1") + size($"w2") - size(array_intersect($"w1", $"w2"))).as("uni"))

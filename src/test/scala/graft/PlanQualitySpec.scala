@@ -99,6 +99,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles <= 3, s"composite pipeline should reuse partitioning, got $shuffles")
   }
 
+  test("d_ngram_jaccard: prefix-filter candidates — no theta join over the corpus") {
+    val plan = planString(q("d_ngram_jaccard"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"prefix-filtered Jaccard must not contain an all-pairs join:\n$plan")
+  }
+
   test("d_embed_neardup_lsh: no all-pairs join — every join is hash-based") {
     val plan = planString(q("d_embed_neardup_lsh"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

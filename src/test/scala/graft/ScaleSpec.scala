@@ -133,6 +133,84 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: composite and MinHash-LSH shuffle/memory scale ~linearly at 10x") {
+    // Plans are pinned elsewhere; this pins the CONSTANTS: run the t2/t3
+    // composite shape and the d_minhash_lsh candidate pipeline on
+    // synthetic models at n and 10n and require shuffle-write bytes and
+    // summed task peak-execution-memory to grow ~linearly. A quadratic
+    // pair explosion or per-group buffer blowup reads as 50-100x here.
+    import graft.operators.Composite
+    import graft.model.MaskDef
+    val sparkS = spark
+    import sparkS.implicits._
+
+    def compositeAt(n: Long): org.apache.spark.sql.DataFrame = {
+      val mask = MaskDef(clearData = Seq(0L), notClearData = Seq(2L, 4L),
+        nodata = 255L)
+      val obs = spark.range(n * 8).select(
+        ($"id" % n).as("key"),
+        ($"id" / n).cast("int").as("rn"),
+        ($"id" % 5).cast("int").as("src"),
+        ($"id" * 37 % 10000).cast("int").as("v"),
+        ($"id" * 13 % 3 * 2).cast("int").as("qa")) // {0,2,4}: clear + cloudy
+      val c = Composite.compositeAgg(mask)(
+        (lit(100000) - $"rn").cast("double"), $"rn", $"src",
+        array($"v"), array($"qa"), lit(-9999))
+      obs.groupBy($"key").agg(c.as("c"))
+        .select($"key", element_at($"c.value", 1),
+          element_at($"c.median", 1), element_at($"c.average", 1))
+    }
+
+    // ~4 near-identical docs per text regardless of n: bucket sizes stay
+    // constant, so candidate pairs grow linearly with the corpus
+    def minhashAt(n: Long): org.apache.spark.sql.DataFrame =
+      graft.queries.Pipeline.minhashCandidatePairsFor(spark.range(n).select(
+        $"id".as("doc_id"),
+        concat_ws(" ", lit("alpha beta gamma"), ($"id" % (n / 4)).cast("string"),
+          lit("delta epsilon"), ($"id" % 13).cast("string"),
+          lit("zeta eta theta iota")).as("text")))
+
+    def measure(df: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val probe = new TaskMetricsProbe
+      spark.sparkContext.addSparkListener(probe)
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500) // listener bus is async; let it drain
+      } finally spark.sparkContext.removeSparkListener(probe)
+      (probe.shuffleBytes.get, probe.peakMem.get)
+    }
+
+    for ((name, run) <- Seq(
+        ("composite", (n: Long) => compositeAt(n)),
+        ("minhash-lsh", (n: Long) => minhashAt(n)))) {
+      val n1 = if (name == "composite") 10000L else 2000L
+      val (bytes1, mem1) = measure(run(n1))
+      val (bytes10, mem10) = measure(run(n1 * 10))
+      assert(bytes1 > 0, s"$name: no shuffle measured at n=$n1")
+      val bytesRatio = bytes10.toDouble / bytes1
+      val memRatio = mem10.toDouble / math.max(mem1, 1)
+      info(f"$name: shuffle ${bytes1}B -> ${bytes10}B (${bytesRatio}%.1fx), " +
+        f"peak-mem sum ${mem1}B -> ${mem10}B (${memRatio}%.1fx)")
+      assert(bytesRatio < 25, s"$name shuffle grew superlinearly: $bytesRatio")
+      assert(bytesRatio > 3, s"$name shuffle growth suspiciously flat: $bytesRatio")
+      assert(memRatio < 25, s"$name execution memory grew superlinearly: $memRatio")
+    }
+  }
+
+  private final class TaskMetricsProbe
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakMem.addAndGet(m.peakExecutionMemory)
+      }
+    }
+  }
+
   private def collectQs(df: org.apache.spark.sql.DataFrame) = {
     val sparkS = spark
     import sparkS.implicits._

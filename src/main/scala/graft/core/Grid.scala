@@ -504,8 +504,11 @@ object Grid {
     * into a [[Projection]]. Covers the families this engine implements —
     * longlat, sinu, aea, lcc, tmerc, utm, merc, stere (polar aspects),
     * laea — with +ellps/+datum/+a/+b/+rf/+R ellipsoid resolution,
-    * +lat_ts for Mercator and polar stereographic, and GDAL's leniency
-    * toward irrelevant keys (+units, +no_defs, +towgs84=0,0,0 …).
+    * +lat_ts for Mercator and polar stereographic, 3-/7-parameter
+    * `+towgs84` datum shifts (position-vector convention, composed via
+    * [[Datum.DatumShifted]] so lon/lat at the API surface is always
+    * WGS84), and GDAL's leniency toward irrelevant keys (+units,
+    * +no_defs …).
     * Projections outside the set fail with a typed message naming the
     * +proj value, mirroring how unsupported JP2 payloads are reported
     * (reference accepts any CRS through rasterio/GDAL:
@@ -547,7 +550,22 @@ object Grid {
     val y0 = num("y_0").getOrElse(0.0)
     val k = num("k").orElse(num("k_0"))
 
-    kv.getOrElse("proj", "") match {
+    // +towgs84=dx,dy,dz[,rx,ry,rz,s] — datum-shift leg, wrapped around
+    // the projection below. All-zero params are the common "this IS
+    // WGS84" declaration and stay a no-op.
+    val towgs84: Option[Datum.Helmert] = kv.get("towgs84").map { v =>
+      val ps = v.split(",").map(_.trim.toDouble)
+      require(ps.length == 3 || ps.length == 7,
+        s"+towgs84 needs 3 or 7 comma-separated values, got ${ps.length}: $proj4")
+      if (ps.length == 3) Datum.Helmert(ps(0), ps(1), ps(2))
+      else Datum.Helmert(ps(0), ps(1), ps(2), ps(3), ps(4), ps(5), ps(6))
+    }.filter(!_.isIdentity)
+
+    // The ellipsoid the datum leg converts geodetic<->geocentric on;
+    // spherical sinusoidal overrides it with its resolved radius.
+    var datumA = aAxis
+    var datumInvF = rf
+    val baseProj: Projection = kv.getOrElse("proj", "") match {
       case "longlat" | "latlong" | "lonlat" => LongLat
       case "sinu" =>
         // The implementation is SPHERICAL sinusoidal: an explicit radius
@@ -566,6 +584,7 @@ object Grid {
                 s"is not supported; pass a sphere (+R / +a=+b): $proj4")
           } else 6371007.181
         }
+        datumA = r; datumInvF = Double.PositiveInfinity
         Sinusoidal(lon0, x0, y0, r)
       case "aea" =>
         val lat1 = num("lat_1").getOrElse(throw new IllegalArgumentException(
@@ -624,6 +643,10 @@ object Grid {
       case other => throw new IllegalArgumentException(
         s"unsupported proj4 projection '+proj=$other' " +
           s"(supported: longlat sinu aea lcc tmerc utm merc stere laea): $proj4")
+    }
+    towgs84 match {
+      case Some(h) => Datum.DatumShifted(baseProj, datumA, datumInvF, h)
+      case None => baseProj
     }
   }
 

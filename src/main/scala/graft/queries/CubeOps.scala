@@ -470,6 +470,35 @@ object CubeOps {
         .orderBy($"key")
     }),
 
+    // C13e — +towgs84 datum-shift leg (EPSG 9606 position vector +
+    // Bowring geocentric->geodetic): both a 3-param ED50-style shift and
+    // a full 7-param (rotations + scale) transform, datum -> WGS84
+    // direction so the oracle's Helmert is the forward (linear) form
+    "g5_datum_shift" -> ((s, d) => {
+      import s.implicits._
+      val ed50 = graft.core.Grid.fromProj4(
+        "+proj=longlat +ellps=intl +towgs84=-87,-96,-120")
+      val p7 = graft.core.Grid.fromProj4(
+        "+proj=longlat +ellps=intl +towgs84=89.5,93.8,123.1,0.7,-0.3,0.156,-1.2")
+      val inv3 = udf((lon: Double, lat: Double) => {
+        val (lo, la) = ed50.inverse(lon, lat); Array(lo, la)
+      })
+      val inv7 = udf((lon: Double, lat: Double) => {
+        val (lo, la) = p7.inverse(lon, lat); Array(lo, la)
+      })
+      nation(s, d).select($"n_nationkey".cast("int").as("key"),
+          (lit(-9.0) + ($"n_nationkey" % 25).cast("double") * 0.8).as("lon"),
+          (lit(36.0) + ($"n_nationkey" * 7 % 37).cast("double") * 0.5).as("lat"))
+        .withColumn("w3", inv3($"lon", $"lat"))
+        .withColumn("w7", inv7($"lon", $"lat"))
+        .select($"key",
+          floor($"w3"(0) * 1e7 + 0.5).cast("long").as("lon3_e7"),
+          floor($"w3"(1) * 1e7 + 0.5).cast("long").as("lat3_e7"),
+          floor($"w7"(0) * 1e7 + 0.5).cast("long").as("lon7_e7"),
+          floor($"w7"(1) * 1e7 + 0.5).cast("long").as("lat7_e7"))
+        .orderBy($"key")
+    }),
+
     // S8 — availability probe over asset links (HEAD/readability check in
     // mapPartitions) feeding the per-date merge audit (validate_merges)
     "s8_availability" -> ((s, d) => {
@@ -917,6 +946,57 @@ object CubeOps {
              * (cos(beta1) * sin(beta) - sin(beta1) * cos(beta) * cos(dl))
              + 0.5::DOUBLE) AS BIGINT) AS y_m
          FROM w ORDER BY key""",
+    "g5_datum_shift" ->
+      """WITH pts AS (
+           SELECT CAST(n_nationkey AS INT) AS key,
+             -9.0::DOUBLE + CAST(n_nationkey % 25 AS INT) * 0.8::DOUBLE AS lon,
+             36.0::DOUBLE + CAST(n_nationkey * 7 % 37 AS INT) * 0.5::DOUBLE AS lat
+           FROM nation),
+         ell AS (SELECT
+             6378388.0::DOUBLE AS a1,
+             (1.0::DOUBLE / 297.0::DOUBLE)
+               * (2.0::DOUBLE - 1.0::DOUBLE / 297.0::DOUBLE) AS e21,
+             6378137.0::DOUBLE AS a2,
+             (1.0::DOUBLE / 298.257223563::DOUBLE)
+               * (2.0::DOUBLE - 1.0::DOUBLE / 298.257223563::DOUBLE) AS e22,
+             6378137.0::DOUBLE
+               * (1.0::DOUBLE - 1.0::DOUBLE / 298.257223563::DOUBLE) AS b2,
+             1.0::DOUBLE + (-1.2::DOUBLE) * 1e-6 AS m,
+             radians(0.7::DOUBLE / 3600.0::DOUBLE) AS rx,
+             radians(-0.3::DOUBLE / 3600.0::DOUBLE) AS ry,
+             radians(0.156::DOUBLE / 3600.0::DOUBLE) AS rz),
+         xyz AS (SELECT key,
+             n1 * cos(phi) * cos(lam) AS x,
+             n1 * cos(phi) * sin(lam) AS y,
+             n1 * (1 - e21) * sin(phi) AS z,
+             a2, e22, b2, m, rx, ry, rz
+           FROM (SELECT p.key,
+               a1 / sqrt(1 - e21 * sin(radians(p.lat)) * sin(radians(p.lat))) AS n1,
+               radians(p.lat) AS phi, radians(p.lon) AS lam,
+               e21, a2, e22, b2, m, rx, ry, rz
+             FROM pts p CROSS JOIN ell)),
+         sh AS (SELECT key, a2, e22, b2,
+             x - 87.0::DOUBLE AS x3, y - 96.0::DOUBLE AS y3, z - 120.0::DOUBLE AS z3,
+             89.5::DOUBLE + m * (x - rz * y + ry * z) AS x7,
+             93.8::DOUBLE + m * (rz * x + y - rx * z) AS y7,
+             123.1::DOUBLE + m * (-ry * x + rx * y + z) AS z7
+           FROM xyz),
+         bow AS (SELECT key, a2, e22, b2,
+             (a2 * a2 - b2 * b2) / (b2 * b2) AS ep2,
+             sqrt(x3 * x3 + y3 * y3) AS p3, atan2(z3 * a2, sqrt(x3 * x3 + y3 * y3) * b2) AS t3,
+             sqrt(x7 * x7 + y7 * y7) AS p7, atan2(z7 * a2, sqrt(x7 * x7 + y7 * y7) * b2) AS t7,
+             x3, y3, z3, x7, y7, z7
+           FROM sh)
+         SELECT key,
+           CAST(floor(degrees(atan2(y3, x3)) * 10000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS lon3_e7,
+           CAST(floor(degrees(atan2(z3 + ep2 * b2 * sin(t3) * sin(t3) * sin(t3),
+               p3 - e22 * a2 * cos(t3) * cos(t3) * cos(t3)))
+             * 10000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS lat3_e7,
+           CAST(floor(degrees(atan2(y7, x7)) * 10000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS lon7_e7,
+           CAST(floor(degrees(atan2(z7 + ep2 * b2 * sin(t7) * sin(t7) * sin(t7),
+               p7 - e22 * a2 * cos(t7) * cos(t7) * cos(t7)))
+             * 10000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS lat7_e7
+         FROM bow ORDER BY key""",
     "s8_availability" ->
       """SELECT date, total, ok_n, err_n, bands, errs FROM (
            SELECT printf('1995-%02d', CAST(n_nationkey % 12 + 1 AS INT)) AS date,

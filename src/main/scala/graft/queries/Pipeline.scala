@@ -108,6 +108,51 @@ object Pipeline {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Lloyd's k-means over an embeddings frame, fully order-free: dims
+    * quantize to integers (×1000 floor, the v_centroid_outliers scheme)
+    * and centroids are carried as un-divided (Σq, n) integer pairs, so
+    * the squared distance to centroid j scales to the integer
+    * nⱼ²·Σq² − 2nⱼ·⟨q,sⱼ⟩ + Σsⱼ²; the single double division ÷nⱼ²
+    * (one IEEE op from integers — bit-identical in any engine) makes it
+    * comparable across clusters. Iterations unroll into one lazy plan:
+    * per round, centroids (k×64 rows) broadcast into the corpus and the
+    * only wide exchanges are partial-aggregated groupBys keyed on
+    * vec_id / (cid, k) — no self-join, no driver collection, linear in
+    * the corpus at any scale. Returns (vec_id, cid, d2) of the final
+    * assignment; clusters that empty mid-run drop out (n > 0 guard).
+    */
+  private[graft] def kmeansQuantized(emb: DataFrame, seeds: Seq[Long],
+                                     iters: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    require(iters >= 1, "kmeansQuantized needs at least one iteration")
+    val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
+      .select($"vec_id", $"k",
+        floor($"v".cast("double") * 1000).cast("long").as("qv"))
+    val sq = dims.groupBy($"vec_id").agg(sum($"qv" * $"qv").as("qq"))
+    var cent = dims.filter($"vec_id".isin(seeds: _*))
+      .select($"vec_id".as("cid"), $"k", $"qv".as("sk"), lit(1L).as("n"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val live = cent.filter($"n" > 0)
+      val stats = live.groupBy($"cid")
+        .agg(sum($"sk" * $"sk").as("ss"), max($"n").as("n"))
+      val ip = dims.join(broadcast(live.select($"cid", $"k", $"sk")), Seq("k"))
+        .groupBy($"vec_id", $"cid").agg(sum($"qv" * $"sk").as("ip"))
+      val scored = ip.join(broadcast(stats), Seq("cid")).join(sq, Seq("vec_id"))
+        .select($"vec_id", $"cid",
+          ($"n" * $"n" * $"qq" - lit(2L) * $"n" * $"ip" + $"ss").as("d2"),
+          $"n")
+        .withColumn("dd", $"d2".cast("double") / ($"n" * $"n").cast("double"))
+      assign = scored.groupBy($"vec_id")
+        .agg(min(struct($"dd", $"cid", $"d2")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"))
+      cent = dims.join(assign.select($"vec_id", $"cid"), Seq("vec_id"))
+        .groupBy($"cid", $"k").agg(sum($"qv").as("sk"), count(lit(1)).as("n"))
+    }
+    assign
+  }
+
   /** Shared sign-hyperplane LSH parameters: 32 Rademacher hyperplanes over
     * 64 dims, packed as 4 tables × 8 bits. Two vectors are candidates iff
     * they share any table's bucket (multi-table OR amplification); re-score
@@ -562,6 +607,22 @@ object Pipeline {
         .select($"qid", $"vec_id",
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
         .orderBy($"qid", $"rnk")
+    }),
+
+    // Document clustering: Lloyd's k-means over the embedding corpus,
+    // k=4 seeds from fixed vec_ids, 2 unrolled iterations. Everything
+    // cross-row is integer (quantized dims; centroids carried as
+    // (Σq, n) pairs, never divided), so results are order-free and the
+    // DuckDB oracle replays them exactly; the scaled integer distance
+    // n²·Σq² − 2n·Σq·s + Σs² needs one deterministic double division
+    // (÷n²) only to compare across clusters of different sizes. Scale
+    // shape: centroids (k×64 rows) broadcast both ways, the corpus sees
+    // one explode and per-iteration partial-aggregated shuffles keyed on
+    // vec_id — the canonical Spark k-means plan at any corpus size.
+    "v_kmeans" -> ((s, d) => {
+      import s.implicits._
+      kmeansQuantized(embeddings(s, d), Seq(1L, 5L, 9L, 13L), iters = 2)
+        .orderBy($"vec_id")
     }),
 
     // Embedding outlier filter: per-label integer-quantized centroid
@@ -1103,6 +1164,45 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "v_kmeans" ->
+      """WITH dims AS (SELECT vec_id, k,
+             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM embeddings, range(0, 64) t(k)),
+         sq AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qq
+           FROM dims GROUP BY vec_id),
+         cent1 AS (SELECT vec_id AS cid, k, qv AS sk, CAST(1 AS BIGINT) AS n
+           FROM dims WHERE vec_id IN (1, 5, 9, 13)),
+         stats1 AS (SELECT cid, CAST(sum(sk * sk) AS BIGINT) AS ss, max(n) AS n
+           FROM cent1 GROUP BY cid),
+         ip1 AS (SELECT d.vec_id, c.cid, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
+           FROM dims d JOIN cent1 c ON d.k = c.k GROUP BY d.vec_id, c.cid),
+         sc1 AS (SELECT i.vec_id, i.cid,
+             s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS d2,
+             CAST(s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS DOUBLE)
+               / CAST(s.n * s.n AS DOUBLE) AS dd
+           FROM ip1 i JOIN stats1 s USING (cid) JOIN sq q USING (vec_id)),
+         as1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS r
+             FROM sc1) WHERE r = 1),
+         cent2 AS (SELECT a.cid, d.k, CAST(sum(d.qv) AS BIGINT) AS sk,
+             count(*) AS n
+           FROM dims d JOIN as1 a USING (vec_id) GROUP BY a.cid, d.k),
+         stats2 AS (SELECT cid, CAST(sum(sk * sk) AS BIGINT) AS ss, max(n) AS n
+           FROM cent2 WHERE n > 0 GROUP BY cid),
+         ip2 AS (SELECT d.vec_id, c.cid, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
+           FROM dims d JOIN (SELECT * FROM cent2 WHERE n > 0) c ON d.k = c.k
+           GROUP BY d.vec_id, c.cid),
+         sc2 AS (SELECT i.vec_id, i.cid,
+             s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS d2,
+             CAST(s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS DOUBLE)
+               / CAST(s.n * s.n AS DOUBLE) AS dd
+           FROM ip2 i JOIN stats2 s USING (cid) JOIN sq q USING (vec_id)),
+         as2 AS (SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS r
+             FROM sc2) WHERE r = 1)
+         SELECT vec_id, cid, d2 FROM as2 ORDER BY vec_id""",
     "v_centroid_outliers" ->
       """WITH dims AS (SELECT vec_id, label, k,
              CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv

@@ -106,6 +106,15 @@ class PlanQualitySpec extends SparkSpec {
       s"prefix-filtered Jaccard must not contain an all-pairs join:\n$plan")
   }
 
+  test("v_kmeans: centroid joins broadcast, no all-pairs join") {
+    val plan = planString(q("v_kmeans"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"k-means must not contain an all-pairs join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"k-means centroid tables should broadcast:\n$plan")
+  }
+
   test("d_embed_neardup_lsh: no all-pairs join — every join is hash-based") {
     val plan = planString(q("d_embed_neardup_lsh"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

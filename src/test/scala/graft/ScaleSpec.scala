@@ -133,6 +133,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("kmeansQuantized separates well-separated blobs and converges") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // two tight blobs in opposite orthants of a 64-dim space; seeds are
+    // one member of each. Lloyd's must assign every vector to its blob
+    // and a second iteration must not change any assignment.
+    def blobVec(center: Double, jitter: Int): Array[Float] =
+      Array.tabulate(64)(i => (center + ((i * 7 + jitter) % 5) * 0.01).toFloat)
+    val rows = (0L until 40L).map { id =>
+      val c = if (id % 2 == 0) 0.8 else -0.8
+      (id, blobVec(c, (id % 7).toInt))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val a1 = graft.queries.Pipeline.kmeansQuantized(emb, Seq(0L, 1L), iters = 1)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toMap
+    val a2 = graft.queries.Pipeline.kmeansQuantized(emb, Seq(0L, 1L), iters = 2)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toMap
+    assert(a2.size == 40)
+    for (id <- 0L until 40L) {
+      val expected = if (id % 2 == 0) 0L else 1L
+      assert(a2(id) == expected, s"vec $id -> cluster ${a2(id)}")
+    }
+    assert(a1 == a2, "second Lloyd iteration should be a fixpoint here")
+  }
+
   test("soak: composite and MinHash-LSH shuffle/memory scale ~linearly at 10x") {
     // Plans are pinned elsewhere; this pins the CONSTANTS: run the t2/t3
     // composite shape and the d_minhash_lsh candidate pipeline on

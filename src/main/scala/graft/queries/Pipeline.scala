@@ -625,6 +625,35 @@ object Pipeline {
         .orderBy($"vec_id")
     }),
 
+    // Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    // the corpus with k-means, then look for near-duplicate pairs ONLY
+    // within a cluster — the cluster equi-join bounds the pair space,
+    // turning the O(n²) global scan into Σ|cluster|², controlled by k.
+    // Same cosine threshold as the global exact baseline
+    // (d_embed_neardup), so its rows are the within-cluster subset of
+    // that gate's pairs — clustering quality is directly observable.
+    "d_semantic_dedup" -> ((s, d) => {
+      import s.implicits._
+      val assign = kmeansQuantized(embeddings(s, d), Seq(1L, 5L, 9L, 13L),
+          iters = 2)
+        .select($"vec_id", $"cid")
+      val emb = embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          sqrt(dot($"embedding", $"embedding")).as("nrm"))
+        .join(assign, Seq("vec_id"))
+      val a = emb.select($"cid", $"vec_id".as("id1"), $"embedding".as("e1"),
+        $"nrm".as("n1"))
+      val b = emb.select($"cid", $"vec_id".as("id2"), $"embedding".as("e2"),
+        $"nrm".as("n2"))
+      a.join(b, Seq("cid")).filter($"id1" < $"id2")
+        .select($"cid", $"id1", $"id2",
+          (dot($"e1", $"e2") / ($"n1" * $"n2")).as("cos"))
+        .filter($"cos" >= 0.45)
+        .select($"cid", $"id1", $"id2",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"))
+        .orderBy($"cid", $"id1", $"id2")
+    }),
+
     // Embedding outlier filter: per-label integer-quantized centroid
     // (order-free dim sums, same scheme as v_ann_ivf) and the 5 vectors
     // least aligned with their label centroid by exact integer inner
@@ -952,6 +981,50 @@ object Pipeline {
          FROM q, c, range(1, 65) t(i) GROUP BY qid, vec_id),
        s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)"""
 
+  /** The v_kmeans pipeline as oracle CTEs (through `as2` = the final
+    * (vec_id, cid, d2) assignment), shared by the clustering gate and
+    * the semantic-dedup gate. Mirrors [[kmeansQuantized]] with
+    * seeds (1,5,9,13) and 2 iterations, integer-for-integer.
+    */
+  private val kmeansCtesSql =
+    """dims AS (SELECT vec_id, k,
+             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM embeddings, range(0, 64) t(k)),
+         sq AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qq
+           FROM dims GROUP BY vec_id),
+         cent1 AS (SELECT vec_id AS cid, k, qv AS sk, CAST(1 AS BIGINT) AS n
+           FROM dims WHERE vec_id IN (1, 5, 9, 13)),
+         stats1 AS (SELECT cid, CAST(sum(sk * sk) AS BIGINT) AS ss, max(n) AS n
+           FROM cent1 GROUP BY cid),
+         ip1 AS (SELECT d.vec_id, c.cid, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
+           FROM dims d JOIN cent1 c ON d.k = c.k GROUP BY d.vec_id, c.cid),
+         sc1 AS (SELECT i.vec_id, i.cid,
+             s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS d2,
+             CAST(s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS DOUBLE)
+               / CAST(s.n * s.n AS DOUBLE) AS dd
+           FROM ip1 i JOIN stats1 s USING (cid) JOIN sq q USING (vec_id)),
+         as1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS r
+             FROM sc1) WHERE r = 1),
+         cent2 AS (SELECT a.cid, d.k, CAST(sum(d.qv) AS BIGINT) AS sk,
+             count(*) AS n
+           FROM dims d JOIN as1 a USING (vec_id) GROUP BY a.cid, d.k),
+         stats2 AS (SELECT cid, CAST(sum(sk * sk) AS BIGINT) AS ss, max(n) AS n
+           FROM cent2 WHERE n > 0 GROUP BY cid),
+         ip2 AS (SELECT d.vec_id, c.cid, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
+           FROM dims d JOIN (SELECT * FROM cent2 WHERE n > 0) c ON d.k = c.k
+           GROUP BY d.vec_id, c.cid),
+         sc2 AS (SELECT i.vec_id, i.cid,
+             s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS d2,
+             CAST(s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS DOUBLE)
+               / CAST(s.n * s.n AS DOUBLE) AS dd
+           FROM ip2 i JOIN stats2 s USING (cid) JOIN sq q USING (vec_id)),
+         as2 AS (SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS r
+             FROM sc2) WHERE r = 1)"""
+
   val oracles: Map[String, String] = Map(
     "d_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies
@@ -1165,44 +1238,23 @@ object Pipeline {
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
     "v_kmeans" ->
-      """WITH dims AS (SELECT vec_id, k,
-             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
-           FROM embeddings, range(0, 64) t(k)),
-         sq AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qq
-           FROM dims GROUP BY vec_id),
-         cent1 AS (SELECT vec_id AS cid, k, qv AS sk, CAST(1 AS BIGINT) AS n
-           FROM dims WHERE vec_id IN (1, 5, 9, 13)),
-         stats1 AS (SELECT cid, CAST(sum(sk * sk) AS BIGINT) AS ss, max(n) AS n
-           FROM cent1 GROUP BY cid),
-         ip1 AS (SELECT d.vec_id, c.cid, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
-           FROM dims d JOIN cent1 c ON d.k = c.k GROUP BY d.vec_id, c.cid),
-         sc1 AS (SELECT i.vec_id, i.cid,
-             s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS d2,
-             CAST(s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS DOUBLE)
-               / CAST(s.n * s.n AS DOUBLE) AS dd
-           FROM ip1 i JOIN stats1 s USING (cid) JOIN sq q USING (vec_id)),
-         as1 AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS r
-             FROM sc1) WHERE r = 1),
-         cent2 AS (SELECT a.cid, d.k, CAST(sum(d.qv) AS BIGINT) AS sk,
-             count(*) AS n
-           FROM dims d JOIN as1 a USING (vec_id) GROUP BY a.cid, d.k),
-         stats2 AS (SELECT cid, CAST(sum(sk * sk) AS BIGINT) AS ss, max(n) AS n
-           FROM cent2 WHERE n > 0 GROUP BY cid),
-         ip2 AS (SELECT d.vec_id, c.cid, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
-           FROM dims d JOIN (SELECT * FROM cent2 WHERE n > 0) c ON d.k = c.k
-           GROUP BY d.vec_id, c.cid),
-         sc2 AS (SELECT i.vec_id, i.cid,
-             s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS d2,
-             CAST(s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS DOUBLE)
-               / CAST(s.n * s.n AS DOUBLE) AS dd
-           FROM ip2 i JOIN stats2 s USING (cid) JOIN sq q USING (vec_id)),
-         as2 AS (SELECT vec_id, cid, d2 FROM (
-             SELECT vec_id, cid, d2,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS r
-             FROM sc2) WHERE r = 1)
+      s"""WITH $kmeansCtesSql
          SELECT vec_id, cid, d2 FROM as2 ORDER BY vec_id""",
+    "d_semantic_dedup" ->
+      s"""WITH $kmeansCtesSql,
+         emb AS (SELECT e.vec_id, e.embedding, a.cid
+           FROM embeddings e JOIN as2 a USING (vec_id)),
+         dots AS (SELECT a.cid, a.vec_id AS id1, b.vec_id AS id2,
+           sum(CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS dp,
+           sum(CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)) AS na,
+           sum(CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS nb
+           FROM emb a JOIN emb b ON a.cid = b.cid AND a.vec_id < b.vec_id,
+             range(1, 65) t(k)
+           GROUP BY 1, 2, 3),
+         s AS (SELECT cid, id1, id2, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots)
+         SELECT cid, id1, id2,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
+         FROM s WHERE cos >= 0.45 ORDER BY cid, id1, id2""",
     "v_centroid_outliers" ->
       """WITH dims AS (SELECT vec_id, label, k,
              CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv

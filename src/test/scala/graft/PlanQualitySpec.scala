@@ -115,6 +115,13 @@ class PlanQualitySpec extends SparkSpec {
       s"k-means centroid tables should broadcast:\n$plan")
   }
 
+  test("d_semantic_dedup: cluster equi-join bounds pairs — no all-pairs join") {
+    val plan = planString(q("d_semantic_dedup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"semantic dedup must pair only within clusters:\n$plan")
+  }
+
   test("d_embed_neardup_lsh: no all-pairs join — every join is hash-based") {
     val plan = planString(q("d_embed_neardup_lsh"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

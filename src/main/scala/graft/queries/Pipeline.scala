@@ -684,6 +684,33 @@ object Pipeline {
     // exact integers in both engines and the (score desc, term asc)
     // tie-break can never split on a float ULP. df-join shuffles on term
     // (the scale path — vocabulary is unbounded); N broadcasts.
+    // Unigram-LM surprisal score — the deterministic stand-in for the
+    // perplexity-based quality filter (CCNet/Gopher use an external LM;
+    // here the corpus's own unigram distribution is the model). Per-word
+    // log-probability quantizes to an integer once (vocab-sized table),
+    // so the per-document sum is order-free; the only FP ops are one
+    // division and one ln per DISTINCT word, replayed exactly by the
+    // oracle. Scale shape: token explode → partial-aggregated unigram
+    // counts → equi-join back on term (vocab-sized, hash join) → per-doc
+    // partial-aggregated sum; the only broadcast is the 1-row total.
+    "x_unigram_nll" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words($"text").as("w"))
+      val toks = docs.select($"doc_id", explode($"w").as("term"))
+      val cnt = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n_tok"))
+      val lp = cnt.crossJoin(broadcast(tot))
+        .select($"term",
+          floor(log($"cnt".cast("double") / $"n_tok".cast("double")) * 1e6)
+            .cast("long").as("lq"))
+      toks.join(lp, Seq("term"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("tokens"), (-sum($"lq")).as("nll_x1e6"))
+        .withColumn("mean_nll_x1e6", expr("nll_x1e6 div tokens"))
+        .orderBy($"doc_id")
+    }),
+
     "x_tfidf_top" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1270,6 +1297,22 @@ object Pipeline {
            FROM ip)
          SELECT label, rk, vec_id, ip FROM r WHERE rk <= 5
          ORDER BY label, rk""",
+    "x_unigram_nll" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+         n AS (SELECT count(*) AS n_tok FROM t),
+         lp AS (SELECT term,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE))
+               * 1000000.0::DOUBLE) AS BIGINT) AS lq
+           FROM c CROSS JOIN n),
+         s AS (SELECT t.doc_id, count(*) AS tokens,
+             CAST(-sum(lq) AS BIGINT) AS nll_x1e6
+           FROM t JOIN lp USING (term) GROUP BY 1)
+         SELECT doc_id, tokens, nll_x1e6,
+           CAST(nll_x1e6 // tokens AS BIGINT) AS mean_nll_x1e6
+         FROM s ORDER BY doc_id""",
     "x_tfidf_top" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

@@ -489,6 +489,71 @@ object Grid {
 
   private val UtmName = "utm([0-9]{1,2})([ns])".r
 
+  /** Ellipsoidal stereographic, oblique/equatorial aspect (Snyder PP1395
+    * 21-27..21-39 over the conformal latitude, 3-1/3-4): the aspect for
+    * mid-latitude regional CRSs with a +lat_0 off the poles. `invF =
+    * Infinity` gives the spherical form (conformal latitude degenerates
+    * to the geodetic). Polar centers belong to [[PolarStereographic]]
+    * (this form divides by cos χ₁).
+    */
+  final case class ObliqueStereographic(lon0Deg: Double, lat0Deg: Double,
+                                        k0: Double = 1.0,
+                                        x0: Double = 0.0, y0: Double = 0.0,
+                                        a: Double = 6378137.0,
+                                        invF: Double = 298.257223563 /* WGS84 */)
+      extends Projection {
+    require(math.abs(lat0Deg) < 90 - 1e-9,
+      s"oblique stereographic needs a non-polar center, got lat_0=$lat0Deg")
+    private val f = if (invF.isInfinity) 0.0 else 1.0 / invF
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+
+    /** Conformal latitude χ(φ) (Snyder 3-1). */
+    private def chiOf(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      2 * math.atan(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - esin) / (1 + esin), e / 2)) - math.Pi / 2
+    }
+    private val phi1 = math.toRadians(lat0Deg)
+    private val chi1 = chiOf(phi1)
+    private val sinChi1 = math.sin(chi1)
+    private val cosChi1 = math.cos(chi1)
+    private val m1 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) * math.sin(phi1))
+    private val ak = 2 * a * k0 * m1
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val chi = chiOf(math.toRadians(latDeg))
+      val dLam = math.toRadians(lonDeg - lon0Deg)
+      val aa = ak / (cosChi1 * (1 + sinChi1 * math.sin(chi)
+        + cosChi1 * math.cos(chi) * math.cos(dLam)))
+      (x0 + aa * math.cos(chi) * math.sin(dLam),
+       y0 + aa * (cosChi1 * math.sin(chi) - sinChi1 * math.cos(chi) * math.cos(dLam)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - x0
+      val dy = y - y0
+      val rho = math.hypot(dx, dy)
+      if (rho == 0) return (lon0Deg, lat0Deg)
+      val ce = 2 * math.atan2(rho * cosChi1, ak)
+      val chi = math.asin(math.cos(ce) * sinChi1 + dy * math.sin(ce) * cosChi1 / rho)
+      val dLam = math.atan2(dx * math.sin(ce),
+        rho * cosChi1 * math.cos(ce) - dy * sinChi1 * math.sin(ce))
+      // inverse conformal latitude (Snyder 3-4), iterated to convergence
+      val tanHalf = math.tan(math.Pi / 4 + chi / 2)
+      var phi = chi
+      var i = 0
+      while (i < 10) {
+        val esin = e * math.sin(phi)
+        val next = 2 * math.atan(tanHalf *
+          math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 2
+        if (math.abs(next - phi) < 1e-13) i = 10 else i += 1
+        phi = next
+      }
+      (lon0Deg + math.toDegrees(dLam), math.toDegrees(phi))
+    }
+  }
+
   /** Named reference ellipsoids: (semi-major a, inverse flattening rf).
     * `rf = Infinity` marks a sphere. Values are the standard published
     * constants (EPSG / Snyder PP1395 table 1).
@@ -623,19 +688,22 @@ object Grid {
         Mercator(lon0Deg = lon0, k0 = k0, x0 = x0, y0 = y0,
           a = aAxis, invF = rf)
       case "stere" =>
-        // Polar aspects only (+lat_0=±90 — EPSG:3413/3031 and every polar
-        // EO product); the oblique/equatorial stereographic is a different
-        // formula set and fails typed rather than projecting wrong.
-        if (math.abs(math.abs(lat0) - 90) > 1e-9)
-          throw new IllegalArgumentException(
-            s"only polar stereographic (+lat_0=90 or -90) is supported, " +
-              s"got +lat_0=$lat0: $proj4")
-        // EPSG polar CRSs carry both +lat_ts and a vestigial +k=1: a
-        // standard parallel off the pole defines the scale and wins
-        val latTs = num("lat_ts").getOrElse(lat0)
-        PolarStereographic(lon0Deg = lon0, south = lat0 < 0,
-          latTsDeg = latTs, k0 = k.getOrElse(1.0),
-          x0 = x0, y0 = y0, a = aAxis, invF = rf)
+        if (math.abs(math.abs(lat0) - 90) > 1e-9) {
+          // oblique/equatorial aspect (Snyder 21 over conformal latitude);
+          // +lat_ts is a polar-aspect parameter and is rejected here
+          if (num("lat_ts").exists(ts => math.abs(ts - lat0) > 1e-12))
+            throw new IllegalArgumentException(
+              s"+lat_ts is only meaningful for polar stereographic: $proj4")
+          ObliqueStereographic(lon0Deg = lon0, lat0Deg = lat0,
+            k0 = k.getOrElse(1.0), x0 = x0, y0 = y0, a = aAxis, invF = rf)
+        } else {
+          // EPSG polar CRSs carry both +lat_ts and a vestigial +k=1: a
+          // standard parallel off the pole defines the scale and wins
+          val latTs = num("lat_ts").getOrElse(lat0)
+          PolarStereographic(lon0Deg = lon0, south = lat0 < 0,
+            latTsDeg = latTs, k0 = k.getOrElse(1.0),
+            x0 = x0, y0 = y0, a = aAxis, invF = rf)
+        }
       case "laea" =>
         LambertAzimuthalEqualArea(lon0Deg = lon0, lat0Deg = lat0,
           x0 = x0, y0 = y0, a = aAxis, invF = rf)

@@ -470,6 +470,26 @@ object CubeOps {
         .orderBy($"key")
     }),
 
+    // C13f — oblique stereographic front-end (Snyder 21 over the
+    // conformal latitude; the mid-latitude regional-CRS aspect): same
+    // closed-form forward recipe as g3/g4
+    "g6_stere_oblique" -> ((s, d) => {
+      import s.implicits._
+      val proj = graft.core.Grid.fromProj4(
+        "+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 +ellps=WGS84 +units=m +no_defs")
+      val fwd = udf((lon: Double, lat: Double) => {
+        val (x, y) = proj.forward(lon, lat); Array(x, y)
+      })
+      nation(s, d).select($"n_nationkey".cast("int").as("key"),
+          (lit(-25.0) + ($"n_nationkey" % 25).cast("double") * 2.4).as("lon"),
+          (lit(30.0) + ($"n_nationkey" * 7 % 45).cast("double")).as("lat"))
+        .withColumn("xy", fwd($"lon", $"lat"))
+        .select($"key",
+          floor($"xy"(0) + 0.5).cast("long").as("x_m"),
+          floor($"xy"(1) + 0.5).cast("long").as("y_m"))
+        .orderBy($"key")
+    }),
+
     // C13e — +towgs84 datum-shift leg (EPSG 9606 position vector +
     // Bowring geocentric->geodetic): both a 3-param ED50-style shift and
     // a full 7-param (rotations + scale) transform, datum -> WGS84
@@ -944,6 +964,39 @@ object CubeOps {
              + 0.5::DOUBLE) AS BIGINT) AS x_m,
            CAST(floor(3210000.0::DOUBLE + (b / dd)
              * (cos(beta1) * sin(beta) - sin(beta1) * cos(beta) * cos(dl))
+             + 0.5::DOUBLE) AS BIGINT) AS y_m
+         FROM w ORDER BY key""",
+    "g6_stere_oblique" ->
+      """WITH pts AS (
+           SELECT CAST(n_nationkey AS INT) AS key,
+             -25.0::DOUBLE + CAST(n_nationkey % 25 AS INT) * 2.4::DOUBLE AS lon,
+             (30.0::DOUBLE + CAST(n_nationkey * 7 % 45 AS INT))::DOUBLE AS lat
+           FROM nation),
+         c1 AS (SELECT 6378137.0::DOUBLE AS a,
+             (1.0::DOUBLE / 298.257223563::DOUBLE)
+               * (2.0::DOUBLE - 1.0::DOUBLE / 298.257223563::DOUBLE) AS e2,
+             radians(52.0::DOUBLE) AS phi1, radians(5.0::DOUBLE) AS lam0,
+             0.9999::DOUBLE AS k0),
+         c2 AS (SELECT *, sqrt(e2) AS e FROM c1),
+         c3 AS (SELECT *,
+             2 * atan(tan(pi() / 4 + phi1 / 2)
+               * pow((1 - e * sin(phi1)) / (1 + e * sin(phi1)), e / 2))
+               - pi() / 2 AS chi1,
+             cos(phi1) / sqrt(1 - e2 * sin(phi1) * sin(phi1)) AS m1
+           FROM c2),
+         v AS (SELECT p.key, radians(p.lon) - lam0 AS dl,
+             2 * atan(tan(pi() / 4 + radians(p.lat) / 2)
+               * pow((1 - e * sin(radians(p.lat))) / (1 + e * sin(radians(p.lat))),
+                 e / 2)) - pi() / 2 AS chi,
+             chi1, m1, a, k0
+           FROM pts p CROSS JOIN c3),
+         w AS (SELECT key, dl, chi, chi1,
+             2 * a * k0 * m1 / (cos(chi1) * (1 + sin(chi1) * sin(chi)
+               + cos(chi1) * cos(chi) * cos(dl))) AS aa
+           FROM v)
+         SELECT key,
+           CAST(floor(aa * cos(chi) * sin(dl) + 0.5::DOUBLE) AS BIGINT) AS x_m,
+           CAST(floor(aa * (cos(chi1) * sin(chi) - sin(chi1) * cos(chi) * cos(dl))
              + 0.5::DOUBLE) AS BIGINT) AS y_m
          FROM w ORDER BY key""",
     "g5_datum_shift" ->

@@ -200,10 +200,59 @@ class GridSpec extends AnyFunSuite {
     val noZone = intercept[IllegalArgumentException](
       Grid.fromProj4("+proj=utm +south"))
     assert(noZone.getMessage.contains("+zone"))
-    // stere is polar-only: the oblique aspect fails typed, not wrong
-    val oblique = intercept[IllegalArgumentException](
-      Grid.fromProj4("+proj=stere +lat_0=52 +lon_0=5"))
-    assert(oblique.getMessage.contains("polar"))
+    // +lat_ts on an oblique stere center is a polar-aspect parameter
+    val obliqueTs = intercept[IllegalArgumentException](
+      Grid.fromProj4("+proj=stere +lat_0=52 +lat_ts=70 +lon_0=5"))
+    assert(obliqueTs.getMessage.contains("lat_ts"))
+  }
+
+  test("oblique/equatorial stereographic: center, conformality, anchors") {
+    // mid-latitude oblique aspect (Netherlands-style center)
+    val ob = Grid.fromProj4("+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 " +
+      "+ellps=WGS84 +units=m +no_defs")
+    // the center is the (false) origin
+    val (cx, cy) = ob.forward(5.0, 52.0)
+    assert(math.abs(cx) < 1e-6 && math.abs(cy) < 1e-6)
+    // dual-implementation anchor (independent implementation of Snyder
+    // 21-27..21-39 over the conformal latitude)
+    val (ax, ay) = ob.forward(10.0, 48.0)
+    assert(math.abs(ax - 373280.794) < 0.01, s"x=$ax")
+    assert(math.abs(ay - -432543.761) < 0.01, s"y=$ay")
+    // conformality: meridian scale == parallel scale off-center
+    val e2 = { val f = 1.0 / 298.257223563; f * (2 - f) }
+    def km(p: Grid.Projection, lon: Double, lat: Double): Double = {
+      val d = 1e-6
+      val (x1, y1) = p.forward(lon, lat)
+      val (x2, y2) = p.forward(lon, lat + d)
+      val phi = math.toRadians(lat)
+      val mr = 6378137.0 * (1 - e2) /
+        math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+      math.hypot(x2 - x1, y2 - y1) / (mr * math.toRadians(d))
+    }
+    def kp(p: Grid.Projection, lon: Double, lat: Double): Double = {
+      val d = 1e-6
+      val (x1, y1) = p.forward(lon, lat)
+      val (x2, y2) = p.forward(lon + d, lat)
+      val phi = math.toRadians(lat)
+      val nr = 6378137.0 / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      math.hypot(x2 - x1, y2 - y1) / (nr * math.cos(phi) * math.toRadians(d))
+    }
+    for ((lon, lat) <- Seq((10.0, 48.0), (-2.0, 58.0), (5.0, 40.0))) {
+      val r = km(ob, lon, lat) / kp(ob, lon, lat)
+      assert(math.abs(r - 1.0) < 1e-5, s"isotropy at ($lon,$lat): $r")
+    }
+    // scale at the center is k0
+    assert(math.abs(kp(ob, 5.0, 52.0) - 0.9999) < 1e-6)
+    // equatorial aspect anchor + round-trip
+    val eq = Grid.fromProj4("+proj=stere +lat_0=0 +lon_0=-20 +ellps=WGS84")
+    val (ex, ey) = eq.forward(-12.5, 30.0)
+    assert(math.abs(ex - 776519.760) < 0.01, s"x=$ex")
+    assert(math.abs(ey - 3411755.654) < 0.01, s"y=$ey")
+    for ((lon, lat) <- Seq((10.0, 48.0), (-2.0, 58.0), (15.0, 35.0))) {
+      val (lon2, lat2) = ob.inverse _ tupled ob.forward(lon, lat)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
   }
 
   test("polar stereographic: EPSG:3031/3413 semantics") {

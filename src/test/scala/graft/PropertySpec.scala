@@ -71,6 +71,12 @@ class PropertySpec extends AnyFunSuite {
       ("stere-north", Grid.fromProj4(
         "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84"),
         box(-179, 179, 55, 89.5)),
+      ("stere-oblique", Grid.fromProj4(
+        "+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 +ellps=WGS84"),
+        box(-25, 35, 30, 75)),
+      ("stere-equatorial", Grid.fromProj4(
+        "+proj=stere +lat_0=0 +lon_0=-20 +ellps=WGS84"),
+        box(-80, 40, -45, 45)),
       ("laea-eu", Grid.fromProj4(
         "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80"),
         box(-25, 45, 27, 72)),

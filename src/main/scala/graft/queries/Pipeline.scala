@@ -684,6 +684,35 @@ object Pipeline {
     // exact integers in both engines and the (score desc, term asc)
     // tie-break can never split on a float ULP. df-join shuffles on term
     // (the scale path — vocabulary is unbounded); N broadcasts.
+    // Benchmark decontamination — the published pretraining hygiene step
+    // (n-gram collision scan of training docs against an evaluation
+    // set): docs with doc_id % 50 == 0 stand in as the benchmark; every
+    // other doc is scanned for 5-gram overlap. Scale shape: the
+    // benchmark's distinct n-grams are small by construction and
+    // BROADCAST; the corpus sees one explode + distinct + hash join +
+    // partial-aggregated count — never a self-join, linear in corpus
+    // size no matter how large the training set.
+    "x_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 5)
+      val grams = base.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"w") - 4),
+          i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+            element_at($"w", i + 2), element_at($"w", i + 3),
+            element_at($"w", i + 4)))).as("g"))
+      val bench = grams.filter($"doc_id" % 50 === 0).select($"g").distinct()
+      val train = grams.filter($"doc_id" % 50 =!= 0).distinct()
+      val hits = train.join(broadcast(bench), Seq("g"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+      documents(s, d).filter($"doc_id" % 50 =!= 0)
+        .select($"doc_id").join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"hits", lit(0L)).as("hits"),
+          (coalesce($"hits", lit(0L)) > 0).cast("int").as("contaminated"))
+        .orderBy($"doc_id")
+    }),
+
     // Unigram-LM surprisal score — the deterministic stand-in for the
     // perplexity-based quality filter (CCNet/Gopher use an external LM;
     // here the corpus's own unigram distribution is the model). Per-word
@@ -1297,6 +1326,25 @@ object Pipeline {
            FROM ip)
          SELECT label, rk, vec_id, ip FROM r WHERE rk <= 5
          ORDER BY label, rk""",
+    "x_decontaminate" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents),
+         b5 AS (SELECT doc_id, w FROM base WHERE len(w) >= 5),
+         grams AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 4),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4])) AS g
+           FROM b5),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+         train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+         hits AS (SELECT t.doc_id, count(*) AS hits
+           FROM train t JOIN bench USING (g) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(CASE WHEN coalesce(h.hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         LEFT JOIN hits h USING (doc_id)
+         ORDER BY d.doc_id""",
     "x_unigram_nll" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

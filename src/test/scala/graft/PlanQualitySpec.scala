@@ -115,6 +115,15 @@ class PlanQualitySpec extends SparkSpec {
       s"k-means centroid tables should broadcast:\n$plan")
   }
 
+  test("x_decontaminate: benchmark n-grams broadcast, no all-pairs join") {
+    val plan = planString(q("x_decontaminate"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"decontamination must not scan all pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark n-gram set should broadcast:\n$plan")
+  }
+
   test("d_semantic_dedup: cluster equi-join bounds pairs — no all-pairs join") {
     val plan = planString(q("d_semantic_dedup"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

@@ -679,6 +679,28 @@ object CubeOps {
         .orderBy($"user_id")
     }),
 
+    // §2.8 — FULL OUTER interval join: unmatched rows on BOTH sides
+    // survive null-padded (streaming: each released once its side's
+    // watermark passes). Per-user join cardinality plus both unmatched
+    // counts
+    "w_stream_join_full" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.streaming.StreamOps
+        .intervalJoin(clicks, purchases, "30 MINUTES", "2 hours", "full_outer")
+        .select(coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+          col("l.ts").as("cts"), col("r.ts").as("pts"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"pts".isNull, 1L).otherwise(0L)).as("n_no_purchase"),
+          sum(when($"cts".isNull, 1L).otherwise(0L)).as("n_no_click"))
+        .orderBy($"user_id")
+    }),
+
     // §2.8 — tumbling-window aggregation over the events stream (batch shape
     // of the Structured-Streaming plan; see graft.streaming)
     "w_events_tumbling" -> ((s, d) => {
@@ -1138,6 +1160,20 @@ object CubeOps {
            CAST(floor(p.pval * 100 + 0.5) AS BIGINT) AS pval_x100
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
          ORDER BY user_id, cts_us, event_id""",
+    "w_stream_join_full" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+             FROM events),
+         c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+         SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_purchase,
+           CAST(sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_click
+         FROM c FULL JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         GROUP BY 1 ORDER BY user_id""",
     "w_stream_join_left" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
              FROM events),

@@ -56,7 +56,8 @@ object StreamOps {
     * the gate query and the streaming path (pinned by StreamOpsSpec).
     * `joinType = "left_outer"` additionally emits each unmatched left row
     * null-padded once the watermark passes `l.ts + maxGap` (in streaming;
-    * immediately in batch).
+    * immediately in batch); `"full_outer"` does the same for both sides
+    * (unmatched right rows release once the watermark passes `r.ts`).
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    maxGap: String = "30 minutes",

@@ -208,6 +208,46 @@ class StreamOpsSpec extends SparkSpec {
       (3L, "2024-01-01 20:00:00.0", "2024-01-01 20:00:00.0")))
   }
 
+  test("full-outer interval join releases unmatched rows on both sides") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamOps.intervalJoin(
+        clicks.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"),
+        "30 MINUTES", "2 hours", "full_outer")
+      .select(org.apache.spark.sql.functions.coalesce(
+          $"l.user_id", $"r.user_id").as("user_id"),
+        $"l.ts".as("cts"), $"r.ts".as("pts"))
+      .writeStream.format("memory").queryName("fjoin")
+      .outputMode("append").start()
+    // c1 matches p1; c2 has no purchase in its gap; p2 has no click
+    clicks.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 02:00:00")))
+    purchases.addData((1L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, ts("2024-01-01 04:00:00"), 7.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far enough to flush both unmatched sides
+    clicks.addData((2L, ts("2024-01-01 10:00:00")))
+    purchases.addData((2L, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    clicks.addData((3L, ts("2024-01-01 20:00:00")))
+    purchases.addData((3L, ts("2024-01-01 20:00:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fjoin").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.toString).orNull,
+        Option(r.getTimestamp(2)).map(_.toString).orNull)).toSet
+    assert(streamed == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      (1L, "2024-01-01 02:00:00.0", null),
+      (1L, null, "2024-01-01 04:00:00.0"),
+      (2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0"),
+      (3L, "2024-01-01 20:00:00.0", "2024-01-01 20:00:00.0")))
+  }
+
   test("single-batch dedup matches the w_stream_dedup batch shape") {
     val sparkS = spark
     import sparkS.implicits._

@@ -713,6 +713,58 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Vocabulary-size sketch behind the driver gate via the bounded-
+    // deviation recipe: `approx_count_distinct` (HyperLogLog++) is the
+    // 100 TB path — single-pass, mergeable across partitions (partial
+    // aggregation works), O(2^p) state per group regardless of corpus
+    // size — while exact count-distinct must shuffle every distinct
+    // term. rsd 0.02 → the gate's ±10% band is 5σ; tiny groups sit in
+    // HLL++'s exact sparse mode, covered by the +8 floor. The oracle
+    // computes the exact vocabulary and pins every flag 1.
+    "x_vocab_hll" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"lang", explode(words($"text")).as("term"))
+      toks.groupBy($"lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct($"term").as("vocab_exact"),
+          approx_count_distinct($"term", 0.02).as("hll"))
+        .select($"lang", $"n_tokens", $"vocab_exact",
+          when(abs($"hll" - $"vocab_exact").cast("double") <=
+            greatest($"vocab_exact" * 0.10, lit(8.0)), 1).otherwise(0)
+            .cast("int").as("ok_hll"))
+        .orderBy($"lang")
+    }),
+
+    // Repeated n-gram span coverage — the within-corpus substring-dup
+    // signal behind "deduplicate repeated spans before training" (Lee
+    // et al. 2022): for every document, the fraction of its 5-gram
+    // positions whose 5-gram occurs in >= 3 distinct documents. Scale
+    // shape: one explode → distinct → partial-aggregated doc-frequency
+    // count → hash equi-join back on the gram (vocabulary-sized both
+    // sides, shuffle join — deliberately NOT broadcast) → per-doc
+    // partial-aggregated sum; linear in the corpus, never a self-join.
+    "x_dup_spans" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 5)
+      val grams = base.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"w") - 4),
+          i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+            element_at($"w", i + 2), element_at($"w", i + 3),
+            element_at($"w", i + 4)))).as("g"))
+      val docFreq = grams.distinct().groupBy($"g").agg(count(lit(1)).as("df"))
+      grams.join(docFreq, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("positions"),
+          sum(when($"df" >= 3, 1L).otherwise(0L)).as("dup_positions"))
+        .select($"doc_id", $"positions", $"dup_positions",
+          floor(lit(10000.0) * $"dup_positions" / $"positions" + 0.5)
+            .cast("long").as("dup_x10000"))
+        .orderBy($"doc_id")
+    }),
+
     // Unigram-LM surprisal score — the deterministic stand-in for the
     // perplexity-based quality filter (CCNet/Gopher use an external LM;
     // here the corpus's own unigram distribution is the model). Per-word
@@ -1345,6 +1397,31 @@ object Pipeline {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
          LEFT JOIN hits h USING (doc_id)
          ORDER BY d.doc_id""",
+    "x_vocab_hll" ->
+      """SELECT lang, count(*) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS vocab_exact, 1 AS ok_hll
+         FROM (SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS term
+               FROM documents WHERE len(trim(text)) > 0)
+         GROUP BY lang ORDER BY lang""",
+    "x_dup_spans" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents),
+         b5 AS (SELECT doc_id, w FROM base WHERE len(w) >= 5),
+         grams AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 4),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4])) AS g
+           FROM b5),
+         dfq AS (SELECT g, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g)
+         SELECT doc_id, count(*) AS positions,
+           CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_positions,
+           CAST(floor(10000.0::DOUBLE
+               * sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) / count(*)
+               + 0.5::DOUBLE) AS BIGINT) AS dup_x10000
+         FROM grams JOIN dfq USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     "x_unigram_nll" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

@@ -124,6 +124,19 @@ class PlanQualitySpec extends SparkSpec {
       s"the benchmark n-gram set should broadcast:\n$plan")
   }
 
+  test("x_dup_spans: doc-frequency join is hash-based — no all-pairs join") {
+    val plan = planString(q("x_dup_spans"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"dup-span coverage must join grams by equality:\n$plan")
+  }
+
+  test("x_vocab_hll: both distinct paths partial-aggregate before the shuffle") {
+    val plan = planString(q("x_vocab_hll"))
+    assert(plan.contains("partial_"), s"expected partial aggregates:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("d_semantic_dedup: cluster equi-join bounds pairs — no all-pairs join") {
     val plan = planString(q("d_semantic_dedup"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

@@ -609,6 +609,62 @@ object Pipeline {
         .orderBy($"qid", $"rnk")
     }),
 
+    // Product-quantization ANN (Jégou et al. 2011, the memory-bound
+    // scale path): 64 dims split into M=4 subspaces of 16; per subspace,
+    // K=8 codewords built as quantized-dim sums over FIXED 16-vector
+    // seed blocks — constant block size G means the codeword count
+    // divides out of every comparison, so encoding minimizes the pure
+    // integer ss − 2G·ip (no division anywhere) and the ADC score is an
+    // order-free integer sum of M per-subspace inner products. Queries
+    // score the whole corpus through its 1-byte-per-subspace codes (the
+    // PQ promise: candidates never touch the raw vectors), top-C by ADC
+    // via the bounded-heap TopKAgg (map-side partials trim to C before
+    // the shuffle), exact cosine re-score on candidates only. The
+    // codebook (512 rows), its stats (32) and the query table (96)
+    // all broadcast; the corpus sees one explode and partial-aggregated
+    // hash shuffles — never a self-join.
+    "v_ann_pq" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val G = 16; val C = 30; val TopK = 5
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
+        .select($"vec_id", expr("k div 16").cast("int").as("m"), $"k",
+          floor($"v".cast("double") * 1000).cast("long").as("qv"))
+      val code = dims.filter($"vec_id" < G * 8)
+        .groupBy(expr("vec_id div 16").cast("int").as("j"), $"m", $"k")
+        .agg(sum($"qv").as("sk"))
+      val cstat = code.groupBy($"m", $"j").agg(sum($"sk" * $"sk").as("ss"))
+      val ip = dims.join(broadcast(code), Seq("m", "k"))
+        .groupBy($"vec_id", $"m", $"j").agg(sum($"qv" * $"sk").as("ip"))
+      val codes = ip.join(broadcast(cstat), Seq("m", "j"))
+        .select($"vec_id", $"m", $"j", ($"ss" - lit(2L * G) * $"ip").as("cost"))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"cost", $"j")).as("c"))
+        .select($"vec_id", $"m", $"c.j".as("j"))
+      val qip = ip.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"m", $"j", $"ip".as("qip"))
+      val adc = codes.filter(!$"vec_id".isin(0, 1, 2))
+        .join(broadcast(qip), Seq("m", "j"))
+        .groupBy($"qid", $"vec_id").agg(sum($"qip").as("adc"))
+      val cand = adc.groupBy($"qid")
+        .agg(graft.operators.TopKAgg.topKByScore(
+          $"adc".cast("double"), $"vec_id", C).as("top"))
+        .select($"qid", explode($"top").as("e"))
+        .select($"qid", $"e.id".as("vec_id"))
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.select($"vec_id", $"embedding".as("ce"))
+      val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      val byCos = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      scored.withColumn("rnk", row_number().over(byCos))
+        .filter($"rnk" <= TopK)
+        .select($"qid", $"vec_id",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // Document clustering: Lloyd's k-means over the embedding corpus,
     // k=4 seeds from fixed vec_ids, 2 unrolled iterations. Everything
     // cross-row is integer (quantized dims; centroids carried as

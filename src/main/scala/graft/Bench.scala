@@ -87,6 +87,17 @@ object Bench {
     val total = results.map(_._2._1).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"method":"min-of-$passes%d-sweeps","passes_run":$passCounts,"budget_skipped":$truncated}""")
+    // Second, SHORT summary line printed AFTER the full one: the capture
+    // window that collects this output keeps only the stdout tail, which
+    // truncates the leading "value" field off the (multi-KB) line above
+    // once the query map grows. This line is small enough to always
+    // survive whole, so the headline total and the worst offenders are
+    // never lost to the capture window.
+    val worst5 = results.sortBy(-_._2._1).take(5)
+      .map { case (k, (v, _)) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"worst5":$worst5}""")
     spark.stop()
   }
 }

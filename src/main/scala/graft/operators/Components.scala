@@ -86,8 +86,18 @@ object Components {
     */
   private[graft] def connectedComponentsWithRounds(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    var e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
+    // Canonicalize orientation BEFORE the first fixpoint check: isStarForest
+    // assumes downward edges (smallStar guarantees that for later rounds,
+    // but round 0 sees raw input). Without this, an upward star like
+    // {(1,3),(2,3)} — or a single edge (2,5) — passes the test with zero
+    // rounds run and every vertex gets labeled with the LARGER id instead
+    // of the documented minimum. A downward star forest is necessarily
+    // min-rooted, so the canonical form makes the round-0 check sound; it
+    // also dedupes opposite-orientation duplicates for free.
+    var e = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()

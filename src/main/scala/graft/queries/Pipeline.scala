@@ -167,6 +167,16 @@ object Pipeline {
   private def lshTables(e: Column): Column =
     graft.functions.VectorExpressions.lshBuckets(e, lshSignMatrix, LshBits)
 
+  /** Minimum exact-top-5 hits the PQ ANN answer must carry per query for
+    * its `recall_ok` flag to read 1. The oracle pins the flag to a literal
+    * 1, so the correctness gate FAILS outright if PQ recall ever drops
+    * below this band — measured ≥4/5 for every query at sf0.001/0.01/0.1
+    * on the synthetic corpus (PQ16×4 codebook, C=150 candidates); 3
+    * leaves one hit of headroom without letting a broken encoder
+    * (recall ~0-1, as the untuned 4×8 codebook measured) slip through.
+    */
+  private[graft] val PqRecallBand = 3
+
   /** Shared PII regexes (plain syntax that Java regex and RE2 interpret
     * identically, so the DuckDB oracle applies the same patterns).
     */
@@ -610,28 +620,31 @@ object Pipeline {
     }),
 
     // Product-quantization ANN (Jégou et al. 2011, the memory-bound
-    // scale path): 64 dims split into M=4 subspaces of 16; per subspace,
-    // K=8 codewords built as quantized-dim sums over FIXED 16-vector
-    // seed blocks — constant block size G means the codeword count
-    // divides out of every comparison, so encoding minimizes the pure
-    // integer ss − 2G·ip (no division anywhere) and the ADC score is an
-    // order-free integer sum of M per-subspace inner products. Queries
-    // score the whole corpus through its 1-byte-per-subspace codes (the
-    // PQ promise: candidates never touch the raw vectors), top-C by ADC
-    // via the bounded-heap TopKAgg (map-side partials trim to C before
-    // the shuffle), exact cosine re-score on candidates only. The
-    // codebook (512 rows), its stats (32) and the query table (96)
-    // all broadcast; the corpus sees one explode and partial-aggregated
-    // hash shuffles — never a self-join.
+    // scale path): 64 dims split into M=16 subspaces of 4 (the classic
+    // PQ16 64-bit code); per subspace, K=16 codewords built as
+    // quantized-dim sums over FIXED 16-vector seed blocks — constant
+    // block size G means the codeword count divides out of every
+    // comparison, so encoding minimizes the pure integer ss − 2G·ip
+    // (no division anywhere) and the ADC score is an order-free integer
+    // sum of M per-subspace inner products. Queries score the whole
+    // corpus through its 4-bit-per-subspace codes (the PQ promise:
+    // candidates never touch the raw vectors), top-C by ADC via the
+    // bounded-heap TopKAgg (map-side partials trim to C before the
+    // shuffle), exact cosine re-score on candidates only. The codebook
+    // (1024 rows), its stats (256) and the query table all broadcast;
+    // the corpus sees one explode and partial-aggregated hash shuffles —
+    // never a self-join. Config tuned on the synthetic corpus: recall@5
+    // vs exact is ≥4/5 for every query at sf0.001/0.01/0.1 (the
+    // recall_ok audit below gates it at [[PqRecallBand]]).
     "v_ann_pq" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val G = 16; val C = 30; val TopK = 5
+      val G = 16; val K = 16; val C = 150; val TopK = 5
       val emb = embeddings(s, d).select($"vec_id", $"embedding")
       val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
-        .select($"vec_id", expr("k div 16").cast("int").as("m"), $"k",
+        .select($"vec_id", expr("k div 4").cast("int").as("m"), $"k",
           floor($"v".cast("double") * 1000).cast("long").as("qv"))
-      val code = dims.filter($"vec_id" < G * 8)
+      val code = dims.filter($"vec_id" < G * K)
         .groupBy(expr("vec_id div 16").cast("int").as("j"), $"m", $"k")
         .agg(sum($"qv").as("sk"))
       val cstat = code.groupBy($"m", $"j").agg(sum($"sk" * $"sk").as("ss"))
@@ -654,14 +667,33 @@ object Pipeline {
         .select($"qid", $"e.id".as("vec_id"))
       val q = emb.filter($"vec_id".isin(0, 1, 2))
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val c = emb.select($"vec_id", $"embedding".as("ce"))
+      val c = emb.filter(!$"vec_id".isin(0, 1, 2))
+        .select($"vec_id", $"embedding".as("ce"))
       val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
         .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
       val byCos = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      scored.withColumn("rnk", row_number().over(byCos))
+      val top = scored.withColumn("rnk", row_number().over(byCos))
         .filter($"rnk" <= TopK)
         .select($"qid", $"vec_id",
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
+      // Recall audit: exact global top-5 per query (one more linear pass,
+      // same broadcast-query corpus-scan shape as v_ann_cosine — never a
+      // self-join), overlap with the PQ answer, banded flag. The oracle
+      // pins recall_ok = 1, so the gate FAILS if PQ candidate quality
+      // drops below the band — an honest ANN-quality number, not just
+      // integer-replay plumbing parity.
+      val exact5 = c.crossJoin(broadcast(q))
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")))
+        .filter($"rk" <= TopK)
+        .select($"qid", $"vec_id", lit(1).as("hit"))
+      val hits = top.join(exact5, Seq("qid", "vec_id"), "left")
+        .groupBy($"qid").agg(sum(coalesce($"hit", lit(0))).as("nhit"))
+      top.join(broadcast(hits), "qid")
+        .select($"qid", $"vec_id", $"score_x10000", $"rnk",
+          when($"nhit" >= PqRecallBand, 1).otherwise(0).cast("int")
+            .as("recall_ok"))
         .orderBy($"qid", $"rnk")
     }),
 
@@ -1397,6 +1429,53 @@ object Pipeline {
          s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
          SELECT qid, vec_id,
            CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
+               AS rnk FROM s)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // Integer-for-integer replay of the PQ pipeline (the construction is
+    // order-free on purpose): codebook from fixed 16-vector seed blocks,
+    // encoding by min(ss - 32*ip), ADC sum, top-30 candidates, exact
+    // re-score. recall_ok is pinned to LITERAL 1 — the Spark side computes
+    // it from actual overlap with exact top-5, so the hash gate fails if
+    // PQ answer quality drops below PqRecallBand.
+    "v_ann_pq" ->
+      """WITH dims AS (SELECT vec_id, CAST(k // 4 AS INT) AS m, k,
+             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM embeddings, range(0, 64) t(k)),
+         code AS (SELECT CAST(vec_id // 16 AS INT) AS j, m, k,
+             CAST(sum(qv) AS BIGINT) AS sk
+           FROM dims WHERE vec_id < 256 GROUP BY 1, 2, 3),
+         cstat AS (SELECT m, j, CAST(sum(sk * sk) AS BIGINT) AS ss
+           FROM code GROUP BY 1, 2),
+         ip AS (SELECT d.vec_id, c.m, c.j, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
+           FROM dims d JOIN code c ON d.m = c.m AND d.k = c.k GROUP BY 1, 2, 3),
+         codes AS (SELECT vec_id, m, j FROM (
+             SELECT i.vec_id, i.m, i.j,
+               row_number() OVER (PARTITION BY i.vec_id, i.m
+                 ORDER BY s.ss - 32 * i.ip, i.j) AS rk
+             FROM ip i JOIN cstat s ON i.m = s.m AND i.j = s.j)
+           WHERE rk = 1),
+         qip AS (SELECT vec_id AS qid, m, j, ip AS qip FROM ip
+           WHERE vec_id IN (0, 1, 2)),
+         adc AS (SELECT q.qid, c.vec_id, CAST(sum(q.qip) AS BIGINT) AS adc
+           FROM codes c JOIN qip q ON c.m = q.m AND c.j = q.j
+           WHERE c.vec_id NOT IN (0, 1, 2) GROUP BY 1, 2),
+         cand AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rk
+             FROM adc) WHERE rk <= 150),
+         dots AS (SELECT cand.qid, cand.vec_id,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nc
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+             JOIN embeddings b ON b.vec_id = cand.vec_id, range(1, 65) t(i)
+           GROUP BY 1, 2),
+         s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
+         SELECT qid, vec_id,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk,
+           CAST(1 AS INT) AS recall_ok
          FROM (SELECT qid, vec_id, cos,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)

@@ -120,4 +120,27 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(5L -> 2L, 2L -> 2L))
   }
+
+  test("upward-oriented input edges still label with the MINIMUM id") {
+    import spark.implicits._
+    // regression: an upward star (or single upward edge) is a star forest
+    // by src/dst counting, so without round-0 canonicalization the fixpoint
+    // fires immediately and vertices get the LARGER id as their component
+    val upEdge = Components.connectedComponents(Seq((2L, 5L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(upEdge == Map(2L -> 2L, 5L -> 2L))
+
+    val upStar = Components.connectedComponents(
+        Seq((1L, 3L), (2L, 3L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(upStar == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    // mixed orientation + opposite-orientation duplicate of the same edge
+    val mixed = Components.connectedComponents(
+        Seq((3L, 1L), (2L, 3L), (1L, 3L), (7L, 9L), (9L, 7L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mixed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    check(20, Seq((0L, 10L), (10L, 4L), (4L, 12L), (6L, 18L), (18L, 6L)))
+  }
 }

@@ -161,6 +161,20 @@ class PlanQualitySpec extends SparkSpec {
       s"the K×64 centroid table should broadcast:\n$plan")
   }
 
+  test("v_ann_pq: codebook broadcasts; corpus never self-joins") {
+    val plan = planString(q("v_ann_pq"))
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ ANN must not contain a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the PQ codebook/codeword-stat/query tables should broadcast:\n$plan")
+    // the one allowed nested-loop is the recall audit's crossJoin against
+    // the 3-row broadcast query table (the v_ann_cosine exact-scan shape);
+    // the corpus itself must never appear on both sides of a join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnlj <= 1,
+      s"only the 3-row exact-audit crossJoin may nested-loop, got $bnlj:\n$plan")
+  }
+
   test("v_ann_lsh: corpus side never self-joins or nested-loops") {
     val plan = planString(q("v_ann_lsh"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

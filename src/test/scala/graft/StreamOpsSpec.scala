@@ -248,6 +248,59 @@ class StreamOpsSpec extends SparkSpec {
       (3L, "2024-01-01 20:00:00.0", "2024-01-01 20:00:00.0")))
   }
 
+  test("full-outer: unmatched right releases only after watermark > r.ts") {
+    // pins the timing claim at StreamOps.intervalJoin's doc: an unmatched
+    // RIGHT row (p1 @ 01:00) must stay in state while the watermark is
+    // still below its event time — a future left row with l.ts <= r.ts
+    // could yet match it — and emit null-padded only once the watermark
+    // passes r.ts. A premature emission would duplicate the row if the
+    // match later arrived; a never-emission would leak state.
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamOps.intervalJoin(
+        clicks.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"),
+        "30 MINUTES", "2 hours", "full_outer")
+      .select(org.apache.spark.sql.functions.coalesce(
+          $"l.user_id", $"r.user_id").as("user_id"),
+        $"l.ts".as("cts"), $"r.ts".as("pts"))
+      .writeStream.format("memory").queryName("fjoin_timing")
+      .outputMode("append").start()
+    def unmatchedRightEmitted(): Boolean =
+      spark.table("fjoin_timing").collect()
+        .exists(r => r.getTimestamp(1) == null &&
+          r.getTimestamp(2).toString == "2024-01-01 01:00:00.0")
+    // p1 @ 01:00 can never match c1 @ 00:00 (gap 30 min) nor any later
+    // click: every subsequent left event time is far past 01:00
+    clicks.addData((1L, ts("2024-01-01 00:00:00")))
+    purchases.addData((1L, ts("2024-01-01 01:00:00"), 5.0))
+    q.processAllAvailable()
+    // advance both sides to 02:30 -> watermark 00:30 (< r.ts 01:00);
+    // filler pairs share key+ts so each contributes one matched row
+    clicks.addData((9L, ts("2024-01-01 02:30:00")))
+    purchases.addData((9L, ts("2024-01-01 02:30:00"), 1.0))
+    q.processAllAvailable()
+    // run one more batch under that 00:30 watermark: p1 must NOT emit
+    clicks.addData((8L, ts("2024-01-01 02:31:00")))
+    purchases.addData((8L, ts("2024-01-01 02:31:00"), 1.0))
+    q.processAllAvailable()
+    assert(!unmatchedRightEmitted(),
+      "unmatched right row emitted while watermark (00:31) < r.ts (01:00)")
+    // advance to 03:30 -> watermark 01:30 (> r.ts); next batch evicts
+    clicks.addData((7L, ts("2024-01-01 03:30:00")))
+    purchases.addData((7L, ts("2024-01-01 03:30:00"), 1.0))
+    q.processAllAvailable()
+    clicks.addData((6L, ts("2024-01-01 04:00:00")))
+    purchases.addData((6L, ts("2024-01-01 04:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(unmatchedRightEmitted(),
+      "unmatched right row must emit null-padded after watermark passes r.ts")
+  }
+
   test("single-batch dedup matches the w_stream_dedup batch shape") {
     val sparkS = spark
     import sparkS.implicits._

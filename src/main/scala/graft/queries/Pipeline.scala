@@ -153,6 +153,46 @@ object Pipeline {
     assign
   }
 
+  /** The SemDeDup candidate stage (Abbas et al. 2023): k-means-cluster the
+    * corpus, then score cosine ONLY for pairs sharing a cluster — the
+    * cluster equi-join bounds the pair space to exactly Σ|cluster|·
+    * (|cluster|−1)/2 rows (pinned by ScaleSpec), turning the O(n²) global
+    * scan into something controlled by k. Returns every within-cluster
+    * pair with its cosine; callers apply their own threshold.
+    */
+  private[graft] def semanticPairsScored(emb: DataFrame, seeds: Seq[Long],
+                                         iters: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    semanticPairsForAssign(emb,
+      kmeansQuantized(emb, seeds, iters).select($"vec_id", $"cid"))
+  }
+
+  /** The pairing half of SemDeDup, given any (vec_id, cid) assignment:
+    * equi-join both copies of the corpus on cid and score cosine for the
+    * id1 < id2 pairs. Shuffle is 2 linear passes of the corpus keyed on
+    * cid; output is Σ|cluster|·(|cluster|−1)/2 rows. (End-to-end SemDeDup
+    * cost is assignment n·k plus this Σ|cluster|² term — the paper's
+    * regime fixes cluster SIZE, scaling k with the corpus, which keeps
+    * this half linear while the trade sits in the clustering half.)
+    */
+  private[graft] def semanticPairsForAssign(emb: DataFrame,
+                                            assign: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
+      .join(assign, Seq("vec_id"))
+    val a = e.select($"cid", $"vec_id".as("id1"), $"embedding".as("e1"),
+      $"nrm".as("n1"))
+    val b = e.select($"cid", $"vec_id".as("id2"), $"embedding".as("e2"),
+      $"nrm".as("n2"))
+    a.join(b, Seq("cid")).filter($"id1" < $"id2")
+      .select($"cid", $"id1", $"id2",
+        (dot($"e1", $"e2") / ($"n1" * $"n2")).as("cos"))
+  }
+
   /** Shared sign-hyperplane LSH parameters: 32 Rademacher hyperplanes over
     * 64 dims, packed as 4 tables × 8 bits. Two vectors are candidates iff
     * they share any table's bucket (multi-table OR amplification); re-score
@@ -722,20 +762,7 @@ object Pipeline {
     // that gate's pairs — clustering quality is directly observable.
     "d_semantic_dedup" -> ((s, d) => {
       import s.implicits._
-      val assign = kmeansQuantized(embeddings(s, d), Seq(1L, 5L, 9L, 13L),
-          iters = 2)
-        .select($"vec_id", $"cid")
-      val emb = embeddings(s, d)
-        .select($"vec_id", $"embedding",
-          sqrt(dot($"embedding", $"embedding")).as("nrm"))
-        .join(assign, Seq("vec_id"))
-      val a = emb.select($"cid", $"vec_id".as("id1"), $"embedding".as("e1"),
-        $"nrm".as("n1"))
-      val b = emb.select($"cid", $"vec_id".as("id2"), $"embedding".as("e2"),
-        $"nrm".as("n2"))
-      a.join(b, Seq("cid")).filter($"id1" < $"id2")
-        .select($"cid", $"id1", $"id2",
-          (dot($"e1", $"e2") / ($"n1" * $"n2")).as("cos"))
+      semanticPairsScored(embeddings(s, d), Seq(1L, 5L, 9L, 13L), iters = 2)
         .filter($"cos" >= 0.45)
         .select($"cid", $"id1", $"id2",
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"))

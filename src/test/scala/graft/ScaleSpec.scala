@@ -195,16 +195,6 @@ class ScaleSpec extends SparkSpec {
           lit("delta epsilon"), ($"id" % 13).cast("string"),
           lit("zeta eta theta iota")).as("text")))
 
-    def measure(df: => org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val probe = new TaskMetricsProbe
-      spark.sparkContext.addSparkListener(probe)
-      try {
-        df.write.format("noop").mode("overwrite").save()
-        Thread.sleep(1500) // listener bus is async; let it drain
-      } finally spark.sparkContext.removeSparkListener(probe)
-      (probe.shuffleBytes.get, probe.peakMem.get)
-    }
-
     for ((name, run) <- Seq(
         ("composite", (n: Long) => compositeAt(n)),
         ("minhash-lsh", (n: Long) => minhashAt(n)))) {
@@ -220,6 +210,95 @@ class ScaleSpec extends SparkSpec {
       assert(bytesRatio > 3, s"$name shuffle growth suspiciously flat: $bytesRatio")
       assert(memRatio < 25, s"$name execution memory grew superlinearly: $memRatio")
     }
+  }
+
+  /** Shuffle-write bytes + summed task peak-execution-memory for one
+    * materialization of `df` (noop sink), via a task-metrics listener.
+    */
+  private def measure(df: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val probe = new TaskMetricsProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(1500) // listener bus is async; let it drain
+    } finally spark.sparkContext.removeSparkListener(probe)
+    (probe.shuffleBytes.get, probe.peakMem.get)
+  }
+
+  /** n well-separated 64-dim blobs-of-k corpus: vector `id` belongs to blob
+    * `id % k`; blob centers are pseudo-random per (blob, dim) on a 0.02
+    * grid, jitter ≤ 0.008, so quantized (×1000) blobs sit far apart and
+    * Lloyd's with seeds 0..k-1 (one member per blob) is exact after one
+    * round — making the cluster assignment, and therefore the semantic
+    * pair count, closed-form.
+    */
+  private def blobEmbeddings(n: Long, k: Int) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    // round-robin repartition discards Range's RangePartitioning-on-id:
+    // without it every vec_id-keyed aggregation plans shuffle-FREE (ids
+    // are clustered within range splits), which a parquet-backed corpus
+    // never gets — the soak must measure the real shuffling shape
+    spark.range(n).select($"id".as("vec_id"),
+      expr(s"""transform(sequence(0, 63), i -> cast(
+        (cast((id % $k) * 37 + i * 17 as bigint) % 100) / 50.0 - 1.0
+        + pmod(id * 7 + i, 5) * 0.002 as float))""").as("embedding"))
+      .repartition(8)
+  }
+
+  test("soak: kmeans and semantic-dedup shuffle scale ~linearly at 10x") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the two halves of SemDeDup soak SEPARATELY because their linear
+    // regimes differ: Lloyd's assignment is n·k work (linear in the
+    // corpus at FIXED k), while the pair stage is Σ|cluster|² (linear
+    // at fixed cluster SIZE, i.e. k scaling with the corpus). Soaking
+    // them end-to-end with one knob would measure the n·k × k-growth
+    // cross-term — quadratic by construction, not a plan defect.
+    val km1 = measure(graft.queries.Pipeline.kmeansQuantized(
+      blobEmbeddings(5000L, 4), Seq(0L, 1L, 2L, 3L), iters = 2))
+    val km10 = measure(graft.queries.Pipeline.kmeansQuantized(
+      blobEmbeddings(50000L, 4), Seq(0L, 1L, 2L, 3L), iters = 2))
+    // pair stage: constant cluster size 100, clusters 20 -> 200; the
+    // assignment is handed in directly (id % k — what kmeans converges
+    // to on these blobs, pinned by the pair-space test below)
+    def pairsAt(n: Long, k: Int) = {
+      val emb = blobEmbeddings(n, k)
+      graft.queries.Pipeline.semanticPairsForAssign(emb,
+        emb.select($"vec_id", ($"vec_id" % k).as("cid")))
+    }
+    val sd1 = measure(pairsAt(2000L, 20))
+    val sd10 = measure(pairsAt(20000L, 200))
+    for ((name, (b1, m1), (b10, m10)) <- Seq(
+        ("kmeans", km1, km10), ("semantic-dedup", sd1, sd10))) {
+      assert(b1 > 0, s"$name: no shuffle measured at base size")
+      val bytesRatio = b10.toDouble / b1
+      val memRatio = m10.toDouble / math.max(m1, 1)
+      info(f"$name: shuffle ${b1}B -> ${b10}B (${bytesRatio}%.1fx), " +
+        f"peak-mem sum ${m1}B -> ${m10}B (${memRatio}%.1fx)")
+      assert(bytesRatio < 25, s"$name shuffle grew superlinearly: $bytesRatio")
+      assert(bytesRatio > 3, s"$name shuffle growth suspiciously flat: $bytesRatio")
+      assert(memRatio < 25, s"$name execution memory grew superlinearly: $memRatio")
+    }
+  }
+
+  test("semantic pair space is exactly sum of |cluster| choose 2") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // pins the Σ|cluster|² claim: every within-cluster pair is scored
+    // exactly once, and nothing outside a cluster is ever paired
+    val emb = blobEmbeddings(2000L, 20)
+    val seeds = (0L until 20L).toSeq
+    val got = graft.queries.Pipeline.semanticPairsScored(emb, seeds, iters = 2)
+      .groupBy($"cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = graft.queries.Pipeline.kmeansQuantized(emb, seeds, iters = 2)
+      .groupBy($"cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == 2000L)
+    val expected = sizes.collect { case (cid, c) if c >= 2 => cid -> c * (c - 1) / 2 }
+    assert(got == expected,
+      s"pair counts per cluster must equal |cluster| choose 2: got $got, expected $expected")
   }
 
   private final class TaskMetricsProbe

@@ -45,7 +45,13 @@ object Bench {
     val started = System.nanoTime()
     def elapsedSecs: Long = (System.nanoTime() - started) / 1000000000L
 
+    // Dev aid: SPARK_GRAFT_BENCH_ONLY="q1,q2" restricts the sweep to the
+    // named queries — for solo re-measurement of a flagged outlier without
+    // the 100+-query suite around it. Unset = full suite (the official run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Later sweeps alternate direction (pass 2 runs Z→A) so that when the
     // budget truncates a sweep, the queries that ran LAST in pass 1 — and
     // are therefore most likely to have absorbed end-of-run contention —

@@ -80,6 +80,153 @@ object Pipeline {
       md5(concat(lit(salt + ":"), key.cast("string")).cast("binary")), 1, 4) < thrCol)
   }
 
+  /** Overlapping word-window chunks of each document (RAG-style chunking,
+    * the split step before embedding/indexing a corpus). Chunk k covers
+    * 1-based word positions [k·stride+1, k·stride+size]; chunks stop once
+    * a window has reached the end of the doc (⌈(n−size)/stride⌉+1 chunks,
+    * so no fully-redundant tail window is emitted); a doc shorter than
+    * `size` yields one chunk. Purely narrow — per-row `sequence`+`explode`
+    * over word arrays, no shuffle — so it scales as a map over the
+    * corpus; output volume is size/stride × input words.
+    */
+  def chunkWindows(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    import docs.sparkSession.implicits._
+    docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", $"w", (org.apache.spark.sql.functions.size($"w"))
+        .cast("long").as("n_words"))
+      .select($"doc_id", $"n_words",
+        explode(sequence(lit(0L),
+          greatest(ceil(($"n_words" - size) / lit(stride.toDouble)), lit(0L))
+            .cast("long"))).as("chunk_idx"), $"w")
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * stride + 1).as("start_word"),
+        slice($"w", ($"chunk_idx" * stride + 1).cast("int"), lit(size)).as("cw"))
+      .select($"doc_id", $"chunk_idx", $"start_word",
+        org.apache.spark.sql.functions.size($"cw").cast("long")
+          .as("chunk_words"),
+        md5(concat_ws(" ", $"cw").cast("binary")).as("chunk_md5"))
+  }
+
+  /** Concat-and-chunk sequence packing: lay every document's tokens on one
+    * global tape in `doc_id` order and cut the tape every `budget` tokens;
+    * a document lands in the bin where its FIRST token falls (the
+    * GPT-style pack-then-split recipe, with the split accounted to the
+    * leading bin). The global prefix sum is computed distributed: docs
+    * shard by `doc_id div shardSize`, the doc-level running sum is a
+    * window PARTITIONED BY shard (partition-parallel), and only the
+    * shard-subtotal cumsum — |corpus|/shardSize rows — runs through a
+    * single-partition window before broadcasting back. At 10¹⁰ docs and
+    * shardSize 2²⁰ the serial step is ~10⁴ rows; nothing doc-sized ever
+    * funnels through one task (PlanQualitySpec pins it).
+    */
+  def packBins(docs: DataFrame, budget: Int, shardSize: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(words($"text")).cast("long")
+          .as("tokens"),
+        floor($"doc_id" / shardSize).cast("long").as("shard"))
+    val inShard = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = toks.select($"doc_id", $"tokens", $"shard",
+      sum($"tokens").over(inShard).as("cum_in_shard"))
+    val overShards = Window.orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy($"shard").agg(sum($"tokens").as("st"))
+      .select($"shard",
+        coalesce(sum($"st").over(overShards), lit(0L)).as("shard_offset"))
+    withCum.join(broadcast(offsets), "shard")
+      .select($"doc_id", $"tokens",
+        ($"shard_offset" + $"cum_in_shard" - $"tokens").as("cum_before"))
+      .select($"doc_id", $"tokens",
+        floor($"cum_before" / budget).cast("long").as("bin_id"))
+      .groupBy($"bin_id")
+      .agg(count(lit(1)).as("docs"), sum($"tokens").as("bin_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
+  /** Temperature-weighted source mixing (the data-mixture step of an LLM
+    * corpus build): source i's sampling weight is nᵢ^α (α = 0.5 here —
+    * upweights small sources), normalized into a doc budget of
+    * `total div budgetDiv`, capped at keeping a source whole. All
+    * intermediate state is integer (weights quantized ×10⁶ BEFORE the
+    * normalizing sum, so the Σ is order-free) and the per-source keep
+    * rate quantizes to 1/65536 for the same md5-threshold membership the
+    * oracle replays. Two narrow scans of the corpus + a 20-row broadcast:
+    * the mixture plan at 100 TB is a pair of map-side passes.
+    */
+  def sourceMix(docs: DataFrame, budgetDiv: Int = 4,
+                salt: String = "mix"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum($"n").as("total"),
+      sum(floor(sqrt($"n") * 1e6).cast("long")).as("wsum"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select($"source", $"n",
+        floor(sqrt($"n") * 1e6).cast("long").as("w_x1e6"),
+        floor($"total" / budgetDiv).as("target"), $"wsum")
+      .select($"source", $"n", $"w_x1e6",
+        floor(least(lit(1.0),
+          $"w_x1e6".cast("double") / $"wsum" * $"target" / $"n") * 65536.0)
+          .cast("long").as("rate_x65536"))
+      .select($"source", $"n", $"w_x1e6", $"rate_x65536",
+        when($"rate_x65536" >= 65536, lit("g"))
+          .otherwise(format_string("%04x", $"rate_x65536")).as("thr"))
+    val sampled = docs.join(broadcast(rates.select($"source", $"thr")), "source")
+      .filter(substring(md5(concat(lit(salt + ":"),
+        $"doc_id".cast("string")).cast("binary")), 1, 4) < $"thr")
+      .groupBy($"source").agg(count(lit(1)).as("sampled"))
+    rates.join(broadcast(sampled), Seq("source"), "left")
+      .select($"source", $"n", $"w_x1e6", $"rate_x65536",
+        coalesce($"sampled", lit(0L)).as("sampled"))
+  }
+
+  /** Seeded deterministic global shuffle for training-order export: every
+    * doc's shuffle key is `md5(seed:doc_id)` — a pure function of the row,
+    * so the order is stable across runs, partitionings, and engines. The
+    * write shape is `repartitionByRange(key).sortWithinPartitions(key)`
+    * ([[shuffledExport]]); this query materializes the observable part —
+    * the per-bucket histogram a range writer would produce (bucket = first
+    * hex char here; a real export uses O(output files) buckets) with a
+    * balance band asserting no bucket exceeds 2× the mean, i.e. the
+    * md5 key space is safe to range-split without skewed output files.
+    */
+  def shuffleBuckets(docs: DataFrame, salt: String = "shuf"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select($"doc_id",
+      md5(concat(lit(salt + ":"), $"doc_id".cast("string"))
+        .cast("binary")).as("k"))
+    val b = keyed.groupBy(substring($"k", 1, 1).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(substring($"k", 1, 8)).as("min_k8"),
+        max(substring($"k", 1, 8)).as("max_k8"),
+        sum($"doc_id").as("sum_doc"))
+    val tot = b.agg(sum($"cnt").as("total"))
+    b.crossJoin(broadcast(tot))
+      .select($"bucket", $"cnt", $"min_k8", $"max_k8", $"sum_doc",
+        when($"cnt" * 16 <= $"total" * 2, 1L).otherwise(0L).as("balance_ok"))
+  }
+
+  /** The actual export shape for [[shuffleBuckets]]'s order: range-shuffle
+    * on the seeded key then sort within partitions — each output partition
+    * is a contiguous, internally-sorted slice of the global shuffle order,
+    * ready for a partitioned write. PlanQualitySpec pins the
+    * RangePartitioning exchange.
+    */
+  def shuffledExport(docs: DataFrame, partitions: Int,
+                     salt: String = "shuf"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"source", $"lang",
+        md5(concat(lit(salt + ":"), $"doc_id".cast("string"))
+          .cast("binary")).as("k"))
+      .repartitionByRange(partitions, $"k")
+      .sortWithinPartitions($"k")
+  }
+
   /** Per-(lang, source) token-count quantiles over `documents`, the
     * engine behind percentile-based length filtering. `exact = true` runs
     * `percentile` (R-7 linear interpolation, same definition as DuckDB's
@@ -936,6 +1083,35 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // RAG chunking: 32-word windows at stride 24 (8-word overlap); chunk
+    // text pinned by md5 so the oracle verifies the exact slices
+    "x_chunk_windows" -> ((s, d) => {
+      import s.implicits._
+      chunkWindows(documents(s, d), size = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Sequence packing: concat-and-chunk into 512-token bins over the
+    // doc_id tape, prefix sum computed distributed (see packBins)
+    "x_seq_pack" -> ((s, d) => {
+      import s.implicits._
+      packBins(documents(s, d), budget = 512)
+        .orderBy($"bin_id")
+    }),
+
+    // Temperature mixing: sqrt-weighted source budget allocation with
+    // md5-replayable membership (see sourceMix)
+    "x_source_mix" -> ((s, d) => {
+      import s.implicits._
+      sourceMix(documents(s, d)).orderBy($"source")
+    }),
+
+    // Seeded-shuffle bucket histogram + balance band (see shuffleBuckets)
+    "x_shuffle_buckets" -> ((s, d) => {
+      import s.implicits._
+      shuffleBuckets(documents(s, d)).orderBy($"bucket")
+    }),
+
     // Gopher-style repetition signals: most-frequent word and bigram
     // fractions per document (flat word-stream texts, so line/paragraph
     // dup fractions have no carrier here)
@@ -1619,6 +1795,69 @@ object Pipeline {
          WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4)
            < CASE WHEN lang = 'en' THEN '3333' ELSE '0ccd' END
          ORDER BY doc_id""",
+    "x_source_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT source, n,
+             CAST(floor(sqrt(n) * 1000000.0::DOUBLE) AS BIGINT) AS w_x1e6
+           FROM c),
+         t AS (SELECT sum(n) AS total, sum(w_x1e6) AS wsum FROM w),
+         r AS (SELECT source, n, w_x1e6,
+             CAST(floor(least(1.0::DOUBLE,
+               w_x1e6::DOUBLE / wsum::DOUBLE * CAST(total // 4 AS BIGINT) / n)
+               * 65536.0::DOUBLE) AS BIGINT) AS rate_x65536
+           FROM w, t),
+         s AS (SELECT d.source, count(*) AS sampled
+           FROM documents d JOIN r ON d.source = r.source
+           WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+             CASE WHEN r.rate_x65536 >= 65536 THEN 'g'
+                  ELSE printf('%04x', r.rate_x65536) END
+           GROUP BY 1)
+         SELECT r.source, CAST(r.n AS BIGINT) AS n, r.w_x1e6, r.rate_x65536,
+           CAST(coalesce(s.sampled, 0) AS BIGINT) AS sampled
+         FROM r LEFT JOIN s ON r.source = s.source ORDER BY r.source""",
+    "x_shuffle_buckets" ->
+      """WITH k AS (SELECT doc_id,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+         b AS (SELECT substr(k, 1, 1) AS bucket, count(*) AS cnt,
+             min(substr(k, 1, 8)) AS min_k8, max(substr(k, 1, 8)) AS max_k8,
+             sum(doc_id) AS sum_doc
+           FROM k GROUP BY 1),
+         t AS (SELECT sum(cnt) AS total FROM b)
+         SELECT bucket, CAST(cnt AS BIGINT) AS cnt, min_k8, max_k8,
+           CAST(sum_doc AS BIGINT) AS sum_doc,
+           CAST(CASE WHEN cnt * 16 <= total * 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS balance_ok
+         FROM b, t ORDER BY bucket""",
+    "x_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         k AS (SELECT doc_id, w,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(w) - 32) / 24.0) AS BIGINT), 0)))
+               AS chunk_idx
+           FROM d),
+         c AS (SELECT doc_id, chunk_idx,
+             CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_word,
+             list_slice(w, chunk_idx * 24 + 1,
+               least(chunk_idx * 24 + 32, len(w))) AS cw
+           FROM k)
+         SELECT doc_id, chunk_idx, start_word,
+           CAST(len(cw) AS BIGINT) AS chunk_words,
+           md5(array_to_string(cw, ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "x_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tokens
+           FROM documents WHERE len(trim(text)) > 0),
+         c AS (SELECT doc_id, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before FROM t)
+         SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY 1""",
     "x_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

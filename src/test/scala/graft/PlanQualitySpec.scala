@@ -309,4 +309,49 @@ class PlanQualitySpec extends SparkSpec {
     val shuffles = plan.split("Exchange").length - 1
     assert(shuffles <= 1, s"hash sampling must not shuffle beyond the sort:\n$plan")
   }
+
+  test("x_chunk_windows: chunking is narrow — no shuffle beyond the sort") {
+    val plan = planString(q("x_chunk_windows"))
+    val shuffles = plan.split("Exchange").length - 1
+    assert(shuffles <= 1, s"chunking must be a narrow explode:\n$plan")
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+  }
+
+  test("x_source_mix: rate table broadcasts into the corpus — no sort-merge join") {
+    val plan = planString(q("x_source_mix"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"20-row rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the mixture plan warrants a sort-merge join:\n$plan")
+  }
+
+  test("x_shuffle_buckets: one group-by over a narrow key projection") {
+    val plan = planString(q("x_shuffle_buckets"))
+    assert(plan.contains("partial_"), s"bucket histogram must pre-aggregate:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"histogram + broadcast total only:\n$plan")
+  }
+
+  test("shuffledExport: range-partitioned on the seeded key (the writer shape)") {
+    val df = graft.queries.Pipeline.shuffledExport(
+      graft.queries.Tables.documents(spark, sfDir), partitions = 4)
+    val plan = planString(df)
+    assert(plan.contains("rangepartitioning(k"),
+      s"export must range-shuffle on the shuffle key:\n$plan")
+  }
+
+  test("x_seq_pack: doc-level window is shard-partitioned, serial step is shard-sized") {
+    val plan = planString(q("x_seq_pack"))
+    // Exactly one SinglePartition exchange is allowed, and it must feed
+    // the shard-subtotal cumsum (a |corpus|/shardSize-row table), never
+    // the doc-level running sum — the property that keeps the prefix sum
+    // distributed at 100 TB.
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single == 1, s"expected exactly 1 shard-level serial window:\n$plan")
+    // the doc-level window must carry a hashpartitioning on shard
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(shard.*"),
+      s"doc-level running sum must partition by shard:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back:\n$plan")
+  }
 }

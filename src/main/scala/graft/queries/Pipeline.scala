@@ -227,6 +227,50 @@ object Pipeline {
       .sortWithinPartitions($"k")
   }
 
+  /** Replayable Bloom-filter membership for incremental (new-vs-old
+    * snapshot) dedup: each fingerprint sets `hashes` slots of a 16^hexLen
+    * -slot filter, slot i = first `hexLen` hex chars of `md5(i:fp)` — a
+    * pure function of the fingerprint, so DuckDB replays the exact filter.
+    * A new doc is `maybe_seen` iff ALL its slots are set by some old doc;
+    * Bloom's contract (no false negatives: an exact duplicate is always
+    * maybe_seen) is emitted as a per-row `fn_ok` band the oracle pins 1.
+    *
+    * This formulation materializes the filter as a distinct (i, slot)
+    * table and probes it with a hash equi-join — the oracle-checkable
+    * baseline. The 100 TB path is the native bitset: Spark's
+    * `bloom_filter_agg` builds one KB–MB binary that BROADCASTS into a
+    * `might_contain` probe (no shuffle of 4n position rows);
+    * BloomSpec pins the native path against this one (identical
+    * no-false-negative behavior, ≥ as selective on the same split).
+    */
+  def bloomMaybeSeen(oldDocs: DataFrame, newDocs: DataFrame,
+                     hashes: Int = 4, hexLen: Int = 5): DataFrame = {
+    import oldDocs.sparkSession.implicits._
+    def fp(df: DataFrame): DataFrame = df.select($"doc_id",
+      md5(lower(trim(regexp_replace($"text", " +", " "))).cast("binary")).as("fp"))
+    def slots(c: Column): Column = array((0 until hashes).map(i =>
+      struct(lit(i).as("i"),
+        substring(md5(concat(lit(s"$i:"), c).cast("binary")), 1, hexLen)
+          .as("slot"))): _*)
+    val oldFp = fp(oldDocs)
+    val newFp = fp(newDocs)
+    val filterTable = oldFp.select(explode(slots($"fp")).as("p"))
+      .select($"p.i".as("i"), $"p.slot".as("slot")).distinct()
+    val probes = newFp.select($"doc_id", $"fp", explode(slots($"fp")).as("p"))
+      .select($"doc_id", $"fp", $"p.i".as("i"), $"p.slot".as("slot"))
+    val seen = probes
+      .join(filterTable.withColumn("hit", lit(1)), Seq("i", "slot"), "left")
+      .groupBy($"doc_id", $"fp")
+      .agg((sum(coalesce($"hit", lit(0))) === hashes).cast("long")
+        .as("maybe_seen"))
+    val dups = oldFp.select($"fp").distinct().withColumn("exact", lit(1L))
+    seen.join(dups, Seq("fp"), "left")
+      .select($"doc_id", $"maybe_seen",
+        coalesce($"exact", lit(0L)).as("exact_dup"))
+      .select($"doc_id", $"maybe_seen", $"exact_dup",
+        when($"maybe_seen" >= $"exact_dup", 1L).otherwise(0L).as("fn_ok"))
+  }
+
   /** Per-(lang, source) token-count quantiles over `documents`, the
     * engine behind percentile-based length filtering. `exact = true` runs
     * `percentile` (R-7 linear interpolation, same definition as DuckDB's
@@ -1099,6 +1143,21 @@ object Pipeline {
         .orderBy($"bin_id")
     }),
 
+    // Incremental bloom dedup: old snapshot = even doc_ids (plus every
+    // 50th doc re-crawled under a fresh odd id, so exact dups exist at
+    // every SF); new = odd. Per new doc: bloom maybe_seen, exact_dup,
+    // and the no-false-negative band pinned 1 (see bloomMaybeSeen)
+    "d_bloom_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).select($"doc_id", $"text")
+      val recrawled = base.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 1000001L).as("doc_id"), $"text")
+      val corpus = base.unionAll(recrawled)
+      bloomMaybeSeen(corpus.filter($"doc_id" % 2 === 0),
+          corpus.filter($"doc_id" % 2 === 1))
+        .orderBy($"doc_id")
+    }),
+
     // Temperature mixing: sqrt-weighted source budget allocation with
     // md5-replayable membership (see sourceMix)
     "x_source_mix" -> ((s, d) => {
@@ -1795,6 +1854,33 @@ object Pipeline {
          WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4)
            < CASE WHEN lang = 'en' THEN '3333' ELSE '0ccd' END
          ORDER BY doc_id""",
+    "d_bloom_incremental" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 50 = 0),
+         f AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+           FROM corpus),
+         old_slots AS (SELECT DISTINCT i, substr(md5(i || ':' || fp), 1, 5) AS slot
+           FROM (SELECT fp FROM f WHERE doc_id % 2 = 0) x, range(0, 4) t(i)),
+         probes AS (SELECT doc_id, fp, i,
+             substr(md5(i || ':' || fp), 1, 5) AS slot
+           FROM (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1) y, range(0, 4) t(i)),
+         seen AS (SELECT p.doc_id, p.fp,
+             CAST(CASE WHEN count(o.slot) = 4 THEN 1 ELSE 0 END AS BIGINT)
+               AS maybe_seen
+           FROM probes p LEFT JOIN old_slots o
+             ON p.i = o.i AND p.slot = o.slot
+           GROUP BY p.doc_id, p.fp),
+         dups AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0)
+         SELECT s.doc_id, s.maybe_seen,
+           CAST(CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_dup,
+           CAST(CASE WHEN s.maybe_seen >=
+             (CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END) THEN 1 ELSE 0 END
+             AS BIGINT) AS fn_ok
+         FROM seen s LEFT JOIN dups d ON s.fp = d.fp
+         ORDER BY s.doc_id""",
     "x_source_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
          w AS (SELECT source, n,

@@ -317,6 +317,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
   }
 
+  test("d_bloom_incremental: filter probe is a hash equi-join, partial-aggregated") {
+    val plan = planString(q("d_bloom_incremental"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"slot probe must be an equi-join:\n$plan")
+    assert(plan.contains("partial_"),
+      s"slot distinct/membership counts must pre-aggregate:\n$plan")
+  }
+
   test("x_source_mix: rate table broadcasts into the corpus — no sort-merge join") {
     val plan = planString(q("x_source_mix"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),

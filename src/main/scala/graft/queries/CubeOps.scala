@@ -616,6 +616,37 @@ object CubeOps {
         .orderBy($"user_id", $"event_type")
     }),
 
+    // §2.8 — stream-static enrichment (batch shape of
+    // StreamOps.enrichStream: events left-join the broadcast customer
+    // dimension; segment rolls up event traffic)
+    "w_stream_enrich" -> ((s, d) => {
+      import s.implicits._
+      val dim = customer(s, d).select($"c_custkey", $"c_mktsegment")
+      graft.streaming.StreamOps
+        .enrichStream(events(s, d), dim, "user_id", "c_custkey")
+        .groupBy(coalesce($"c_mktsegment", lit("none")).as("segment"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"value") * 100 + 0.5).cast("long").as("value_x100"))
+        .orderBy($"segment", $"event_type")
+    }),
+
+    // §2.8 — event-time-TTL dedup (batch replay of
+    // dropDuplicatesWithinWatermark semantics; see
+    // StreamOps.dedupEventTimeTtl — keep iff ts >= last kept + 12 h)
+    "w_stream_dedup_ttl" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        .as[graft.streaming.StreamOps.KeyedEvent]
+      graft.streaming.StreamOps.dedupEventTimeTtl(ev, ttlMs = 43200000L)
+        .toDF()
+        .select($"user_id", $"event_type", $"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("kept_ts"),
+          floor($"value" * 100 + 0.5).cast("long").as("value_x100"))
+        .orderBy($"user_id", $"event_type", $"event_id")
+    }),
+
     // §2.8 — sliding-window aggregation (batch shape of
     // StreamOps.slidingCounts: 1h windows sliding every 30min, so each
     // event lands in exactly two windows)
@@ -1139,6 +1170,32 @@ object CubeOps {
          SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart,
            count(*) AS n, CAST(floor(sum(value)*100 + 0.5) AS BIGINT) AS value_x100
          FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""",
+    "w_stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'none') AS segment, e.event_type,
+           count(*) AS n,
+           CAST(floor(sum(e.value) * 100 + 0.5) AS BIGINT) AS value_x100
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "w_stream_dedup_ttl" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type, event_id,
+             CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+           FROM events),
+         keep AS (
+           SELECT user_id, event_type, event_id, ts, value, rn FROM e
+           WHERE rn = 1
+           UNION ALL
+           SELECT n.user_id, n.event_type, n.event_id, n.ts, n.value, n.rn
+           FROM keep k JOIN LATERAL (
+             SELECT * FROM e
+             WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+               AND e.rn > k.rn AND e.ts >= k.ts + INTERVAL 12 HOUR
+             ORDER BY e.rn LIMIT 1) n ON true)
+         SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS kept_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_x100
+         FROM keep ORDER BY user_id, event_type, event_id""",
     "w_stream_dedup" ->
       """WITH r AS (SELECT user_id, event_type, event_id,
              CAST(ts AS TIMESTAMP) AS ts, value,

@@ -145,6 +145,60 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment: join a stream against a slowly-changing
+    * dimension table. Stream-static joins are STATELESS in Structured
+    * Streaming — each micro-batch joins against the current static
+    * snapshot, no watermark required and no state store — and the static
+    * side is broadcast (plan-pinned), so the hot path adds a map-side
+    * hash probe per event, nothing more. Left join keeps events whose
+    * key misses the dimension (they enrich as nulls downstream).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
+
+  /** Event-time-TTL dedup, batch replay: per (user, type) key, keep an
+    * event iff its ts is ≥ `ttlMs` after the last KEPT event (first event
+    * always kept; ties break on event_id). This is the deterministic
+    * batch analog of `dropDuplicatesWithinWatermark` — the built-in whose
+    * state EXPIRES once the watermark passes a kept row (contrast
+    * [[dedupFirstSeen]], whose per-key boolean lives forever): a
+    * duplicate inside the TTL window is dropped, a re-occurrence after
+    * it survives. The scan is a per-key ordered fold (`flatMapGroups`,
+    * the sessionize shape): groups hash-partition across the cluster and
+    * each folds independently — state is one timestamp per group.
+    * StreamOpsSpec pins the streaming built-in's drop/expire behavior on
+    * a MemoryStream; the `w_stream_dedup_ttl` gate replays this shape
+    * against a recursive-CTE oracle.
+    */
+  def dedupEventTimeTtl(events: Dataset[KeyedEvent],
+                        ttlMs: Long): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroups { (_: (Long, String), rows: Iterator[KeyedEvent]) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = Seq.newBuilder[KeyedEvent]
+        var lastKept = Long.MinValue
+        sorted.foreach { e =>
+          if (lastKept == Long.MinValue || e.ts.getTime >= lastKept + ttlMs) {
+            out += e; lastKept = e.ts.getTime
+          }
+        }
+        out.result().iterator
+      }
+  }
+
+  /** The streaming form [[dedupEventTimeTtl]] replays: built-in
+    * watermark-bounded dedup — state for a kept key is dropped once the
+    * watermark passes its event time plus the delay, so a late duplicate
+    * is suppressed only within the watermark horizon and the state store
+    * stays bounded by the horizon's key arrival rate, not corpus history.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+                           delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Incremental backfill source: newly-arrived scene files as a stream
     * (`readStream` over a directory of parquet block files), for the C4
     * missing-timeline catch-up path with `Trigger.AvailableNow`.

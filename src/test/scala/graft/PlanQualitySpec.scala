@@ -317,6 +317,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
   }
 
+  test("w_stream_enrich: customer dimension broadcasts into the event stream") {
+    val plan = planString(q("w_stream_enrich"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join for the dimension:\n$plan")
+  }
+
   test("d_bloom_incremental: filter probe is a hash equi-join, partial-aggregated") {
     val plan = planString(q("d_bloom_incremental"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

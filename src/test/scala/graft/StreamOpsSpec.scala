@@ -329,6 +329,77 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrich: stateless, static side broadcast, misses keep flowing") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("c_custkey", "tier")
+    val q = StreamOps.enrichStream(df, dim, "user_id", "c_custkey")
+      .select($"user_id", $"tier", $"value")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    input.addData((1L, ts("2024-01-01 00:00:01"), 1.0),
+      (9L, ts("2024-01-01 00:00:02"), 2.0))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 00:00:03"), 3.0))
+    q.processAllAvailable()
+    // no state store: a stream-static join reports no stateful operators
+    val stateOps = q.lastProgress.stateOperators
+    q.stop()
+    assert(stateOps.isEmpty, "stream-static join must be stateless")
+    val rows = spark.table("enriched").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, Some("GOLD"), 1.0), (2L, Some("SILVER"), 3.0),
+      (9L, None, 2.0)), "left join keeps dimension misses as nulls")
+  }
+
+  test("dropDuplicatesWithinWatermark: in-horizon dup dropped, state expires") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "event_type", "event_id", "ts")
+    val q = StreamOps.dedupWithinWatermark(df, "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    // batch 1: key (1, a) kept; in-batch duplicate dropped
+    input.addData((1L, "a", 100L, ts("2024-01-01 00:00:00")),
+      (1L, "a", 101L, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    // batch 2: watermark still below 00:00 + 10m → duplicate dropped;
+    // unrelated key flows; watermark advances to 00:30 - 10m = 00:20
+    input.addData((1L, "a", 102L, ts("2024-01-01 00:05:00")),
+      (2L, "b", 200L, ts("2024-01-01 00:30:00")))
+    q.processAllAvailable()
+    // batch 3: state for (1, a) expired at watermark 00:20 > 00:00+10m →
+    // the same key is ADMITTED again (contrast dedupFirstSeen)
+    input.addData((1L, "a", 103L, ts("2024-01-01 00:25:00")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wm_dedup").collect()
+      .map(r => r.getLong(2)).toSet
+    assert(kept == Set(100L, 200L, 103L),
+      s"expected dup suppressed in-horizon and key re-admitted after expiry, got $kept")
+  }
+
+  test("dedupEventTimeTtl: fold matches a hand-replay and bounds survivors") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.KeyedEvent
+    val evs = Seq(
+      KeyedEvent(1L, "a", 1L, ts("2024-01-01 00:00:00"), 1.0),
+      KeyedEvent(1L, "a", 2L, ts("2024-01-01 05:00:00"), 1.0), // < 12h: drop
+      KeyedEvent(1L, "a", 3L, ts("2024-01-01 12:00:00"), 1.0), // ≥ 12h: keep
+      KeyedEvent(1L, "a", 4L, ts("2024-01-01 23:59:00"), 1.0), // < 12h after #3
+      KeyedEvent(1L, "a", 5L, ts("2024-01-02 00:00:00"), 1.0), // ≥ 12h: keep
+      KeyedEvent(2L, "b", 6L, ts("2024-01-01 00:00:00"), 1.0))
+    val out = StreamOps.dedupEventTimeTtl(evs.toDS(), 43200000L)
+      .collect().map(_.event_id).toSet
+    assert(out == Set(1L, 3L, 5L, 6L))
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

@@ -136,7 +136,13 @@ object Pipeline {
       sum($"tokens").over(inShard).as("cum_in_shard"))
     val overShards = Window.orderBy($"shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy($"shard").agg(sum($"tokens").as("st"))
+    // shard subtotal = the LAST running sum in the shard: deriving it
+    // from `withCum` (not from a second aggregation over `toks`) makes
+    // both consumers share one hashpartitioning(shard) exchange —
+    // ReuseExchange collapses them, so the input is derived once even
+    // when it is itself an expensive pipeline (e2e_corpus_build pins
+    // the resulting scan/serial-step counts)
+    val offsets = withCum.groupBy($"shard").agg(max($"cum_in_shard").as("st"))
       .select($"shard",
         coalesce(sum($"st").over(overShards), lit(0L)).as("shard_offset"))
     withCum.join(broadcast(offsets), "shard")
@@ -159,13 +165,17 @@ object Pipeline {
     * oracle replays. Two narrow scans of the corpus + a 20-row broadcast:
     * the mixture plan at 100 TB is a pair of map-side passes.
     */
-  def sourceMix(docs: DataFrame, budgetDiv: Int = 4,
-                salt: String = "mix"): DataFrame = {
+  /** The per-source rate table behind [[sourceMix]] — (source, n, w_x1e6,
+    * rate_x65536, thr), where `thr` is the 4-hex md5 keep threshold.
+    * Exposed so pipeline compositions (e2e corpus build) can sample with
+    * the same allocation.
+    */
+  def sourceMixRates(docs: DataFrame, budgetDiv: Int): DataFrame = {
     import docs.sparkSession.implicits._
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum($"n").as("total"),
       sum(floor(sqrt($"n") * 1e6).cast("long")).as("wsum"))
-    val rates = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select($"source", $"n",
         floor(sqrt($"n") * 1e6).cast("long").as("w_x1e6"),
         floor($"total" / budgetDiv).as("target"), $"wsum")
@@ -176,6 +186,12 @@ object Pipeline {
       .select($"source", $"n", $"w_x1e6", $"rate_x65536",
         when($"rate_x65536" >= 65536, lit("g"))
           .otherwise(format_string("%04x", $"rate_x65536")).as("thr"))
+  }
+
+  def sourceMix(docs: DataFrame, budgetDiv: Int = 4,
+                salt: String = "mix"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rates = sourceMixRates(docs, budgetDiv)
     val sampled = docs.join(broadcast(rates.select($"source", $"thr")), "source")
       .filter(substring(md5(concat(lit(salt + ":"),
         $"doc_id".cast("string")).cast("binary")), 1, 4) < $"thr")
@@ -1143,6 +1159,40 @@ object Pipeline {
         .orderBy($"bin_id")
     }),
 
+    // End-to-end corpus build — the full LLM-data pipeline as ONE lazy
+    // plan: length/quality filter → exact dedup (min-id keeper per
+    // normalized fingerprint) → temperature source mixing at a half-corpus
+    // budget → concat-and-chunk packing into 512-token bins. Every stage
+    // is the already-gated operator; this gate pins their composition
+    // (the funnel a real corpus run ships through).
+    "e2e_corpus_build" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val quality = documents(s, d).filter(length(trim($"text")) > 0)
+        .withColumn("nw", size(words($"text")))
+        .filter($"nw" >= 20 && $"nw" <= 200)
+      // min-id keeper as ONE window over the fp shuffle (a groupBy-min +
+      // self-join would scan the corpus twice); the survivors are then
+      // localCheckpoint'ed lazily — three downstream consumers (rate
+      // table, sampling pass, packer) reuse the materialized survivors
+      // instead of re-deriving the funnel, so the corpus parquet is
+      // scanned exactly once per run (plan-pinned)
+      val deduped = quality.select($"doc_id", $"text", $"source",
+          md5(lower(trim(regexp_replace($"text", " +", " "))).cast("binary"))
+            .as("fp"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+        .filter($"rk" === 1).drop("rk", "fp")
+        .localCheckpoint(false)
+      val rates = sourceMixRates(deduped, budgetDiv = 2)
+      val sampled = deduped
+        .join(broadcast(rates.select($"source", $"thr")), "source")
+        .filter(substring(md5(concat(lit("e2e:"),
+          $"doc_id".cast("string")).cast("binary")), 1, 4) < $"thr")
+      packBins(sampled.select($"doc_id", $"text"), budget = 512)
+        .orderBy($"bin_id")
+    }),
+
     // Incremental bloom dedup: old snapshot = even doc_ids (plus every
     // 50th doc re-crawled under a fresh odd id, so exact dups exist at
     // every SF); new = odd. Per new doc: bloom maybe_seen, exact_dup,
@@ -1854,6 +1904,44 @@ object Pipeline {
          WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4)
            < CASE WHEN lang = 'en' THEN '3333' ELSE '0ccd' END
          ORDER BY doc_id""",
+    "e2e_corpus_build" ->
+      """WITH q AS (SELECT doc_id, text, source,
+             len(string_split_regex(trim(text), ' +')) AS nw
+           FROM documents WHERE len(trim(text)) > 0),
+         qf AS (SELECT doc_id, text, source FROM q WHERE nw BETWEEN 20 AND 200),
+         f AS (SELECT doc_id, text, source,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+           FROM qf),
+         k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1),
+         dd AS (SELECT f.doc_id, f.text, f.source
+           FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+         c AS (SELECT source, count(*) AS n FROM dd GROUP BY 1),
+         w AS (SELECT source, n,
+             CAST(floor(sqrt(n) * 1000000.0::DOUBLE) AS BIGINT) AS w_x1e6
+           FROM c),
+         t AS (SELECT sum(n) AS total, sum(w_x1e6) AS wsum FROM w),
+         r AS (SELECT source,
+             CAST(floor(least(1.0::DOUBLE,
+               w_x1e6::DOUBLE / wsum::DOUBLE * CAST(total // 2 AS BIGINT) / n)
+               * 65536.0::DOUBLE) AS BIGINT) AS rate
+           FROM w, t),
+         smp AS (SELECT dd.doc_id, dd.text
+           FROM dd JOIN r ON dd.source = r.source
+           WHERE substr(md5('e2e:' || CAST(dd.doc_id AS VARCHAR)), 1, 4) <
+             CASE WHEN r.rate >= 65536 THEN 'g'
+                  ELSE printf('%04x', r.rate) END),
+         tk AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tokens
+           FROM smp WHERE len(trim(text)) > 0),
+         cm AS (SELECT doc_id, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before FROM tk)
+         SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM cm GROUP BY 1 ORDER BY 1""",
     "d_bloom_incremental" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

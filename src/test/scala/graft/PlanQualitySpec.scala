@@ -317,6 +317,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
   }
 
+  test("e2e_corpus_build: one corpus scan, tiny serial steps, no cartesian") {
+    val df = q("e2e_corpus_build")
+    df.collect() // finalize AQE on THIS QueryExecution: exchange reuse
+                 // (the shared funnel under both pack branches) only
+                 // appears in the final adaptive plan; drop the
+                 // "== Initial Plan ==" echo so counts see only reality
+    val plan = planString(df).split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in the funnel:\n$plan")
+    assert(plan.contains("partial_"),
+      s"pack aggregations must pre-aggregate:\n$plan")
+    // serial steps stay tiny: the mix totals row and the shard cumsum —
+    // nothing doc-sized may funnel through one partition
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 2, s"expected ≤2 tiny serial steps, got $single:\n$plan")
+    // the checkpointed dedup survivors serve all three downstream
+    // consumers: the documents parquet must not be re-scanned per branch
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 0, s"downstream of the checkpoint there is no parquet rescan:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"expected the checkpoint boundary in the plan:\n$plan")
+  }
+
   test("w_stream_enrich: customer dimension broadcasts into the event stream") {
     val plan = planString(q("w_stream_enrich"))
     assert(plan.contains("BroadcastHashJoin"),

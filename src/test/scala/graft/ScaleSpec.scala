@@ -301,6 +301,44 @@ class ScaleSpec extends SparkSpec {
       s"pair counts per cluster must equal |cluster| choose 2: got $got, expected $expected")
   }
 
+  /** Synthetic documents frame (doc_id, text of 40–69 words, 20 sources);
+    * round-robin repartitioned for the same reason as [[blobEmbeddings]].
+    */
+  private def syntheticDocs(n: Long, breakPartitioning: Boolean = true) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = spark.range(n).select($"id".as("doc_id"),
+      expr("""array_join(transform(sequence(1, cast(40 + id % 30 as int)),
+        i -> concat('w', pmod(id * 31 + i, 1000))), ' ')""").as("text"),
+      concat(lit("s"), pmod($"id", lit(20))).as("source"))
+    // the chunker soak needs the raw narrow lineage (its claim is ZERO
+    // shuffle, which the round-robin repartition itself would break);
+    // keyed operators get the repartition to discard Range partitioning
+    if (breakPartitioning) base.repartition(8) else base
+  }
+
+  test("soak: packer shuffle ~linear at 10x; chunker stays shuffle-free") {
+    // packBins: the doc-level work is one hashpartitioning(shard)
+    // exchange — bytes scale with the corpus; the serial shard cumsum is
+    // |corpus|/64 rows and disappears in the totals
+    val pk1 = measure(graft.queries.Pipeline.packBins(syntheticDocs(5000L), 512))
+    val pk10 = measure(graft.queries.Pipeline.packBins(syntheticDocs(50000L), 512))
+    assert(pk1._1 > 0, "packer: no shuffle measured at base size")
+    val ratio = pk10._1.toDouble / pk1._1
+    info(f"packer: shuffle ${pk1._1}B -> ${pk10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"packer shuffle grew superlinearly: $ratio")
+    assert(ratio > 3, s"packer shuffle growth suspiciously flat: $ratio")
+    // chunkWindows: a narrow map — ZERO shuffle at any corpus size is
+    // the whole scale claim
+    val ch1 = measure(
+      graft.queries.Pipeline.chunkWindows(syntheticDocs(5000L, breakPartitioning = false), 32, 24))
+    val ch10 = measure(
+      graft.queries.Pipeline.chunkWindows(syntheticDocs(50000L, breakPartitioning = false), 32, 24))
+    info(s"chunker: shuffle ${ch1._1}B -> ${ch10._1}B")
+    assert(ch1._1 == 0 && ch10._1 == 0,
+      s"chunking must not shuffle at any size: ${ch1._1} -> ${ch10._1}")
+  }
+
   private final class TaskMetricsProbe
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong

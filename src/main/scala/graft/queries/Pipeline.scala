@@ -110,6 +110,49 @@ object Pipeline {
         md5(concat_ws(" ", $"cw").cast("binary")).as("chunk_md5"))
   }
 
+  /** Paragraph-level exact dedup with document rewrite (the CCNet /
+    * MassiveText "remove duplicated paragraphs" preprocessing step; the
+    * synthetic corpus has no newlines, so non-overlapping `segWords`-word
+    * windows stand in for paragraphs). Every segment occurrence except
+    * the globally first — min (doc_id, seg_idx), resolved by a
+    * partial-aggregable min-of-struct, NOT a window sort — is dropped,
+    * and each document is reassembled from its surviving segments in
+    * position order. Scale shape: segmenting is narrow; the keeper
+    * election is one hash shuffle on the segment hash with map-side
+    * partial min; reassembly is one hash shuffle on doc_id whose
+    * per-group state is bounded by the document length (the same bound
+    * CCNet's per-document rewrite needs). Linear in the corpus, never a
+    * self-join.
+    */
+  def paragraphDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    require(segWords > 0, s"segWords must be positive: $segWords")
+    import docs.sparkSession.implicits._
+    val segs = docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0),
+          ceil(org.apache.spark.sql.functions.size($"w")
+            / lit(segWords.toDouble)).cast("int") - 1),
+        j => array_join(slice($"w", j * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("seg_idx", "seg")))
+      .select($"doc_id", $"seg_idx", $"seg",
+        md5($"seg".cast("binary")).as("h"))
+    val keepers = segs.groupBy($"h")
+      .agg(min(struct($"doc_id", $"seg_idx")).as("keep"))
+    segs.join(keepers, "h")
+      .select($"doc_id", $"seg_idx", $"seg",
+        ($"keep.doc_id" === $"doc_id" && $"keep.seg_idx" === $"seg_idx")
+          .as("kept"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum($"kept".cast("long")).as("kept_segs"),
+        md5(array_join(transform(
+          array_sort(collect_list(when($"kept",
+            struct($"seg_idx".as("i"), $"seg".as("s"))))),
+          x => x.getField("s")), " ").cast("binary")).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Concat-and-chunk sequence packing: lay every document's tokens on one
     * global tape in `doc_id` order and cut the tape every `budget` tokens;
     * a document lands in the bin where its FIRST token falls (the
@@ -944,6 +987,50 @@ object Pipeline {
         .orderBy($"qid", $"rnk")
     }),
 
+    // Int8-quantized ANN (the embedding-compression scale path: int8
+    // symmetric quantization carries 4× less data per vector through
+    // every scan and shuffle than float32 — the standard serving-index
+    // trick applied to the corpus side). Per vector: scale m = max |v_i|,
+    // code q_i = floor(v_i·127/m + 0.5) — round-half-up is the same
+    // closed form both engines evaluate, and every cross-row comparison
+    // after that is an exact integer dot product (codes cast to float are
+    // exact ≤ 127, products exact ≤ 127², the 64-term double sum exact —
+    // the codegen DOT expression is reused unchanged). Candidates rank by
+    // ip·m_b (query scale and 127² are per-query constants, so this
+    // preserves the true-dot order up to quantization error) through the
+    // bounded-heap TopKAgg — map-side partials trim to C before the
+    // shuffle — then the top C get one exact cosine re-score. The query
+    // side broadcasts; the corpus is scanned once and never self-joins.
+    "v_ann_int8" -> ((s, d) => {
+      import s.implicits._
+      val C = 10
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val coded = emb.select($"vec_id", $"embedding",
+        array_max(transform($"embedding", x => abs(x.cast("double")))).as("m"))
+        .select($"vec_id", $"embedding", $"m",
+          transform($"embedding",
+            x => floor(x.cast("double") * 127.0 / $"m" + 0.5).cast("float"))
+            .as("q8"))
+      val q = coded.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"q8".as("qa"))
+      val c = coded.filter(!$"vec_id".isin(0, 1, 2))
+        .select($"vec_id", $"embedding".as("ce"), $"m".as("mb"), $"q8".as("qb"))
+      // one corpus pass: candidates scored through the int8 codes only
+      val cand = c.crossJoin(broadcast(q))
+        .select($"qid", $"vec_id", (dot($"qa", $"qb") * $"mb").as("rs"))
+        .groupBy($"qid")
+        .agg(graft.operators.TopKAgg.topKByScore($"rs", $"vec_id", C).as("top"))
+        .select($"qid", posexplode($"top").as(Seq("i", "e")))
+        .select($"qid", $"e.id".as("vec_id"), ($"i" + 1).cast("int").as("rnk"))
+      // candidates only: exact cosine re-score + the integer ip for audit
+      cand.join(broadcast(q), "qid").join(c, "vec_id")
+        .select($"qid", $"vec_id", dot($"qa", $"qb").cast("long").as("ip"),
+          floor(cosine($"qe", $"ce") * 10000 + 0.5).cast("long")
+            .as("score_x10000"),
+          $"rnk")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // Document clustering: Lloyd's k-means over the embedding corpus,
     // k=4 seeds from fixed vec_ids, 2 unrolled iterations. Everything
     // cross-row is integer (quantized dims; centroids carried as
@@ -1087,6 +1174,10 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Paragraph-level dedup with rewrite — see [[paragraphDedup]].
+    "d_paragraph_dedup" -> ((s, d) =>
+      paragraphDedup(documents(s, d), segWords = 10)),
+
     // Unigram-LM surprisal score — the deterministic stand-in for the
     // perplexity-based quality filter (CCNet/Gopher use an external LM;
     // here the corpus's own unigram distribution is the model). Per-word
@@ -1111,6 +1202,38 @@ object Pipeline {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("tokens"), (-sum($"lq")).as("nll_x1e6"))
         .withColumn("mean_nll_x1e6", expr("nll_x1e6 div tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // Linear quality-classifier inference (the fastText-style shape used
+    // for pretraining-data quality filters): features are unigrams plus
+    // adjacent-word bigrams, each feature-hashed by md5 into a 16⁶
+    // weight space whose "trained" weight is the deterministic integer
+    // (hash % 2001) − 1000 — so the oracle replays the exact model. The
+    // doc score is an order-free integer sum; the only FP op is the one
+    // mean division. Scale shape: a narrow per-row explode → one
+    // partial-aggregated hash shuffle on doc_id; no joins at all (the
+    // weight is computed, not looked up — real serving would broadcast a
+    // weight table, same plan with one map-side hash join added).
+    "x_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words($"text").as("w"))
+      val feats = base.select($"doc_id", explode(concat($"w",
+        zip_with($"w",
+          slice($"w", lit(2), greatest(
+            org.apache.spark.sql.functions.size($"w") - 1, lit(0))),
+          (a, b) => concat(a, lit("_"), b)))).as("f"))
+        .filter($"f".isNotNull) // zip_with null-pads the shorter tail
+      feats.select($"doc_id",
+          (conv(substring(md5(concat(lit("qw:"), $"f").cast("binary")), 1, 6),
+            16, 10).cast("long") % 2001 - 1000).as("wt"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("feats"), sum($"wt").as("score_sum"))
+        .select($"doc_id", $"feats", $"score_sum",
+          floor($"score_sum".cast("double") / $"feats" + 0.5).cast("long")
+            .as("mean_x1000"),
+          ($"score_sum" >= 0).cast("long").as("keep"))
         .orderBy($"doc_id")
     }),
 
@@ -2141,5 +2264,73 @@ object Pipeline {
          FROM (SELECT qid, vec_id, cos,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
-         WHERE rnk <= 5 ORDER BY qid, rnk""")
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "v_ann_int8" ->
+      """WITH dims AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+             FROM embeddings, range(1, 65) t(i)),
+         mx AS (SELECT vec_id, max(abs(v)) AS m FROM dims GROUP BY 1),
+         q8 AS (SELECT d.vec_id, i,
+             CAST(floor(v * 127.0 / m + 0.5) AS BIGINT) AS qv
+           FROM dims d JOIN mx USING (vec_id)),
+         ips AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+             CAST(sum(a.qv * b.qv) AS BIGINT) AS ip
+           FROM q8 a JOIN q8 b USING (i)
+           WHERE a.vec_id IN (0,1,2) AND b.vec_id NOT IN (0,1,2)
+           GROUP BY 1, 2),
+         rk AS (SELECT qid, vid, ip,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY CAST(ip AS DOUBLE) * m DESC, vid) AS INT) AS rnk
+           FROM ips JOIN mx ON mx.vec_id = ips.vid),
+         top AS (SELECT * FROM rk WHERE rnk <= 10),
+         dots AS (SELECT top.qid, top.vid, top.ip, top.rnk,
+             sum(CAST(qa.embedding[i] AS DOUBLE) * CAST(qb.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(qa.embedding[i] AS DOUBLE) * CAST(qa.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(qb.embedding[i] AS DOUBLE) * CAST(qb.embedding[i] AS DOUBLE)) AS nc
+           FROM top JOIN embeddings qa ON qa.vec_id = top.qid
+             JOIN embeddings qb ON qb.vec_id = top.vid, range(1, 65) t(i)
+           GROUP BY 1, 2, 3, 4)
+         SELECT qid, vid AS vec_id, ip,
+           CAST(floor(dp / (sqrt(nq) * sqrt(nc)) * 10000 + 0.5) AS BIGINT)
+             AS score_x10000,
+           rnk
+         FROM dots ORDER BY qid, rnk""",
+    "d_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         n AS (SELECT doc_id, w,
+             CAST(ceil(len(w) / 10.0) AS BIGINT) AS nseg FROM d),
+         segs AS (SELECT doc_id,
+             CAST(unnest(generate_series(0, nseg - 1)) AS INT) AS seg_idx,
+             unnest(list_transform(generate_series(0, nseg - 1),
+               j -> array_to_string(w[(j*10+1):(j*10+10)], ' '))) AS seg
+           FROM n),
+         k AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+               ORDER BY doc_id, seg_idx) AS r
+           FROM segs)
+         SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+           md5(coalesce(
+             string_agg(CASE WHEN r = 1 THEN seg END, ' ' ORDER BY seg_idx),
+             '')) AS kept_md5
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "x_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         feats AS (SELECT doc_id, unnest(w) AS f FROM d
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> w[i] || '_' || w[i+1])) AS f
+           FROM d WHERE len(w) >= 2),
+         wt AS (SELECT doc_id,
+             ('0x' || substr(md5('qw:' || f), 1, 6))::BIGINT % 2001 - 1000 AS wt
+           FROM feats),
+         s AS (SELECT doc_id, count(*) AS feats,
+             CAST(sum(wt) AS BIGINT) AS score_sum
+           FROM wt GROUP BY 1)
+         SELECT doc_id, feats, score_sum,
+           CAST(floor(CAST(score_sum AS DOUBLE) / feats + 0.5) AS BIGINT)
+             AS mean_x1000,
+           CAST(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM s ORDER BY doc_id""")
 }

@@ -182,6 +182,38 @@ class PlanQualitySpec extends SparkSpec {
       s"LSH ANN must not contain an all-pairs join:\n$plan")
   }
 
+  test("v_ann_int8: top-k heap partial-aggregates; only the query side nested-loops") {
+    val plan = planString(q("v_ann_int8"))
+    assert(!plan.contains("CartesianProduct"),
+      s"int8 ANN must not contain a cartesian product:\n$plan")
+    // both corpus passes cross-join ONLY against the 3-row broadcast
+    // query table (the exact-scan shape shared with v_ann_cosine)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnlj <= 2,
+      s"only the broadcast query side may nested-loop, got $bnlj:\n$plan")
+    assert(plan.contains("partial_graft_topk"),
+      s"candidate selection must map-side trim through the TopKAgg heap:\n$plan")
+  }
+
+  test("d_paragraph_dedup: keeper election is a partial min — no window, no all-pairs") {
+    val plan = planString(q("d_paragraph_dedup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"paragraph dedup must join segments by hash equality:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the global first-occurrence must be a partial-aggregable min, not a window sort:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"keeper election must partial-aggregate before the shuffle:\n$plan")
+  }
+
+  test("x_quality_classifier: pure score — no joins anywhere in the plan") {
+    val plan = planString(q("x_quality_classifier"))
+    assert(!plan.contains("Join"),
+      s"hashed-weight inference must not join (weights are computed):\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"the per-doc score must partial-aggregate:\n$plan")
+  }
+
   test("documents scan for token stats prunes to the referenced columns") {
     val plan = planString(q("x_text_stats"))
     val readSchema = plan.split("ReadSchema:").last

@@ -153,6 +153,58 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Distributed BPE merge-learning (the tokenizer-training inner loop,
+    * Sennrich et al. 2016): per round, count adjacent symbol pairs across
+    * the corpus, pick the most frequent (ties: lexicographically smallest
+    * pair), and greedily merge it left-to-right inside every word. The
+    * scale shape is what makes BPE trainable at 100 TB: the ONLY
+    * corpus-sized operation is the initial word-count hash aggregation
+    * (partial-aggregated); every iterative step — pair explode, weighted
+    * pair counts, argmax, re-merge — runs on the DISTINCT-WORD table
+    * (vocab-sized) with the single best-pair row broadcast back in. The
+    * greedy merge is a portable string fold (`aggregate` HOF here,
+    * `list_reduce` in the oracle): a symbol merges only when the
+    * accumulator's LAST token equals `pa` exactly, so a just-merged token
+    * never chains within the round — classic leftmost-first BPE.
+    */
+  def bpeLearn(docs: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import docs.sparkSession.implicits._
+    val wc = docs.filter(length(trim($"text")) > 0)
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    var syms = wc.select($"word", $"cnt",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+    val roundRows = (1 to rounds).map { r =>
+      val pairs = syms
+        .filter(org.apache.spark.sql.functions.size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS pa,
+                         element_at(syms, i + 1) AS pb))""")).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(sum($"cnt").as("wcnt"))
+      val mx = pairs.agg(max($"wcnt").as("mc"))
+      val best = pairs.crossJoin(broadcast(mx))
+        .filter($"wcnt" === $"mc")
+        .agg(min(struct($"pa", $"pb")).as("bp"), max($"mc").as("wcnt"))
+        .select($"bp.pa".as("pa"), $"bp.pb".as("pb"), $"wcnt")
+      syms = syms.crossJoin(broadcast(best))
+        .withColumn("m", expr(
+          """aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),
+               element_at(syms, 1),
+               (acc, s) -> CASE
+                 WHEN s = pb AND (acc = pa OR endswith(acc, ' ' || pa))
+                 THEN concat(left(acc, length(acc) - length(pa)), pa, pb)
+                 ELSE concat(acc, ' ', s) END)"""))
+        .select($"word", $"cnt", split($"m", " ").as("syms"))
+      best.select(lit(r).as("r"), $"pa", $"pb",
+        concat($"pa", $"pb").as("merged"), $"wcnt")
+    }
+    roundRows.reduce(_.unionAll(_)).orderBy($"r")
+  }
+
   /** Concat-and-chunk sequence packing: lay every document's tokens on one
     * global tape in `doc_id` order and cut the tape every `budget` tokens;
     * a document lands in the bin where its FIRST token falls (the
@@ -798,6 +850,9 @@ object Pipeline {
           size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("word_tokens"))
         .orderBy($"doc_id")
     }),
+
+    // BPE merge-learning, 2 rounds — see [[bpeLearn]].
+    "x_bpe_learn" -> ((s, d) => bpeLearn(documents(s, d), rounds = 2)),
 
     // PII scrubbing: deterministic synthetic PII (email, IPv4, phone) is
     // appended to each document, then redacted with the shared regexes;
@@ -2332,5 +2387,37 @@ object Pipeline {
            CAST(floor(CAST(score_sum AS DOUBLE) / feats + 0.5) AS BIGINT)
              AS mean_x1000,
            CAST(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         FROM s ORDER BY doc_id""")
+         FROM s ORDER BY doc_id""",
+    "x_bpe_learn" ->
+      """WITH wc AS (SELECT term AS word, count(*) AS cnt
+             FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS term
+                   FROM documents WHERE len(trim(text)) > 0) GROUP BY 1),
+         s0 AS (SELECT word, cnt,
+             list_transform(generate_series(1, len(word)),
+               i -> substr(word, i, 1)) AS syms
+           FROM wc),
+         p1e AS (SELECT cnt,
+             unnest(list_transform(generate_series(1, len(syms) - 1),
+               i -> {'pa': syms[i], 'pb': syms[i+1]})) AS p
+           FROM s0 WHERE len(syms) >= 2),
+         p1 AS (SELECT p.pa AS pa, p.pb AS pb, CAST(sum(cnt) AS BIGINT) AS wcnt
+           FROM p1e GROUP BY 1, 2),
+         b1 AS (SELECT pa, pb, wcnt FROM p1 ORDER BY wcnt DESC, pa, pb LIMIT 1),
+         s1 AS (SELECT word, cnt, string_split(
+             list_reduce(syms, (acc, s) -> CASE
+               WHEN s = b1.pb AND (acc = b1.pa OR ends_with(acc, ' ' || b1.pa))
+               THEN left(acc, len(acc) - len(b1.pa)) || b1.pa || b1.pb
+               ELSE acc || ' ' || s END), ' ') AS syms
+           FROM s0, b1),
+         p2e AS (SELECT cnt,
+             unnest(list_transform(generate_series(1, len(syms) - 1),
+               i -> {'pa': syms[i], 'pb': syms[i+1]})) AS p
+           FROM s1 WHERE len(syms) >= 2),
+         p2 AS (SELECT p.pa AS pa, p.pb AS pb, CAST(sum(cnt) AS BIGINT) AS wcnt
+           FROM p2e GROUP BY 1, 2),
+         b2 AS (SELECT pa, pb, wcnt FROM p2 ORDER BY wcnt DESC, pa, pb LIMIT 1)
+         SELECT CAST(1 AS INT) AS r, pa, pb, pa || pb AS merged, wcnt FROM b1
+         UNION ALL
+         SELECT CAST(2 AS INT) AS r, pa, pb, pa || pb AS merged, wcnt FROM b2
+         ORDER BY r""")
 }

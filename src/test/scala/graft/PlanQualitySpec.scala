@@ -206,6 +206,15 @@ class PlanQualitySpec extends SparkSpec {
       s"keeper election must partial-aggregate before the shuffle:\n$plan")
   }
 
+  test("x_bpe_learn: best-pair tables broadcast; pair counts partial-aggregate") {
+    val plan = planString(q("x_bpe_learn"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"every iterative BPE step is vocab-sized with broadcast best-pair rows:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"word and pair counts must partial-aggregate before their shuffles:\n$plan")
+  }
+
   test("x_quality_classifier: pure score — no joins anywhere in the plan") {
     val plan = planString(q("x_quality_classifier"))
     assert(!plan.contains("Join"),

@@ -168,6 +168,17 @@ object Pipeline {
     * never chains within the round — classic leftmost-first BPE.
     */
   def bpeLearn(docs: DataFrame, rounds: Int = 2): DataFrame = {
+    import docs.sparkSession.implicits._
+    bpeRounds(docs, rounds)._2.reduce(_.unionAll(_)).orderBy($"r")
+  }
+
+  /** Shared BPE round loop: returns (final distinct-word symbol table
+    * after `rounds` merges, the per-round best-pair rows). [[bpeLearn]]
+    * publishes the merge table; [[bpeApply]] tokenizes the corpus with
+    * the final symbol table.
+    */
+  private[graft] def bpeRounds(docs: DataFrame,
+      rounds: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     import docs.sparkSession.implicits._
     val wc = docs.filter(length(trim($"text")) > 0)
@@ -202,7 +213,76 @@ object Pipeline {
       best.select(lit(r).as("r"), $"pa", $"pb",
         concat($"pa", $"pb").as("merged"), $"wcnt")
     }
-    roundRows.reduce(_.unionAll(_)).orderBy($"r")
+    (syms, roundRows)
+  }
+
+  /** Tokenize the corpus with a learned BPE vocabulary — the inference
+    * half of [[bpeLearn]]. The scale insight: after training, the final
+    * distinct-word symbol table IS the tokenization of every word, so
+    * applying BPE to 100 TB of text is one corpus-sized explode joined
+    * to a vocabulary-sized lookup (hash equi-join; broadcastable when
+    * the vocab fits) — no per-document merge loop ever runs at corpus
+    * scale. Emits per-doc token accounting: word/token/char counts and
+    * chars-per-token ×1000 (integer floor — the compression ratio a
+    * tokenizer report would show).
+    */
+  def bpeApply(docs: DataFrame, rounds: Int = 2): DataFrame = {
+    import docs.sparkSession.implicits._
+    val vocab = bpeRounds(docs, rounds)._1.select($"word",
+      org.apache.spark.sql.functions.size($"syms").as("ntok"),
+      length($"word").as("nch"))
+    docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .join(vocab, "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"ntok").as("n_tokens"),
+        sum($"nch").as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_tokens", $"n_chars",
+        expr("n_chars * 1000 div n_tokens").as("cpt_x1000"))
+      .orderBy($"doc_id")
+  }
+
+  /** DSIR-shaped importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * how much its hashed unigram+bigram features look like a TARGET
+    * distribution (docs with `lang = targetLang`) relative to the RAW
+    * corpus, then keep the global top-`k`. The weight per hash bucket is
+    * the integer cross-difference ct*Nr - cr*Nt (the sign of the
+    * relative-frequency gap in common-denominator form) rather than the
+    * paper's log-likelihood ratio — same ranking intent, exactly
+    * replayable in integer arithmetic. Scale shape: two corpus-sized
+    * hash aggs build the `buckets`-row tables, the per-doc score is the
+    * corpus explode joined to the BROADCAST bucket-weight table, and
+    * selection is a bounded TakeOrdered — never a corpus sort.
+    */
+  def dsirSelect(docs: DataFrame, targetLang: String, k: Int,
+      buckets: Int = 4096): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"lang", words($"text").as("w"))
+    val feats = base.select($"doc_id", $"lang", explode(concat($"w",
+        zip_with($"w",
+          slice($"w", lit(2), greatest(
+            org.apache.spark.sql.functions.size($"w") - 1, lit(0))),
+          (a, b) => concat(a, lit("_"), b)))).as("f"))
+      .filter($"f".isNotNull)
+      .select($"doc_id", $"lang",
+        (conv(substring(md5(concat(lit("dsir:"), $"f").cast("binary")),
+          1, 6), 16, 10).cast("long") % buckets).as("b"))
+    val raw = feats.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter($"lang" === targetLang)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val wts = raw.join(tgt, Seq("b"), "left")
+      .select($"b", $"cr", coalesce($"ct", lit(0L)).as("ct"))
+    val totals = wts.agg(sum($"cr").as("nr"), sum($"ct").as("nt"))
+    val scoreByBucket = wts.crossJoin(broadcast(totals))
+      .select($"b", ($"ct" * $"nr" - $"cr" * $"nt").as("sb"))
+    feats.join(broadcast(scoreByBucket), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("feats"), sum($"sb").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .orderBy($"doc_id")
   }
 
   /** Concat-and-chunk sequence packing: lay every document's tokens on one
@@ -854,6 +934,9 @@ object Pipeline {
     // BPE merge-learning, 2 rounds — see [[bpeLearn]].
     "x_bpe_learn" -> ((s, d) => bpeLearn(documents(s, d), rounds = 2)),
 
+    // BPE tokenization via the learned vocabulary table — see [[bpeApply]].
+    "x_bpe_apply" -> ((s, d) => bpeApply(documents(s, d), rounds = 2)),
+
     // PII scrubbing: deterministic synthetic PII (email, IPv4, phone) is
     // appended to each document, then redacted with the shared regexes;
     // match counts and the MD5 of the redacted text pin the rewrite
@@ -1291,6 +1374,11 @@ object Pipeline {
           ($"score_sum" >= 0).cast("long").as("keep"))
         .orderBy($"doc_id")
     }),
+
+    // DSIR importance selection toward the English subset — see
+    // [[dsirSelect]].
+    "x_dsir" -> ((s, d) =>
+      dsirSelect(documents(s, d), targetLang = "en", k = 25)),
 
     "x_tfidf_top" -> ((s, d) => {
       import s.implicits._
@@ -2419,5 +2507,76 @@ object Pipeline {
          SELECT CAST(1 AS INT) AS r, pa, pb, pa || pb AS merged, wcnt FROM b1
          UNION ALL
          SELECT CAST(2 AS INT) AS r, pa, pb, pa || pb AS merged, wcnt FROM b2
-         ORDER BY r""")
+         ORDER BY r""",
+    "x_bpe_apply" ->
+      """WITH wc AS (SELECT term AS word, count(*) AS cnt
+             FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS term
+                   FROM documents WHERE len(trim(text)) > 0) GROUP BY 1),
+         s0 AS (SELECT word, cnt,
+             list_transform(generate_series(1, len(word)),
+               i -> substr(word, i, 1)) AS syms
+           FROM wc),
+         p1e AS (SELECT cnt,
+             unnest(list_transform(generate_series(1, len(syms) - 1),
+               i -> {'pa': syms[i], 'pb': syms[i+1]})) AS p
+           FROM s0 WHERE len(syms) >= 2),
+         p1 AS (SELECT p.pa AS pa, p.pb AS pb, CAST(sum(cnt) AS BIGINT) AS wcnt
+           FROM p1e GROUP BY 1, 2),
+         b1 AS (SELECT pa, pb, wcnt FROM p1 ORDER BY wcnt DESC, pa, pb LIMIT 1),
+         s1 AS (SELECT word, cnt, string_split(
+             list_reduce(syms, (acc, s) -> CASE
+               WHEN s = b1.pb AND (acc = b1.pa OR ends_with(acc, ' ' || b1.pa))
+               THEN left(acc, len(acc) - len(b1.pa)) || b1.pa || b1.pb
+               ELSE acc || ' ' || s END), ' ') AS syms
+           FROM s0, b1),
+         p2e AS (SELECT cnt,
+             unnest(list_transform(generate_series(1, len(syms) - 1),
+               i -> {'pa': syms[i], 'pb': syms[i+1]})) AS p
+           FROM s1 WHERE len(syms) >= 2),
+         p2 AS (SELECT p.pa AS pa, p.pb AS pb, CAST(sum(cnt) AS BIGINT) AS wcnt
+           FROM p2e GROUP BY 1, 2),
+         b2 AS (SELECT pa, pb, wcnt FROM p2 ORDER BY wcnt DESC, pa, pb LIMIT 1),
+         s2 AS (SELECT word, cnt, string_split(
+             list_reduce(syms, (acc, s) -> CASE
+               WHEN s = b2.pb AND (acc = b2.pa OR ends_with(acc, ' ' || b2.pa))
+               THEN left(acc, len(acc) - len(b2.pa)) || b2.pa || b2.pb
+               ELSE acc || ' ' || s END), ' ') AS syms
+           FROM s1, b2),
+         dw AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS word
+           FROM documents WHERE len(trim(text)) > 0),
+         j AS (SELECT doc_id, len(s2.syms) AS ntok, len(s2.word) AS nch
+           FROM dw JOIN s2 USING (word)),
+         a AS (SELECT doc_id, count(*) AS n_words,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(nch) AS BIGINT) AS n_chars
+           FROM j GROUP BY 1)
+         SELECT doc_id, n_words, n_tokens, n_chars,
+           CAST((n_chars * 1000) // n_tokens AS BIGINT) AS cpt_x1000
+         FROM a ORDER BY doc_id""",
+    "x_dsir" ->
+      """WITH d AS (SELECT doc_id, lang,
+             string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         f AS (SELECT doc_id, lang, unnest(w) AS f FROM d
+           UNION ALL
+           SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || '_' || w[i+1])) AS f
+           FROM d WHERE len(w) >= 2),
+         fb AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir:' || f), 1, 6))::BIGINT % 4096 AS b
+           FROM f),
+         raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+         tgt AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+         wts AS (SELECT raw.b AS b, cr, coalesce(ct, 0) AS ct
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+             CAST(sum(ct) AS BIGINT) AS nt FROM wts),
+         sb AS (SELECT b, ct * nr - cr * nt AS sb FROM wts, tot),
+         sc AS (SELECT doc_id, count(*) AS feats,
+             CAST(sum(sb) AS BIGINT) AS score
+           FROM fb JOIN sb ON fb.b = sb.b GROUP BY 1),
+         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 25)
+         SELECT doc_id, feats, score FROM top ORDER BY doc_id""")
 }

@@ -37,4 +37,16 @@ class BpeSpec extends SparkSpec {
     val out = learn(Seq("a b xy xy"), rounds = 1)
     assert(out == Seq((1, "x", "y", "xy", 2L)))
   }
+
+  test("apply tokenizes via the final vocab table: both merges counted") {
+    // merges learned above: r1 (a,a)->aa, r2 (a,b)->ab
+    // "aaab" -> [aa, ab] (2 tokens), "ab" -> [ab] (1 token)
+    val docs = Seq((0L, "aaab aaab ab"), (1L, "ab"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.bpeApply(docs, rounds = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 5L, 10L, 2000L), // 3 words, 2+2+1 tokens, 4+4+2 chars
+      (1L, 1L, 1L, 2L, 2000L)))
+  }
 }

@@ -215,6 +215,27 @@ class PlanQualitySpec extends SparkSpec {
       s"word and pair counts must partial-aggregate before their shuffles:\n$plan")
   }
 
+  test("x_bpe_apply: corpus tokenization is one vocab equi-join, no cartesian") {
+    val plan = planString(q("x_bpe_apply"))
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus words must equi-join the vocab table, never cross:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab-sized lookup should broadcast at this SF:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"per-doc token accounting must partial-aggregate:\n$plan")
+  }
+
+  test("x_dsir: bucket-weight table broadcasts; corpus is never sort-merge-joined") {
+    val plan = planString(q("x_dsir"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"the 4096-row bucket tables must broadcast into the corpus side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the bucket-weight lookup:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"top-k selection must be a bounded TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("x_quality_classifier: pure score — no joins anywhere in the plan") {
     val plan = planString(q("x_quality_classifier"))
     assert(!plan.contains("Join"),

@@ -339,6 +339,28 @@ class ScaleSpec extends SparkSpec {
       s"chunking must not shuffle at any size: ${ch1._1} -> ${ch10._1}")
   }
 
+  test("soak: BPE training shuffle is vocab-bound — near-flat at 10x corpus") {
+    // syntheticDocs draws from a FIXED 1000-word vocabulary: the word
+    // count map-side-combines to <=1000 rows per task before its
+    // exchange, and every iterative stage (pair counts, argmax, re-merge)
+    // is distinct-word-sized — so total shuffle bytes should barely move
+    // when the corpus grows 10x. This is the whole reason BPE training
+    // stays tractable at 100 TB: corpus size buys map work, not shuffle.
+    // narrow lineage: BPE keys by WORD, so Range partitioning on doc_id
+    // can't fake any of its exchanges away — and the round-robin
+    // repartition would itself add a corpus-sized shuffle that no
+    // parquet-backed corpus pays
+    val b1 = measure(graft.queries.Pipeline.bpeLearn(
+      syntheticDocs(5000L, breakPartitioning = false), rounds = 2))
+    val b10 = measure(graft.queries.Pipeline.bpeLearn(
+      syntheticDocs(50000L, breakPartitioning = false), rounds = 2))
+    assert(b1._1 > 0, "bpe: no shuffle measured at base size")
+    val ratio = b10._1.toDouble / b1._1
+    info(f"bpe: shuffle ${b1._1}B -> ${b10._1}B ($ratio%.1fx)")
+    assert(ratio < 3,
+      s"BPE training shuffle must stay vocab-bound, grew ${ratio}x at 10x data")
+  }
+
   private final class TaskMetricsProbe
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong

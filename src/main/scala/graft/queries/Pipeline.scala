@@ -285,6 +285,42 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones; k1 = 1.2, b = 0.75) over the
+    * corpus for a literal term query, in EXACT integer arithmetic so the
+    * oracle replays it bit-for-bit: with N docs and A total tokens
+    * (avgdl = A/N), the per-term contribution
+    * idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)) clears denominators to
+    * ((1000·N div df) · 44·A·tf) div (20·A·tf + 6·A + 18·dl·N).
+    * Scale shape: one corpus scan explodes tokens and filters to the
+    * query terms BEFORE any aggregation (the candidate set is only docs
+    * containing a term), the df table and the 1-row (N, A) stats both
+    * broadcast, and selection is a bounded TakeOrdered — never a corpus
+    * sort and never a corpus-sized join.
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    import docs.sparkSession.implicits._
+    val base = docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", words($"text").as("w"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(org.apache.spark.sql.functions.size($"w")).as("a"))
+    val tf = base.select($"doc_id",
+        org.apache.spark.sql.functions.size($"w").cast("long").as("dl"),
+        explode($"w").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", expr(
+        """(((1000 * n_docs) div df) * (44 * a * tf))
+           div (20 * a * tf + 6 * a + 18 * dl * n_docs)""").as("contrib"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nterms"), sum($"contrib").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .orderBy($"doc_id")
+  }
+
   /** Concat-and-chunk sequence packing: lay every document's tokens on one
     * global tape in `doc_id` order and cut the tape every `budget` tokens;
     * a document lands in the bin where its FIRST token falls (the
@@ -1379,6 +1415,32 @@ object Pipeline {
     // [[dsirSelect]].
     "x_dsir" -> ((s, d) =>
       dsirSelect(documents(s, d), targetLang = "en", k = 25)),
+
+    // BM25 retrieval for a 3-term query — see [[bm25Search]].
+    "x_bm25_search" -> ((s, d) =>
+      bm25Search(documents(s, d), Seq("hash", "join", "batch"), k = 15)),
+
+    // Per-language quota sampling: keep exactly 20 docs per language,
+    // chosen by a deterministic per-doc hash rank, via the GROUP-BOUNDED
+    // TopKAgg heap — map-side partials trim every partition to 20 rows
+    // per language before the exchange, where the window-sort
+    // formulation (row_number over partition by lang) would shuffle and
+    // sort the ENTIRE corpus per language. The oracle IS that window
+    // formulation, so the gate proves the bounded heap equals it.
+    "x_lang_quota" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select($"lang", $"doc_id",
+          conv(substring(md5(concat(lit("quota:"),
+            $"doc_id".cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("hr"))
+        .groupBy($"lang")
+        .agg(graft.operators.TopKAgg.topKByScore(
+          $"hr".cast("double"), $"doc_id", 20).as("top"))
+        .select($"lang", posexplode($"top").as(Seq("i", "e")))
+        .select($"lang", $"e.id".as("doc_id"),
+          ($"i" + 1).cast("int").as("rnk"))
+        .orderBy($"lang", $"rnk")
+    }),
 
     "x_tfidf_top" -> ((s, d) => {
       import s.implicits._
@@ -2578,5 +2640,34 @@ object Pipeline {
              CAST(sum(sb) AS BIGINT) AS score
            FROM fb JOIN sb ON fb.b = sb.b GROUP BY 1),
          top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 25)
-         SELECT doc_id, feats, score FROM top ORDER BY doc_id""")
+         SELECT doc_id, feats, score FROM top ORDER BY doc_id""",
+    "x_bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS a FROM d),
+         t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             unnest(w) AS term FROM d),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term IN ('hash', 'join', 'batch') GROUP BY 1, 2, 3),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id, count(*) AS nterms, CAST(sum(
+             (((1000 * n_docs) // df) * (44 * a * tf))
+               // (20 * a * tf + 6 * a + 18 * dl * n_docs)
+           ) AS BIGINT) AS score
+           FROM tf JOIN dfq USING (term), st GROUP BY 1),
+         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 15)
+         SELECT doc_id, nterms, score FROM top ORDER BY doc_id""",
+    "x_lang_quota" ->
+      """WITH r AS (SELECT lang, doc_id,
+             ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS hr
+           FROM documents),
+         rk AS (SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY hr DESC, doc_id)
+               AS INT) AS rnk
+           FROM r)
+         SELECT lang, doc_id, rnk FROM rk WHERE rnk <= 20
+         ORDER BY lang, rnk""")
 }

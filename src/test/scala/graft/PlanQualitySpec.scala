@@ -236,6 +236,26 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k selection must be a bounded TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("x_bm25_search: df/stats broadcast, bounded TakeOrdered, no corpus join") {
+    val plan = planString(q("x_bm25_search"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"the df table and 1-row stats must broadcast into the candidate set:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"retrieval must select via bounded TakeOrdered, not a corpus sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"tf/df counts must partial-aggregate before their shuffles:\n$plan")
+  }
+
+  test("x_lang_quota: group-bounded heap, never a window sort of the corpus") {
+    val plan = planString(q("x_lang_quota"))
+    assert(!plan.contains("Window"),
+      s"quota sampling must not window-sort the corpus per language:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"the bounded top-k heap should plan as ObjectHashAggregate with " +
+        s"map-side partials:\n$plan")
+  }
+
   test("x_quality_classifier: pure score — no joins anywhere in the plan") {
     val plan = planString(q("x_quality_classifier"))
     assert(!plan.contains("Join"),

@@ -14,15 +14,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long and convert with integer division
-    * (ns → µs; a double division would lose precision above 2^53).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark reads it as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong`; convert with integer division
+    * — a double division would lose precision above 2^53) and as naive
+    * TIMESTAMP(MICROS) in others (Spark reads TIMESTAMP_NTZ; cast to the
+    * session-TZ timestamp — the session is pinned UTC everywhere, so the
+    * wall-clock values are identical either way). Dispatch on the inferred
+    * type so both generations read to the same column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

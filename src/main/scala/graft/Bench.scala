@@ -52,13 +52,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Later sweeps alternate direction (pass 2 runs Z→A) so that when the
-    // budget truncates a sweep, the queries that ran LAST in pass 1 — and
-    // are therefore most likely to have absorbed end-of-run contention —
-    // get their second pass first rather than never.
-    val sweeps = (1 to passes).map { pass =>
-      val order = if (pass % 2 == 0) ordered.reverse else ordered
-      order.flatMap { case (name, fn) =>
+    // Later sweeps run in DESCENDING order of the best time observed so
+    // far: the queries carrying the worst (most contention-suspect)
+    // numbers get their re-measurement first, so a budget-truncated sweep
+    // still rescues exactly the outliers min-of-sweeps exists for. (The
+    // old reverse-alphabetical order did the opposite under budget
+    // pressure — the cold-JVM first-run queries were re-swept last and
+    // could keep a 30x-inflated pass-1 time as their only measurement.)
+    var sweeps = Vector.empty[Map[String, (Double, Boolean)]]
+    (1 to passes).foreach { pass =>
+      def bestSoFar(name: String): Double =
+        sweeps.flatMap(_.get(name)).map(_._1).minOption.getOrElse(Double.MaxValue)
+      val order =
+        if (pass == 1) ordered else ordered.sortBy { case (n, _) => -bestSoFar(n) }
+      val sweep = order.flatMap { case (name, fn) =>
         if (pass > 1 && elapsedSecs > budgetSecs) {
           System.err.println(s"[bench] budget exhausted; skipping $name (pass $pass)")
           None
@@ -75,6 +82,7 @@ object Bench {
           Some(name -> ((System.nanoTime() - t0) / 1e9, ok))
         }
       }.toMap
+      sweeps = sweeps :+ sweep
     }
     // a failed pass's time-to-exception is not a measurement: min over
     // the successful passes; only if every pass failed does the elapsed

@@ -1,0 +1,475 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation and data-layout operators (round 10): retention-policy
+  * dedup, link-graph ranking, sketch-based heavy hitters, deterministic
+  * train/val/test splits, Z-order layout indexing, and per-file
+  * data-skipping stats — the curation/layout layer of a 100 TB
+  * training-data pipeline, each with an independent DuckDB oracle.
+  *
+  * Shared discipline with [[Pipeline]]: every score/hash is engine-portable
+  * (md5 hex, integer arithmetic, explicit scaling) so the oracle replays
+  * results exactly; every aggregation is partial-aggregable (no global
+  * window over raw rows on the scale path).
+  */
+object Curation {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def words(text: Column): Column = split(trim(text), " +")
+
+  /** 16-bit Morton (Z-order) interleave of the low 8 bits of two long
+    * columns: bit j of x lands at position 2j, bit j of y at 2j+1. Pure
+    * integer bit arithmetic (shift/mask/add with disjoint bits), fully
+    * inside whole-stage codegen — the clustering key used to co-locate
+    * multi-dimensional ranges so min/max file stats can skip on BOTH
+    * dimensions (the layout step a 100 TB table needs before c17-style
+    * stats become selective).
+    */
+  def zorder16(x: Column, y: Column): Column = {
+    val xb = x % 256
+    val yb = y % 256
+    (0 until 8).map { j =>
+      shiftleft(shiftright(xb, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(yb, j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Fixed-iteration integer PageRank over the deterministic synthetic
+    * link graph dst = (v² + 37k) mod N, k = 1..3 (quadratic dst map →
+    * non-uniform in-degrees → ranks actually spread; a linear map is a
+    * bijection per k and every rank stays identical). Ranks are ×1e6
+    * longs; damping 0.85 as `85·x div 100`, contributions as
+    * `rank div 3` (out-degree is exactly 3) — order-free integer sums,
+    * so a SQL oracle replays every value exactly. Each iteration is one
+    * hash equi-join ranks⋈edges on src + a partial-aggregable sum per
+    * dst — the canonical distributed PageRank step; iterations unroll
+    * into ONE lazy plan (the v_kmeans pattern; a many-iteration
+    * production run would localCheckpoint per round as
+    * operators/Components does).
+    */
+  def pagerank(docs0: DataFrame, iters: Int): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(nRow))
+      .select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * $"doc_id" + 37) % $"n",
+        ($"doc_id" * $"doc_id" + 74) % $"n",
+        ($"doc_id" * $"doc_id" + 111) % $"n")).as("dst"))
+    var ranks = docs.select($"doc_id", lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val insum = edges.join(ranks, edges("src") === ranks("doc_id"))
+        .groupBy($"dst").agg(sum(expr("r div 3")).as("m"))
+      ranks = docs.join(insum, docs("doc_id") === insum("dst"), "left")
+        .select(docs("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+    }
+    ranks.select($"doc_id", $"r".as("rank_x1e6"))
+  }
+
+  /** Z-order layout rewrite: range-partition by the Morton key and sort
+    * within partitions, so each output file covers a compact Z-range
+    * (= a small rectangle in (x, y) space). `repartitionByRange` samples
+    * range bounds — the same exchange a CLUSTER BY writes through — and
+    * the within-partition sort is the last narrow step before a writer.
+    * PlanQualitySpec pins the RangePartitioning exchange.
+    */
+  def zorderLayout(df: DataFrame, x: Column, y: Column,
+                   partitions: Int): DataFrame =
+    df.withColumn("z16", zorder16(x, y))
+      .repartitionByRange(partitions, col("z16"))
+      .sortWithinPartitions(col("z16"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Retention-policy dedup: prefix near-dup groups (md5 of the first 16
+    // normalized words — the cheap "same boilerplate head" clustering) keep
+    // their highest-quality member, quality = word count, ties to the
+    // smallest doc_id. The keeper is resolved by max(struct(n_words,
+    // -doc_id)) — a partial-aggregable argmax that combines map-side, NOT
+    // a row_number window (which would shuffle-sort the whole corpus per
+    // group). At 100 TB this is one hash-shuffle of (fp, 16-byte struct).
+    "d_prefix_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val f = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id",
+          words(lower(regexp_replace($"text", " +", " "))).as("w"))
+        .select($"doc_id", size($"w").cast("long").as("n_words"),
+          md5(concat_ws(" ", slice($"w", 1, 16)).cast("binary")).as("fp"))
+      f.groupBy($"fp")
+        .agg(count(lit(1)).as("group_size"),
+          max(struct($"n_words", (-$"doc_id").as("neg_id"))).as("best"))
+        .select($"fp", $"group_size",
+          (-$"best.neg_id").as("kept_doc"),
+          $"best.n_words".as("kept_words"),
+          ($"group_size" - 1).as("dropped"))
+        .orderBy($"kept_doc")
+    }),
+
+    // Fixed-3-iteration integer PageRank — see [[pagerank]].
+    "v_pagerank" -> ((s, d) => {
+      import s.implicits._
+      pagerank(documents(s, d), iters = 3).orderBy($"doc_id")
+    }),
+
+    // Heavy hitters with a count-min sketch check: the CMS (4 hash rows ×
+    // 1024 slots, md5-derived) is built as explode→partial-agg — map-side
+    // combine collapses each partition to ≤4096 (i, slot) groups before the
+    // exchange, so at 100 TB the shuffle carries sketch cells, not tokens.
+    // The top-20 exact tokens are then probed against the sketch and the
+    // CMS guarantee (est ≥ exact, over-count bounded by collision mass) is
+    // pinned as cms_ok = 1 — the honest accuracy gate for the sketch path.
+    "x_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+        .select(explode(words($"text")).as("token"))
+        .filter($"token" =!= "")
+      def slot(i: Int, tok: Column): Column =
+        conv(substring(md5(concat(lit(s"$i:"), tok).cast("binary")), 1, 5),
+          16, 10).cast("long") % 1024
+      val total = toks.agg(count(lit(1)).as("total"))
+      val cms = toks.select(explode(array((0 until 4).map(i =>
+          struct(lit(i).as("i"), slot(i, $"token").as("slot"))): _*)).as("p"))
+        .groupBy($"p.i".as("i"), $"p.slot".as("slot"))
+        .agg(count(lit(1)).as("slot_cnt"))
+      val top20 = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"token").limit(20)
+      val probes = top20.select($"token", $"exact_cnt", explode(array(
+          (0 until 4).map(i =>
+            struct(lit(i).as("i"), slot(i, $"token").as("slot"))): _*)).as("p"))
+        .select($"token", $"exact_cnt", $"p.i".as("i"), $"p.slot".as("slot"))
+      val est = probes.join(cms, Seq("i", "slot"))
+        .groupBy($"token", $"exact_cnt")
+        .agg(min($"slot_cnt").as("cms_est"))
+      est.crossJoin(broadcast(total))
+        .select($"token", $"exact_cnt", $"cms_est",
+          ($"cms_est" >= $"exact_cnt" &&
+            $"cms_est" <= $"exact_cnt" + expr("total div 100"))
+            .cast("long").as("cms_ok"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy($"exact_cnt".desc, $"token")).cast("int"))
+        .orderBy($"rnk")
+    }),
+
+    // Deterministic stratified train/val/test split: membership is a pure
+    // function of md5("split:" + doc_id) — 5% test, 5% val, 90% train —
+    // so the split is stable across runs, partitionings, and engines, and
+    // any 100 TB re-run reproduces byte-identical splits with no stored
+    // assignment table. A narrow projection + hash-agg; per-(source,
+    // split) counts and a doc_id checksum verify exact membership.
+    "x_train_split" -> ((s, d) => {
+      import s.implicits._
+      val h = substring(md5(concat(lit("split:"),
+        $"doc_id".cast("string")).cast("binary")), 1, 4)
+      documents(s, d)
+        .select($"source", $"doc_id",
+          when(h < "0ccd", "test").when(h < "1999", "val")
+            .otherwise("train").as("split"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_doc"))
+        .orderBy($"source", $"split")
+    }),
+
+    // Z-order layout index over lineitem: Morton-interleave the low 8
+    // bits of (l_partkey, l_suppkey) — see [[zorder16]] — and report
+    // per-Z-bucket occupancy + partkey spread. Buckets = z div 256 (256
+    // buckets); all bit arithmetic is integer and codegen'd, and the
+    // oracle recomputes the interleave bit-for-bit in SQL.
+    "x_zorder" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select(zorder16($"l_partkey", $"l_suppkey").as("z16"), $"l_partkey")
+        .groupBy(expr("z16 div 256").as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min($"z16").as("min_z"),
+          max($"z16").as("max_z"),
+          countDistinct($"l_partkey").as("n_parts"))
+        .orderBy($"z_bucket")
+    }),
+
+    // Per-file data-skipping stats (the Delta/Iceberg add-file stats
+    // collection shape): group by the physical input file and collect
+    // row counts + min/max of the skip-relevant columns. At 100 TB these
+    // rows ARE the pruning index — a planner consults them instead of
+    // footers. Spark side genuinely derives the file from
+    // input_file_name(); the synthetic table is single-file so the oracle
+    // pins the stats under the literal basename.
+    "c17_file_stats" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+          $"l_orderkey", $"l_shipdate", $"l_quantity")
+        .groupBy($"file")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_orderkey").as("min_orderkey"),
+          max($"l_orderkey").as("max_orderkey"),
+          date_format(min($"l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+          date_format(max($"l_shipdate"), "yyyy-MM-dd").as("max_ship"),
+          sum($"l_quantity").cast("long").as("qty_sum"))
+        .orderBy($"file")
+    }),
+
+    // TPC-H Q3 shape (shipping priority): the segment-filtered customer
+    // dimension BROADCASTS into date-filtered orders, and only then does
+    // the big lineitem side shuffle-join on l_orderkey — dim filters
+    // never cost a corpus shuffle. Top-10 via TakeOrdered (bounded heap),
+    // revenue integer-pinned.
+    "q3_shipping_priority" -> ((s, d) => {
+      import s.implicits._
+      val cust = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val ord = orders(s, d)
+        .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val li = lineitem(s, d)
+        .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(li, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          * 10000 + 0.5).cast("long").as("revenue_x10000"))
+        .select($"l_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+          $"o_orderpriority".as("priority"), $"revenue_x10000")
+        .orderBy($"revenue_x10000".desc, $"l_orderkey").limit(10)
+    }),
+
+    // SCD2 snapshot merge (the warehouse dimension-history operator):
+    // classify every key of old-vs-new customer snapshots as unchanged /
+    // update / delete / insert by full-outer equi-join + row-hash
+    // compare. The synthetic "new" snapshot is derived deterministically
+    // (bal +100 for key%7=0, key%13=0 dropped, key%17=0 re-inserted
+    // shifted by 1e6), so the oracle rebuilds both sides exactly. One
+    // hash shuffle per side at any scale; change detection is md5 on the
+    // tracked columns, never a column-by-column resolve.
+    "c18_scd2" -> ((s, d) => {
+      import s.implicits._
+      val old = customer(s, d)
+        .select($"c_custkey".as("k"), $"c_name", $"c_nationkey", $"c_acctbal")
+      val neu = old.filter($"k" % 13 =!= 0)
+        .select($"k", $"c_name", $"c_nationkey",
+          when($"k" % 7 === 0, $"c_acctbal" + 100).otherwise($"c_acctbal")
+            .as("c_acctbal"))
+        .unionByName(old.filter($"k" % 17 === 0)
+          .select(($"k" + 1000000).as("k"), $"c_name", $"c_nationkey",
+            $"c_acctbal"))
+      def rowHash(df: DataFrame) = md5(concat_ws("|",
+        df("c_name"), df("c_nationkey").cast("string"),
+        floor(df("c_acctbal") * 100 + 0.5).cast("long").cast("string"))
+        .cast("binary"))
+      val o = old.select($"k", rowHash(old).as("oh"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("obal"))
+      val n = neu.select($"k", rowHash(neu).as("nh"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("nbal"))
+      o.join(n, Seq("k"), "full_outer")
+        .select($"k".as("custkey"),
+          when($"oh".isNull, "insert")
+            .when($"nh".isNull, "delete")
+            .when($"oh" === $"nh", "unchanged")
+            .otherwise("update").as("action"),
+          coalesce($"obal", lit(-1L)).as("bal_old_x100"),
+          coalesce($"nbal", lit(-1L)).as("bal_new_x100"))
+        .filter($"action" =!= "unchanged")
+        .orderBy($"custkey")
+    }),
+
+    // Join-key skew diagnostics: per-key frequency of lineitem.l_suppkey
+    // with an integer heavy-hitter flag (cnt·n_keys > 4·total) and the
+    // salt factor an AQE-less planner would apply (⌈cnt·n_keys/total⌉).
+    // All-rational-arithmetic-cleared comparisons — no doubles — so the
+    // oracle replays the exact flags. This is the profiling pass run
+    // BEFORE a 100 TB join to pick salting (operators/Scale.saltedJoin).
+    "x_skew_keys" -> ((s, d) => {
+      import s.implicits._
+      val counts = lineitem(s, d).groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum($"cnt").as("total"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(tot))
+        .select($"l_suppkey".as("suppkey"), $"cnt",
+          ($"cnt" * $"n_keys" > $"total" * 4).cast("long").as("is_heavy"),
+          expr("(cnt * n_keys + total - 1) div total").as("salt_factor"))
+        .orderBy($"cnt".desc, $"suppkey").limit(20)
+    }),
+
+    // §2.8 — per-key streaming quota (rate limit): the first 5 events per
+    // user pass, the rest drop. Gate runs the batch shape
+    // (StreamOps.quotaFirstN — a per-key ordered fold, state one counter
+    // per key); StreamOpsSpec pins the flatMapGroupsWithState streaming
+    // form against it across micro-batches.
+    "w_stream_quota" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        .as[graft.streaming.StreamOps.KeyedEvent]
+      graft.streaming.StreamOps.quotaFirstN(ev, n = 5).toDF()
+        .select($"user_id", $"event_id", $"rk",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("kept_ts"),
+          floor($"value" * 100 + 0.5).cast("long").as("value_x100"))
+        .orderBy($"user_id", $"rk")
+    }))
+
+  private val zorderSqlExpr: String =
+    (0 until 8).map { j =>
+      s"((((l_partkey % 256) >> $j) & 1) * ${1L << (2 * j)} + " +
+        s"(((l_suppkey % 256) >> $j) & 1) * ${1L << (2 * j + 1)})"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "d_prefix_keep_best" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, ' +', ' ', 'g'))),
+               ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             md5(array_to_string(list_slice(w, 1, 16), ' ')) AS fp
+           FROM d),
+         g AS (SELECT fp, count(*) AS group_size, max(n_words) AS mw
+           FROM f GROUP BY 1),
+         k AS (SELECT f.fp, min(f.doc_id) AS kept_doc
+           FROM f JOIN g ON f.fp = g.fp AND f.n_words = g.mw GROUP BY 1)
+         SELECT g.fp, g.group_size, k.kept_doc, g.mw AS kept_words,
+           g.group_size - 1 AS dropped
+         FROM g JOIN k ON g.fp = k.fp ORDER BY k.kept_doc""",
+    "v_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+         s1 AS (SELECT e.dst AS doc_id, sum(r0.r // 3) AS m
+           FROM e JOIN r0 ON e.src = r0.doc_id GROUP BY 1),
+         r1 AS (SELECT d.doc_id, 150000 + (85 * coalesce(s1.m, 0)) // 100 AS r
+           FROM documents d LEFT JOIN s1 USING (doc_id)),
+         s2 AS (SELECT e.dst AS doc_id, sum(r1.r // 3) AS m
+           FROM e JOIN r1 ON e.src = r1.doc_id GROUP BY 1),
+         r2 AS (SELECT d.doc_id, 150000 + (85 * coalesce(s2.m, 0)) // 100 AS r
+           FROM documents d LEFT JOIN s2 USING (doc_id)),
+         s3 AS (SELECT e.dst AS doc_id, sum(r2.r // 3) AS m
+           FROM e JOIN r2 ON e.src = r2.doc_id GROUP BY 1),
+         r3 AS (SELECT d.doc_id, 150000 + (85 * coalesce(s3.m, 0)) // 100 AS r
+           FROM documents d LEFT JOIN s3 USING (doc_id))
+         SELECT doc_id, CAST(r AS BIGINT) AS rank_x1e6
+         FROM r3 ORDER BY doc_id""",
+    "x_heavy_hitters" ->
+      """WITH d AS (SELECT string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         tok AS (SELECT unnest(w) AS token FROM d),
+         tok2 AS (SELECT token FROM tok WHERE token <> ''),
+         tot AS (SELECT count(*) AS total FROM tok2),
+         ex AS (SELECT token, count(*) AS exact_cnt FROM tok2 GROUP BY 1),
+         top AS (SELECT token, exact_cnt,
+             CAST(row_number() OVER (ORDER BY exact_cnt DESC, token) AS INT)
+               AS rnk
+           FROM ex QUALIFY rnk <= 20),
+         cms AS (SELECT i,
+             ('0x' || substr(md5(i || ':' || token), 1, 5))::BIGINT % 1024
+               AS slot,
+             count(*) AS slot_cnt
+           FROM tok2, range(0, 4) t(i) GROUP BY 1, 2),
+         pr AS (SELECT top.token, top.exact_cnt, top.rnk,
+             min(cms.slot_cnt) AS cms_est
+           FROM top, range(0, 4) t(i)
+           JOIN cms ON cms.i = t.i AND cms.slot =
+             ('0x' || substr(md5(t.i || ':' || top.token), 1, 5))::BIGINT % 1024
+           GROUP BY 1, 2, 3)
+         SELECT pr.token, pr.exact_cnt, CAST(pr.cms_est AS BIGINT) AS cms_est,
+           CAST(CASE WHEN pr.cms_est >= pr.exact_cnt
+             AND pr.cms_est <= pr.exact_cnt + tot.total // 100
+             THEN 1 ELSE 0 END AS BIGINT) AS cms_ok,
+           pr.rnk
+         FROM pr, tot ORDER BY pr.rnk""",
+    "x_train_split" ->
+      """SELECT source,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '0ccd' THEN 'test'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '1999' THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc
+         FROM documents GROUP BY 1, 2 ORDER BY source, split""",
+    "x_zorder" ->
+      s"""WITH z AS (SELECT $zorderSqlExpr AS z16, l_partkey FROM lineitem)
+         SELECT z16 // 256 AS z_bucket, count(*) AS n,
+           min(z16) AS min_z, max(z16) AS max_z,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         FROM z GROUP BY 1 ORDER BY 1""",
+    "c17_file_stats" ->
+      """SELECT 'lineitem.parquet' AS file, count(*) AS n_rows,
+           min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+           CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+         FROM lineitem""",
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+           o.o_orderpriority AS priority,
+           CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 10000
+             + 0.5) AS BIGINT) AS revenue_x10000
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1995-03-15'
+           AND l.l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+         ORDER BY revenue_x10000 DESC, l.l_orderkey LIMIT 10""",
+    "c18_scd2" ->
+      """WITH old AS (SELECT c_custkey AS k, c_name, c_nationkey, c_acctbal
+           FROM customer),
+         neu AS (
+           SELECT k, c_name, c_nationkey,
+             CASE WHEN k % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+               AS c_acctbal
+           FROM old WHERE k % 13 <> 0
+           UNION ALL
+           SELECT k + 1000000, c_name, c_nationkey, c_acctbal
+           FROM old WHERE k % 17 = 0),
+         o AS (SELECT k,
+             md5(c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' ||
+               CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR))
+               AS oh,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS obal
+           FROM old),
+         n AS (SELECT k,
+             md5(c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' ||
+               CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR))
+               AS nh,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS nbal
+           FROM neu),
+         j AS (SELECT coalesce(o.k, n.k) AS custkey,
+             CASE WHEN o.oh IS NULL THEN 'insert'
+                  WHEN n.nh IS NULL THEN 'delete'
+                  WHEN o.oh = n.nh THEN 'unchanged'
+                  ELSE 'update' END AS action,
+             coalesce(o.obal, -1) AS bal_old_x100,
+             coalesce(n.nbal, -1) AS bal_new_x100
+           FROM o FULL OUTER JOIN n ON o.k = n.k)
+         SELECT custkey, action, bal_old_x100, bal_new_x100
+         FROM j WHERE action <> 'unchanged' ORDER BY custkey""",
+    "x_skew_keys" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
+         SELECT c.l_suppkey AS suppkey, c.cnt,
+           CAST(CASE WHEN c.cnt * t.n_keys > t.total * 4 THEN 1 ELSE 0 END
+             AS BIGINT) AS is_heavy,
+           CAST((c.cnt * t.n_keys + t.total - 1) // t.total AS BIGINT)
+             AS salt_factor
+         FROM c, t ORDER BY c.cnt DESC, c.l_suppkey LIMIT 20""",
+    "w_stream_quota" ->
+      """WITH r AS (SELECT user_id, event_id, ts, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS INT) AS rk
+           FROM events)
+         SELECT user_id, event_id, rk,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS kept_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_x100
+         FROM r WHERE rk <= 5 ORDER BY user_id, rk""")
+}

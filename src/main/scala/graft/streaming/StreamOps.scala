@@ -188,6 +188,57 @@ object StreamOps {
       }
   }
 
+  final case class QuotaOut(user_id: Long, event_id: Long, rk: Int,
+                            ts: java.sql.Timestamp, value: Double)
+
+  /** Per-key quota (rate limit), batch replay: the first `n` events of
+    * each user — ordered by (ts, event_id) — pass with their rank; the
+    * rest drop. The per-key ordered fold is the sessionize shape (groups
+    * hash-partition, each folds independently); state is ONE counter per
+    * key, so at 100 TB the operator's state is O(users), not O(events).
+    * The `w_stream_quota` gate replays this against a row_number oracle;
+    * [[quotaFirstNStream]] is the streaming form, pinned equal across
+    * micro-batches by StreamOpsSpec.
+    */
+  def quotaFirstN(events: Dataset[KeyedEvent], n: Int): Dataset[QuotaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, rows: Iterator[KeyedEvent]) =>
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).take(n)
+          .zipWithIndex.map { case (e, i) =>
+            QuotaOut(user, e.event_id, i + 1, e.ts, e.value)
+          }.iterator
+      }
+  }
+
+  /** Streaming per-key quota via `flatMapGroupsWithState`: a Long counter
+    * per user survives across micro-batches — once a user's quota is
+    * spent, every later arrival is dropped for the stream's lifetime.
+    * Within one micro-batch rows are ranked in (ts, event_id) order, so a
+    * single `Trigger.AvailableNow` pass reproduces [[quotaFirstN]]
+    * exactly (pinned by StreamOpsSpec, including the cross-batch case
+    * where the quota is partially spent by an earlier batch).
+    */
+  def quotaFirstNStream(events: Dataset[KeyedEvent], n: Int)
+      : Dataset[QuotaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, QuotaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          if (used >= n) Iterator.empty
+          else {
+            val kept = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .take(n - used.toInt)
+            state.update(used + kept.size)
+            kept.zipWithIndex.map { case (e, i) =>
+              QuotaOut(user, e.event_id, used.toInt + i + 1, e.ts, e.value)
+            }.iterator
+          }
+      }
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Curation
+
+/** Unit gates for the round-10 curation/layout operators (the oracle
+  * gates check engine parity; these pin the algorithms' own semantics on
+  * hand-computable cases).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("zorder16 interleaves bits: known patterns") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val z = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (255L, 0L),
+      (0L, 255L), (255L, 255L), (3L, 5L), (300L, 260L))
+      .toDF("x", "y")
+      .select(Curation.zorder16($"x", $"y").as("z"))
+      .collect().map(_.getLong(0))
+    // x bits at even positions, y bits at odd positions
+    assert(z(0) == 0L)
+    assert(z(1) == 1L)      // x=1 → bit 0
+    assert(z(2) == 2L)      // y=1 → bit 1
+    assert(z(3) == 3L)
+    assert(z(4) == 0x5555L) // x=0xFF → all even bits
+    assert(z(5) == 0xAAAAL) // y=0xFF → all odd bits
+    assert(z(6) == 0xFFFFL)
+    // x=3 (11b) → bits 0,2 = 5; y=5 (101b) → bits 1,5 = 34; total 39
+    assert(z(7) == 39L)
+    // only the low 8 bits participate: 300%256=44 (bits 2,3,5 → even
+    // positions 4,6,10), 260%256=4 (bit 2 → odd position 5)
+    assert(z(8) == (16L + 64L + 1024L + 32L))
+  }
+
+  test("zorder16 equals a reference interleave for random pairs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (j <- 0 until 8) {
+        z |= (((x % 256) >> j) & 1L) << (2 * j)
+        z |= (((y % 256) >> j) & 1L) << (2 * j + 1)
+      }
+      z
+    }
+    val pairs = (0 until 200).map(i => ((i * 131L) % 311, (i * 97L) % 509))
+    val got = pairs.toDF("x", "y")
+      .select(Curation.zorder16($"x", $"y").as("z"))
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((x, y), z) =>
+      assert(z == ref(x, y), s"zorder16($x, $y)")
+    }
+  }
+
+  test("keep-best retention: longest doc wins its prefix group, ties to min id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // same 16-word prefix, different lengths; doc 30 ties doc 20's length
+    val prefix = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, prefix + " tail"),                  // 17 words
+      (20L, prefix + " tail more words here"),  // 20 words
+      (30L, prefix + " tail more word other"),  // 20 words — tie, larger id
+      (40L, "completely different text"))       // own group
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("curation_keepbest_docs")
+    val f = docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        split(trim(lower(regexp_replace($"text", " +", " "))), " +").as("w"))
+      .select($"doc_id", size($"w").cast("long").as("n_words"),
+        md5(concat_ws(" ", slice($"w", 1, 16)).cast("binary")).as("fp"))
+    val kept = f.groupBy($"fp")
+      .agg(count(lit(1)).as("group_size"),
+        max(struct($"n_words", (-$"doc_id").as("neg_id"))).as("best"))
+      .select((-$"best.neg_id").as("kept_doc"), $"group_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((20L, 3L), (40L, 1L)),
+      "longest wins, 20-word tie resolves to the smaller doc_id")
+  }
+
+  test("pagerank iteration: hand-computed 3-node integer graph") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 3 nodes with out-edges to (v² + 37k) % 3 for k=1..3 — the offsets
+    // 37,74,111 cover all residues mod 3, so every node still links to
+    // {0,1,2} exactly once, in-degree is 3 everywhere, and ranks sit at
+    // the uniform fixed point:
+    // r1 = 150000 + 85*(3*(1000000 div 3)) div 100 = 999999 → r2, r3 fixed
+    val docs = Seq(0L, 1L, 2L).toDF("doc_id")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(nRow))
+      .select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * $"doc_id" + 37) % $"n",
+        ($"doc_id" * $"doc_id" + 74) % $"n",
+        ($"doc_id" * $"doc_id" + 111) % $"n")).as("dst"))
+    var ranks = docs.select($"doc_id", lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val insum = edges.join(ranks, edges("src") === ranks("doc_id"))
+        .groupBy($"dst").agg(sum(expr("r div 3")).as("m"))
+      ranks = docs.join(insum, docs("doc_id") === insum("dst"), "left")
+        .select(docs("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+    }
+    val out = ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // iter1: insum = 3 * 333333 = 999999 → 150000 + 849999 div 100·85
+    //   = 150000 + (85*999999) div 100 = 150000 + 849999 = 999999
+    // iter2: contrib = 999999 div 3 = 333333 → same → fixed point
+    assert(out == Map(0L -> 999999L, 1L -> 999999L, 2L -> 999999L))
+  }
+
+  test("v_pagerank on the corpus: ranks sum ≈ N·1e6 and spread is nonzero") {
+    val df = q("v_pagerank")
+    val rows = df.collect()
+    val n = rows.length
+    val ranks = rows.map(_.getLong(1))
+    // total mass: each iteration redistributes ~all rank (integer floors
+    // lose < 3 units per node per iteration)
+    val total = ranks.map(BigInt(_)).sum
+    assert((BigInt(n) * 1000000 - total).abs < BigInt(n) * 10,
+      s"rank mass must be conserved: n=$n total=$total")
+    assert(ranks.distinct.length > 1, "graph is not rank-uniform at sf0.001")
+  }
+
+  test("CMS heavy hitters: estimate never under-counts, band holds") {
+    val rows = q("x_heavy_hitters").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2); val ok = r.getLong(3)
+      assert(est >= exact, s"CMS must never under-count: $r")
+      assert(ok == 1L, s"collision band must hold at this SF: $r")
+    }
+    // ranks are 1..20, ordered by exact count desc
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("train split is deterministic and ~90/5/5") {
+    val rows = q("x_train_split").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") / total > 0.8, s"train share: $bySplit")
+    assert(bySplit("test") / total < 0.12, s"test share: $bySplit")
+    // deterministic: a second run produces the identical table
+    val again = q("x_train_split").collect().map(_.toString).toSeq
+    assert(again == q("x_train_split").collect().map(_.toString).toSeq)
+  }
+
+  test("quotaFirstN: first n per user in (ts, event_id) order, ranked") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.streaming.StreamOps
+    import StreamOps.KeyedEvent
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      KeyedEvent(1L, "c", 103L, ts("2024-01-01 00:03:00"), 3.0),
+      KeyedEvent(1L, "c", 101L, ts("2024-01-01 00:01:00"), 1.0),
+      KeyedEvent(1L, "c", 102L, ts("2024-01-01 00:02:00"), 2.0),
+      KeyedEvent(1L, "c", 104L, ts("2024-01-01 00:04:00"), 4.0),
+      KeyedEvent(2L, "c", 201L, ts("2024-01-01 00:01:00"), 9.0)).toDS()
+    val out = StreamOps.quotaFirstN(ev, n = 3).collect()
+      .map(o => (o.user_id, o.event_id, o.rk)).toSet
+    assert(out == Set((1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3),
+      (2L, 201L, 1)), "quota truncates to the 3 earliest per user")
+  }
+}

@@ -476,4 +476,81 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"shard offsets must broadcast back:\n$plan")
   }
+
+  test("d_prefix_keep_best: keeper is a partial-aggregable argmax, no window sort") {
+    val plan = planString(q("d_prefix_keep_best"))
+    assert(plan.contains("partial_"),
+      s"keep-best must combine map-side before the fp shuffle:\n$plan")
+    assert(!plan.contains("Window"),
+      s"keeper must be max(struct), not a row_number window:\n$plan")
+  }
+
+  test("v_pagerank: rank iterations are hash equi-joins, never all-pairs") {
+    val plan = planString(q("v_pagerank"))
+    assert(!plan.contains("CartesianProduct"),
+      s"pagerank must not cartesian-join ranks with edges:\n$plan")
+    // the only nested-loop join allowed is the broadcast of the 1-row
+    // node-count aggregate into the edge generator
+    assert(plan.contains("partial_"),
+      s"per-dst contribution sums must pre-aggregate map-side:\n$plan")
+  }
+
+  test("x_heavy_hitters: sketch cells pre-aggregate; total broadcasts") {
+    val plan = planString(q("x_heavy_hitters"))
+    assert(plan.contains("partial_"),
+      s"CMS cells must combine map-side (shuffle carries cells, not tokens):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"probe joins a 4096-cell sketch — hash/broadcast only:\n$plan")
+  }
+
+  test("x_train_split: split assignment is a narrow projection into one hash-agg") {
+    val df = q("x_train_split")
+    df.write.format("noop").mode("overwrite").save()
+    // one shuffle for the (source, split) group-by, one for the tiny
+    // output sort — membership itself must not shuffle
+    assert(countShuffles(df.queryExecution.executedPlan) <= 2,
+      "split must be decided map-side")
+  }
+
+  test("q3: segment-filtered customer dim broadcasts; date filters reach the scans") {
+    val plan = planString(q("q3_shipping_priority"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered customer dim must broadcast:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"order-date filter must push to the orders scan:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      s"ship-date filter must push to the lineitem scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be a bounded heap, not a global sort:\n$plan")
+  }
+
+  test("c18_scd2: snapshot diff is one full-outer hash join, no all-pairs") {
+    val plan = planString(q("c18_scd2"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff joins on the key only:\n$plan")
+    assert(plan.contains("FullOuter"), s"diff must be a full-outer join:\n$plan")
+  }
+
+  test("x_skew_keys: profile is partial-agg + broadcast totals + bounded top-k") {
+    val plan = planString(q("x_skew_keys"))
+    assert(plan.contains("partial_"),
+      s"key counts must combine map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 2-column totals row must broadcast:\n$plan")
+  }
+
+  test("zorderLayout: range-partitions on the Morton key (the CLUSTER BY shape)") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.queries.Curation.zorderLayout(
+      graft.queries.Tables.lineitem(spark, sfDir),
+      col("l_partkey"), col("l_suppkey"), partitions = 4)
+    val plan = planString(df)
+    assert(plan.contains("rangepartitioning(z16"),
+      s"layout rewrite must range-shuffle on z16:\n$plan")
+    assert(plan.contains("Sort") && !plan.contains("Exchange SinglePartition"),
+      s"within-partition sort only, never a global single-partition sort:\n$plan")
+  }
 }

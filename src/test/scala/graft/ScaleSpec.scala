@@ -361,6 +361,23 @@ class ScaleSpec extends SparkSpec {
       s"BPE training shuffle must stay vocab-bound, grew ${ratio}x at 10x data")
   }
 
+  test("soak: pagerank shuffle ~linear at 10x nodes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the per-iteration work is |edges| = 3N join probes + a partial-agg
+    // sum per dst — both linear in N at fixed iteration count, so total
+    // shuffle bytes must scale ~linearly with the node count
+    def docsAt(n: Long) =
+      spark.range(n).select($"id".as("doc_id")).repartition(8)
+    val p1 = measure(graft.queries.Curation.pagerank(docsAt(5000L), iters = 3))
+    val p10 = measure(graft.queries.Curation.pagerank(docsAt(50000L), iters = 3))
+    assert(p1._1 > 0, "pagerank: no shuffle measured at base size")
+    val ratio = p10._1.toDouble / p1._1
+    info(f"pagerank: shuffle ${p1._1}B -> ${p10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"pagerank shuffle grew superlinearly: $ratio")
+    assert(ratio > 3, s"pagerank shuffle growth suspiciously flat: $ratio")
+  }
+
   private final class TaskMetricsProbe
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong

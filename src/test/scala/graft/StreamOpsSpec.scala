@@ -400,6 +400,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 5L, 6L))
   }
 
+  test("streaming quota persists the spent count across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.KeyedEvent
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamOps.quotaFirstNStream(input.toDS(), n = 3)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+
+    // batch 1: user 1 spends 2 of 3 (rows arrive out of ts order — the
+    // earlier ts must take rank 1)
+    input.addData(
+      KeyedEvent(1L, "c", 12L, ts("2024-01-01 00:02:00"), 2.0),
+      KeyedEvent(1L, "c", 11L, ts("2024-01-01 00:01:00"), 1.0))
+    q.processAllAvailable()
+    // batch 2: user 1 has ONE slot left — only the earliest of the three
+    // passes, with rank 3; user 2 starts fresh
+    input.addData(
+      KeyedEvent(1L, "c", 15L, ts("2024-01-01 00:05:00"), 5.0),
+      KeyedEvent(1L, "c", 13L, ts("2024-01-01 00:03:00"), 3.0),
+      KeyedEvent(1L, "c", 14L, ts("2024-01-01 00:04:00"), 4.0),
+      KeyedEvent(2L, "c", 21L, ts("2024-01-01 00:01:00"), 9.0))
+    q.processAllAvailable()
+    // batch 3: user 1 is exhausted forever
+    input.addData(KeyedEvent(1L, "c", 16L, ts("2024-01-01 00:06:00"), 6.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("quota").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows == Set(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), (2L, 21L, 1)))
+
+    // the batch fold (the gate's shape) agrees on the same events
+    val batch = StreamOps.quotaFirstN(Seq(
+      KeyedEvent(1L, "c", 12L, ts("2024-01-01 00:02:00"), 2.0),
+      KeyedEvent(1L, "c", 11L, ts("2024-01-01 00:01:00"), 1.0),
+      KeyedEvent(1L, "c", 15L, ts("2024-01-01 00:05:00"), 5.0),
+      KeyedEvent(1L, "c", 13L, ts("2024-01-01 00:03:00"), 3.0),
+      KeyedEvent(1L, "c", 14L, ts("2024-01-01 00:04:00"), 4.0),
+      KeyedEvent(2L, "c", 21L, ts("2024-01-01 00:01:00"), 9.0),
+      KeyedEvent(1L, "c", 16L, ts("2024-01-01 00:06:00"), 6.0)).toDS(), n = 3)
+      .collect().map(o => (o.user_id, o.event_id, o.rk)).toSet
+    assert(batch == rows,
+      "one AvailableNow pass must equal the batch fold (same event set)")
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

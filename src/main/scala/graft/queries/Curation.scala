@@ -84,6 +84,25 @@ object Curation {
       .repartitionByRange(partitions, col("z16"))
       .sortWithinPartitions(col("z16"))
 
+  /** Count-min-sketch cells over a token column: d=4 md5-hash rows ×
+    * w=1024 slots, built explode→partial-agg so map-side combine
+    * collapses each task's contribution to ≤4096 (i, slot) cells before
+    * the exchange — at any corpus size the shuffle carries sketch cells,
+    * never tokens (ScaleSpec pins the byte count ~flat at 10× corpus).
+    * Returns (i, slot, slot_cnt).
+    */
+  def cmsCells(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.select(explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"), cmsSlot(i, $"token").as("slot"))): _*)).as("p"))
+      .groupBy($"p.i".as("i"), $"p.slot".as("slot"))
+      .agg(count(lit(1)).as("slot_cnt"))
+  }
+
+  private def cmsSlot(i: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), tok).cast("binary")), 1, 5),
+      16, 10).cast("long") % 1024
+
   val queries: Map[String, Q] = Map(
 
     // Retention-policy dedup: prefix near-dup groups (md5 of the first 16
@@ -129,19 +148,13 @@ object Curation {
       val toks = documents(s, d).filter(length(trim($"text")) > 0)
         .select(explode(words($"text")).as("token"))
         .filter($"token" =!= "")
-      def slot(i: Int, tok: Column): Column =
-        conv(substring(md5(concat(lit(s"$i:"), tok).cast("binary")), 1, 5),
-          16, 10).cast("long") % 1024
       val total = toks.agg(count(lit(1)).as("total"))
-      val cms = toks.select(explode(array((0 until 4).map(i =>
-          struct(lit(i).as("i"), slot(i, $"token").as("slot"))): _*)).as("p"))
-        .groupBy($"p.i".as("i"), $"p.slot".as("slot"))
-        .agg(count(lit(1)).as("slot_cnt"))
+      val cms = cmsCells(toks)
       val top20 = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
         .orderBy($"exact_cnt".desc, $"token").limit(20)
       val probes = top20.select($"token", $"exact_cnt", explode(array(
           (0 until 4).map(i =>
-            struct(lit(i).as("i"), slot(i, $"token").as("slot"))): _*)).as("p"))
+            struct(lit(i).as("i"), cmsSlot(i, $"token").as("slot"))): _*)).as("p"))
         .select($"token", $"exact_cnt", $"p.i".as("i"), $"p.slot".as("slot"))
       val est = probes.join(cms, Seq("i", "slot"))
         .groupBy($"token", $"exact_cnt")
@@ -295,6 +308,77 @@ object Curation {
           ($"cnt" * $"n_keys" > $"total" * 4).cast("long").as("is_heavy"),
           expr("(cnt * n_keys + total - 1) div total").as("salt_factor"))
         .orderBy($"cnt".desc, $"suppkey").limit(20)
+    }),
+
+    // Small-file compaction planner (the lakehouse OPTIMIZE step): from
+    // per-file stats (one "file" per supplier here — the c17 shape),
+    // assign files to target-size compaction bins by running-total
+    // position, emitting one row per planned output file. The window
+    // runs over the FILE-STATS table (file-count-sized, not data-sized —
+    // the same serial-step discipline as x_seq_pack's shard cumsum);
+    // the data itself is never shuffled by planning.
+    "c19_compaction_plan" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val files = lineitem(s, d).groupBy($"l_suppkey".as("file_id"))
+        .agg(count(lit(1)).as("rows_n"))
+      val w = Window.orderBy($"file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum($"rows_n").over(w), lit(0L)))
+        .groupBy(expr("cum_before div 4096").as("bin_id"))
+        .agg(count(lit(1)).as("n_files"), sum($"rows_n").as("bin_rows"),
+          min($"file_id").as("first_file"), max($"file_id").as("last_file"))
+        .orderBy($"bin_id")
+    }),
+
+    // Bigram-LM conditional surprisal (the step past x_unigram_nll): per
+    // adjacent pair, -ln(c(w1 w2)/c(w1)) quantized to an integer once on
+    // the bigram-vocabulary table, then an order-free per-doc sum. Scale
+    // shape: token/pair explodes → two partial-aggregated hash counts
+    // (vocab- and bigram-vocab-sized) → one equi-join back — the corpus
+    // is scanned once per explode and never self-joined. Lower mean =
+    // more locally predictable text (boilerplate); high = incoherent.
+    "x_bigram_nll" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val toks = docs.select($"doc_id", explode($"w").as("t"))
+      val uni = toks.groupBy($"t".as("w1")).agg(count(lit(1)).as("c1"))
+      val pairs = docs.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("w1"),
+            element_at($"w", i + 1).as("w2")))).as("p"))
+        .select($"doc_id", $"p.w1", $"p.w2")
+      val big = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val lp = big.join(uni, "w1")
+        .select($"w1", $"w2",
+          floor(log($"c12".cast("double") / $"c1".cast("double")) * 1e6)
+            .cast("long").as("lq"))
+      pairs.join(lp, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("pairs"), (-sum($"lq")).as("nll_x1e6"))
+        .withColumn("mean_nll_x1e6", expr("nll_x1e6 div pairs"))
+        .orderBy($"doc_id")
+    }),
+
+    // §2.8 — streaming per-key top-k, batch shape: the GROUP-BOUNDED
+    // TopKAgg heap (map-side partials trim to k per user before the
+    // exchange); the mapGroupsWithState streaming form holds the same
+    // O(k)-per-key snapshot and is pinned equal by StreamOpsSpec. The
+    // oracle is the window-rank formulation, so the gate proves
+    // heap ≡ window.
+    "w_stream_topk" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).groupBy($"user_id")
+        .agg(graft.operators.TopKAgg.topKByScore($"value", $"event_id", 3)
+          .as("top"))
+        .select($"user_id", posexplode($"top").as(Seq("i", "e")))
+        .select($"user_id", $"e.id".as("event_id"),
+          ($"i" + 1).cast("int").as("rk"),
+          floor($"e.score" * 100 + 0.5).cast("long").as("value_x100"))
+        .orderBy($"user_id", $"rk")
     }),
 
     // §2.8 — per-key streaming quota (rate limit): the first 5 events per
@@ -463,6 +547,48 @@ object Curation {
            CAST((c.cnt * t.n_keys + t.total - 1) // t.total AS BIGINT)
              AS salt_factor
          FROM c, t ORDER BY c.cnt DESC, c.l_suppkey LIMIT 20""",
+    "x_bigram_nll" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+         t AS (SELECT doc_id, unnest(w) AS t FROM d2),
+         uni AS (SELECT t AS w1, count(*) AS c1 FROM t GROUP BY 1),
+         p AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS pr
+           FROM d2),
+         pairs AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+         lp AS (SELECT big.w1, big.w2,
+             CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+               * 1000000.0::DOUBLE) AS BIGINT) AS lq
+           FROM big JOIN uni ON big.w1 = uni.w1)
+         SELECT pairs.doc_id, count(*) AS pairs,
+           CAST(-sum(lq) AS BIGINT) AS nll_x1e6,
+           CAST(-sum(lq) // count(*) AS BIGINT) AS mean_nll_x1e6
+         FROM pairs JOIN lp ON pairs.w1 = lp.w1 AND pairs.w2 = lp.w2
+         GROUP BY 1 ORDER BY 1""",
+    "w_stream_topk" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS INT) AS rk
+           FROM events)
+         SELECT user_id, event_id, rk,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_x100
+         FROM r WHERE rk <= 3 ORDER BY user_id, rk""",
+    "c19_compaction_plan" ->
+      """WITH f AS (SELECT l_suppkey AS file_id, count(*) AS rows_n
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT file_id, rows_n,
+             coalesce(sum(rows_n) OVER (ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM f)
+         SELECT CAST(cum_before // 4096 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(rows_n) AS BIGINT) AS bin_rows,
+           min(file_id) AS first_file, max(file_id) AS last_file
+         FROM c GROUP BY 1 ORDER BY 1""",
     "w_stream_quota" ->
       """WITH r AS (SELECT user_id, event_id, ts, value,
              CAST(row_number() OVER (PARTITION BY user_id

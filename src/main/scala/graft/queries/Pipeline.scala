@@ -664,18 +664,34 @@ object Pipeline {
   /** Same pipeline over any (doc_id, text) frame — ScaleSpec's soak runs
     * it on synthetic corpora at two sizes to pin linear shuffle growth.
     */
+  /** Word-bigram shingles of each ≥2-word doc: (doc_id, s). */
+  private[graft] def bigramShingles(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"w") - 1),
+          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1))))
+          .as("s"))
+  }
+
+  /** 8-permutation MinHash signature per doc: (doc_id, m0..m7), each mj
+    * the minimum salted MD5 over the doc's bigram shingles.
+    */
+  private[graft] def minhashSigsFor(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = bigramShingles(docs)
+    val minCols = (0 until 8).map(j =>
+      min(md5(concat(lit(s"$j|"), $"s").cast("binary"))).as(s"m$j"))
+    sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
   private[graft] def minhashCandidatePairsFor(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val base = docs
-      .select($"doc_id", words($"text").as("w"))
-      .filter(size($"w") >= 2)
-    val sh = base.select($"doc_id",
-      explode(transform(sequence(lit(1), size($"w") - 1),
-        i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1)))).as("s"))
-    val minCols = (0 until 8).map(j =>
-      min(md5(concat(lit(s"$j|"), $"s").cast("binary"))).as(s"m$j"))
-    val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = minhashSigsFor(docs)
     val bands = sig.select($"doc_id", explode(array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary"))
@@ -710,6 +726,68 @@ object Pipeline {
        bits AS (SELECT vec_id, CAST(h // $LshBits AS INT) AS tbl,
            CAST(sum(CASE WHEN p > 0 THEN (1 << (h % $LshBits)) ELSE 0 END) AS INT) AS bkt
          FROM proj GROUP BY 1, 2)"""
+
+  /** Exact brute-force cosine top-10 per query (window-ranked): the
+    * O(n·q) baseline the ANN variants and the recall eval measure
+    * against. Returns (qid, vec_id, cos, rnk ≤ 10).
+    */
+  private def annExactTop10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val q = emb.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = emb.filter(!$"vec_id".isin(0, 1, 2))
+      .select($"vec_id", $"embedding".as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 10)
+  }
+
+  /** Random-hyperplane LSH top-5 per query: bucket join on the plan-pinned
+    * broadcast query side, exact cosine re-score of the candidates only.
+    * Returns (qid, vec_id, cos, rnk ≤ 5).
+    */
+  private def annLshTop5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d).select($"vec_id", $"embedding")
+    val bucketed = emb.select($"vec_id",
+      posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+    val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("qid"), $"tbl", $"bkt")
+    val cand = bucketed.filter(!$"vec_id".isin(0, 1, 2))
+      .join(broadcast(qb), Seq("tbl", "bkt"))
+      .select($"qid", $"vec_id").distinct()
+    val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = emb.select($"vec_id", $"embedding".as("ce"))
+    val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
+      .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+  }
+
+  /** Per-doc unigram-LM surprisal: corpus-frequency logprobs quantized
+    * once (vocab-sized table), order-free integer per-doc sums. Returns
+    * (doc_id, tokens, nll_x1e6, mean_nll_x1e6).
+    */
+  private def unigramNllPerDoc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter(length(trim($"text")) > 0)
+      .select($"doc_id", words($"text").as("w"))
+    val toks = docs.select($"doc_id", explode($"w").as("term"))
+    val cnt = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("n_tok"))
+    val lp = cnt.crossJoin(broadcast(tot))
+      .select($"term",
+        floor(log($"cnt".cast("double") / $"n_tok".cast("double")) * 1e6)
+          .cast("long").as("lq"))
+    toks.join(lp, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("tokens"), (-sum($"lq")).as("nll_x1e6"))
+      .withColumn("mean_nll_x1e6", expr("nll_x1e6 div tokens"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy, keep lowest doc_id per identical text
@@ -998,24 +1076,12 @@ object Pipeline {
     }),
 
     // Brute-force cosine top-k (exact ANN baseline): 3 query vectors vs all
-    "v_ann_cosine" -> ((s, d) => {
-      import s.implicits._
-      val emb = embeddings(s, d)
-      val q = emb.filter($"vec_id".isin(0, 1, 2))
-        .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val c = emb.filter(!$"vec_id".isin(0, 1, 2))
-        .select($"vec_id", $"embedding".as("ce"))
-      val scored = c.crossJoin(broadcast(q))
-        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      scored.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 10)
-        .select($"qid", $"vec_id",
-          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"),
-          $"rnk")
-        .orderBy($"qid", $"rnk")
-    }),
+    "v_ann_cosine" -> ((s, d) =>
+      annExactTop10(s, d)
+        .select(col("qid"), col("vec_id"),
+          floor(col("cos") * 10000 + 0.5).cast("long").as("score_x10000"),
+          col("rnk"))
+        .orderBy(col("qid"), col("rnk"))),
 
     // Brute-force cosine top-k again, but through the bounded-heap
     // TopKAgg instead of a window sort: map-side partials trim every
@@ -1361,23 +1427,8 @@ object Pipeline {
     // oracle. Scale shape: token explode → partial-aggregated unigram
     // counts → equi-join back on term (vocab-sized, hash join) → per-doc
     // partial-aggregated sum; the only broadcast is the 1-row total.
-    "x_unigram_nll" -> ((s, d) => {
-      import s.implicits._
-      val docs = documents(s, d).filter(length(trim($"text")) > 0)
-        .select($"doc_id", words($"text").as("w"))
-      val toks = docs.select($"doc_id", explode($"w").as("term"))
-      val cnt = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
-      val tot = toks.agg(count(lit(1)).as("n_tok"))
-      val lp = cnt.crossJoin(broadcast(tot))
-        .select($"term",
-          floor(log($"cnt".cast("double") / $"n_tok".cast("double")) * 1e6)
-            .cast("long").as("lq"))
-      toks.join(lp, Seq("term"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("tokens"), (-sum($"lq")).as("nll_x1e6"))
-        .withColumn("mean_nll_x1e6", expr("nll_x1e6 div tokens"))
-        .orderBy($"doc_id")
-    }),
+    "x_unigram_nll" -> ((s, d) =>
+      unigramNllPerDoc(s, d).orderBy(col("doc_id"))),
 
     // Linear quality-classifier inference (the fastText-style shape used
     // for pretraining-data quality filters): features are unigrams plus
@@ -1750,27 +1801,94 @@ object Pipeline {
     // machinery as d_embed_neardup_lsh — a candidate is any vector sharing
     // at least one table bucket with the query, re-scored by exact cosine.
     // The tiny query side broadcasts; the corpus side never self-joins.
-    "v_ann_lsh" -> ((s, d) => {
+    "v_ann_lsh" -> ((s, d) =>
+      annLshTop5(s, d)
+        .select(col("qid"), col("vec_id"),
+          floor(col("cos") * 10000 + 0.5).cast("long").as("score_x10000"),
+          col("rnk"))
+        .orderBy(col("qid"), col("rnk"))),
+
+    // ANN quality evaluation: recall@5 and top-1 hit of the LSH index
+    // against the exact brute-force top-5, per query — the eval table a
+    // production ANN deployment publishes next to its index. Both sides
+    // are the already-gated pipelines; the join is per-(query, candidate)
+    // — eval cost is O(queries·k), independent of corpus size.
+    "v_recall_eval" -> ((s, d) => {
       import s.implicits._
-      val emb = embeddings(s, d).select($"vec_id", $"embedding")
-      val bucketed = emb.select($"vec_id",
-        posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
-      val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
-        .select($"vec_id".as("qid"), $"tbl", $"bkt")
-      val cand = bucketed.filter(!$"vec_id".isin(0, 1, 2))
-        .join(broadcast(qb), Seq("tbl", "bkt"))
-        .select($"qid", $"vec_id").distinct()
-      val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val c = emb.select($"vec_id", $"embedding".as("ce"))
-      val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
-        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      val lsh = annLshTop5(s, d).select($"qid", $"vec_id", $"rnk".as("lsh_rnk"))
+      val ex = annExactTop10(s, d).filter($"rnk" <= 5)
+        .select($"qid", $"vec_id", $"rnk".as("ex_rnk"))
+      val hits = lsh.join(ex, Seq("qid", "vec_id"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("hits"),
+          min(when($"ex_rnk" === 1, $"lsh_rnk")).as("top1_at"))
+      ex.select($"qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", coalesce($"hits", lit(0L)).as("hits"),
+          (coalesce($"hits", lit(0L)) * 20).as("recall_x100"),
+          $"top1_at".isNotNull.cast("long").as("top1_hit"))
+        .orderBy($"qid")
+    }),
+
+    // MinHash sketch-accuracy audit: for every LSH candidate pair, the
+    // signature-estimated Jaccard (matching minhashes / 8) next to the
+    // EXACT shingle-set Jaccard — the calibration table that justifies a
+    // banding threshold before a 100 TB dedup run. Exact-side work is
+    // bounded by the candidate pairs (shingle joins restricted to pair
+    // members), never all-pairs; lsh_ok pins the structural guarantee
+    // that every banded candidate shares ≥ one 2-signature band.
+    "x_minhash_est" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val pairs = minhashCandidatePairs(s, d)
+      val sigs = minhashSigsFor(docs)
+      val a = sigs.select(($"doc_id").as("id1") +:
+        (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+      val b = sigs.select(($"doc_id").as("id2") +:
+        (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+      val est = pairs.join(a, "id1").join(b, "id2")
+        .select($"id1", $"id2",
+          (0 until 8).map(j =>
+            when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+            .reduce(_ + _).as("est_matches"))
+      val sd = bigramShingles(docs).distinct()
+      val sc = sd.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      val inter = pairs
+        .join(sd.select($"doc_id".as("id1"), $"s"), "id1")
+        .join(sd.select($"doc_id".as("id2"), $"s"), Seq("id2", "s"))
+        .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+      est
+        .join(sc.select($"doc_id".as("id1"), $"c".as("c1")), "id1")
+        .join(sc.select($"doc_id".as("id2"), $"c".as("c2")), "id2")
+        .join(inter, Seq("id1", "id2"), "left")
+        .select($"id1", $"id2", $"est_matches",
+          ($"est_matches" * 1250).as("est_x10000"),
+          floor(lit(10000.0) * coalesce($"inter", lit(0L)) /
+            ($"c1" + $"c2" - coalesce($"inter", lit(0L))) + 0.5)
+            .cast("long").as("jacc_x10000"),
+          ($"est_matches" >= 2).cast("long").as("lsh_ok"))
+        .orderBy($"id1", $"id2")
+    }),
+
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // terciles of the unigram-LM mean surprisal (lower = more fluent).
+    // The window partitions by lang — the x_quality_decile shape; the
+    // 100 TB path replaces the in-partition sort with approx-quantile
+    // boundaries exactly as x_len_quantiles_approx demonstrates.
+    "x_ccnet_bucket" -> ((s, d) => {
+      import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      scored.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 5)
-        .select($"qid", $"vec_id",
-          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
-        .orderBy($"qid", $"rnk")
+      val nll = unigramNllPerDoc(s, d)
+      val withLang = nll.join(
+        documents(s, d).select($"doc_id", $"lang"), "doc_id")
+      val w = Window.partitionBy($"lang")
+        .orderBy($"mean_nll_x1e6", $"doc_id")
+      withLang
+        .withColumn("tercile", ntile(3).over(w).cast("int"))
+        .select($"doc_id", $"lang", $"mean_nll_x1e6",
+          when($"tercile" === 1, "head").when($"tercile" === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy($"doc_id")
     }))
 
   /** Oracle-side mirror of [[minhashCandidatePairs]]: shared CTE block +
@@ -2451,6 +2569,96 @@ object Pipeline {
            CAST((2 + doc_id % 3) * 128 AS BIGINT) AS plane_len,
            1 AS frames_ok
          FROM documents ORDER BY doc_id""",
+    "v_recall_eval" ->
+      s"""WITH $lshBucketsSql,
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+           FROM bits q JOIN bits c ON q.tbl = c.tbl AND q.bkt = c.bkt
+           WHERE q.vec_id IN (0,1,2) AND c.vec_id NOT IN (0,1,2)),
+         ldots AS (SELECT cand.qid, cand.vid AS vec_id,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nc
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+             JOIN embeddings b ON b.vec_id = cand.vid, range(1, 65) t(i)
+           GROUP BY 1, 2),
+         lsh5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM ldots) WHERE rnk <= 5),
+         eq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0,1,2)),
+         ec AS (SELECT vec_id, embedding AS ce FROM embeddings
+           WHERE vec_id NOT IN (0,1,2)),
+         edots AS (SELECT qid, vec_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM eq, ec, range(1, 65) t(i) GROUP BY qid, vec_id),
+         ex5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM edots) WHERE rnk <= 5),
+         h AS (SELECT l.qid, count(*) AS hits,
+             min(CASE WHEN e.rnk = 1 THEN l.rnk END) AS top1_at
+           FROM lsh5 l JOIN ex5 e
+             ON l.qid = e.qid AND l.vec_id = e.vec_id
+           GROUP BY 1)
+         SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) * 20 AS BIGINT) AS recall_x100,
+           CAST(CASE WHEN h.top1_at IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS top1_hit
+         FROM (SELECT DISTINCT qid FROM ex5) q
+         LEFT JOIN h USING (qid) ORDER BY q.qid""",
+    "x_minhash_est" ->
+      s"""WITH $minhashCtesSql,
+         pairs AS ($minhashPairSelectSql),
+         mm AS (SELECT p.id1, p.id2,
+             sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS est_matches
+           FROM pairs p JOIN mh x ON x.doc_id = p.id1
+             JOIN mh y ON y.doc_id = p.id2 AND y.j = x.j
+           GROUP BY 1, 2),
+         sd AS (SELECT DISTINCT doc_id, s FROM sh),
+         sc AS (SELECT doc_id, count(*) AS c FROM sd GROUP BY 1),
+         iv AS (SELECT p.id1, p.id2, count(*) AS inter
+           FROM pairs p JOIN sd a ON a.doc_id = p.id1
+             JOIN sd b ON b.doc_id = p.id2 AND b.s = a.s
+           GROUP BY 1, 2)
+         SELECT mm.id1, mm.id2,
+           CAST(mm.est_matches AS BIGINT) AS est_matches,
+           CAST(mm.est_matches * 1250 AS BIGINT) AS est_x10000,
+           CAST(floor(10000.0::DOUBLE * coalesce(iv.inter, 0)
+             / (ca.c + cb.c - coalesce(iv.inter, 0)) + 0.5::DOUBLE) AS BIGINT)
+             AS jacc_x10000,
+           CAST(CASE WHEN mm.est_matches >= 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS lsh_ok
+         FROM mm JOIN sc ca ON ca.doc_id = mm.id1
+           JOIN sc cb ON cb.doc_id = mm.id2
+           LEFT JOIN iv ON iv.id1 = mm.id1 AND iv.id2 = mm.id2
+         ORDER BY mm.id1, mm.id2""",
+    "x_ccnet_bucket" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+         n AS (SELECT count(*) AS n_tok FROM t),
+         lp AS (SELECT term,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE))
+               * 1000000.0::DOUBLE) AS BIGINT) AS lq
+           FROM c CROSS JOIN n),
+         s AS (SELECT t.doc_id, count(*) AS tokens,
+             CAST(-sum(lq) AS BIGINT) AS nll_x1e6
+           FROM t JOIN lp USING (term) GROUP BY 1),
+         m AS (SELECT s.doc_id, CAST(nll_x1e6 // tokens AS BIGINT)
+             AS mean_nll_x1e6, doc.lang
+           FROM s JOIN documents doc ON doc.doc_id = s.doc_id),
+         b AS (SELECT doc_id, lang, mean_nll_x1e6,
+             CAST(ntile(3) OVER (PARTITION BY lang
+               ORDER BY mean_nll_x1e6, doc_id) AS INT) AS tercile
+           FROM m)
+         SELECT doc_id, lang, mean_nll_x1e6,
+           CASE WHEN tercile = 1 THEN 'head' WHEN tercile = 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM b ORDER BY doc_id""",
     "v_ann_lsh" ->
       s"""WITH $lshBucketsSql,
          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid

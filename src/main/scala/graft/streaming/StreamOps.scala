@@ -239,6 +239,33 @@ object StreamOps {
       }
   }
 
+  final case class TopKOut(user_id: Long, event_id: Long, rk: Int,
+                           value: Double)
+
+  /** Streaming per-key top-k via `mapGroupsWithState`: each user's state
+    * is the current top-k (value desc, event_id asc) — O(k) per key, not
+    * per event — re-emitted as a fresh snapshot every micro-batch the key
+    * appears in (Update mode). After the last batch the snapshot equals
+    * the batch bounded-heap (`TopKAgg.topKByScore`) over the same events
+    * — pinned by StreamOpsSpec; the `w_stream_topk` gate runs the batch
+    * heap against a window-rank oracle.
+    */
+  def topKStream(events: Dataset[KeyedEvent], k: Int): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Double, Long)], TopKOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[List[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+            rows.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }.take(k)
+          state.update(merged)
+          merged.zipWithIndex.map { case ((v, id), i) =>
+            TopKOut(user, id, i + 1, v)
+          }.iterator
+      }
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

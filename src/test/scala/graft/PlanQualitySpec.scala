@@ -542,6 +542,44 @@ class PlanQualitySpec extends SparkSpec {
       s"the 2-column totals row must broadcast:\n$plan")
   }
 
+  test("v_recall_eval: eval joins are hash/broadcast — corpus never self-joins") {
+    val plan = planString(q("v_recall_eval"))
+    assert(!plan.contains("CartesianProduct"),
+      s"recall eval must not all-pairs join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-side tables must broadcast:\n$plan")
+  }
+
+  test("x_minhash_est: exact-Jaccard side is pair-bounded equi-joins only") {
+    val plan = planString(q("x_minhash_est"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"sketch audit must join shingles through the candidate pairs:\n$plan")
+  }
+
+  test("x_ccnet_bucket: tercile window partitions by lang, never one partition") {
+    val plan = planString(q("x_ccnet_bucket"))
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(lang.*"),
+      s"tercile window must partition by lang:\n$plan")
+    // the only single-partition step allowed is the 1-row corpus-total
+    // aggregate inside the unigram LM — the doc-level bucketing itself
+    // must stay lang-partitioned
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 1,
+      s"only the 1-row total agg may single-partition:\n$plan")
+  }
+
+  test("c19_compaction_plan: planning window runs on the file-stats table") {
+    val plan = planString(q("c19_compaction_plan"))
+    // the single-partition step is the stats-table cumsum (file-count
+    // rows), fed by a partial-aggregated per-file count — the data-sized
+    // side shuffles once into the stats aggregation and no more
+    assert(plan.contains("partial_"),
+      s"per-file counts must pre-aggregate:\n$plan")
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 1, s"only the stats cumsum may serialize:\n$plan")
+  }
+
   test("zorderLayout: range-partitions on the Morton key (the CLUSTER BY shape)") {
     import org.apache.spark.sql.functions.col
     val df = graft.queries.Curation.zorderLayout(

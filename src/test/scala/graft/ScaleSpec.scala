@@ -361,6 +361,24 @@ class ScaleSpec extends SparkSpec {
       s"BPE training shuffle must stay vocab-bound, grew ${ratio}x at 10x data")
   }
 
+  test("soak: CMS sketch shuffle is cell-bound — near-flat at 10x corpus") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the explode→partial-agg construction combines each task to ≤4096
+    // (i, slot) cells before the exchange, so corpus growth buys map
+    // work, not shuffle — the same property BPE training shows, and the
+    // whole reason a sketch (not exact counts) is the 100 TB path
+    def toksAt(n: Long) = syntheticDocs(n, breakPartitioning = false)
+      .select(explode(split(trim($"text"), " +")).as("token"))
+    val c1 = measure(graft.queries.Curation.cmsCells(toksAt(5000L)))
+    val c10 = measure(graft.queries.Curation.cmsCells(toksAt(50000L)))
+    assert(c1._1 > 0, "cms: no shuffle measured at base size")
+    val ratio = c10._1.toDouble / c1._1
+    info(f"cms: shuffle ${c1._1}B -> ${c10._1}B ($ratio%.1fx)")
+    assert(ratio < 3,
+      s"CMS shuffle must stay sketch-cell-bound, grew ${ratio}x at 10x data")
+  }
+
   test("soak: pagerank shuffle ~linear at 10x nodes") {
     val sparkS = spark
     import sparkS.implicits._

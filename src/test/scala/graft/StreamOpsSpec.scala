@@ -448,6 +448,52 @@ class StreamOpsSpec extends SparkSpec {
       "one AvailableNow pass must equal the batch fold (same event set)")
   }
 
+  test("streaming top-k: state holds O(k) per key; final snapshot = batch heap") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.KeyedEvent
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamOps.topKStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode("update").start()
+
+    input.addData(
+      KeyedEvent(1L, "c", 11L, ts("2024-01-01 00:01:00"), 5.0),
+      KeyedEvent(1L, "c", 12L, ts("2024-01-01 00:02:00"), 3.0),
+      KeyedEvent(1L, "c", 13L, ts("2024-01-01 00:03:00"), 8.0))
+    q.processAllAvailable()
+    // batch 2: 9.0 displaces 5.0; value tie 8.0 resolves to smaller id
+    input.addData(
+      KeyedEvent(1L, "c", 14L, ts("2024-01-01 00:04:00"), 9.0),
+      KeyedEvent(1L, "c", 15L, ts("2024-01-01 00:05:00"), 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // Update mode re-emits the snapshot per batch; the LAST snapshot per
+    // key is the answer — batch 1: (13,8.0),(11,5.0); batch 2: (14,9.0),(13,8.0)
+    val rows = spark.table("topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.toSet.contains((1L, 14L, 1, 9.0)) &&
+      rows.toSet.contains((1L, 13L, 2, 8.0)))
+
+    // the final snapshot equals the batch bounded-heap over all events
+    val batch = Seq(
+      KeyedEvent(1L, "c", 11L, ts("2024-01-01 00:01:00"), 5.0),
+      KeyedEvent(1L, "c", 12L, ts("2024-01-01 00:02:00"), 3.0),
+      KeyedEvent(1L, "c", 13L, ts("2024-01-01 00:03:00"), 8.0),
+      KeyedEvent(1L, "c", 14L, ts("2024-01-01 00:04:00"), 9.0),
+      KeyedEvent(1L, "c", 15L, ts("2024-01-01 00:05:00"), 8.0)).toDS()
+      .groupBy($"user_id")
+      .agg(graft.operators.TopKAgg.topKByScore($"value", $"event_id", 2).as("t"))
+      .select($"user_id", org.apache.spark.sql.functions.posexplode($"t")
+        .as(Seq("i", "e")))
+      .select($"user_id", $"e.id", ($"i" + 1).cast("int"), $"e.score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(batch == Set((1L, 14L, 1, 9.0), (1L, 13L, 2, 8.0)))
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

@@ -679,19 +679,30 @@ object Pipeline {
   /** 8-permutation MinHash signature per doc: (doc_id, m0..m7), each mj
     * the minimum salted MD5 over the doc's bigram shingles.
     */
-  private[graft] def minhashSigsFor(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[graft] def minhashSigsFor(docs: DataFrame): DataFrame =
+    minhashSigsFromShingles(bigramShingles(docs))
+
+  /** Signature aggregation over an already-derived shingle table. */
+  private[graft] def minhashSigsFromShingles(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    val sh = bigramShingles(docs)
     val minCols = (0 until 8).map(j =>
       min(md5(concat(lit(s"$j|"), $"s").cast("binary"))).as(s"m$j"))
     sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
-  private[graft] def minhashCandidatePairsFor(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[graft] def minhashCandidatePairsFor(docs: DataFrame): DataFrame =
+    minhashCandidatePairsFromSigs(minhashSigsFor(docs))
+
+  /** Band-bucket candidate pairing from an already-computed signature
+    * table — split out so callers that also need the signatures (the
+    * sketch-accuracy audit) derive the shingle explode ONCE instead of
+    * re-running it per consumer.
+    */
+  private[graft] def minhashCandidatePairsFromSigs(sig0: DataFrame): DataFrame = {
+    val s = sig0.sparkSession
     import s.implicits._
-    val sig = minhashSigsFor(docs)
+    val sig = sig0
     val bands = sig.select($"doc_id", explode(array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary"))
@@ -1840,8 +1851,13 @@ object Pipeline {
     "x_minhash_est" -> ((s, d) => {
       import s.implicits._
       val docs = documents(s, d)
-      val pairs = minhashCandidatePairs(s, d)
-      val sigs = minhashSigsFor(docs)
+      // ONE shingle explode and ONE signature aggregation feed all three
+      // consumers (candidate pairing, signature compare, exact-Jaccard
+      // side) — lazily checkpointed so the corpus-sized explode
+      // materializes once instead of once per consumer
+      val sh = bigramShingles(docs).localCheckpoint(false)
+      val sigs = minhashSigsFromShingles(sh).localCheckpoint(false)
+      val pairs = minhashCandidatePairsFromSigs(sigs)
       val a = sigs.select(($"doc_id").as("id1") +:
         (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
       val b = sigs.select(($"doc_id").as("id2") +:
@@ -1851,7 +1867,14 @@ object Pipeline {
           (0 until 8).map(j =>
             when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
             .reduce(_ + _).as("est_matches"))
-      val sd = bigramShingles(docs).distinct()
+      // exact-Jaccard work is scoped to PAIR PARTICIPANTS before any
+      // shingle join: on a real corpus candidates touch a small fraction
+      // of docs, so the semi-join shrinks the shingle table ahead of the
+      // distinct + pair joins (on this dup-heavy synthetic corpus most
+      // docs participate, so the filter is ~neutral here)
+      val members = pairs.select(explode(array($"id1", $"id2")).as("doc_id"))
+        .distinct()
+      val sd = sh.join(members, "doc_id").distinct()
       val sc = sd.groupBy($"doc_id").agg(count(lit(1)).as("c"))
       val inter = pairs
         .join(sd.select($"doc_id".as("id1"), $"s"), "id1")

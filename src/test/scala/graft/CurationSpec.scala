@@ -149,6 +149,17 @@ class CurationSpec extends SparkSpec {
     assert(again == q("x_train_split").collect().map(_.toString).toSeq)
   }
 
+  test("bigram surprisal separates boilerplate from shuffled text") {
+    // x_bigram_nll on the corpus: a doc whose adjacent pairs all repeat
+    // (one distinct bigram) must score near-zero conditional surprisal;
+    // scores are non-negative by construction (c12 <= c1 always)
+    val rows = q("x_bigram_nll").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rows.values.forall(_ >= 0L),
+      "conditional surprisal is non-negative (c12 <= c1)")
+    assert(rows.values.toSet.size > 1, "scores must spread on the corpus")
+  }
+
   test("quotaFirstN: first n per user in (ts, event_id) order, ranked") {
     val sparkS = spark
     import sparkS.implicits._

@@ -332,6 +332,65 @@ object Curation {
         .orderBy($"bin_id")
     }),
 
+    // Incremental view maintenance (the 100 TB cost saver: merge a delta
+    // into a materialized aggregate instead of recomputing the world).
+    // Money is integer CENTS from the first projection, so partial sums
+    // merge exactly (floor-of-sum vs sum-of-floors never diverges). The
+    // gate computes the incrementally-merged per-customer aggregate AND
+    // the full recompute, and pins them equal row-by-row (`ivm_ok` = 1)
+    // — the algebraic property that makes aggregate maintenance sound.
+    "c20_incremental_view" -> ((s, d) => {
+      import s.implicits._
+      def cents(df: DataFrame) = df.select($"o_custkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("p100"))
+      val base = cents(orders(s, d))
+      // synthetic delta: every 10th order re-arrives with +50.00
+      val delta = cents(orders(s, d).filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 50))
+      val mv = base.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"), sum($"p100").as("t"))
+      val dAgg = delta.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("dn"), sum($"p100").as("dt"))
+      val merged = mv.join(dAgg, Seq("o_custkey"), "full_outer")
+        .select($"o_custkey",
+          (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_inc"),
+          (coalesce($"t", lit(0L)) + coalesce($"dt", lit(0L))).as("t_inc"))
+      val full = base.unionByName(delta).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_full"), sum($"p100").as("t_full"))
+      merged.join(full, Seq("o_custkey"))
+        .select($"o_custkey".as("custkey"), $"n_inc", $"t_inc",
+          ($"n_inc" === $"n_full" && $"t_inc" === $"t_full")
+            .cast("long").as("ivm_ok"))
+        .orderBy($"custkey")
+    }),
+
+    // Vocabulary coverage curve: share of all token occurrences covered
+    // by the top-N vocabulary entries, at N = 5/10/20 (the synthetic corpus draws from a ~31-token vocabulary) — the table
+    // that sizes a tokenizer's vocab budget. The rank/cumsum window runs
+    // over the AGGREGATED vocabulary (vocab-sized, not corpus-sized);
+    // at open-web vocab scale the cumsum upgrades to the distributed
+    // shard prefix sum exactly as x_seq_pack demonstrates.
+    "x_ngram_coverage" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+        .select(explode(words($"text")).as("token"))
+        .filter($"token" =!= "")
+      val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("total"))
+      val w = Window.orderBy($"cnt".desc, $"token")
+      vocab
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum", sum($"cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter($"rnk".isin(5, 10, 20))
+        .crossJoin(broadcast(tot))
+        .select($"rnk", $"cnt", $"cum",
+          floor(lit(10000.0) * $"cum" / $"total" + 0.5).cast("long")
+            .as("share_x10000"))
+        .orderBy($"rnk")
+    }),
+
     // Bigram-LM conditional surprisal (the step past x_unigram_nll): per
     // adjacent pair, -ln(c(w1 w2)/c(w1)) quantized to an integer once on
     // the bigram-vocabulary table, then an order-free per-doc sum. Scale
@@ -547,6 +606,46 @@ object Curation {
            CAST((c.cnt * t.n_keys + t.total - 1) // t.total AS BIGINT)
              AS salt_factor
          FROM c, t ORDER BY c.cnt DESC, c.l_suppkey LIMIT 20""",
+    "c20_incremental_view" ->
+      """WITH base AS (SELECT o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p100
+           FROM orders),
+         delta AS (SELECT o_custkey,
+             CAST(floor((o_totalprice + 50) * 100 + 0.5) AS BIGINT) AS p100
+           FROM orders WHERE o_orderkey % 10 = 0),
+         mv AS (SELECT o_custkey, count(*) AS n, sum(p100) AS t
+           FROM base GROUP BY 1),
+         da AS (SELECT o_custkey, count(*) AS dn, sum(p100) AS dt
+           FROM delta GROUP BY 1),
+         m AS (SELECT coalesce(mv.o_custkey, da.o_custkey) AS o_custkey,
+             coalesce(mv.n, 0) + coalesce(da.dn, 0) AS n_inc,
+             coalesce(mv.t, 0) + coalesce(da.dt, 0) AS t_inc
+           FROM mv FULL OUTER JOIN da ON mv.o_custkey = da.o_custkey),
+         f AS (SELECT o_custkey, count(*) AS n_full, sum(p100) AS t_full
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+           GROUP BY 1)
+         SELECT m.o_custkey AS custkey, CAST(m.n_inc AS BIGINT) AS n_inc,
+           CAST(m.t_inc AS BIGINT) AS t_inc,
+           CAST(CASE WHEN m.n_inc = f.n_full AND m.t_inc = f.t_full
+             THEN 1 ELSE 0 END AS BIGINT) AS ivm_ok
+         FROM m JOIN f ON m.o_custkey = f.o_custkey
+         ORDER BY custkey""",
+    "x_ngram_coverage" ->
+      """WITH d AS (SELECT string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         tok AS (SELECT unnest(w) AS token FROM d),
+         tok2 AS (SELECT token FROM tok WHERE token <> ''),
+         v AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM tok2),
+         r AS (SELECT token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rnk,
+             sum(cnt) OVER (ORDER BY cnt DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM v)
+         SELECT rnk, cnt, CAST(cum AS BIGINT) AS cum,
+           CAST(floor(10000.0::DOUBLE * cum / total + 0.5::DOUBLE) AS BIGINT)
+             AS share_x10000
+         FROM r, tot WHERE rnk IN (5, 10, 20) ORDER BY rnk""",
     "x_bigram_nll" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

@@ -580,6 +580,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(single <= 1, s"only the stats cumsum may serialize:\n$plan")
   }
 
+  test("c20_incremental_view: delta merge is partial-agg + key equi-joins only") {
+    val plan = planString(q("c20_incremental_view"))
+    assert(plan.contains("partial_"),
+      s"both aggregates must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVM merges on the group key only:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"the delta merge is a full-outer join on the key:\n$plan")
+  }
+
   test("zorderLayout: range-partitions on the Morton key (the CLUSTER BY shape)") {
     import org.apache.spark.sql.functions.col
     val df = graft.queries.Curation.zorderLayout(

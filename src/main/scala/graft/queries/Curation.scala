@@ -204,6 +204,31 @@ object Curation {
         .orderBy($"z_bucket")
     }),
 
+    // The measured BENEFIT of Z-order layout: bucket lineitem 256 ways
+    // under (a) the Morton key and (b) a hash-like key (l_orderkey%256),
+    // and sum each bucket's (max-min) span of the two clustered columns.
+    // Min/max file stats prune a predicate iff its value falls outside a
+    // bucket's span — smaller total span = more skippable buckets. The
+    // gate emits both layouts' span sums; CurationSpec pins z < hash on
+    // BOTH dimensions (the whole point of multi-dimensional clustering).
+    "x_zorder_benefit" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select(
+        zorder16($"l_partkey", $"l_suppkey").as("z16"),
+        ($"l_orderkey" % 256).as("hb"), $"l_partkey", $"l_suppkey")
+      def spans(bucket: Column, name: String) = li
+        .groupBy(bucket.as("b"))
+        .agg((max($"l_partkey") - min($"l_partkey")).as("sp"),
+          (max($"l_suppkey") - min($"l_suppkey")).as("ss"))
+        .agg(count(lit(1)).as("buckets"), sum($"sp").as("span_part_sum"),
+          sum($"ss").as("span_supp_sum"))
+        .select(lit(name).as("layout"), $"buckets", $"span_part_sum",
+          $"span_supp_sum")
+      spans(expr("z16 div 256"), "zorder")
+        .unionByName(spans($"hb", "rowhash"))
+        .orderBy($"layout")
+    }),
+
     // Per-file data-skipping stats (the Delta/Iceberg add-file stats
     // collection shape): group by the physical input file and collect
     // row counts + min/max of the skip-relevant columns. At 100 TB these
@@ -542,6 +567,22 @@ object Curation {
            min(z16) AS min_z, max(z16) AS max_z,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
          FROM z GROUP BY 1 ORDER BY 1""",
+    "x_zorder_benefit" ->
+      s"""WITH li AS (SELECT $zorderSqlExpr AS z16, l_orderkey % 256 AS hb,
+             l_partkey, l_suppkey FROM lineitem),
+         z AS (SELECT z16 // 256 AS b, max(l_partkey) - min(l_partkey) AS sp,
+             max(l_suppkey) - min(l_suppkey) AS ss
+           FROM li GROUP BY 1),
+         h AS (SELECT hb AS b, max(l_partkey) - min(l_partkey) AS sp,
+             max(l_suppkey) - min(l_suppkey) AS ss
+           FROM li GROUP BY 1),
+         za AS (SELECT 'zorder' AS layout, count(*) AS buckets,
+             CAST(sum(sp) AS BIGINT) AS span_part_sum,
+             CAST(sum(ss) AS BIGINT) AS span_supp_sum FROM z),
+         ha AS (SELECT 'rowhash' AS layout, count(*) AS buckets,
+             CAST(sum(sp) AS BIGINT) AS span_part_sum,
+             CAST(sum(ss) AS BIGINT) AS span_supp_sum FROM h)
+         SELECT * FROM za UNION ALL SELECT * FROM ha ORDER BY layout""",
     "c17_file_stats" ->
       """SELECT 'lineitem.parquet' AS file, count(*) AS n_rows,
            min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,

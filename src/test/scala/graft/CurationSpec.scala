@@ -149,6 +149,34 @@ class CurationSpec extends SparkSpec {
     assert(again == q("x_train_split").collect().map(_.toString).toSeq)
   }
 
+  test("z-order layout beats hash layout on BOTH clustered dimensions") {
+    val m = q("x_zorder_benefit").collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(m.keySet == Set("zorder", "rowhash"))
+    val (zp, zs) = m("zorder"); val (hp, hs) = m("rowhash")
+    assert(zp < hp, s"partkey span: zorder $zp must beat rowhash $hp")
+    assert(zs < hs, s"suppkey span: zorder $zs must beat rowhash $hs")
+  }
+
+  test("SCD2 classifies update/delete/insert on hand-built snapshots") {
+    val rows = q("c18_scd2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byAction = rows.groupBy(_._2)
+    // construction: %7=0 → update (unless also %13=0 → delete);
+    // %13=0 → delete; %17=0 → insert at key+1e6
+    rows.foreach {
+      case (k, "delete", o, n) =>
+        assert(k % 13 == 0 && n == -1L && o >= 0L, s"delete row $k")
+      case (k, "update", o, n) =>
+        assert(k % 7 == 0 && k % 13 != 0 && n == o + 10000L, s"update row $k")
+      case (k, "insert", o, n) =>
+        assert(k >= 1000000L && (k - 1000000L) % 17 == 0 && o == -1L,
+          s"insert row $k")
+      case other => fail(s"unexpected action: $other")
+    }
+    assert(byAction.keySet == Set("update", "delete", "insert"))
+  }
+
   test("bigram surprisal separates boilerplate from shuffled text") {
     // x_bigram_nll on the corpus: a doc whose adjacent pairs all repeat
     // (one distinct bigram) must score near-zero conditional surprisal;

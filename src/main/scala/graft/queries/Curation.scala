@@ -277,6 +277,27 @@ object Curation {
         .orderBy($"revenue_x10000".desc, $"l_orderkey").limit(10)
     }),
 
+    // TPC-H Q18 shape (large-volume orders): the HAVING subquery — per-
+    // order quantity sums above 300 — reduces to a TINY qualifying-key
+    // table that BROADCASTS back into orders, then into the customer
+    // dim; the big lineitem table is touched by exactly one
+    // partial-aggregated scan. Top-20 via TakeOrdered.
+    "q18_large_orders" -> ((s, d) => {
+      import s.implicits._
+      val big = lineitem(s, d).groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").cast("long").as("sum_qty"))
+        .filter($"sum_qty" > 300)
+      val ord = orders(s, d)
+        .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+      ord.join(broadcast(customer(s, d)
+          .select($"c_custkey", $"c_name")), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("total_x100"),
+          $"sum_qty")
+        .orderBy($"total_x100".desc, $"o_orderkey").limit(20)
+    }),
+
     // SCD2 snapshot merge (the warehouse dimension-history operator):
     // classify every key of old-vs-new customer snapshots as unchanged /
     // update / delete / insert by full-outer equi-join + row-hash
@@ -604,6 +625,17 @@ object Curation {
            AND l.l_shipdate > TIMESTAMP '1995-03-15'
          GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
          ORDER BY revenue_x10000 DESC, l.l_orderkey LIMIT 10""",
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 300)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_x100,
+           big.sum_qty
+         FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY total_x100 DESC, o.o_orderkey LIMIT 20""",
     "c18_scd2" ->
       """WITH old AS (SELECT c_custkey AS k, c_name, c_nationkey, c_acctbal
            FROM customer),

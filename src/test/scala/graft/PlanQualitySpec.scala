@@ -591,6 +591,18 @@ class PlanQualitySpec extends SparkSpec {
       s"the delta merge is a full-outer join on the key:\n$plan")
   }
 
+  test("q18: qualifying keys broadcast back; one partial-agg lineitem scan") {
+    val plan = planString(q("q18_large_orders"))
+    assert(plan.contains("partial_"),
+      s"per-order quantity sums must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny qualifying-key table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-sized shuffle joins in the Q18 path:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap:\n$plan")
+  }
+
   test("zorderLayout: range-partitions on the Morton key (the CLUSTER BY shape)") {
     import org.apache.spark.sql.functions.col
     val df = graft.queries.Curation.zorderLayout(

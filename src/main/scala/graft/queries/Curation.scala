@@ -468,6 +468,59 @@ object Curation {
         .orderBy($"doc_id")
     }),
 
+    // Forward-fill gap repair (§2.6 family — the timeline gap-fill the
+    // reference's empty-period handling approximates at scene level,
+    // here at event level): a sparse sensor reading (only every 5th
+    // event carries a value) is repaired by last-non-null-so-far per
+    // user. `last(ignoreNulls)` over a running frame is Spark's
+    // streaming-compatible fill; one hash shuffle on user_id, state =
+    // one value per key at any scale.
+    "f_ffill" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val masked = when($"event_id" % 5 === 0, $"value")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, d)
+        .select($"user_id", $"event_id", $"ts", masked.as("m"))
+        .withColumn("f", last($"m", ignoreNulls = true).over(w))
+        .select($"user_id", $"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("kept_ts"),
+          coalesce(floor($"m" * 100 + 0.5).cast("long"), lit(-1L))
+            .as("masked_x100"),
+          coalesce(floor($"f" * 100 + 0.5).cast("long"), lit(-1L))
+            .as("fill_x100"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Robust outlier detection (median absolute deviation): per-language
+    // token-count median and MAD, flagging docs with |x − med| > 3·MAD.
+    // Exact interpolated percentiles (the deviations live on a 0.5 grid,
+    // so every comparison is exact in binary and the oracle replays the
+    // flags bit-for-bit); the 5-row median table broadcasts back over
+    // the corpus — two partial-agg shuffles total, the robust-stats
+    // analog of the x_len_quantiles sketch path.
+    "x_mad_outliers" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"lang",
+          size(words($"text")).cast("double").as("tokens"))
+      val med = docs.groupBy($"lang")
+        .agg(percentile($"tokens", lit(0.5)).as("med"))
+      val dev = docs.join(broadcast(med), "lang")
+        .select($"lang", $"tokens", $"med",
+          abs($"tokens" - $"med").as("dev"))
+      val mad = dev.groupBy($"lang")
+        .agg(percentile($"dev", lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          floor(first($"med") * 1000 + 0.5).cast("long").as("med_x1000"),
+          floor(first($"mad") * 1000 + 0.5).cast("long").as("mad_x1000"),
+          sum(when($"dev" > $"mad" * 3, 1L).otherwise(0L)).as("outliers"))
+        .orderBy($"lang")
+    }),
+
     // §2.8 — streaming per-key top-k, batch shape: the GROUP-BOUNDED
     // TopKAgg heap (map-side partials trim to k per user before the
     // exchange); the mapGroupsWithState streaming form holds the same
@@ -739,6 +792,41 @@ object Curation {
            CAST(-sum(lq) AS BIGINT) AS nll_x1e6,
            CAST(-sum(lq) // count(*) AS BIGINT) AS mean_nll_x1e6
          FROM pairs JOIN lp ON pairs.w1 = lp.w1 AND pairs.w2 = lp.w2
+         GROUP BY 1 ORDER BY 1""",
+    "f_ffill" ->
+      """WITH m AS (SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN value END AS m
+           FROM events),
+         f AS (SELECT user_id, event_id, ts, m,
+             last_value(m IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+           FROM m)
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS kept_ts,
+           CAST(coalesce(floor(m * 100 + 0.5), -1) AS BIGINT) AS masked_x100,
+           CAST(coalesce(floor(fv * 100 + 0.5), -1) AS BIGINT) AS fill_x100
+         FROM f ORDER BY user_id, event_id""",
+    "x_mad_outliers" ->
+      """WITH d AS (SELECT lang,
+             CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+               AS tokens
+           FROM documents WHERE len(trim(text)) > 0),
+         med AS (SELECT lang, quantile_cont(tokens, 0.5) AS med
+           FROM d GROUP BY 1),
+         dev AS (SELECT d.lang, d.tokens, med.med,
+             abs(d.tokens - med.med) AS dev
+           FROM d JOIN med ON d.lang = med.lang),
+         mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT dev.lang, count(*) AS n,
+           CAST(floor(CAST(min(dev.med) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             AS med_x1000,
+           CAST(floor(CAST(min(mad.mad) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             AS mad_x1000,
+           CAST(sum(CASE WHEN dev.dev > CAST(mad.mad AS DOUBLE) * 3
+             THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+         FROM dev JOIN mad ON dev.lang = mad.lang
          GROUP BY 1 ORDER BY 1""",
     "w_stream_topk" ->
       """WITH r AS (SELECT user_id, event_id, value,

@@ -266,6 +266,37 @@ object StreamOps {
       }
   }
 
+  final case class FillOut(user_id: Long, event_id: Long,
+                           ts: java.sql.Timestamp, masked: Option[Double],
+                           filled: Option[Double])
+
+  /** Streaming forward-fill via `flatMapGroupsWithState`: per key, the
+    * state is the LAST non-null value seen — each arriving event emits
+    * its own value if present, else the carried one. Within a
+    * micro-batch rows fill in (ts, event_id) order, so a single
+    * AvailableNow pass reproduces the batch `last(ignoreNulls)` window
+    * (the `f_ffill` gate); across batches the carried value persists —
+    * pinned by StreamOpsSpec. State is ONE double per key at any scale.
+    */
+  def ffillStream(events: Dataset[KeyedEvent],
+                  maskMod: Long = 5L): Dataset[FillOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, FillOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Double]) =>
+          var carried: Option[Double] = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val m = if (e.event_id % maskMod == 0) Some(e.value) else None
+              carried = m.orElse(carried)
+              FillOut(user, e.event_id, e.ts, m, carried)
+            }
+          carried.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

@@ -534,6 +534,41 @@ class StreamOpsSpec extends SparkSpec {
       s"resumed state must drop the (1, click) duplicate, got $emitted")
   }
 
+  test("streaming forward-fill carries the last value across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.KeyedEvent
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamOps.ffillStream(input.toDS(), maskMod = 5L)
+      .writeStream.format("memory").queryName("ffill")
+      .outputMode("append").start()
+
+    // batch 1: event 10 carries a value (10 % 5 == 0), 11/12 are masked
+    input.addData(
+      KeyedEvent(1L, "c", 10L, ts("2024-01-01 00:01:00"), 4.0),
+      KeyedEvent(1L, "c", 11L, ts("2024-01-01 00:02:00"), 9.9),
+      KeyedEvent(1L, "c", 12L, ts("2024-01-01 00:03:00"), 9.9))
+    q.processAllAvailable()
+    // batch 2: the carried 4.0 must survive the batch boundary; 15
+    // refreshes the carry; a fresh user starts unfilled (None)
+    input.addData(
+      KeyedEvent(1L, "c", 13L, ts("2024-01-01 00:04:00"), 9.9),
+      KeyedEvent(1L, "c", 15L, ts("2024-01-01 00:05:00"), 7.0),
+      KeyedEvent(2L, "c", 21L, ts("2024-01-01 00:01:00"), 9.9))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ffill").collect()
+      .map(r => (r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(rows(10L).contains(4.0) && rows(11L).contains(4.0) &&
+      rows(12L).contains(4.0), "batch-1 fill from event 10")
+    assert(rows(13L).contains(4.0), "carry must survive the batch boundary")
+    assert(rows(15L).contains(7.0), "a new reading refreshes the carry")
+    assert(rows(21L).isEmpty, "a user with no reading yet stays unfilled")
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

@@ -437,6 +437,40 @@ object Curation {
         .orderBy($"rnk")
     }),
 
+    // Shuffle-quality evaluation: does the seeded md5 training order
+    // actually interleave sources? Within each of the 16 shuffle buckets
+    // (the writer-shard shape — windows partition by bucket, never
+    // globally), count adjacent same-source pairs and compare with the
+    // random-order expectation Σ nₛ(nₛ−1)/(N(N−1)); mix_ok pins observed
+    // ≤ 2×expected + slack per bucket. This is the audit that catches a
+    // broken shuffle key before a 100 TB training run bakes in source
+    // runs (loss-spike material).
+    "x_shuffle_mix_eval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = documents(s, d).select($"doc_id", $"source",
+        md5(concat(lit("shuf:"), $"doc_id".cast("string")).cast("binary"))
+          .as("k"))
+        .withColumn("bucket", substring($"k", 1, 1))
+      val w = Window.partitionBy($"bucket").orderBy($"k")
+      val adj = k.withColumn("prev", lag($"source", 1).over(w))
+      val perBucket = adj.groupBy($"bucket")
+        .agg(sum(when($"prev".isNotNull, 1L).otherwise(0L)).as("pairs"),
+          sum(when($"prev" === $"source", 1L).otherwise(0L)).as("same_src"))
+      val stats = k.groupBy($"source").agg(count(lit(1)).as("n"))
+        .agg(sum($"n" * ($"n" - 1)).as("sq"), sum($"n").as("nn"))
+      perBucket.crossJoin(broadcast(stats))
+        .select($"bucket", $"pairs", $"same_src",
+          when($"pairs" > 0,
+            floor(lit(10000.0) * $"same_src" / $"pairs" + 0.5).cast("long"))
+            .otherwise(0L).as("same_x10000"),
+          floor(lit(10000.0) * $"sq" / ($"nn" * ($"nn" - 1)) + 0.5)
+            .cast("long").as("expected_x10000"))
+        .withColumn("mix_ok",
+          ($"same_x10000" <= $"expected_x10000" * 2 + 200).cast("long"))
+        .orderBy($"bucket")
+    }),
+
     // Bigram-LM conditional surprisal (the step past x_unigram_nll): per
     // adjacent pair, -ln(c(w1 w2)/c(w1)) quantized to an integer once on
     // the bigram-vocabulary table, then an order-free per-doc sum. Scale
@@ -772,6 +806,34 @@ object Curation {
            CAST(floor(10000.0::DOUBLE * cum / total + 0.5::DOUBLE) AS BIGINT)
              AS share_x10000
          FROM r, tot WHERE rnk IN (5, 10, 20) ORDER BY rnk""",
+    "x_shuffle_mix_eval" ->
+      """WITH k AS (SELECT doc_id, source,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+             substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+           FROM documents),
+         adj AS (SELECT bucket, source,
+             lag(source) OVER (PARTITION BY bucket ORDER BY k) AS prev
+           FROM k),
+         pb AS (SELECT bucket,
+             sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS pairs,
+             sum(CASE WHEN prev = source THEN 1 ELSE 0 END) AS same_src
+           FROM adj GROUP BY 1),
+         st AS (SELECT sum(n * (n - 1)) AS sq, sum(n) AS nn
+           FROM (SELECT source, count(*) AS n FROM k GROUP BY 1))
+         SELECT pb.bucket, CAST(pb.pairs AS BIGINT) AS pairs,
+           CAST(pb.same_src AS BIGINT) AS same_src,
+           CAST(CASE WHEN pb.pairs > 0 THEN floor(10000.0::DOUBLE
+             * pb.same_src / pb.pairs + 0.5::DOUBLE) ELSE 0 END AS BIGINT)
+             AS same_x10000,
+           CAST(floor(10000.0::DOUBLE * st.sq / (st.nn * (st.nn - 1))
+             + 0.5::DOUBLE) AS BIGINT) AS expected_x10000,
+           CAST(CASE WHEN
+             (CASE WHEN pb.pairs > 0 THEN floor(10000.0::DOUBLE
+               * pb.same_src / pb.pairs + 0.5::DOUBLE) ELSE 0 END)
+             <= floor(10000.0::DOUBLE * st.sq / (st.nn * (st.nn - 1))
+               + 0.5::DOUBLE) * 2 + 200
+             THEN 1 ELSE 0 END AS BIGINT) AS mix_ok
+         FROM pb, st ORDER BY pb.bucket""",
     "x_bigram_nll" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

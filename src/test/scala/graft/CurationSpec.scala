@@ -177,6 +177,15 @@ class CurationSpec extends SparkSpec {
     assert(byAction.keySet == Set("update", "delete", "insert"))
   }
 
+  test("seeded shuffle interleaves sources: every bucket inside the mix band") {
+    val rows = q("x_shuffle_mix_eval").collect()
+    assert(rows.length == 16, "one row per hex bucket")
+    rows.foreach { r =>
+      assert(r.getLong(5) == 1L,
+        s"same-source adjacency must stay within 2x random expectation: $r")
+    }
+  }
+
   test("bigram surprisal separates boilerplate from shuffled text") {
     // x_bigram_nll on the corpus: a doc whose adjacent pairs all repeat
     // (one distinct bigram) must score near-zero conditional surprisal;

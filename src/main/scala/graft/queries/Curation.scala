@@ -437,6 +437,52 @@ object Curation {
         .orderBy($"rnk")
     }),
 
+    // Packing-efficiency audit over the gated 512-token packer: bin
+    // count, mean fill factor, and how many bins exceed budget (a doc
+    // straddling a boundary lands whole in the bin where it starts —
+    // concat-and-chunk semantics). One derived row; the packer itself
+    // is x_seq_pack's distributed prefix-sum shape.
+    "x_pack_efficiency" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.packBins(documents(s, d), budget = 512)
+        .agg(count(lit(1)).as("bins"), sum($"bin_tokens").as("total_tokens"),
+          sum(when($"bin_tokens" > 512, 1L).otherwise(0L)).as("over_bins"),
+          sum(when($"bin_tokens" < 256, 1L).otherwise(0L)).as("thin_bins"))
+        .select($"bins", $"total_tokens",
+          floor(lit(10000.0) * $"total_tokens" / ($"bins" * 512) + 0.5)
+            .cast("long").as("avg_fill_x10000"),
+          $"over_bins", $"thin_bins")
+    }),
+
+    // Filter-funnel observability: survivor counts of the corpus filter
+    // chain (raw → nonempty → length window → train split → distinct
+    // fingerprints among train), computed in ONE corpus scan (conditional
+    // aggregates — the observe()-counter shape a production funnel
+    // publishes) and unpivoted to a stage table.
+    "x_filter_funnel" -> ((s, d) => {
+      import s.implicits._
+      val nw = size(words($"text"))
+      val nonempty = length(trim($"text")) > 0
+      val lengthOk = nonempty && nw >= 20 && nw <= 200
+      val split = substring(md5(concat(lit("split:"),
+        $"doc_id".cast("string")).cast("binary")), 1, 4)
+      val isTrain = lengthOk && split >= "1999"
+      val fp = md5(lower(trim(regexp_replace($"text", " +", " ")))
+        .cast("binary"))
+      documents(s, d)
+        .agg(count(lit(1)).as("raw"),
+          sum(when(nonempty, 1L).otherwise(0L)).as("nonempty"),
+          sum(when(lengthOk, 1L).otherwise(0L)).as("length_ok"),
+          sum(when(isTrain, 1L).otherwise(0L)).as("train"),
+          countDistinct(when(isTrain, fp)).as("uniq"))
+        .select(expr(
+          """stack(5, 1, 'raw', raw, 2, 'nonempty', nonempty,
+             3, 'length_ok', length_ok, 4, 'train', train,
+             5, 'uniq_fp', uniq) AS (stage_id, stage, n_rows)"""))
+        .select($"stage_id".cast("int").as("stage_id"), $"stage", $"n_rows")
+        .orderBy($"stage_id")
+    }),
+
     // Shuffle-quality evaluation: does the seeded md5 training order
     // actually interleave sources? Within each of the 16 shuffle buckets
     // (the writer-shard shape — windows partition by bucket, never
@@ -806,6 +852,53 @@ object Curation {
            CAST(floor(10000.0::DOUBLE * cum / total + 0.5::DOUBLE) AS BIGINT)
              AS share_x10000
          FROM r, tot WHERE rnk IN (5, 10, 20) ORDER BY rnk""",
+    "x_pack_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tokens
+           FROM documents WHERE len(trim(text)) > 0),
+         c AS (SELECT doc_id, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before FROM t),
+         b AS (SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
+             CAST(sum(tokens) AS BIGINT) AS bin_tokens
+           FROM c GROUP BY 1)
+         SELECT count(*) AS bins, CAST(sum(bin_tokens) AS BIGINT)
+             AS total_tokens,
+           CAST(floor(10000.0::DOUBLE * sum(bin_tokens) / (count(*) * 512)
+             + 0.5::DOUBLE) AS BIGINT) AS avg_fill_x10000,
+           CAST(sum(CASE WHEN bin_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_bins,
+           CAST(sum(CASE WHEN bin_tokens < 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS thin_bins
+         FROM b""",
+    "x_filter_funnel" ->
+      """WITH s AS (SELECT count(*) AS raw,
+             sum(CASE WHEN len(trim(text)) > 0 THEN 1 ELSE 0 END)
+               AS nonempty,
+             sum(CASE WHEN len(trim(text)) > 0
+               AND len(string_split_regex(trim(text), ' +')) BETWEEN 20
+               AND 200 THEN 1 ELSE 0 END) AS length_ok,
+             sum(CASE WHEN len(trim(text)) > 0
+               AND len(string_split_regex(trim(text), ' +')) BETWEEN 20
+               AND 200
+               AND substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 >= '1999' THEN 1 ELSE 0 END) AS train,
+             count(DISTINCT CASE WHEN len(trim(text)) > 0
+               AND len(string_split_regex(trim(text), ' +')) BETWEEN 20
+               AND 200
+               AND substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 >= '1999'
+               THEN md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+               END) AS uniq
+           FROM documents)
+         SELECT 1 AS stage_id, 'raw' AS stage, CAST(raw AS BIGINT) AS n_rows
+           FROM s
+         UNION ALL SELECT 2, 'nonempty', CAST(nonempty AS BIGINT) FROM s
+         UNION ALL SELECT 3, 'length_ok', CAST(length_ok AS BIGINT) FROM s
+         UNION ALL SELECT 4, 'train', CAST(train AS BIGINT) FROM s
+         UNION ALL SELECT 5, 'uniq_fp', CAST(uniq AS BIGINT) FROM s
+         ORDER BY 1""",
     "x_shuffle_mix_eval" ->
       """WITH k AS (SELECT doc_id, source,
              md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,

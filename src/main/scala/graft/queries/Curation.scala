@@ -437,6 +437,67 @@ object Curation {
         .orderBy($"rnk")
     }),
 
+    // Hashed document embedding (feature hashing / random-projection by
+    // md5 signs): an 8-dim integer doc vector where dim j sums
+    // (md5(j:token) % 2001 − 1000) over the doc's tokens — the
+    // deterministic text→vector bridge (the shape of any bag-of-words
+    // projection; a learned projection swaps the hash for a broadcast
+    // weight table, same plan). Order-free integer sums; one explode +
+    // one partial-aggregated shuffle on doc_id; emits the vector's L1
+    // mass and first dims for the gate.
+    "x_hash_embed" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(words($"text")).as("t"))
+        .filter($"t" =!= "")
+      val dims = (0 until 8).map(j =>
+        sum(conv(substring(md5(concat(lit(s"$j:"), $"t").cast("binary")),
+          1, 6), 16, 10).cast("long") % 2001 - 1000).as(s"e$j"))
+      toks.groupBy($"doc_id").agg(dims.head, dims.tail: _*)
+        .select($"doc_id", $"e0", $"e1",
+          (0 until 8).map(j => abs(col(s"e$j"))).reduce(_ + _).as("l1"))
+        .orderBy($"doc_id")
+    }),
+
+    // LSH band-tuning table: candidate-pair counts of the SAME 8 MinHash
+    // signatures under each (bands × rows) split — (8×1, 4×2, 2×4, 1×8)
+    // — with the production 64-member bucket cap applied. The s-curve
+    // trade (more bands = higher recall = more candidates) read off a
+    // real corpus is how a banding threshold is CHOSEN before a 100 TB
+    // dedup run; pairs with more bands must be a superset, pinned by
+    // the monotone candidate counts.
+    "d_lsh_tuning" -> ((s, d) => {
+      import s.implicits._
+      val sigs = Pipeline.minhashSigsFor(documents(s, d))
+        .localCheckpoint(false)
+      val configs = Seq(8 -> 1, 4 -> 2, 2 -> 4, 1 -> 8)
+      configs.map { case (bands, rows) =>
+        val bandCols = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+              .cast("binary")).as("h"))
+        }
+        val bd = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bh"))
+          .select($"doc_id", $"bh.band", $"bh.h")
+        val buckets = bd.groupBy($"band", $"h")
+          .agg(count(lit(1)).as("m"))
+        val pairs = bd.as("a").join(bd.as("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .join(buckets.filter($"m" <= 64)
+            .select($"band", $"h"), Seq("band", "h"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+        pairs.agg(count(lit(1)).as("cand_pairs"))
+          .crossJoin(broadcast(buckets.agg(
+            sum(when($"m" > 1 && $"m" <= 64, 1L).otherwise(0L))
+              .as("buckets_used"),
+            sum(when($"m" > 64, 1L).otherwise(0L)).as("buckets_capped"))))
+          .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+            $"cand_pairs", $"buckets_used", $"buckets_capped")
+      }.reduce(_ unionByName _).orderBy($"bands".desc)
+    }),
+
     // Packing-efficiency audit over the gated 512-token packer: bin
     // count, mean fill factor, and how many bins exceed budget (a doc
     // straddling a boundary lands whole in the bin where it starts —
@@ -852,6 +913,85 @@ object Curation {
            CAST(floor(10000.0::DOUBLE * cum / total + 0.5::DOUBLE) AS BIGINT)
              AS share_x10000
          FROM r, tot WHERE rnk IN (5, 10, 20) ORDER BY rnk""",
+    "x_hash_embed" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+             FROM documents WHERE len(trim(text)) > 0),
+         t AS (SELECT doc_id, unnest(w) AS t FROM d),
+         t2 AS (SELECT doc_id, t FROM t WHERE t <> ''),
+         e AS (SELECT doc_id, j,
+             sum(('0x' || substr(md5(j || ':' || t), 1, 6))::BIGINT % 2001
+               - 1000) AS v
+           FROM t2, range(0, 8) r(j) GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS e0,
+           CAST(max(CASE WHEN j = 1 THEN v END) AS BIGINT) AS e1,
+           CAST(sum(abs(v)) AS BIGINT) AS l1
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    "d_lsh_tuning" ->
+      s"""WITH ${Pipeline.minhashCtesSql},
+         b81 AS (SELECT doc_id, j AS band, md5(m) AS h FROM mh),
+         s24 AS (SELECT doc_id,
+             md5(max(CASE WHEN j=0 THEN m END) || max(CASE WHEN j=1 THEN m END)
+               || max(CASE WHEN j=2 THEN m END)
+               || max(CASE WHEN j=3 THEN m END)) AS h0,
+             md5(max(CASE WHEN j=4 THEN m END) || max(CASE WHEN j=5 THEN m END)
+               || max(CASE WHEN j=6 THEN m END)
+               || max(CASE WHEN j=7 THEN m END)) AS h1
+           FROM mh GROUP BY doc_id),
+         b24 AS (SELECT doc_id, 0 AS band, h0 AS h FROM s24
+           UNION ALL SELECT doc_id, 1, h1 FROM s24),
+         s18 AS (SELECT doc_id,
+             md5(max(CASE WHEN j=0 THEN m END) || max(CASE WHEN j=1 THEN m END)
+               || max(CASE WHEN j=2 THEN m END) || max(CASE WHEN j=3 THEN m END)
+               || max(CASE WHEN j=4 THEN m END) || max(CASE WHEN j=5 THEN m END)
+               || max(CASE WHEN j=6 THEN m END)
+               || max(CASE WHEN j=7 THEN m END)) AS h
+           FROM mh GROUP BY doc_id),
+         b18 AS (SELECT doc_id, 0 AS band, h FROM s18),
+         b42 AS (SELECT doc_id, band, h FROM bands),
+         k81 AS (SELECT band, h, count(*) AS m FROM b81 GROUP BY 1, 2),
+         k42 AS (SELECT band, h, count(*) AS m FROM b42 GROUP BY 1, 2),
+         k24 AS (SELECT band, h, count(*) AS m FROM b24 GROUP BY 1, 2),
+         k18 AS (SELECT band, h, count(*) AS m FROM b18 GROUP BY 1, 2),
+         p81 AS (SELECT count(*) AS cand FROM (SELECT DISTINCT a.doc_id AS x,
+             b.doc_id AS y FROM b81 a JOIN b81 b ON a.band = b.band
+             AND a.h = b.h AND a.doc_id < b.doc_id
+             JOIN k81 k ON k.band = a.band AND k.h = a.h AND k.m <= 64)),
+         p42 AS (SELECT count(*) AS cand FROM (SELECT DISTINCT a.doc_id AS x,
+             b.doc_id AS y FROM b42 a JOIN b42 b ON a.band = b.band
+             AND a.h = b.h AND a.doc_id < b.doc_id
+             JOIN k42 k ON k.band = a.band AND k.h = a.h AND k.m <= 64)),
+         p24 AS (SELECT count(*) AS cand FROM (SELECT DISTINCT a.doc_id AS x,
+             b.doc_id AS y FROM b24 a JOIN b24 b ON a.band = b.band
+             AND a.h = b.h AND a.doc_id < b.doc_id
+             JOIN k24 k ON k.band = a.band AND k.h = a.h AND k.m <= 64)),
+         p18 AS (SELECT count(*) AS cand FROM (SELECT DISTINCT a.doc_id AS x,
+             b.doc_id AS y FROM b18 a JOIN b18 b ON a.band = b.band
+             AND a.h = b.h AND a.doc_id < b.doc_id
+             JOIN k18 k ON k.band = a.band AND k.h = a.h AND k.m <= 64)),
+         u81 AS (SELECT sum(CASE WHEN m > 1 AND m <= 64 THEN 1 ELSE 0 END)
+             AS used, sum(CASE WHEN m > 64 THEN 1 ELSE 0 END) AS capped
+           FROM k81),
+         u42 AS (SELECT sum(CASE WHEN m > 1 AND m <= 64 THEN 1 ELSE 0 END)
+             AS used, sum(CASE WHEN m > 64 THEN 1 ELSE 0 END) AS capped
+           FROM k42),
+         u24 AS (SELECT sum(CASE WHEN m > 1 AND m <= 64 THEN 1 ELSE 0 END)
+             AS used, sum(CASE WHEN m > 64 THEN 1 ELSE 0 END) AS capped
+           FROM k24),
+         u18 AS (SELECT sum(CASE WHEN m > 1 AND m <= 64 THEN 1 ELSE 0 END)
+             AS used, sum(CASE WHEN m > 64 THEN 1 ELSE 0 END) AS capped
+           FROM k18)
+         SELECT 8 AS bands, 1 AS rows_per_band,
+           CAST(p81.cand AS BIGINT) AS cand_pairs,
+           CAST(u81.used AS BIGINT) AS buckets_used,
+           CAST(u81.capped AS BIGINT) AS buckets_capped FROM p81, u81
+         UNION ALL SELECT 4, 2, CAST(p42.cand AS BIGINT),
+           CAST(u42.used AS BIGINT), CAST(u42.capped AS BIGINT) FROM p42, u42
+         UNION ALL SELECT 2, 4, CAST(p24.cand AS BIGINT),
+           CAST(u24.used AS BIGINT), CAST(u24.capped AS BIGINT) FROM p24, u24
+         UNION ALL SELECT 1, 8, CAST(p18.cand AS BIGINT),
+           CAST(u18.used AS BIGINT), CAST(u18.capped AS BIGINT) FROM p18, u18
+         ORDER BY bands DESC""",
     "x_pack_efficiency" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tokens

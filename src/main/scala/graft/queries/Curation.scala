@@ -437,6 +437,53 @@ object Curation {
         .orderBy($"rnk")
     }),
 
+    // Curation dashboard: exact-duplicate rate per source (docs vs
+    // distinct normalized fingerprints) — the per-feed health metric a
+    // crawl pipeline watches; one partial-agg pass, countDistinct per
+    // group.
+    "x_dup_rate_by_source" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"source",
+          md5(lower(trim(regexp_replace($"text", " +", " "))).cast("binary"))
+            .as("fp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs"), countDistinct($"fp").as("uniq"))
+        .select($"source", $"docs", $"uniq",
+          floor(lit(10000.0) * ($"docs" - $"uniq") / $"docs" + 0.5)
+            .cast("long").as("dup_x10000"))
+        .orderBy($"source")
+    }),
+
+    // CUBE grouping sets over the order catalog: all four marginals of
+    // (status, priority) in ONE pass — the full-cross summary c15's
+    // ROLLUP only half-covers; Spark expands the sets before the
+    // aggregate so it is still a single shuffle.
+    "c21_cube_stats" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("int").as("lvl"), count(lit(1)).as("n"),
+          floor(sum($"o_totalprice") * 100 + 0.5).cast("long").as("total_x100"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"lvl", $"n", $"total_x100")
+        .orderBy($"status", $"priority", $"lvl")
+    }),
+
+    // Fixed-width token-length histogram (10-word bins): the corpus
+    // length profile behind the 20..200 filter window choice; narrow
+    // projection into one hash-agg.
+    "x_len_histogram" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).filter(length(trim($"text")) > 0)
+        .select((size(words($"text")).cast("long")).as("nw"))
+        .groupBy(expr("nw div 10").as("bin"))
+        .agg(count(lit(1)).as("n"), min($"nw").as("min_nw"),
+          max($"nw").as("max_nw"))
+        .orderBy($"bin")
+    }),
+
     // Hashed document embedding (feature hashing / random-projection by
     // md5 signs): an 8-dim integer doc vector where dim j sums
     // (md5(j:token) % 2001 − 1000) over the doc's tokens — the
@@ -913,6 +960,35 @@ object Curation {
            CAST(floor(10000.0::DOUBLE * cum / total + 0.5::DOUBLE) AS BIGINT)
              AS share_x10000
          FROM r, tot WHERE rnk IN (5, 10, 20) ORDER BY rnk""",
+    "x_dup_rate_by_source" ->
+      """WITH f AS (SELECT source,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+           FROM documents WHERE len(trim(text)) > 0),
+         g AS (SELECT source, count(*) AS docs, count(DISTINCT fp) AS uniq
+           FROM f GROUP BY 1)
+         SELECT source, docs, CAST(uniq AS BIGINT) AS uniq,
+           CAST(floor(10000.0::DOUBLE * (docs - uniq) / docs + 0.5::DOUBLE)
+             AS BIGINT) AS dup_x10000
+         FROM g ORDER BY source""",
+    "c21_cube_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+             AS INT) AS lvl,
+           count(*) AS n,
+           CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_x100
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority, lvl""",
+    "x_len_histogram" ->
+      """SELECT CAST(len(string_split_regex(trim(text), ' +')) // 10
+             AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(min(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+             AS min_nw,
+           CAST(max(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+             AS max_nw
+         FROM documents WHERE len(trim(text)) > 0
+         GROUP BY 1 ORDER BY 1""",
     "x_hash_embed" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),

@@ -437,6 +437,63 @@ object Curation {
         .orderBy($"rnk")
     }),
 
+    // M7 — tile 8-neighborhood join (the seamline/blending adjacency a
+    // mosaic engine needs): tiles from the engine's own Grid tessellation
+    // (the g1 grid), neighbors found by exploding the 9 (Δh, Δv) offsets
+    // and EQUI-joining on the shifted index — the dilation-join trick
+    // that turns a spatial adjacency into a hash join (no theta join at
+    // any grid size). Interior tiles count 8, edges/corners fewer.
+    "m7_tile_neighbors" -> ((s, d) => {
+      import s.implicits._
+      val tiles = graft.core.Grid.createTiles("G", 150000.0, 100000.0,
+          0.0, 10000000.0, xl = 100000.0, xr = 1000000.0,
+          yb = 8000000.0, yu = 9000000.0, srid = 100001)
+        .map(t => (t.tileId, t.tileId.substring(0, 3).toInt,
+          t.tileId.substring(3, 6).toInt))
+        .toDF("tile_id", "ih", "iv")
+      val offsets = for { dh <- -1 to 1; dv <- -1 to 1
+        if !(dh == 0 && dv == 0) } yield (dh, dv)
+      val probes = tiles.select($"tile_id", explode(array(offsets.map {
+          case (dh, dv) => struct(($"ih" + dh).as("nh"), ($"iv" + dv).as("nv"))
+        }: _*)).as("p"))
+        .select($"tile_id", $"p.nh", $"p.nv")
+      probes.join(tiles.select($"ih".as("nh"), $"iv".as("nv")), Seq("nh", "nv"))
+        .groupBy($"tile_id").agg(count(lit(1)).as("n_neighbors"))
+        .orderBy($"tile_id")
+    }),
+
+    // Source-drift detection: per-source KL-style divergence from the
+    // corpus unigram distribution, in the established integer-quantized
+    // form (per-term logprobs floored once at ×1e6, then order-free
+    // integer sums of cnt·(lqₛ − lq)) so the oracle replays exactly.
+    // The term join is vocab-sized; the per-feed drift score is what a
+    // crawl pipeline alerts on when a source's content shifts.
+    "x_source_drift" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"source", explode(words($"text")).as("t"))
+        .filter($"t" =!= "")
+      val tot = toks.agg(count(lit(1)).as("n_all"))
+      val glob = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(tot))
+        .select($"t", floor(log($"c".cast("double") / $"n_all".cast("double"))
+          * 1e6).cast("long").as("lq"))
+      val per = toks.groupBy($"source", $"t").agg(count(lit(1)).as("cs"))
+      val stot = per.groupBy($"source").agg(sum($"cs").as("ns"))
+      per.join(stot, "source")
+        .select($"source", $"t", $"cs",
+          floor(log($"cs".cast("double") / $"ns".cast("double")) * 1e6)
+            .cast("long").as("lqs"))
+        .join(glob, "t")
+        .groupBy($"source")
+        .agg(sum($"cs").as("toks"),
+          sum($"cs" * ($"lqs" - $"lq")).as("kl_sum"))
+        // NOTE deliberately no kl_sum/toks ratio: quantization can push
+        // kl_sum slightly negative, where Spark's `div` (truncate) and
+        // DuckDB's `//` (floor) disagree — the raw sum replays exactly
+        .orderBy($"source")
+    }),
+
     // Curation dashboard: exact-duplicate rate per source (docs vs
     // distinct normalized fingerprints) — the per-feed health metric a
     // crawl pipeline watches; one partial-agg pass, countDistinct per
@@ -960,6 +1017,41 @@ object Curation {
            CAST(floor(10000.0::DOUBLE * cum / total + 0.5::DOUBLE) AS BIGINT)
              AS share_x10000
          FROM r, tot WHERE rnk IN (5, 10, 20) ORDER BY rnk""",
+    "m7_tile_neighbors" ->
+      """WITH tiles AS (SELECT
+             lpad(CAST(ih AS VARCHAR), 3, '0')
+               || lpad(CAST(iv AS VARCHAR), 3, '0') AS tile_id, ih, iv
+           FROM range(CAST(trunc((100000.0 - 0.0) / 150000.0) AS INT),
+                  CAST(trunc((1000000.0 - 0.0) / 150000.0) AS INT) + 1) t(ih),
+                range(CAST(trunc((10000000.0 - 9000000.0) / 100000.0) AS INT),
+                  CAST(trunc((10000000.0 - 8000000.0) / 100000.0) AS INT) + 1)
+                  u(iv)),
+         probes AS (SELECT tile_id, ih + dh AS nh, iv + dv AS nv
+           FROM tiles, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+             (1,-1),(1,0),(1,1)) o(dh, dv))
+         SELECT p.tile_id, count(*) AS n_neighbors
+         FROM probes p JOIN tiles n ON p.nh = n.ih AND p.nv = n.iv
+         GROUP BY 1 ORDER BY 1""",
+    "x_source_drift" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(text), ' +'))
+             AS t
+           FROM documents WHERE len(trim(text)) > 0),
+         t2 AS (SELECT source, t FROM t WHERE t <> ''),
+         tot AS (SELECT count(*) AS n_all FROM t2),
+         gl AS (SELECT t, CAST(floor(ln(CAST(count(*) AS DOUBLE)
+               / CAST(tot.n_all AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+               AS lq
+           FROM t2, tot GROUP BY t, tot.n_all),
+         per AS (SELECT source, t, count(*) AS cs FROM t2 GROUP BY 1, 2),
+         stot AS (SELECT source, sum(cs) AS ns FROM per GROUP BY 1),
+         ps AS (SELECT per.source, per.t, per.cs,
+             CAST(floor(ln(CAST(per.cs AS DOUBLE) / CAST(stot.ns AS DOUBLE))
+               * 1000000.0::DOUBLE) AS BIGINT) AS lqs
+           FROM per JOIN stot ON per.source = stot.source)
+         SELECT ps.source, CAST(sum(ps.cs) AS BIGINT) AS toks,
+           CAST(sum(ps.cs * (ps.lqs - gl.lq)) AS BIGINT) AS kl_sum
+         FROM ps JOIN gl ON ps.t = gl.t
+         GROUP BY 1 ORDER BY 1""",
     "x_dup_rate_by_source" ->
       """WITH f AS (SELECT source,
              md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp

@@ -47,7 +47,7 @@ object SparkEntry {
         .orderBy($"l_returnflag", $"l_linestatus")
     })) ++
       gq.Relational.queries ++ gq.CubeOps.queries ++ gq.EngineOps.queries ++
-      gq.Pipeline.queries ++ gq.Curation.queries
+      gq.Pipeline.queries ++ gq.Curation.queries ++ gq.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -64,5 +64,5 @@ object SparkEntry {
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""") ++
       gq.Relational.oracles ++ gq.CubeOps.oracles ++ gq.EngineOps.oracles ++
-      gq.Pipeline.oracles ++ gq.Curation.oracles
+      gq.Pipeline.oracles ++ gq.Curation.oracles ++ gq.Analytics.oracles
 }

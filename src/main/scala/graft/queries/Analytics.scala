@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph/analytics and source-format operators (round 10, wave 4):
+  * degree-ordered triangle counting, the TPC-H Q17 correlated-threshold
+  * shape, character-entropy quality scoring, duplicated-span run length,
+  * CDC latest-state snapshots, and the storage-layout sources — a
+  * partition-pruned writer path plus CSV / JSON-lines round trips through
+  * the engine's own writers.
+  *
+  * Shared discipline with [[Pipeline]] / [[Curation]]: every score is
+  * engine-portable (md5 hex, integer arithmetic, explicit ×1e6 / ×100
+  * quantization) so the DuckDB oracle replays results exactly, and every
+  * aggregation on a scale path is partial-aggregable.
+  */
+object Analytics {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def words(text: Column): Column = split(trim(text), " +")
+
+  /** The deterministic synthetic link graph shared with `v_pagerank`
+    * (Curation): dst = (v² + 37k) mod N for k = 1..3 — quadratic, so
+    * in-degrees vary. Returned as canonical undirected edges
+    * (a = least, b = greatest, self-loops dropped, deduped).
+    */
+  def linkGraphEdges(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    docs.crossJoin(broadcast(nRow))
+      .select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * $"doc_id" + 37) % $"n",
+        ($"doc_id" * $"doc_id" + 74) % $"n",
+        ($"doc_id" * $"doc_id" + 111) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation counts over an undirected edge set
+    * (columns `a`, `b`, canonical a<b, deduped), by the degree-ordered
+    * node-iterator (Suri & Vassilvitskii, WWW'11 "Counting triangles and
+    * the curse of the last reducer"): orient every edge from its
+    * lower-(degree, id) endpoint to the higher, enumerate wedges as the
+    * self-join of oriented edges on the low endpoint, and close each
+    * wedge with an oriented-edge equi-join. Each triangle {u,v,w} is
+    * found exactly once, at its minimum-(degree, id) corner, and the
+    * wedge fan-out per node is bounded by its ORIENTED out-degree — at
+    * most O(√m) on any graph — which is what keeps the hottest node from
+    * becoming "the last reducer" at 100 TB. All three joins are hash
+    * equi-joins; no window touches the edge set.
+    */
+  def triangleCorners(edges0: DataFrame): DataFrame = {
+    import edges0.sparkSession.implicits._
+    // The edge table feeds four consumers (degree count ×2, orientation,
+    // closing-edge probe): a lazy localCheckpoint materializes it once
+    // instead of replaying the generator subtree per consumer.
+    val edges = edges0.localCheckpoint(false)
+    val deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("dg"))
+    val da = deg.select($"v".as("a"), $"dg".as("dga"))
+    val db = deg.select($"v".as("b"), $"dg".as("dgb"))
+    val aFirst = $"dga" < $"dgb" || ($"dga" === $"dgb" && $"a" < $"b")
+    val oriented = edges.join(da, "a").join(db, "b")
+      .select(
+        when(aFirst, $"a").otherwise($"b").as("lo"),
+        when(aFirst, $"b").otherwise($"a").as("hi"),
+        when(aFirst, $"dgb").otherwise($"dga").as("dh"))
+      .localCheckpoint(false)
+    val o1 = oriented.select($"lo", $"hi".as("y"), $"dh".as("dy"))
+    val o2 = oriented.select($"lo", $"hi".as("z"), $"dh".as("dz"))
+    val wedges = o1.join(o2, Seq("lo"))
+      .filter($"dy" < $"dz" || ($"dy" === $"dz" && $"y" < $"z"))
+      .select($"lo".as("x"), $"y", $"z")
+    val closing = oriented.select($"lo".as("y"), $"hi".as("z"))
+    wedges.join(closing, Seq("y", "z"))
+      .select($"x", $"y", $"z")
+  }
+
+  /** CDC latest-state snapshot: fold an upsert/delete change stream to
+    * the live state by per-key argmax over (ts, change_id) — a
+    * partial-aggregable max(struct(...)), NOT a row_number window, so
+    * map-side combine trims each task to one candidate row per key
+    * before the exchange. Keys whose latest change is a delete drop out
+    * of the snapshot. Input columns: k, ts, change_id, op ('upsert' |
+    * 'delete'), val_cents.
+    */
+  def cdcSnapshot(changes: DataFrame): DataFrame = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupBy($"k")
+      .agg(max(struct($"ts", $"change_id", $"op", $"val_cents")).as("last"))
+      .filter($"last.op" === "upsert")
+      .select($"k", unix_micros($"last.ts").as("last_ts_us"),
+        $"last.change_id".as("last_change"),
+        $"last.val_cents".as("last_val_cents"))
+  }
+
+  /** Per-document character-entropy (natural log, ×1e6 integer): the
+    * gibberish / binary-spill detector of a text-quality pipeline.
+    * H = ln N − (Σ c·ln c)/N over per-doc character counts c; each ln
+    * quantizes to floor(ln·1e6) exactly once per (doc, char) row, and
+    * the division is integer `div`, so the oracle replays every value
+    * bit-for-bit. Scale shape: one char explode → partial-aggregated
+    * (doc, char) counts → per-doc partial-aggregated sum; linear, no
+    * joins.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter(length($"text") > 0)
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .filter($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_ch"), count(lit(1)).as("n_distinct"),
+        sum($"cnt" * floor(log($"cnt".cast("double")) * 1e6).cast("long"))
+          .as("esum"))
+      .select($"doc_id", $"n_ch", $"n_distinct",
+        (floor(log($"n_ch".cast("double")) * 1e6).cast("long") -
+          expr("esum div n_ch")).as("entropy_x1e6"))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Triangle counting over the synthetic link graph (the spam-farm /
+    // community-density signal of link-based curation). Degree-ordered
+    // node-iterator — see [[triangleCorners]]; per-node participation =
+    // each triangle credited to all three corners; top-20 nodes ranked.
+    // The only window runs on the node-count-sized aggregate, never the
+    // edge set.
+    "v_triangles" -> ((s, d) => {
+      import s.implicits._
+      val tris = triangleCorners(linkGraphEdges(documents(s, d)))
+      val corners = tris.select(explode(array($"x", $"y", $"z")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("tri_cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"tri_cnt".desc, $"node")
+      corners
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 20)
+        .select($"node", $"tri_cnt", $"rnk")
+        .orderBy($"rnk")
+    }),
+
+    // TPC-H Q17 shape — "small-quantity orders revenue": rows whose
+    // quantity is below 20% of their part's average, summed per brand.
+    // The correlated scalar subquery decorrelates into ONE per-part
+    // partial aggregation of lineitem joined back to the probe scan —
+    // and the threshold test stays integer-exact by clearing the
+    // division: qty < sum/(5·cnt) ⟺ 5·qty·cnt < sum. The part dim
+    // filter (p_size ≤ 10) broadcasts into the probe.
+    "q17_small_quantity" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+      val perPart = li.groupBy($"l_partkey")
+        .agg(sum($"l_quantity".cast("long")).as("sq"), count(lit(1)).as("cnt"))
+      val pp = part(s, d).filter($"p_size" <= 10)
+        .select($"p_partkey", $"p_brand")
+      li.join(broadcast(pp), li("l_partkey") === pp("p_partkey"))
+        .join(perPart, Seq("l_partkey"))
+        .filter(lit(5) * $"l_quantity".cast("long") * $"cnt" < $"sq")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          floor(sum($"l_extendedprice") * 100 + 0.5).cast("long")
+            .as("revenue_x100"))
+        .orderBy($"p_brand")
+    }),
+
+    // Character-entropy quality scores — see [[charEntropy]]; flag docs
+    // under 2.0 nats as low-entropy (repetitive / degenerate text).
+    "x_char_entropy" -> ((s, d) => {
+      import s.implicits._
+      charEntropy(documents(s, d))
+        .withColumn("low_entropy",
+          when($"entropy_x1e6" < 2000000L, 1L).otherwise(0L))
+        .orderBy($"doc_id")
+    }),
+
+    // Longest duplicated-span run per document (Lee et al. 2022: exact
+    // substring dedup targets spans, not whole docs): a 5-gram position
+    // is "duplicated" when its gram occurs ≥2 times corpus-wide (same
+    // doc or another); the longest run of consecutive duplicated
+    // positions measures the span a substring-level dedup would cut.
+    // Runs via the pos − row_number() grouping trick; both windows
+    // partition BY DOC — no global window, and the gram table join is
+    // vocabulary-sized (x_dup_spans' proven shape).
+    "x_dup_run" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 5)
+      val grams = base.select($"doc_id",
+        posexplode(transform(sequence(lit(1), size($"w") - 4),
+          i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+            element_at($"w", i + 2), element_at($"w", i + 3),
+            element_at($"w", i + 4)))))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("g"))
+      val freq = grams.groupBy($"g").agg(count(lit(1)).as("call"))
+      val dup = grams.join(freq.filter($"call" >= 2), Seq("g"))
+        .select($"doc_id", $"pos")
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      dup.withColumn("grp", $"pos" - row_number().over(byDoc))
+        .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("run"))
+        .groupBy($"doc_id").agg(max($"run").as("max_dup_run"),
+          count(lit(1)).as("n_runs"))
+        .orderBy($"doc_id")
+    }),
+
+    // CDC latest-state snapshot — see [[cdcSnapshot]]. The change
+    // stream derives deterministically from events (key = user_id mod
+    // 50, 'error' events act as deletes); the streaming twin
+    // (StreamOps.cdcLatestStream) folds the same changes with
+    // mapGroupsWithState and is pinned equal in StreamOpsSpec.
+    "w_stream_cdc" -> ((s, d) => {
+      import s.implicits._
+      val changes = events(s, d).select(
+        ($"user_id" % 50).as("k"), $"ts", $"event_id".as("change_id"),
+        when($"event_type" === "error", "delete").otherwise("upsert").as("op"),
+        floor($"value" * 100 + 0.5).cast("long").as("val_cents"))
+      cdcSnapshot(changes).orderBy($"k")
+    }),
+
+    // Partition-pruned storage layout: write documents through the
+    // engine's partitionBy(lang) writer, then read back ONLY two
+    // partitions — PlanQualitySpec pins that the lang predicate lands in
+    // PartitionFilters (directories skipped at planning time, the 100 TB
+    // behavior: a partition-pruned scan never opens the other
+    // partitions' files).
+    "s_partitioned_prune" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      documents(s, d).select($"doc_id", $"source", $"n_chars", $"lang")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter($"lang".isin("en", "fr"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars_sum"))
+        .orderBy($"lang", $"source")
+    }),
+
+    // CSV round trip through the engine's own writer/reader: doc text
+    // with commas/quotes must survive quote-escaping byte-exactly — the
+    // gate hashes the text after the round trip against the parquet
+    // original. Explicit read schema (no inference pass over the data).
+    "s_csv_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      documents(s, d).select($"doc_id", $"lang", $"text")
+        .write.mode("overwrite").option("header", "true")
+        .option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(tmp)
+      s.read
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("header", "true").option("escape", "\"").csv(tmp)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_doc"),
+          sum(conv(substring(md5($"text".cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash_sum"))
+        .orderBy($"lang")
+    }),
+
+    // JSON-lines round trip (the interchange format of most public text
+    // corpora): write + read with an explicit schema, then hash-audit
+    // the text per source exactly like the CSV gate.
+    "s_jsonl_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      documents(s, d).select($"doc_id", $"source", $"text")
+        .write.mode("overwrite").json(tmp)
+      s.read
+        .schema("doc_id LONG, source STRING, text STRING")
+        .json(tmp)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_doc"),
+          sum(conv(substring(md5($"text".cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash_sum"))
+        .orderBy($"source")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "v_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS dg FROM
+           (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+         o AS (SELECT
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS lo,
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS hi,
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dh
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         w AS (SELECT o1.lo AS x, o1.hi AS y, o2.hi AS z
+           FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+           WHERE (o1.dh, o1.hi) < (o2.dh, o2.hi)),
+         tris AS (SELECT w.x, w.y, w.z
+           FROM w JOIN o ON o.lo = w.y AND o.hi = w.z),
+         corners AS (SELECT node, count(*) AS tri_cnt FROM
+           (SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris) GROUP BY 1)
+         SELECT node, tri_cnt,
+           CAST(row_number() OVER (ORDER BY tri_cnt DESC, node) AS BIGINT)
+             AS rnk
+         FROM corners QUALIFY rnk <= 20 ORDER BY rnk""",
+    "q17_small_quantity" ->
+      """WITH pa AS (SELECT l_partkey,
+             CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+         pp AS (SELECT p_partkey, p_brand FROM part WHERE p_size <= 10)
+         SELECT pp.p_brand, count(*) AS n_small,
+           CAST(floor(sum(l.l_extendedprice) * 100 + 0.5) AS BIGINT)
+             AS revenue_x100
+         FROM lineitem l
+         JOIN pp ON l.l_partkey = pp.p_partkey
+         JOIN pa ON l.l_partkey = pa.l_partkey
+         WHERE 5 * CAST(trunc(l.l_quantity) AS BIGINT) * pa.cnt < pa.sq
+         GROUP BY 1 ORDER BY 1""",
+    "x_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents WHERE len(text) > 0),
+         cc AS (SELECT doc_id, c, count(*) AS cnt
+           FROM ch WHERE c <> '' GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ch,
+             count(*) AS n_distinct,
+             CAST(sum(cnt * CAST(floor(ln(cnt) * 1e6) AS BIGINT)) AS BIGINT)
+               AS esum
+           FROM cc GROUP BY 1)
+         SELECT doc_id, n_ch, n_distinct,
+           CAST(floor(ln(n_ch) * 1e6) AS BIGINT) - esum // n_ch
+             AS entropy_x1e6,
+           CAST(CASE WHEN CAST(floor(ln(n_ch) * 1e6) AS BIGINT) - esum // n_ch
+               < 2000000 THEN 1 ELSE 0 END AS BIGINT) AS low_entropy
+         FROM pd ORDER BY doc_id""",
+    "x_dup_run" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents),
+         d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 5),
+         g AS (SELECT doc_id, p AS pos,
+             array_to_string(list_slice(w, p, p + 4), ' ') AS gm
+           FROM d2, unnest(range(1, len(w) - 3)) t(p)),
+         cf AS (SELECT gm, count(*) AS call FROM g GROUP BY 1),
+         dup AS (SELECT g.doc_id, g.pos
+           FROM g JOIN cf ON g.gm = cf.gm WHERE cf.call >= 2),
+         runs AS (SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM dup),
+         rc AS (SELECT doc_id, grp, count(*) AS run
+           FROM runs GROUP BY 1, 2)
+         SELECT doc_id, max(run) AS max_dup_run, count(*) AS n_runs
+         FROM rc GROUP BY 1 ORDER BY 1""",
+    "w_stream_cdc" ->
+      """WITH c AS (SELECT user_id % 50 AS k, ts, event_id AS change_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents
+           FROM events),
+         r AS (SELECT k, ts, change_id, op, val_cents,
+             row_number() OVER (PARTITION BY k
+               ORDER BY ts DESC, change_id DESC) AS rn
+           FROM c)
+         SELECT k, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           change_id AS last_change, val_cents AS last_val_cents
+         FROM r WHERE rn = 1 AND op = 'upsert' ORDER BY k""",
+    "s_partitioned_prune" ->
+      """SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         FROM documents WHERE lang IN ('en', 'fr')
+         GROUP BY 1, 2 ORDER BY lang, source""",
+    "s_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS text_hash_sum
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "s_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS text_hash_sum
+         FROM documents GROUP BY 1 ORDER BY source""")
+}

@@ -297,6 +297,37 @@ object StreamOps {
       }
   }
 
+  final case class CdcChange(k: Long, ts: java.sql.Timestamp,
+                             change_id: Long, op: String, val_cents: Long)
+  final case class CdcOut(k: Long, last_ts: java.sql.Timestamp,
+                          last_change: Long, last_val_cents: Long,
+                          live: Boolean)
+
+  /** Streaming CDC fold via `mapGroupsWithState`: per key the state is
+    * the latest change by (ts, change_id) — each micro-batch emits the
+    * key's current snapshot row, with `live = false` when the latest
+    * change is a delete (a downstream sink drops those keys). Late or
+    * out-of-order changes are resolved by the same (ts, change_id)
+    * argmax the batch `cdcSnapshot` aggregate uses, so the streaming
+    * state converges to the batch snapshot no matter how changes split
+    * across micro-batches — pinned by StreamOpsSpec. State is ONE
+    * change record per key at any scale.
+    */
+  def cdcLatestStream(changes: Dataset[CdcChange]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.k)
+      .mapGroupsWithState[(Long, Long, String, Long), CdcOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long, String, Long)]) =>
+          val latest = (state.getOption.iterator ++
+            rows.map(c => (c.ts.getTime, c.change_id, c.op, c.val_cents)))
+            .maxBy { case (t, id, _, _) => (t, id) }
+          state.update(latest)
+          CdcOut(key, new java.sql.Timestamp(latest._1), latest._2,
+            latest._4, latest._3 == "upsert")
+      }
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

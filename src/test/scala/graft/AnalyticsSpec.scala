@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Analytics
+
+/** Unit semantics for the Analytics wave: triangle counting, CDC
+  * snapshot folds, character entropy, and writer round trips.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toDF("a", "b")
+
+  test("triangleCorners: K4 has 4 triangles, every node in 3") {
+    val k4 = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val tris = Analytics.triangleCorners(k4).collect()
+    assert(tris.length == 4)
+    val perNode = tris.flatMap(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(perNode == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
+  }
+
+  test("triangleCorners: each triangle reported once, at any degree skew") {
+    // star + one closing edge: only (0,1,2) closes; hub 0 has degree 4
+    val g = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+    val tris = Analytics.triangleCorners(g).collect()
+    assert(tris.length == 1)
+    assert(tris.head.toSeq.toSet.map((x: Any) => x.asInstanceOf[Long]) ==
+      Set(0L, 1L, 2L))
+  }
+
+  test("triangleCorners: triangle-free graph yields nothing") {
+    val path = edges((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(Analytics.triangleCorners(path).count() == 0)
+  }
+
+  test("cdcSnapshot: latest change wins; delete-last keys drop out") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      // key 1: upsert then newer upsert (out of order in the input)
+      (1L, ts("2024-01-02 00:00:00"), 20L, "upsert", 222L),
+      (1L, ts("2024-01-01 00:00:00"), 10L, "upsert", 111L),
+      // key 2: upsert then delete -> gone
+      (2L, ts("2024-01-01 00:00:00"), 11L, "upsert", 100L),
+      (2L, ts("2024-01-03 00:00:00"), 30L, "delete", 0L),
+      // key 3: same ts, higher change_id wins
+      (3L, ts("2024-01-01 00:00:00"), 41L, "upsert", 1L),
+      (3L, ts("2024-01-01 00:00:00"), 42L, "upsert", 2L))
+      .toDF("k", "ts", "change_id", "op", "val_cents")
+    val out = Analytics.cdcSnapshot(changes).orderBy($"k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out(0).getLong(2) == 20L && out(0).getLong(3) == 222L)
+    assert(out(1).getLong(2) == 42L && out(1).getLong(3) == 2L)
+  }
+
+  test("charEntropy: degenerate text scores 0, uniform pair ln 2") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val out = Analytics.charEntropy(docs).orderBy($"doc_id").collect()
+    assert(out.length == 2) // empty doc filtered
+    assert(out(0).getLong(3) == 0L) // H(aaaa) = ln 4 - (4 ln 4)/4 = 0
+    assert(out(1).getLong(3) == 693147L) // ln 2 * 1e6 floor
+  }
+
+  test("charEntropy: quantization matches the integer recipe by hand") {
+    // "aab": n=3, counts {a:2, b:1}
+    // esum = 2*floor(ln 2 *1e6) + 1*floor(ln 1 *1e6) = 2*693147 = 1386294
+    // H = floor(ln 3 *1e6) - esum div 3 = 1098612 - 462098 = 636514
+    val out = Analytics.charEntropy(Seq((1L, "aab")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.head.getLong(3) == 636514L)
+  }
+
+  test("csv and jsonl round trips preserve adversarial text") {
+    val nasty = Seq(
+      (1L, "en", """comma, "quoted", more"""),
+      (2L, "de", "unicode é中文 tail"),
+      (3L, "fr", "  leading and trailing  "))
+      .toDF("doc_id", "lang", "text")
+    val tmpC = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    nasty.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(tmpC)
+    val backC = spark.read.schema("doc_id LONG, lang STRING, text STRING")
+      .option("header", "true").option("escape", "\"").csv(tmpC)
+      .orderBy($"doc_id").collect()
+    assert(backC.map(_.getString(2)).toSeq ==
+      nasty.orderBy($"doc_id").collect().map(_.getString(2)).toSeq)
+
+    val tmpJ = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    nasty.write.mode("overwrite").json(tmpJ)
+    val backJ = spark.read.schema("doc_id LONG, lang STRING, text STRING")
+      .json(tmpJ).orderBy($"doc_id").collect()
+    assert(backJ.map(_.getString(2)).toSeq ==
+      nasty.orderBy($"doc_id").collect().map(_.getString(2)).toSeq)
+  }
+
+  test("q17 threshold algebra: 5*qty*cnt < sum <=> qty < 0.2*avg") {
+    // part with qtys 10, 20, 30: avg=20, 0.2*avg=4 -> none qualify
+    // part with qtys 1, 99: avg=50, 0.2*avg=10 -> qty=1 qualifies
+    for ((qtys, expect) <- Seq(Seq(10L, 20L, 30L) -> 0, Seq(1L, 99L) -> 1)) {
+      val sum = qtys.sum; val cnt = qtys.length
+      assert(qtys.count(q => 5 * q * cnt < sum) == expect)
+    }
+  }
+}

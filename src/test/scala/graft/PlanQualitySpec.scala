@@ -614,4 +614,56 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Sort") && !plan.contains("Exchange SinglePartition"),
       s"within-partition sort only, never a global single-partition sort:\n$plan")
   }
+
+  test("v_triangles: wedge/closing joins are hash equi-joins, never all-pairs") {
+    val plan = planString(q("v_triangles"))
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle enumeration must never go all-pairs:\n$plan")
+    // the only BNLJ allowed is the 1-row count broadcast into the edge gen
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"only the 1-row N broadcast may nest-loop:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"degree and corner counts must combine map-side:\n$plan")
+  }
+
+  test("q17: part dim broadcasts; threshold join is a hash equi-join") {
+    val plan = planString(q("q17_small_quantity"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"size-filtered part dim must broadcast into the probe:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the decorrelated threshold must stay an equi-join:\n$plan")
+    assert(plan.contains("partial_"),
+      s"per-part quantity sums must combine map-side:\n$plan")
+  }
+
+  test("w_stream_cdc: snapshot is a partial-aggregable argmax, no window") {
+    val plan = planString(q("w_stream_cdc"))
+    assert(!plan.contains("Window"),
+      s"the CDC fold must not row_number the change log:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"the (ts, change_id) argmax must combine map-side:\n$plan")
+  }
+
+  test("s_partitioned_prune: lang predicate prunes partitions at planning") {
+    val plan = planString(q("s_partitioned_prune"))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang IN (...) must land in PartitionFilters, not a data filter:\n$plan")
+  }
+
+  test("x_char_entropy: linear explode into two partial hash-aggs, no joins") {
+    val plan = planString(q("x_char_entropy"))
+    assert(!plan.contains("Join"), s"entropy needs no joins:\n$plan")
+    assert(plan.contains("partial_"),
+      s"char counts must combine map-side:\n$plan")
+  }
+
+  test("x_dup_run: run windows partition by doc, never one partition") {
+    val plan = planString(q("x_dup_run"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram-frequency join stays an equi-join:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global window over the position table:\n$plan")
+  }
 }

@@ -569,6 +569,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows(21L).isEmpty, "a user with no reading yet stays unfilled")
   }
 
+  test("streaming CDC fold converges to the batch snapshot across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.CdcChange
+    val input = MemoryStream[CdcChange]
+    val q = StreamOps.cdcLatestStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("update").start()
+
+    def state(): Map[Long, (Long, Long, Boolean)] =
+      spark.table("cdc").collect()
+        .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+
+    // batch 1: two keys upserted
+    input.addData(
+      CdcChange(1L, ts("2024-01-01 00:01:00"), 10L, "upsert", 100L),
+      CdcChange(2L, ts("2024-01-01 00:01:00"), 11L, "upsert", 200L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> ((10L, 100L, true)), 2L -> ((11L, 200L, true))))
+
+    // batch 2: newer upsert for k1; k2 deleted — state crosses the boundary
+    input.addData(
+      CdcChange(1L, ts("2024-01-01 00:05:00"), 30L, "upsert", 111L),
+      CdcChange(2L, ts("2024-01-01 00:06:00"), 31L, "delete", 0L))
+    q.processAllAvailable()
+    val s2 = state()
+    assert(s2(1L) == ((30L, 111L, true)) && s2(2L)._3 == false)
+
+    // batch 3: a STALE change for k1 arrives late — the carried
+    // (ts, change_id) argmax must reject it, like the batch aggregate
+    input.addData(
+      CdcChange(1L, ts("2024-01-01 00:03:00"), 20L, "upsert", 999L))
+    q.processAllAvailable()
+    q.stop()
+    assert(state()(1L) == ((30L, 111L, true)),
+      "stale late change must not override the newer state")
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

@@ -225,6 +225,96 @@ object Analytics {
       cdcSnapshot(changes).orderBy($"k")
     }),
 
+    // Point-in-time snapshot diff ("time travel"): reconstruct the CDC
+    // ledger state as of two timestamps with the same window-free
+    // [[cdcSnapshot]] argmax (filtered to ts ≤ T — the predicate pushes
+    // to the scan), then diff the snapshots by one full-outer hash join:
+    // added / removed / changed / unchanged per key with the value
+    // delta. The lakehouse as-of read, expressed as two bounded folds —
+    // data is never replayed row-by-row.
+    "c22_snapshot_asof" -> ((s, d) => {
+      import s.implicits._
+      val changes = events(s, d).select(
+        ($"user_id" % 50).as("k"), $"ts", $"event_id".as("change_id"),
+        when($"event_type" === "error", "delete").otherwise("upsert").as("op"),
+        floor($"value" * 100 + 0.5).cast("long").as("val_cents"))
+      def asof(t: String) = cdcSnapshot(
+        changes.filter($"ts" <= lit(t).cast("timestamp")))
+      val s1 = asof("2024-01-15").select($"k",
+        $"last_change".as("change_t1"), $"last_val_cents".as("val_t1"))
+      val s2 = asof("2024-01-25").select($"k",
+        $"last_change".as("change_t2"), $"last_val_cents".as("val_t2"))
+      s1.join(s2, Seq("k"), "full_outer")
+        .select($"k",
+          when($"change_t1".isNull, "added")
+            .when($"change_t2".isNull, "removed")
+            .when($"change_t1" === $"change_t2", "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce($"val_t1", lit(0L)).as("val_t1"),
+          coalesce($"val_t2", lit(0L)).as("val_t2"),
+          (coalesce($"val_t2", lit(0L)) - coalesce($"val_t1", lit(0L)))
+            .as("delta_cents"))
+        .orderBy($"k")
+    }),
+
+    // Per-language Pearson correlation + regression slope between doc
+    // length in chars and in words — the profile stat behind a
+    // length-normalization choice. The five sums (Σx, Σy, Σx², Σy²,
+    // Σxy) are exact integer partial aggregates (ONE corpus scan, no
+    // joins); only the final per-group corr/beta divide in doubles,
+    // floor-quantized ×1e6 so the oracle replays bit-for-bit. At larger
+    // scales the sums promote to DECIMAL before n·Σx² outgrows a long
+    // (bounded here: chars ≤ 1e4, docs ≤ 1e8 per group keeps products
+    // under 2^62).
+    "x_corr_len" -> ((s, d) => {
+      import s.implicits._
+      val f = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"lang", $"n_chars".as("x"),
+          size(words($"text")).cast("long").as("y"))
+      f.groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"lang", $"n",
+          floor(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))) * 1e6)
+            .cast("long").as("corr_x1e6"),
+          floor(($"n" * $"sxy" - $"sx" * $"sy").cast("double") * 1e6 /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+            .cast("long").as("beta_x1e6"))
+        .orderBy($"lang")
+    }),
+
+    // TPC-H Q21 shape — "suppliers who shipped last on multi-supplier
+    // orders": the correlated EXISTS decorrelates to a LEFT SEMI hash
+    // join (another supplier touched the order) and the NOT EXISTS to a
+    // LEFT ANTI hash join (nobody else shipped strictly later) — the
+    // two join flavors a 100 TB engine must keep as equi-joins with
+    // residual conditions, never per-row subquery replays. Top-20 by
+    // wait count with a total tie-break order.
+    "q21_waiting_supplier" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      val l1 = li
+      val l2 = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+      val l3 = li.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"),
+        $"l_shipdate".as("d3"))
+      val waited = l1
+        .join(l2, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2",
+          "left_semi")
+        .join(l3, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3" &&
+          $"d3" > $"l_shipdate", "left_anti")
+      waited
+        .join(broadcast(supplier(s, d).select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(countDistinct($"l_orderkey").as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -370,6 +460,59 @@ object Analytics {
          SELECT k, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
            change_id AS last_change, val_cents AS last_val_cents
          FROM r WHERE rn = 1 AND op = 'upsert' ORDER BY k""",
+    "c22_snapshot_asof" ->
+      """WITH c AS (SELECT user_id % 50 AS k, ts, event_id AS change_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents
+           FROM events),
+         s1 AS (SELECT k, change_id, val_cents FROM
+           (SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts DESC, change_id DESC) AS rn
+            FROM c WHERE ts <= TIMESTAMP '2024-01-15')
+           WHERE rn = 1 AND op = 'upsert'),
+         s2 AS (SELECT k, change_id, val_cents FROM
+           (SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts DESC, change_id DESC) AS rn
+            FROM c WHERE ts <= TIMESTAMP '2024-01-25')
+           WHERE rn = 1 AND op = 'upsert')
+         SELECT coalesce(s1.k, s2.k) AS k,
+           CASE WHEN s1.k IS NULL THEN 'added'
+                WHEN s2.k IS NULL THEN 'removed'
+                WHEN s1.change_id = s2.change_id THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           coalesce(s1.val_cents, 0) AS val_t1,
+           coalesce(s2.val_cents, 0) AS val_t2,
+           coalesce(s2.val_cents, 0) - coalesce(s1.val_cents, 0)
+             AS delta_cents
+         FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k ORDER BY k""",
+    "x_corr_len" ->
+      """WITH f AS (SELECT lang, n_chars AS x,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS y
+           FROM documents WHERE len(trim(text)) > 0),
+         s AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM f GROUP BY 1)
+         SELECT lang, n,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6) AS BIGINT)
+             AS corr_x1e6,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6 /
+             CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS beta_x1e6
+         FROM s ORDER BY lang""",
+    "q21_waiting_supplier" ->
+      """SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+         FROM lineitem l1
+         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
     "s_partitioned_prune" ->
       """SELECT lang, source, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars_sum

@@ -1045,6 +1045,40 @@ object Pipeline {
         .orderBy($"id1", $"id2")
     }),
 
+    // k-NN graph construction (the precursor of graph-based dedup and
+    // semantic clustering): every vector's top-3 neighbors among its
+    // LSH-candidate set — the SAME capped-bucket pair machinery as
+    // d_embed_neardup_lsh (pair space bounded by Σ|bucket|², never a
+    // corpus self-join), symmetrized, then ranked per node by exact
+    // cosine. The ranking window partitions BY NODE; at 100 TB the
+    // per-node candidate lists stay bucket-bounded, so no partition
+    // outgrows its task.
+    "v_knn_graph" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val bucketed = emb.select($"vec_id",
+        posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+      val cand = capBuckets(bucketed.groupBy($"tbl", $"bkt")
+        .agg(sort_array(collect_list($"vec_id")).as("ids")))
+        .select(explode(flatten(transform($"ids", (x, i) =>
+          transform(slice($"ids", i + 2, size($"ids")),
+            y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+        .select($"p.id1", $"p.id2")
+        .distinct()
+      val e1 = emb.select($"vec_id".as("id1"), $"embedding".as("e1"))
+      val e2 = emb.select($"vec_id".as("id2"), $"embedding".as("e2"))
+      val scored = cand.join(e1, "id1").join(e2, "id2")
+        .select($"id1", $"id2", cosine($"e1", $"e2").as("cos"))
+      val sym = scored.select($"id1".as("node"), $"id2".as("nbr"), $"cos")
+        .union(scored.select($"id2".as("node"), $"id1".as("nbr"), $"cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"node").orderBy(desc("cos"), $"nbr")
+      sym.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+        .select($"node", $"nbr",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
+        .orderBy($"node", $"rnk")
+    }),
+
     // BPE-ish tokenization: regex token classes (letters / digit / other)
     "x_bpe_tokens" -> ((s, d) => {
       import s.implicits._
@@ -2161,6 +2195,31 @@ object Pipeline {
          s AS (SELECT id1, id2, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots)
          SELECT id1, id2, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
          FROM s WHERE cos >= 0.45 ORDER BY id1, id2""",
+    "v_knn_graph" ->
+      s"""WITH $lshBucketsSql,
+         bok AS (SELECT tbl, bkt FROM bits GROUP BY tbl, bkt
+           HAVING count(*) <= 64),
+         cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+           FROM bits a JOIN bits b
+             ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+           JOIN bok ON bok.tbl = a.tbl AND bok.bkt = a.bkt),
+         dots AS (SELECT cand.id1, cand.id2,
+             sum(CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)) AS na,
+             sum(CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS nb
+           FROM cand JOIN embeddings a ON a.vec_id = cand.id1
+             JOIN embeddings b ON b.vec_id = cand.id2, range(1, 65) t(k)
+           GROUP BY 1, 2),
+         sc AS (SELECT id1, id2, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots),
+         sym AS (SELECT id1 AS node, id2 AS nbr, cos FROM sc
+           UNION ALL SELECT id2, id1, cos FROM sc),
+         rk AS (SELECT node, nbr, cos,
+             CAST(row_number() OVER (PARTITION BY node
+               ORDER BY cos DESC, nbr) AS INT) AS rnk
+           FROM sym)
+         SELECT node, nbr,
+           CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY node, rnk""",
     "x_bpe_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT)

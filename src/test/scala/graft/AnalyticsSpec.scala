@@ -96,6 +96,48 @@ class AnalyticsSpec extends SparkSpec {
       nasty.orderBy($"doc_id").collect().map(_.getString(2)).toSeq)
   }
 
+  test("corr moments: exact-linear data scores ±1e6 within one ulp") {
+    // y = 2x -> corr ~ +1; y = -2x + 100 -> corr ~ -1 (floor may shave
+    // one microunit from the FP sqrt product)
+    val xs = Seq(10L, 20L, 30L, 40L)
+    def corr(y: Long => Long): Long = {
+      val pts = xs.map(x => (x, y(x)))
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      math.floor((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)) * 1e6).toLong
+    }
+    assert(corr(x => 2 * x) >= 999999L)
+    assert(corr(x => 100 - 2 * x) <= -999999L)
+  }
+
+  test("q21 semi/anti semantics: last shipper on shared orders wins") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val li = Seq(
+      // order 1: suppliers 10 and 20; 20 ships last -> only 20 waits
+      (1L, 10L, d("2024-01-01")), (1L, 20L, d("2024-01-05")),
+      // order 2: single supplier -> EXISTS fails, nobody counted
+      (2L, 10L, d("2024-01-02")),
+      // order 3: 10 and 20 tie on the date -> neither strictly later,
+      // both pass the anti side and both count
+      (3L, 10L, d("2024-01-03")), (3L, 20L, d("2024-01-03")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val l2 = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+    val l3 = li.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"),
+      $"l_shipdate".as("d3"))
+    val waited = li
+      .join(l2, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(l3, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3" &&
+        $"d3" > $"l_shipdate", "left_anti")
+      .groupBy($"l_suppkey").agg(countDistinct($"l_orderkey").as("numwait"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(waited == Map(10L -> 1L, 20L -> 2L))
+  }
+
   test("q17 threshold algebra: 5*qty*cnt < sum <=> qty < 0.2*avg") {
     // part with qtys 10, 20, 30: avg=20, 0.2*avg=4 -> none qualify
     // part with qtys 1, 99: avg=50, 0.2*avg=10 -> qty=1 qualifies

@@ -666,4 +666,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"no global window over the position table:\n$plan")
   }
+
+  test("q21: EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    val plan = planString(q("q21_waiting_supplier"))
+    assert(plan.contains("LeftSemi"),
+      s"the EXISTS must run as a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the NOT EXISTS must run as a left-anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated subqueries must never replay per row:\n$plan")
+  }
+
+  test("c22: as-of snapshots are window-free partial-aggregable argmaxes") {
+    val plan = planString(q("c22_snapshot_asof"))
+    assert(!plan.contains("Window"),
+      s"point-in-time reconstruction must not row_number the ledger:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"both snapshots must combine map-side:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"the diff is one full-outer key join:\n$plan")
+  }
+
+  test("x_corr_len: five moment sums in one scan, no joins") {
+    val plan = planString(q("x_corr_len"))
+    assert(!plan.contains("Join"), s"corr needs no joins:\n$plan")
+    assert(plan.contains("partial_"),
+      s"moment sums must combine map-side:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"exactly one documents scan, saw $scans:\n$plan")
+  }
+
+  test("v_knn_graph: pair space is bucket-bounded, never a corpus self-join") {
+    val plan = planString(q("v_knn_graph"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"kNN candidates must come from bucket equi-joins:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the ranking window partitions by node, never globally:\n$plan")
+  }
 }

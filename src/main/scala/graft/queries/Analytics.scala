@@ -315,6 +315,57 @@ object Analytics {
         .limit(20)
     }),
 
+    // Join-cardinality profiler: the output size of a self-equi-join on
+    // l_partkey is EXACTLY Σ cnt(k)² — computed from one per-key count
+    // aggregation, never by materializing the join (the estimate a
+    // planner wants before committing to a shuffle, and the profile
+    // that justifies salting: top keys' share of the join output). The
+    // top-5 keys reduce via orderBy+limit (a bounded TakeOrdered), the
+    // 1-row total broadcasts back.
+    "x_join_size_profile" -> ((s, d) => {
+      import s.implicits._
+      // the per-key profile feeds both the total and the top-5 — one
+      // lazy checkpoint keeps it a single lineitem scan (plan-pinned)
+      val cnts = lineitem(s, d).groupBy($"l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"l_partkey", $"cnt", ($"cnt" * $"cnt").as("contrib"))
+        .localCheckpoint(false)
+      val tot = cnts.agg(sum($"contrib").as("join_rows"))
+      val top = cnts.orderBy($"contrib".desc, $"l_partkey").limit(5)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"contrib".desc, $"l_partkey")
+      top.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select($"rnk", $"l_partkey", $"cnt", $"contrib", $"join_rows",
+          floor($"contrib" * 10000 / $"join_rows").as("share_x10000"))
+        .orderBy($"rnk")
+    }),
+
+    // Dataset release card: the one-row corpus summary a dataset
+    // publisher ships (docs, languages, sources, chars, words, exact-dup
+    // rate via distinct text fingerprints) — ONE corpus scan into a
+    // two-level aggregate; every count is partial-aggregable and the
+    // distinct fingerprint count is itself a hash-groupBy, not a global
+    // distinct sort.
+    "x_dataset_card" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          size(words($"text")).cast("long").as("n_words"),
+          md5($"text".cast("binary")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          sum($"n_chars").as("chars_sum"),
+          sum($"n_words").as("words_sum"),
+          countDistinct($"fp").as("n_unique_texts"))
+        .select($"n_docs", $"n_langs", $"n_sources", $"chars_sum",
+          $"words_sum", $"n_unique_texts",
+          floor(($"n_docs" - $"n_unique_texts") * 10000 / $"n_docs")
+            .as("dup_x10000"),
+          expr("(chars_sum * 100) div n_docs").as("mean_chars_x100"))
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -513,6 +564,39 @@ object Analytics {
                AND l3.l_suppkey <> l1.l_suppkey
                AND l3.l_shipdate > l1.l_shipdate)
          GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
+    "x_join_size_profile" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt,
+             count(*) * count(*) AS contrib
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(contrib) AS BIGINT) AS join_rows FROM c),
+         top AS (SELECT l_partkey, cnt, contrib,
+             CAST(row_number() OVER (ORDER BY contrib DESC, l_partkey)
+               AS BIGINT) AS rnk
+           FROM c QUALIFY rnk <= 5)
+         SELECT top.rnk, top.l_partkey, top.cnt,
+           CAST(top.contrib AS BIGINT) AS contrib, tot.join_rows,
+           CAST(floor(top.contrib * 10000 / tot.join_rows) AS BIGINT)
+             AS share_x10000
+         FROM top, tot ORDER BY rnk""",
+    "x_dataset_card" ->
+      """WITH f AS (SELECT doc_id, lang, source, n_chars,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_words,
+             md5(text) AS fp
+           FROM documents),
+         a AS (SELECT count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+             CAST(sum(n_words) AS BIGINT) AS words_sum,
+             count(DISTINCT fp) AS n_unique_texts
+           FROM f)
+         SELECT n_docs, n_langs, n_sources, chars_sum, words_sum,
+           n_unique_texts,
+           CAST(floor((n_docs - n_unique_texts) * 10000 / n_docs) AS BIGINT)
+             AS dup_x10000,
+           (chars_sum * 100) // n_docs AS mean_chars_x100
+         FROM a""",
     "s_partitioned_prune" ->
       """SELECT lang, source, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars_sum

@@ -571,6 +571,50 @@ object Pipeline {
     assign
   }
 
+  /** Simplified silhouette of the kmeansQuantized clustering: per point,
+    * a = distance to the own FINAL centroid, b = min distance to any
+    * other, s = (b−a)/max(a,b), aggregated per cluster. Distances reuse
+    * the kmeans integer recipe (n²·qq − 2n·ip + ss over ×1000-quantized
+    * dims); only the final sqrt/divide are FP, floor-quantized ×1e6 so
+    * the oracle replays exactly. Centroids re-derive from the final
+    * assignment with one partial agg; the k-row centroid table
+    * broadcasts; no pairwise distances anywhere.
+    */
+  private[graft] def clusterSilhouette(emb: DataFrame, seeds: Seq[Long],
+                                       iters: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val assign = kmeansQuantized(emb, seeds, iters).select($"vec_id", $"cid")
+    val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
+      .select($"vec_id", $"k",
+        floor($"v".cast("double") * 1000).cast("long").as("qv"))
+    val sq = dims.groupBy($"vec_id").agg(sum($"qv" * $"qv").as("qq"))
+    val cent = dims.join(assign, Seq("vec_id"))
+      .groupBy($"cid", $"k").agg(sum($"qv").as("sk"), count(lit(1)).as("n"))
+    val stats = cent.groupBy($"cid")
+      .agg(sum($"sk" * $"sk").as("ss"), max($"n").as("n"))
+    val ip = dims.join(broadcast(cent.select($"cid", $"k", $"sk")), Seq("k"))
+      .groupBy($"vec_id", $"cid").agg(sum($"qv" * $"sk").as("ip"))
+    val dd = ip.join(broadcast(stats), Seq("cid")).join(sq, Seq("vec_id"))
+      .select($"vec_id", $"cid",
+        (($"n" * $"n" * $"qq" - lit(2L) * $"n" * $"ip" + $"ss")
+          .cast("double") / ($"n" * $"n").cast("double")).as("dd"))
+    val own = dd.join(assign.withColumnRenamed("cid", "own"), Seq("vec_id"))
+    val aDist = own.filter($"cid" === $"own")
+      .select($"vec_id", $"own", sqrt($"dd").as("adist"))
+    val bDist = own.filter($"cid" =!= $"own")
+      .groupBy($"vec_id").agg(min(sqrt($"dd")).as("bdist"))
+    aDist.join(bDist, Seq("vec_id"))
+      .select($"vec_id", $"own".as("cid"),
+        floor(($"bdist" - $"adist") / greatest($"adist", $"bdist") * 1e6)
+          .cast("long").as("sil_x1e6"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_pts"),
+        floor(avg($"sil_x1e6")).cast("long").as("mean_sil_x1e6"),
+        min($"sil_x1e6").as("min_sil"), max($"sil_x1e6").as("max_sil"))
+      .orderBy($"cid")
+  }
+
   /** The SemDeDup candidate stage (Abbas et al. 2023): k-means-cluster the
     * corpus, then score cosine ONLY for pairs sharing a cluster — the
     * cluster equi-join bounds the pair space to exactly Σ|cluster|·
@@ -1044,6 +1088,19 @@ object Pipeline {
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"))
         .orderBy($"id1", $"id2")
     }),
+
+    // Cluster-quality evaluation for the k-means path (the published
+    // index-health number, like v_recall_eval for ANN): simplified
+    // silhouette per point — a = distance to the own final centroid,
+    // b = min distance to any other — aggregated per cluster. Distances
+    // reuse the kmeans integer recipe (n²·qq − 2n·ip + ss over ×1000
+    // quantized dims), so the only FP ops are the final sqrt/divide,
+    // floor-quantized ×1e6. Scale shape: centroids re-derive from the
+    // final assignment with one partial agg; the k-row centroid table
+    // broadcasts; per-point work is one scan — no pairwise distances
+    // anywhere.
+    "v_cluster_silhouette" -> ((s, d) =>
+      clusterSilhouette(embeddings(s, d), Seq(1L, 5L, 9L, 13L), iters = 2)),
 
     // k-NN graph construction (the precursor of graph-based dedup and
     // semantic clustering): every vector's top-3 neighbors among its
@@ -2195,6 +2252,34 @@ object Pipeline {
          s AS (SELECT id1, id2, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots)
          SELECT id1, id2, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
          FROM s WHERE cos >= 0.45 ORDER BY id1, id2""",
+    "v_cluster_silhouette" ->
+      s"""WITH $kmeansCtesSql,
+         cent3 AS (SELECT a.cid, d.k, CAST(sum(d.qv) AS BIGINT) AS sk,
+             count(*) AS n
+           FROM dims d JOIN as2 a USING (vec_id) GROUP BY 1, 2),
+         stats3 AS (SELECT cid, CAST(sum(sk * sk) AS BIGINT) AS ss,
+             max(n) AS n
+           FROM cent3 GROUP BY 1),
+         ip3 AS (SELECT d.vec_id, c.cid, CAST(sum(d.qv * c.sk) AS BIGINT) AS ip
+           FROM dims d JOIN cent3 c USING (k) GROUP BY 1, 2),
+         dd3 AS (SELECT i.vec_id, i.cid,
+             CAST(s.n * s.n * q.qq - 2 * s.n * i.ip + s.ss AS DOUBLE)
+               / CAST(s.n * s.n AS DOUBLE) AS dd
+           FROM ip3 i JOIN stats3 s USING (cid) JOIN sq q USING (vec_id)),
+         ownd AS (SELECT d.vec_id, a.cid AS own, d.cid, d.dd
+           FROM dd3 d JOIN as2 a USING (vec_id)),
+         aa AS (SELECT vec_id, own, sqrt(dd) AS adist
+           FROM ownd WHERE cid = own),
+         bb AS (SELECT vec_id, min(sqrt(dd)) AS bdist
+           FROM ownd WHERE cid <> own GROUP BY 1),
+         sil AS (SELECT aa.vec_id, aa.own AS cid,
+             CAST(floor((bb.bdist - aa.adist)
+               / greatest(aa.adist, bb.bdist) * 1e6) AS BIGINT) AS sil_x1e6
+           FROM aa JOIN bb USING (vec_id))
+         SELECT cid, count(*) AS n_pts,
+           CAST(floor(avg(sil_x1e6)) AS BIGINT) AS mean_sil_x1e6,
+           min(sil_x1e6) AS min_sil, max(sil_x1e6) AS max_sil
+         FROM sil GROUP BY 1 ORDER BY cid""",
     "v_knn_graph" ->
       s"""WITH $lshBucketsSql,
          bok AS (SELECT tbl, bkt FROM bits GROUP BY tbl, bkt

@@ -705,4 +705,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"the ranking window partitions by node, never globally:\n$plan")
   }
+
+  test("v_cluster_silhouette: centroid tables broadcast; no pairwise join") {
+    val plan = planString(q("v_cluster_silhouette"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"k-row centroid tables must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"silhouette must never score pairwise point distances:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-point min-distance is an aggregate, not a window:\n$plan")
+  }
+
+  test("x_join_size_profile: profile never materializes the join") {
+    val plan = planString(q("x_join_size_profile"))
+    // the per-key profile is checkpointed (one lineitem scan by
+    // construction); both consumers read the ExistingRDD, so no parquet
+    // scan may survive in the final plan
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 0 && plan.contains("ExistingRDD"),
+      s"consumers must share the checkpointed profile, saw $scans scans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top keys reduce via a bounded heap:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"only the 1-row total broadcasts back:\n$plan")
+  }
+
+  test("x_dataset_card: one corpus scan, two-level partial aggregation") {
+    val plan = planString(q("x_dataset_card"))
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"the card is ONE scan, saw $scans:\n$plan")
+    assert(plan.contains("partial_"),
+      s"card metrics must combine map-side:\n$plan")
+    assert(!plan.contains("Join"), s"no joins in the card:\n$plan")
+  }
 }

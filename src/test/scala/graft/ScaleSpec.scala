@@ -158,6 +158,28 @@ class ScaleSpec extends SparkSpec {
     assert(a1 == a2, "second Lloyd iteration should be a fixpoint here")
   }
 
+  test("silhouette: well-separated blobs score near 1, per cluster") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // same two-orthant blob corpus as the kmeans convergence test:
+    // within-blob spread is tiny vs the between-blob distance, so the
+    // simplified silhouette must sit far above 0.5 for both clusters
+    def blobVec(center: Double, jitter: Int): Array[Float] =
+      Array.tabulate(64)(i => (center + ((i * 7 + jitter) % 5) * 0.01).toFloat)
+    val rows = (0L until 40L).map { id =>
+      val c = if (id % 2 == 0) 0.8 else -0.8
+      (id, blobVec(c, (id % 7).toInt))
+    }
+    val out = graft.queries.Pipeline.clusterSilhouette(
+      rows.toDF("vec_id", "embedding"), Seq(0L, 1L), iters = 2).collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      assert(r.getLong(1) == 20L, s"cluster size: ${r.toSeq}")
+      assert(r.getLong(2) > 900000L,
+        s"blob silhouette must be near 1: ${r.toSeq}")
+    }
+  }
+
   test("soak: composite and MinHash-LSH shuffle/memory scale ~linearly at 10x") {
     // Plans are pinned elsewhere; this pins the CONSTANTS: run the t2/t3
     // composite shape and the d_minhash_lsh candidate pipeline on
@@ -394,6 +416,45 @@ class ScaleSpec extends SparkSpec {
     info(f"pagerank: shuffle ${p1._1}B -> ${p10._1}B ($ratio%.1fx)")
     assert(ratio < 25, s"pagerank shuffle grew superlinearly: $ratio")
     assert(ratio > 3, s"pagerank shuffle growth suspiciously flat: $ratio")
+  }
+
+  test("soak: triangle counting shuffle stays near-linear at 10x nodes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // edges = 3N, and degree orientation bounds per-node wedge fan-out
+    // by the oriented out-degree, so on the quadratic synthetic graph
+    // the whole pipeline (degrees, orientation, wedges, closing) must
+    // shuffle ~linearly in N — the "last reducer" never materializes
+    def docsAt(n: Long) =
+      spark.range(n).select($"id".as("doc_id")).repartition(8)
+    def tris(n: Long) = graft.queries.Analytics.triangleCorners(
+      graft.queries.Analytics.linkGraphEdges(docsAt(n)))
+    val t1 = measure(tris(5000L))
+    val t10 = measure(tris(50000L))
+    assert(t1._1 > 0, "triangles: no shuffle measured at base size")
+    val ratio = t10._1.toDouble / t1._1
+    info(f"triangles: shuffle ${t1._1}B -> ${t10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"triangle shuffle grew superlinearly: $ratio")
+  }
+
+  test("soak: char-entropy shuffle ~linear at 10x corpus, flat memory") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // breakPartitioning=true: with the synthetic range lineage intact,
+    // Catalyst proves RangePartitioning(id) clusters doc_id and plans
+    // the WHOLE query exchange-free (a nice property — a corpus already
+    // laid out by doc_id aggregates without any shuffle) — but the soak
+    // wants the general case, so discard the alignment first
+    def docsAt(n: Long) = syntheticDocs(n, breakPartitioning = true)
+    val e1 = measure(graft.queries.Analytics.charEntropy(docsAt(5000L)))
+    val e10 = measure(graft.queries.Analytics.charEntropy(docsAt(50000L)))
+    assert(e1._1 > 0, "entropy: no shuffle measured at base size")
+    val ratio = e10._1.toDouble / e1._1
+    info(f"entropy: shuffle ${e1._1}B -> ${e10._1}B ($ratio%.1fx)")
+    assert(ratio < 15, s"char-entropy shuffle grew superlinearly: $ratio")
+    val memRatio = e10._2.toDouble / math.max(e1._2, 1L)
+    assert(memRatio < 15,
+      s"char-entropy peak memory grew superlinearly: $memRatio")
   }
 
   private final class TaskMetricsProbe

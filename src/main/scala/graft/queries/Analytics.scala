@@ -124,7 +124,121 @@ object Analytics {
           expr("esum div n_ch")).as("entropy_x1e6"))
   }
 
+  /** The directed form of the synthetic link graph (distinct src→dst). */
+  def linkGraphDirected(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    docs.crossJoin(broadcast(nRow))
+      .select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * $"doc_id" + 37) % $"n",
+        ($"doc_id" * $"doc_id" + 74) % $"n",
+        ($"doc_id" * $"doc_id" + 111) % $"n")).as("dst"))
+      .distinct()
+  }
+
+  /** Frontier BFS to a fixed hop bound: per round, expand the previous
+    * frontier through one edge equi-join and fold with a min-hop
+    * partial aggregation — the canonical distributed BFS step (each
+    * round touches |frontier|·avg-degree rows, never the whole graph
+    * squared). Rounds unroll into one lazy plan; a deep production
+    * traversal would localCheckpoint per round like
+    * operators/Components. Returns (v, hop) for every node reached
+    * within maxHops.
+    */
+  def bfsHops(edges: DataFrame, seeds: Seq[Long], maxHops: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var dist = edges.sparkSession.createDataFrame(
+      seeds.map(v => (v, 0))).toDF("v", "hop")
+    for (h <- 1 to maxHops) {
+      val next = edges.join(dist.filter($"hop" === h - 1),
+          edges("src") === $"v")
+        .select($"dst".as("v"), lit(h).as("hop"))
+      dist = dist.union(next).groupBy($"v").agg(min($"hop").as("hop"))
+    }
+    dist
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // k-hop reachability from a seed set over the directed link graph
+    // (the crawl-frontier / blast-radius query) — see [[bfsHops]].
+    "v_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      bfsHops(linkGraphDirected(documents(s, d)), Seq(0L, 1L, 2L), maxHops = 3)
+        .orderBy($"hop", $"v")
+    }),
+
+    // Event funnel: view → click (within 1 day of the FIRST view) →
+    // purchase (within 3 days of that click), counted per user with
+    // per-stage conversion. Each stage is a min-timestamp partial
+    // aggregation plus one hash equi-join on user — window-free, so
+    // stage N's shuffle carries one row per surviving user, and the
+    // final card is three 1-row aggregates crossed together.
+    "x_event_funnel" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("tv"))
+      val c = ev.join(v, Seq("user_id"))
+        .filter($"event_type" === "click" && $"ts" > $"tv" &&
+          $"ts" <= $"tv" + expr("INTERVAL 1 DAY"))
+        .groupBy($"user_id").agg(min($"ts").as("tc"))
+      val p = ev.join(c, Seq("user_id"))
+        .filter($"event_type" === "purchase" && $"ts" > $"tc" &&
+          $"ts" <= $"tc" + expr("INTERVAL 3 DAY"))
+        .groupBy($"user_id").agg(min($"ts").as("tp"))
+      v.agg(count(lit(1)).as("viewers"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("clickers"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("purchasers"))))
+        .select($"viewers", $"clickers", $"purchasers",
+          floor($"clickers" * 10000 / $"viewers").as("click_conv_x10000"),
+          floor($"purchasers" * 10000 / $"clickers")
+            .as("purchase_conv_x10000"))
+    }),
+
+    // Cohort retention matrix over high-value purchases (value > 95):
+    // cohort = each user's first such day, activity = distinct
+    // (user, day), offset = days since cohort — the
+    // day-0/day-N retention table every growth dashboard ships. Two
+    // partial aggs + one user equi-join; no windows.
+    "x_retention_cohorts" -> ((s, d) => {
+      import s.implicits._
+      val hv = events(s, d)
+        .filter($"event_type" === "purchase" && $"value" > 95)
+        .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("day"))
+        .distinct()
+      val cohorts = hv.groupBy($"user_id").agg(min($"day").as("cohort"))
+      hv.join(cohorts, Seq("user_id"))
+        .groupBy($"cohort", datediff($"day", $"cohort").as("offset_days"))
+        .agg(count(lit(1)).as("active_users"))
+        .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),
+          $"offset_days".cast("long").as("offset_days"), $"active_users")
+        .orderBy($"cohort_day", $"offset_days")
+    }),
+
+    // TPC-H Q22 shape — "idle rich customers": balance above the
+    // positive-balance average (a 1-row scalar broadcast, the
+    // decorrelated scalar subquery) AND no orders since a cutoff (a
+    // LEFT ANTI join against the date-filtered orders — the filter
+    // pushes to the orders scan). Grouped per market segment.
+    "q22_idle_customers" -> ((s, d) => {
+      import s.implicits._
+      val cust = customer(s, d)
+      val avgBal = cust.filter($"c_acctbal" > 0)
+        .agg(avg($"c_acctbal").as("ab"))
+      val recent = orders(s, d)
+        .filter($"o_orderdate" >= lit("1998-07-15").cast("timestamp"))
+        .select($"o_custkey")
+      cust.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"ab")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          floor(sum($"c_acctbal") * 100 + 0.5).cast("long")
+            .as("totacctbal_x100"))
+        .orderBy($"c_mktsegment")
+    }),
 
     // Triangle counting over the synthetic link graph (the spam-farm /
     // community-density signal of link-based curation). Degree-ordered
@@ -425,6 +539,67 @@ object Analytics {
     }))
 
   val oracles: Map[String, String] = Map(
+    "v_bfs_hops" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT DISTINCT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         h0 AS (SELECT doc_id AS v, 0 AS hop FROM documents
+           WHERE doc_id IN (0, 1, 2)),
+         n1 AS (SELECT e.dst AS v FROM e JOIN h0 ON e.src = h0.v),
+         f1 AS (SELECT v, min(hop) AS hop FROM
+           (SELECT * FROM h0 UNION ALL SELECT v, 1 FROM n1) GROUP BY 1),
+         n2 AS (SELECT e.dst AS v FROM e JOIN f1 ON e.src = f1.v
+           WHERE f1.hop = 1),
+         f2 AS (SELECT v, min(hop) AS hop FROM
+           (SELECT * FROM f1 UNION ALL SELECT v, 2 FROM n2) GROUP BY 1),
+         n3 AS (SELECT e.dst AS v FROM e JOIN f2 ON e.src = f2.v
+           WHERE f2.hop = 2),
+         f3 AS (SELECT v, min(hop) AS hop FROM
+           (SELECT * FROM f2 UNION ALL SELECT v, 3 FROM n3) GROUP BY 1)
+         SELECT v, CAST(hop AS INT) AS hop FROM f3 ORDER BY hop, v""",
+    "x_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS tc
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.tv
+             AND e.ts <= v.tv + INTERVAL '1 day' GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS tp
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.tc
+             AND e.ts <= c.tc + INTERVAL '3 days' GROUP BY 1)
+         SELECT (SELECT count(*) FROM v) AS viewers,
+           (SELECT count(*) FROM c) AS clickers,
+           (SELECT count(*) FROM p) AS purchasers,
+           CAST(floor((SELECT count(*) FROM c) * 10000
+             / (SELECT count(*) FROM v)) AS BIGINT) AS click_conv_x10000,
+           CAST(floor((SELECT count(*) FROM p) * 10000
+             / (SELECT count(*) FROM c)) AS BIGINT)
+             AS purchase_conv_x10000""",
+    "x_retention_cohorts" ->
+      """WITH hv AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events WHERE event_type = 'purchase' AND value > 95),
+         f AS (SELECT user_id, min(d) AS cohort FROM hv GROUP BY 1)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', f.cohort, hv.d) AS BIGINT) AS offset_days,
+           count(*) AS active_users
+         FROM hv JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_day, offset_days""",
+    "q22_idle_customers" ->
+      """WITH avgbal AS (SELECT avg(c_acctbal) AS ab FROM customer
+           WHERE c_acctbal > 0),
+         cand AS (SELECT c_custkey, c_mktsegment, c_acctbal
+           FROM customer, avgbal WHERE c_acctbal > ab)
+         SELECT cand.c_mktsegment, count(*) AS numcust,
+           CAST(floor(sum(cand.c_acctbal) * 100 + 0.5) AS BIGINT)
+             AS totacctbal_x100
+         FROM cand
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = cand.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '1998-07-15')
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "v_triangles" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          raw AS (SELECT d.doc_id AS src,

@@ -35,6 +35,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.triangleCorners(path).count() == 0)
   }
 
+  test("bfsHops: shortest hop wins on diamonds; unreached nodes absent") {
+    // 0 -> 1 -> 3, 0 -> 2 -> 3 (diamond), 3 -> 4, isolated 9
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (9L, 9L)).toDF("src", "dst")
+    val hops = Analytics.bfsHops(edges, Seq(0L), maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(hops == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsHops: hop bound truncates the frontier") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val hops = Analytics.bfsHops(chain, Seq(0L), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(hops == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
   test("cdcSnapshot: latest change wins; delete-last keys drop out") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val changes = Seq(

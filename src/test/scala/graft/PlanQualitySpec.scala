@@ -730,6 +730,45 @@ class PlanQualitySpec extends SparkSpec {
       s"only the 1-row total broadcasts back:\n$plan")
   }
 
+  test("v_bfs_hops: frontier expansion is hash equi-joins + min-hop aggs") {
+    val plan = planString(q("v_bfs_hops"))
+    assert(!plan.contains("CartesianProduct"),
+      s"BFS must expand frontiers, never square the graph:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"hop folding must combine map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window over the reach set:\n$plan")
+  }
+
+  test("q22: scalar threshold broadcasts; inactivity is a left-anti join") {
+    val plan = planString(q("q22_idle_customers"))
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must run as a left-anti join:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"the cutoff must reach the orders scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"only the 1-row average may nest-loop:\n$plan")
+  }
+
+  test("x_event_funnel: stages are window-free min-ts aggs and equi-joins") {
+    val plan = planString(q("x_event_funnel"))
+    assert(!plan.contains("Window"),
+      s"funnel stages must not sort-rank the event log:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"first-touch timestamps must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"stage joins stay keyed on user:\n$plan")
+  }
+
+  test("x_retention_cohorts: two partial aggs + one user equi-join") {
+    val plan = planString(q("x_retention_cohorts"))
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the retention matrix is window-free keyed work:\n$plan")
+    assert(plan.contains("partial_"),
+      s"cohort mins must combine map-side:\n$plan")
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

@@ -159,7 +159,128 @@ object Analytics {
     dist
   }
 
+  /** 2×2 mean-downsample of a w×w row-major integer pixel array to
+    * (w/2)×(w/2) — pure higher-order array arithmetic (codegen'd
+    * `transform` over an index sequence), truncating integer division
+    * exactly like a uint overview build. The COG overview math (SURVEY
+    * S9) as a relational operator.
+    */
+  def downsample2x2(arr: Column, w: Int): Column = {
+    val half = w / 2
+    transform(sequence(lit(0), lit(half * half - 1)), { j =>
+      val y = floor(j.cast("double") / half).cast("long")
+      val x = j.cast("long") % half
+      val base = (y * 2 * w + x * 2 + 1).cast("int")
+      val s = element_at(arr, base) + element_at(arr, base + 1) +
+        element_at(arr, base + w) + element_at(arr, base + w + 1)
+      floor(s.cast("double") / 4).cast("long")
+    })
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Overview-pyramid build over a deterministic synthetic raster: 64
+    // blocks of 8×8 integer pixels, downsampled 8→4→2 per block with
+    // [[downsample2x2]] — level stats (sum/min/max) gate the array
+    // arithmetic bit-for-bit against the oracle's list_transform
+    // replay. Everything is narrow per-row HOF work (one shuffle for
+    // the final ordering only): at 100 TB each block row downsamples
+    // independently, which is exactly how COG overview generation
+    // parallelizes.
+    "m8_overview_pyramid" -> ((s, d) => {
+      import s.implicits._
+      val blocks = s.range(0, 64).select(
+        ($"id" / 16).cast("long").as("tile"),
+        (($"id" / 4) % 4).cast("long").as("by"),
+        ($"id" % 4).as("bx"))
+        .select($"tile", $"by", $"bx",
+          transform(sequence(lit(0), lit(63)), { i =>
+            val y = $"by" * 8 + floor(i.cast("double") / 8).cast("long")
+            val x = $"bx" * 8 + i.cast("long") % 8
+            ($"tile" * 31 + y * 7 + x * 13) % 256
+          }).as("px"))
+      val l1 = blocks.withColumn("px1", downsample2x2($"px", 8))
+      val l2 = l1.withColumn("px2", downsample2x2($"px1", 4))
+      def stats(c: Column, level: Int) = l2.select(
+        $"tile", $"by", $"bx", lit(level).as("level"),
+        size(c).cast("long").as("n_px"),
+        aggregate(c, lit(0L), (acc, x) => acc + x).as("px_sum"),
+        array_min(c).as("px_min"), array_max(c).as("px_max"))
+      stats($"px", 0).union(stats($"px1", 1)).union(stats($"px2", 2))
+        .orderBy($"tile", $"by", $"bx", $"level")
+    }),
+
+    // Referential-integrity + fan-out audit of the warehouse FK chains
+    // (lineitem→orders→customer, lineitem→part/supplier): orphan
+    // children and childless parents via LEFT ANTI joins, fan-out
+    // min/max/avg from per-parent partial-agg counts — the
+    // constraint-check a lakehouse runs after every load (engines at
+    // this scale verify FKs by query, not by constraint enforcement).
+    "c24_referential_audit" -> ((s, d) => {
+      import s.implicits._
+      def audit(rel: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.join(parent, child(ck) === parent(pk),
+          "left_anti").agg(count(lit(1)).as("orphan_children"))
+        val childless = parent.join(child, parent(pk) === child(ck),
+          "left_anti").agg(count(lit(1)).as("childless_parents"))
+        val fan = child.groupBy(child(ck).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("linked_parents"), sum($"c").as("children"),
+            min($"c").as("min_fan"), max($"c").as("max_fan"))
+        fan.crossJoin(broadcast(orphans)).crossJoin(broadcast(childless))
+          .select(lit(rel).as("relation"), $"children", $"linked_parents",
+            $"orphan_children", $"childless_parents", $"min_fan", $"max_fan",
+            expr("(children * 100) div linked_parents").as("avg_fan_x100"))
+      }
+      audit("lineitem->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey")
+        .union(audit("lineitem->part", lineitem(s, d), "l_partkey",
+          part(s, d), "p_partkey"))
+        .union(audit("lineitem->supplier", lineitem(s, d), "l_suppkey",
+          supplier(s, d), "s_suppkey"))
+        .union(audit("orders->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"))
+        .orderBy($"relation")
+    }),
+
+    // Deterministic A/B experiment read-out: arm assignment is a pure
+    // function of md5("exp1:" + user_id) (stable across runs and
+    // engines — the x_train_split discipline), the metric is per-user
+    // purchase cents, and the read-out is Welch's t on exact integer
+    // moment sums — one event scan, one user-level agg, two 1-row arm
+    // aggregates; only the final t divides in doubles, ×1e6-quantized.
+    "x_ab_experiment" -> ((s, d) => {
+      import s.implicits._
+      val arms = events(s, d).filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+        .select(when(substring(md5(concat(lit("exp1:"),
+            $"user_id".cast("string")).cast("binary")), 1, 1) < "8", "A")
+          .otherwise("B").as("arm"), $"cents")
+      // the 2-row arm-moment table feeds both branches — checkpoint it
+      // so the event scan runs once
+      val m = arms.groupBy($"arm")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+          sum($"cents" * $"cents").as("scc"))
+        .localCheckpoint(false)
+      val a = m.filter($"arm" === "A").select($"n".as("n_a"),
+        $"sc".as("sc_a"), $"scc".as("scc_a"))
+      val b = m.filter($"arm" === "B").select($"n".as("n_b"),
+        $"sc".as("sc_b"), $"scc".as("scc_b"))
+      val mean = (sc: Column, n: Column) => sc.cast("double") / n.cast("double")
+      val varOf = (scc: Column, sc: Column, n: Column) =>
+        (scc.cast("double") - sc.cast("double") * sc.cast("double") /
+          n.cast("double")) / (n.cast("double") - 1)
+      a.crossJoin(broadcast(b))
+        .select($"n_a", $"n_b",
+          floor(mean($"sc_a", $"n_a") * 100).cast("long").as("mean_a_x100"),
+          floor(mean($"sc_b", $"n_b") * 100).cast("long").as("mean_b_x100"),
+          floor((mean($"sc_a", $"n_a") - mean($"sc_b", $"n_b")) /
+            sqrt(varOf($"scc_a", $"sc_a", $"n_a") / $"n_a".cast("double") +
+              varOf($"scc_b", $"sc_b", $"n_b") / $"n_b".cast("double")) * 1e6)
+            .cast("long").as("welch_t_x1e6"))
+    }),
 
     // k-hop reachability from a seed set over the directed link graph
     // (the crawl-frontier / blast-radius query) — see [[bfsHops]].
@@ -539,6 +660,119 @@ object Analytics {
     }))
 
   val oracles: Map[String, String] = Map(
+    "m8_overview_pyramid" ->
+      """WITH b AS (SELECT t.id // 16 AS tile, (t.id // 4) % 4 AS by,
+             t.id % 4 AS bx
+           FROM range(0, 64) t(id)),
+         p0 AS (SELECT tile, by, bx,
+             list_transform(generate_series(0, 63), i ->
+               (tile * 31 + (by * 8 + i // 8) * 7 + (bx * 8 + i % 8) * 13)
+                 % 256) AS px
+           FROM b),
+         p1 AS (SELECT tile, by, bx, px,
+             list_transform(generate_series(0, 15), j ->
+               (px[(j // 4) * 16 + (j % 4) * 2 + 1]
+                + px[(j // 4) * 16 + (j % 4) * 2 + 2]
+                + px[(j // 4) * 16 + (j % 4) * 2 + 9]
+                + px[(j // 4) * 16 + (j % 4) * 2 + 10]) // 4) AS px1
+           FROM p0),
+         p2 AS (SELECT tile, by, bx, px, px1,
+             list_transform(generate_series(0, 3), k ->
+               (px1[(k // 2) * 8 + (k % 2) * 2 + 1]
+                + px1[(k // 2) * 8 + (k % 2) * 2 + 2]
+                + px1[(k // 2) * 8 + (k % 2) * 2 + 5]
+                + px1[(k // 2) * 8 + (k % 2) * 2 + 6]) // 4) AS px2
+           FROM p1),
+         lv AS (SELECT tile, by, bx, 0 AS level, px AS a FROM p2
+           UNION ALL SELECT tile, by, bx, 1, px1 FROM p2
+           UNION ALL SELECT tile, by, bx, 2, px2 FROM p2)
+         SELECT tile, by, bx, CAST(level AS INT) AS level,
+           CAST(len(a) AS BIGINT) AS n_px,
+           CAST(list_aggregate(a, 'sum') AS BIGINT) AS px_sum,
+           CAST(list_aggregate(a, 'min') AS BIGINT) AS px_min,
+           CAST(list_aggregate(a, 'max') AS BIGINT) AS px_max
+         FROM lv ORDER BY tile, by, bx, level""",
+    "c24_referential_audit" ->
+      """WITH lo AS (SELECT l_orderkey AS k, count(*) AS c
+             FROM lineitem GROUP BY 1),
+         lp AS (SELECT l_partkey AS k, count(*) AS c
+             FROM lineitem GROUP BY 1),
+         ls AS (SELECT l_suppkey AS k, count(*) AS c
+             FROM lineitem GROUP BY 1),
+         oc AS (SELECT o_custkey AS k, count(*) AS c
+             FROM orders GROUP BY 1)
+         SELECT 'lineitem->orders' AS relation,
+           CAST(sum(c) AS BIGINT) AS children, count(*) AS linked_parents,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS orphan_children,
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+             AS childless_parents,
+           CAST(min(c) AS BIGINT) AS min_fan, CAST(max(c) AS BIGINT) AS max_fan,
+           (CAST(sum(c) AS BIGINT) * 100) // count(*) AS avg_fan_x100
+         FROM lo
+         UNION ALL
+         SELECT 'lineitem->part',
+           CAST(sum(c) AS BIGINT), count(*),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM part p WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)),
+           CAST(min(c) AS BIGINT), CAST(max(c) AS BIGINT),
+           (CAST(sum(c) AS BIGINT) * 100) // count(*)
+         FROM lp
+         UNION ALL
+         SELECT 'lineitem->supplier',
+           CAST(sum(c) AS BIGINT), count(*),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)),
+           CAST(min(c) AS BIGINT), CAST(max(c) AS BIGINT),
+           (CAST(sum(c) AS BIGINT) * 100) // count(*)
+         FROM ls
+         UNION ALL
+         SELECT 'orders->customer',
+           CAST(sum(c) AS BIGINT), count(*),
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer cu WHERE cu.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM customer cu WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey)),
+           CAST(min(c) AS BIGINT), CAST(max(c) AS BIGINT),
+           (CAST(sum(c) AS BIGINT) * 100) // count(*)
+         FROM oc
+         ORDER BY relation""",
+    "x_ab_experiment" ->
+      """WITH u AS (SELECT user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         arms AS (SELECT CASE WHEN
+             substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+             THEN 'A' ELSE 'B' END AS arm, cents FROM u),
+         m AS (SELECT arm, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(cents * cents) AS BIGINT) AS scc
+           FROM arms GROUP BY 1),
+         a AS (SELECT n AS n_a, sc AS sc_a, scc AS scc_a FROM m
+           WHERE arm = 'A'),
+         b AS (SELECT n AS n_b, sc AS sc_b, scc AS scc_b FROM m
+           WHERE arm = 'B')
+         SELECT n_a, n_b,
+           CAST(floor(CAST(sc_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 100)
+             AS BIGINT) AS mean_a_x100,
+           CAST(floor(CAST(sc_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 100)
+             AS BIGINT) AS mean_b_x100,
+           CAST(floor((CAST(sc_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sc_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(((CAST(scc_a AS DOUBLE) - CAST(sc_a AS DOUBLE)
+                 * CAST(sc_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) - 1)) / CAST(n_a AS DOUBLE)
+               + ((CAST(scc_b AS DOUBLE) - CAST(sc_b AS DOUBLE)
+                 * CAST(sc_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / (CAST(n_b AS DOUBLE) - 1)) / CAST(n_b AS DOUBLE))
+             * 1e6) AS BIGINT) AS welch_t_x1e6
+         FROM a, b""",
     "v_bfs_hops" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          e AS (SELECT DISTINCT d.doc_id AS src,

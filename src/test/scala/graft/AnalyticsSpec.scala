@@ -35,6 +35,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.triangleCorners(path).count() == 0)
   }
 
+  test("downsample2x2: hand 4x4 block means, truncating division") {
+    // rows: 0 1 2 3 / 10 11 12 13 / 20 21 22 23 / 30 31 32 33
+    // quads: {0,1,10,11}->5, {2,3,12,13}->7, {20,21,30,31}->25, {22,23,32,33}->27
+    val arr = (0 until 16).map(i => (i / 4) * 10L + i % 4)
+    val df = Seq(Tuple1(arr)).toDF("px")
+      .select(Analytics.downsample2x2($"px", 4).as("d"))
+    assert(df.collect().head.getSeq[Long](0) == Seq(5L, 7L, 25L, 27L))
+    // truncation: {0,0,0,1} -> 0 (not 0.25 rounded)
+    val t = Seq(Tuple1(Seq(0L, 0L, 1L, 0L))).toDF("px")
+      .select(Analytics.downsample2x2($"px", 2).as("d"))
+    assert(t.collect().head.getSeq[Long](0) == Seq(0L))
+  }
+
   test("bfsHops: shortest hop wins on diamonds; unreached nodes absent") {
     // 0 -> 1 -> 3, 0 -> 2 -> 3 (diamond), 3 -> 4, isolated 9
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),

@@ -769,6 +769,32 @@ class PlanQualitySpec extends SparkSpec {
       s"cohort mins must combine map-side:\n$plan")
   }
 
+  test("m8_overview_pyramid: per-block HOF work, no joins, no windows") {
+    val plan = planString(q("m8_overview_pyramid"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"each block downsamples independently:\n$plan")
+    assert(plan.contains("transform"),
+      s"downsampling must stay a codegen'd array transform:\n$plan")
+  }
+
+  test("c24_referential_audit: orphan checks are anti hash joins") {
+    val plan = planString(q("c24_referential_audit"))
+    assert(plan.split("LeftAnti").length - 1 >= 8,
+      s"every relation audits both directions with anti joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"audits never cross tables:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"fan-out counts must combine map-side:\n$plan")
+  }
+
+  test("x_ab_experiment: one event scan into checkpointed arm moments") {
+    val plan = planString(q("x_ab_experiment"))
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 0 && plan.contains("ExistingRDD"),
+      s"both arm branches must share the checkpointed moments:\n$plan")
+    assert(!plan.contains("Window"), s"window-free read-out:\n$plan")
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

@@ -601,6 +601,94 @@ object Analytics {
           expr("(chars_sum * 100) div n_docs").as("mean_chars_x100"))
     }),
 
+    // Bigram PMI collocation mining (the classic phrase-detection
+    // metric, Mikolov-style phrase learning): pmi = ln(N·c(ab)/(c(a)·
+    // c(b))) over corpus bigrams with count ≥ 5, top-25. Unigram and
+    // bigram counts are two partial-agg explodes; the PMI join runs on
+    // the VOCAB-sized bigram table (never the corpus), N broadcasts as
+    // one row; ln quantizes ×1e6 once per surviving bigram.
+    "x_ngram_pmi" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words($"text").as("w"))
+      val toks = base.select(explode($"w").as("t"))
+      val uni = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+      val nn = toks.agg(count(lit(1)).as("n"))
+      val big = base.filter(size($"w") >= 2)
+        .select(explode(transform(sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("a"),
+            element_at($"w", i + 1).as("b")))).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(count(lit(1)).as("cab"))
+        .filter($"cab" >= 5)
+      val ua = uni.select($"t".as("a"), $"c".as("ca"))
+      val ub = uni.select($"t".as("b"), $"c".as("cb"))
+      big.join(ua, Seq("a")).join(ub, Seq("b"))
+        .crossJoin(broadcast(nn))
+        .select($"a", $"b", $"cab",
+          floor(log($"n".cast("double") * $"cab" / ($"ca" * $"cb")) * 1e6)
+            .cast("long").as("pmi_x1e6"))
+        .orderBy($"pmi_x1e6".desc, $"a", $"b")
+        .limit(25)
+    }),
+
+    // The SQL front-end surface: the same Catalyst plans are reachable
+    // through `spark.sql` over registered views — TPC-H Q6 (the
+    // scan-filter-aggregate forecast query) runs as literal SQL text
+    // and gates against the DuckDB oracle like every DataFrame query.
+    "q6_revenue_forecast_sql" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT CAST(floor(sum(l_extendedprice * l_discount) * 10000
+             + 0.5) AS BIGINT) AS revenue_x10000,
+           count(*) AS n_rows
+         FROM lineitem_v
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""")
+    }),
+
+    // Schema-evolution read: two engine-written parquet batches with
+    // DIFFERENT schemas (the second adds a quality column) merge under
+    // mergeSchema with null backfill for the early batch — the
+    // add-a-column migration every long-lived 100 TB table goes
+    // through, gated on the merged aggregate.
+    "c25_schema_evolution" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val docs = documents(s, d)
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", $"n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"n_chars",
+          expr("n_chars div 10").as("quality"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          count($"quality").as("rows_with_quality"),
+          sum(coalesce($"quality", lit(0L))).as("quality_sum"))
+        .orderBy($"lang")
+    }),
+
+    // Rank-statistics window surface: percent_rank and cume_dist of
+    // each doc's length within its language — windows partition BY
+    // LANG (never a global sort); the exact (rank−1)/(n−1) and
+    // rank/n rationals replay in any engine, ×10000-quantized.
+    "x_cume_dist" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n_chars")
+      documents(s, d)
+        .select($"doc_id", $"lang", $"n_chars")
+        .withColumn("pr_x10000",
+          floor(percent_rank().over(w) * 10000).cast("long"))
+        .withColumn("cd_x10000",
+          floor(cume_dist().over(w) * 10000).cast("long"))
+        .orderBy($"lang", $"doc_id")
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -1006,6 +1094,48 @@ object Analytics {
              AS dup_x10000,
            (chars_sum * 100) // n_docs AS mean_chars_x100
          FROM a""",
+    "x_ngram_pmi" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         toks AS (SELECT unnest(w) AS t FROM d),
+         uni AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM toks),
+         d2 AS (SELECT w FROM d WHERE len(w) >= 2),
+         big AS (SELECT w[i] AS a, w[i + 1] AS b, count(*) AS cab
+           FROM d2, unnest(range(1, len(w))) t(i) GROUP BY 1, 2
+           HAVING count(*) >= 5),
+         pmi AS (SELECT big.a, big.b, big.cab,
+             CAST(floor(ln(CAST(nn.n AS DOUBLE) * big.cab
+               / (ua.c * ub.c)) * 1e6) AS BIGINT) AS pmi_x1e6
+           FROM big, nn
+           JOIN uni ua ON ua.t = big.a
+           JOIN uni ub ON ub.t = big.b)
+         SELECT a, b, cab, pmi_x1e6 FROM pmi
+         ORDER BY pmi_x1e6 DESC, a, b LIMIT 25""",
+    "q6_revenue_forecast_sql" ->
+      """SELECT CAST(floor(sum(l_extendedprice * l_discount) * 10000 + 0.5)
+           AS BIGINT) AS revenue_x10000,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "c25_schema_evolution" ->
+      """WITH m AS (SELECT doc_id, lang, n_chars,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars // 10 END AS quality
+           FROM documents)
+         SELECT lang, count(*) AS n,
+           count(quality) AS rows_with_quality,
+           CAST(sum(coalesce(quality, 0)) AS BIGINT) AS quality_sum
+         FROM m GROUP BY 1 ORDER BY lang""",
+    "x_cume_dist" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST(floor(percent_rank() OVER (PARTITION BY lang
+             ORDER BY n_chars) * 10000) AS BIGINT) AS pr_x10000,
+           CAST(floor(cume_dist() OVER (PARTITION BY lang
+             ORDER BY n_chars) * 10000) AS BIGINT) AS cd_x10000
+         FROM documents ORDER BY lang, doc_id""",
     "s_partitioned_prune" ->
       """SELECT lang, source, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars_sum

@@ -795,6 +795,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window-free read-out:\n$plan")
   }
 
+  test("x_ngram_pmi: PMI joins run on vocab tables; top-25 is a heap") {
+    val plan = planString(q("x_ngram_pmi"))
+    assert(!plan.contains("CartesianProduct"),
+      s"collocation scoring never crosses the corpus:\n$plan")
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"only the 1-row N total may nest-loop:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top collocations reduce via a bounded heap:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"unigram/bigram counts must combine map-side:\n$plan")
+  }
+
+  test("q6 (SQL front-end): filters push to the scan, agg is partial") {
+    val plan = planString(q("q6_revenue_forecast_sql"))
+    // the pushed-filter list is long enough that Spark truncates it with
+    // "..." (no closing bracket) — match the prefix, not the whole list
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]\\n]*l_shipdate.*"),
+      s"the date range must reach the parquet scan:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the forecast sum must combine map-side:\n$plan")
+    assert(!plan.contains("Join"), s"Q6 is scan-filter-aggregate:\n$plan")
+  }
+
+  test("c25_schema_evolution: merged scan carries the evolved column") {
+    val plan = planString(q("c25_schema_evolution"))
+    assert(plan.matches("(?s).*ReadSchema:[^\\n]*quality.*"),
+      s"mergeSchema must surface the late column in the scan schema:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the merged aggregate must combine map-side:\n$plan")
+  }
+
+  test("x_cume_dist: rank windows partition by lang, never globally") {
+    val plan = planString(q("x_cume_dist"))
+    assert(plan.contains("Window"), s"rank stats are window functions:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global sort for per-lang rank statistics:\n$plan")
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

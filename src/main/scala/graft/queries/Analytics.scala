@@ -689,6 +689,90 @@ object Analytics {
         .orderBy($"lang", $"doc_id")
     }),
 
+    // TPC-H Q4 shape — order-priority checking: orders in a date window
+    // with at least one DELAYED line (shipped > 60 days after the order
+    // date). The correlated EXISTS carries a non-equi residual across
+    // BOTH sides (l_shipdate vs o_orderdate) — it must still plan as a
+    // LEFT SEMI hash join on the order key with the residual attached,
+    // never a per-order subquery replay.
+    "q4_order_priority" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+      val l = lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+      o.join(l, $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // TPC-H Q12 shape — two-bucket priority classification per return
+    // flag: conditional CASE sums inside ONE aggregation (count_if
+    // style), the canonical "pivot two classes without a pivot"
+    // pattern; one hash join on the order key.
+    "q12_return_priority" -> ((s, d) => {
+      import s.implicits._
+      val l = lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_returnflag")
+      l.join(orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // TPC-H Q14 shape — promo revenue share: a conditional-numerator /
+    // total-denominator ratio inside one aggregation over a month of
+    // shipments; the part dim broadcasts.
+    "q14_promo_share" -> ((s, d) => {
+      import s.implicits._
+      val l = lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      l.join(broadcast(part(s, d).select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .agg(
+          floor(sum(when($"p_type" === "PROMO", rev).otherwise(0.0)) * 100
+            + 0.5).cast("long").as("promo_rev_x100"),
+          floor(sum(rev) * 100 + 0.5).cast("long").as("total_rev_x100"),
+          floor(sum(when($"p_type" === "PROMO", rev).otherwise(0.0)) *
+            10000 / sum(rev)).cast("long").as("promo_share_x10000"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q19 shape — disjunctive join predicates (OR of brand/size/
+    // quantity conjunctions): Catalyst must still run ONE hash equi-join
+    // on the part key and evaluate the disjunction as a residual, with
+    // the common sub-predicates (size ≥ 1, quantity bounds) pushed
+    // toward the scans — the classic test that an optimizer doesn't
+    // fall back to a cartesian product on OR-heavy conditions.
+    "q19_disjunctive_join" -> ((s, d) => {
+      import s.implicits._
+      val l = lineitem(s, d)
+      val p = part(s, d)
+      val cond =
+        (p("p_brand") === "Brand#12" && p("p_size").between(1, 5) &&
+          l("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+          l("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#34" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(20, 30))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && cond)
+        .agg(count(lit(1)).as("n_rows"),
+          floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) * 100
+            + 0.5).cast("long").as("revenue_x100"))
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -1136,6 +1220,52 @@ object Analytics {
            CAST(floor(cume_dist() OVER (PARTITION BY lang
              ORDER BY n_chars) * 10000) AS BIGINT) AS cd_x10000
          FROM documents ORDER BY lang, doc_id""",
+    "q4_order_priority" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "q12_return_priority" ->
+      """SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q14_promo_share" ->
+      """SELECT
+           CAST(floor(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN l.l_extendedprice * (1.0 - l.l_discount)
+             ELSE 0.0::DOUBLE END) * 100 + 0.5) AS BIGINT) AS promo_rev_x100,
+           CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100
+             + 0.5) AS BIGINT) AS total_rev_x100,
+           CAST(floor(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN l.l_extendedprice * (1.0 - l.l_discount)
+             ELSE 0.0::DOUBLE END) * 10000
+             / sum(l.l_extendedprice * (1.0 - l.l_discount))) AS BIGINT)
+             AS promo_share_x10000,
+           count(*) AS n_rows
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l.l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q19_disjunctive_join" ->
+      """SELECT count(*) AS n_rows,
+           CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100
+             + 0.5) AS BIGINT) AS revenue_x100
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+             AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 20 AND 30)""",
     "s_partitioned_prune" ->
       """SELECT lang, source, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars_sum

@@ -833,6 +833,37 @@ class PlanQualitySpec extends SparkSpec {
       s"no global sort for per-lang rank statistics:\n$plan")
   }
 
+  test("q4: correlated EXISTS with cross-side residual stays a semi join") {
+    val plan = planString(q("q4_order_priority"))
+    assert(plan.contains("LeftSemi"),
+      s"the delayed-line EXISTS must run as a left-semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the residual must ride the hash join, not force a replay:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]\\n]*o_orderdate.*"),
+      s"the order-date window must reach the orders scan:\n$plan")
+  }
+
+  test("q19: disjunctive predicates stay one hash join with a residual") {
+    val plan = planString(q("q19_disjunctive_join"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the OR-of-conjunctions must not break the equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian fallback on OR-heavy conditions:\n$plan")
+  }
+
+  test("q12/q14: conditional-class sums combine map-side over one join") {
+    for (name <- Seq("q12_return_priority", "q14_promo_share")) {
+      val plan = planString(q(name))
+      assert(plan.contains("partial_"),
+        s"$name: CASE sums must combine map-side:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name: one hash join only:\n$plan")
+    }
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

@@ -71,6 +71,52 @@ object Curation {
     ranks.select($"doc_id", $"r".as("rank_x1e6"))
   }
 
+  /** 16-bit Hilbert-curve index of the low 8 bits of two long columns —
+    * the second space-filling curve (better locality than Morton: every
+    * unit step on the curve is a unit step in (x, y), so bucket ranges
+    * are more compact rectangles). The classic xy2d bit-level fold
+    * unrolled into 8 rounds of pure integer CASE arithmetic (no XOR —
+    * the quadrant map is a 4-way CASE both engines evaluate
+    * identically), fully inside whole-stage codegen. Verified against
+    * an independent d2xy inverse in CurationSpec (forward∘inverse = id
+    * + unit-step adjacency).
+    */
+  def withHilbert16(df: DataFrame, x0: Column, y0: Column,
+                    out: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // Each round MATERIALIZES (x, y, d) as a projection before the next
+    // round reads them — a naive Column fold would substitute x and y
+    // into four places per round and blow the expression tree up 4^8
+    // (analyzer OOM, measured); the projection chain keeps the plan
+    // linear and CollapseProject leaves multi-referenced non-cheap
+    // aliases alone.
+    var cur = df.withColumn("_hx", x0 % 256).withColumn("_hy", y0 % 256)
+      .withColumn(out, lit(0L))
+    for (i <- 7 to 0 by -1) {
+      val s = 1L << i
+      val x = col("_hx")
+      val y = col("_hy")
+      val rx = when((x / s).cast("long") % 2 === 1, lit(1L)).otherwise(lit(0L))
+      val ry = when((y / s).cast("long") % 2 === 1, lit(1L)).otherwise(lit(0L))
+      val q = when(rx === 0 && ry === 0, lit(0L))
+        .when(rx === 0 && ry === 1, lit(1L))
+        .when(rx === 1 && ry === 1, lit(2L))
+        .otherwise(lit(3L))
+      cur = cur
+        .withColumn(out, col(out) + lit(s * s) * q)
+        .withColumn("_nx",
+          when(ry === 0, when(rx === 1, lit(255L) - y).otherwise(y))
+            .otherwise(x))
+        .withColumn("_ny",
+          when(ry === 0, when(rx === 1, lit(255L) - x).otherwise(x))
+            .otherwise(y))
+        .drop("_hx", "_hy")
+        .withColumnRenamed("_nx", "_hx")
+        .withColumnRenamed("_ny", "_hy")
+    }
+    cur.drop("_hx", "_hy")
+  }
+
   /** Z-order layout rewrite: range-partition by the Morton key and sort
     * within partitions, so each output file covers a compact Z-range
     * (= a small rectangle in (x, y) space). `repartitionByRange` samples
@@ -202,6 +248,50 @@ object Curation {
           max($"z16").as("max_z"),
           countDistinct($"l_partkey").as("n_parts"))
         .orderBy($"z_bucket")
+    }),
+
+    // Hilbert-curve layout index — see [[hilbert16]]; same bucket-stat
+    // gate as x_zorder so the two curves read side by side.
+    "x_hilbert" -> ((s, d) => {
+      import s.implicits._
+      withHilbert16(lineitem(s, d).select($"l_partkey", $"l_suppkey"),
+          $"l_partkey", $"l_suppkey", "h16")
+        .select($"h16", $"l_partkey")
+        .groupBy(expr("h16 div 256").as("h_bucket"))
+        .agg(count(lit(1)).as("n"), min($"h16").as("min_h"),
+          max($"h16").as("max_h"),
+          countDistinct($"l_partkey").as("n_parts"))
+        .orderBy($"h_bucket")
+    }),
+
+    // Hilbert vs Morton vs hash, measured: per-bucket min/max span sums
+    // of both clustered columns under all three layouts in one row —
+    // the Hilbert curve's unit-step locality should beat hash layout on
+    // BOTH dimensions (flag pinned 1 in the oracle), alongside the
+    // Morton spans for direct comparison.
+    "x_hilbert_benefit" -> ((s, d) => {
+      import s.implicits._
+      val li = withHilbert16(
+        lineitem(s, d).select(
+          zorder16($"l_partkey", $"l_suppkey").as("z16"),
+          ($"l_orderkey" % 256).as("hb"), $"l_partkey", $"l_suppkey"),
+        $"l_partkey", $"l_suppkey", "h16")
+        .localCheckpoint(false)
+      def spans(bucket: Column, p: String, sk: String) = li
+        .groupBy(bucket.as("b"))
+        .agg((max($"l_partkey") - min($"l_partkey")).as("sp"),
+          (max($"l_suppkey") - min($"l_suppkey")).as("ss"))
+        .agg(sum($"sp").as(p), sum($"ss").as(sk))
+      spans(expr("h16 div 256"), "hil_span_part", "hil_span_supp")
+        .crossJoin(broadcast(
+          spans(expr("z16 div 256"), "z_span_part", "z_span_supp")))
+        .crossJoin(broadcast(
+          spans($"hb", "hash_span_part", "hash_span_supp")))
+        .select($"hil_span_part", $"hil_span_supp", $"z_span_part",
+          $"z_span_supp", $"hash_span_part", $"hash_span_supp",
+          when($"hil_span_part" < $"hash_span_part" &&
+            $"hil_span_supp" < $"hash_span_supp", 1L).otherwise(0L)
+            .as("hilbert_ok"))
     }),
 
     // The measured BENEFIT of Z-order layout: bucket lineitem 256 ways
@@ -807,6 +897,32 @@ object Curation {
         s"(((l_suppkey % 256) >> $j) & 1) * ${1L << (2 * j + 1)})"
     }.mkString(" + ")
 
+  /** The [[hilbert16]] fold as chained SQL derived tables: h0 carries
+    * (p, sk, x, y, d=0) per lineitem row; each round applies the same
+    * quadrant CASE + rotate/flip arithmetic; h8.d is the Hilbert index.
+    */
+  private val hilbertSqlCtes: String = {
+    val h0 = s"""h0 AS (SELECT l_partkey AS p, l_suppkey AS sk,
+        l_orderkey % 256 AS hb, $zorderSqlExpr AS z16,
+        l_partkey % 256 AS x, l_suppkey % 256 AS y, CAST(0 AS BIGINT) AS d
+      FROM lineitem)"""
+    val rounds = (7 to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val s = 1L << i
+      s"""h${idx + 1} AS (SELECT p, sk, hb, z16,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END)
+           ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END)
+           ELSE y END AS y,
+         d + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+           WHEN rx = 0 AND ry = 1 THEN 1
+           WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END) AS d
+       FROM (SELECT p, sk, hb, z16, x, y, d,
+           (x // $s) % 2 AS rx, (y // $s) % 2 AS ry
+         FROM h${idx}))"""
+    }
+    (h0 +: rounds).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
     "d_prefix_keep_best" ->
       """WITH d AS (SELECT doc_id,
@@ -880,6 +996,34 @@ object Curation {
                 ELSE 'train' END AS split,
            count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc
          FROM documents GROUP BY 1, 2 ORDER BY source, split""",
+    "x_hilbert" ->
+      s"""WITH $hilbertSqlCtes
+         SELECT d // 256 AS h_bucket, count(*) AS n,
+           min(d) AS min_h, max(d) AS max_h,
+           CAST(count(DISTINCT p) AS BIGINT) AS n_parts
+         FROM h8 GROUP BY 1 ORDER BY 1""",
+    "x_hilbert_benefit" ->
+      s"""WITH $hilbertSqlCtes,
+         li AS (SELECT d AS h16, z16, hb,
+             p AS l_partkey, sk AS l_suppkey FROM h8),
+         hs AS (SELECT h16 // 256 AS b, max(l_partkey) - min(l_partkey) AS sp,
+             max(l_suppkey) - min(l_suppkey) AS ss FROM li GROUP BY 1),
+         zs AS (SELECT z16 // 256 AS b, max(l_partkey) - min(l_partkey) AS sp,
+             max(l_suppkey) - min(l_suppkey) AS ss FROM li GROUP BY 1),
+         hh AS (SELECT hb AS b, max(l_partkey) - min(l_partkey) AS sp,
+             max(l_suppkey) - min(l_suppkey) AS ss FROM li GROUP BY 1),
+         ha AS (SELECT CAST(sum(sp) AS BIGINT) AS hil_span_part,
+             CAST(sum(ss) AS BIGINT) AS hil_span_supp FROM hs),
+         za AS (SELECT CAST(sum(sp) AS BIGINT) AS z_span_part,
+             CAST(sum(ss) AS BIGINT) AS z_span_supp FROM zs),
+         hha AS (SELECT CAST(sum(sp) AS BIGINT) AS hash_span_part,
+             CAST(sum(ss) AS BIGINT) AS hash_span_supp FROM hh)
+         SELECT hil_span_part, hil_span_supp, z_span_part, z_span_supp,
+           hash_span_part, hash_span_supp,
+           CAST(CASE WHEN hil_span_part < hash_span_part
+             AND hil_span_supp < hash_span_supp THEN 1 ELSE 0 END AS BIGINT)
+             AS hilbert_ok
+         FROM ha, za, hha""",
     "x_zorder" ->
       s"""WITH z AS (SELECT $zorderSqlExpr AS z16, l_partkey FROM lineitem)
          SELECT z16 // 256 AS z_bucket, count(*) AS n,

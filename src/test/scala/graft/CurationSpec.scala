@@ -251,4 +251,41 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3),
       (2L, 201L, 1)), "quota truncates to the 3 earliest per user")
   }
+
+  test("hilbert16: forward matches an independent d2xy inverse; unit steps") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // reference INVERSE (Wikipedia d2xy, rot(s) form) — a different
+    // code path from the engine's forward fold, so agreement is a real
+    // cross-check, not a tautology
+    def d2xy(n: Int, d0: Int): (Long, Long) = {
+      var (x, y, t, s) = (0, 0, d0, 1)
+      while (s < n) {
+        val rx = 1 & (t / 2)
+        val ry = 1 & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry; t /= 4; s *= 2
+      }
+      (x.toLong, y.toLong)
+    }
+    // strided sample over the full 16-bit curve + the dense head
+    val ds = ((0 until 600) ++ (0 until 65536 by 641)).distinct
+    val pts = ds.map { d => val (x, y) = d2xy(256, d); (d.toLong, x, y) }
+    // inverse adjacency: consecutive curve positions are unit grid steps
+    for (d <- 1 until 600) {
+      val (x0, y0) = d2xy(256, d - 1)
+      val (x1, y1) = d2xy(256, d)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"curve must move one unit step at d=$d")
+    }
+    val got = graft.queries.Curation.withHilbert16(
+        pts.toDF("d", "x", "y"), $"x", $"y", "h")
+      .select($"d", $"h").collect()
+    for (r <- got)
+      assert(r.getLong(1) == r.getLong(0),
+        s"forward(inverse(${r.getLong(0)})) = ${r.getLong(1)}")
+  }
 }

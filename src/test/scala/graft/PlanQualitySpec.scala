@@ -864,6 +864,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("x_hilbert: the 8-round fold stays a linear projection chain") {
+    val plan = planString(q("x_hilbert"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the curve index is per-row arithmetic:\n$plan")
+    assert(plan.contains("partial_"),
+      s"bucket stats must combine map-side:\n$plan")
+    // the projection-chain construction must not blow the plan up — a
+    // naive column fold produced a 4^8 expression tree (analyzer OOM)
+    assert(plan.length < 200000,
+      s"hilbert plan exploded to ${plan.length} chars")
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

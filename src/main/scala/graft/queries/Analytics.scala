@@ -177,7 +177,56 @@ object Analytics {
     })
   }
 
+  /** 3×3 focal (neighborhood) mean over a w×w row-major integer pixel
+    * array, edge-clamped: each output pixel is the truncating-integer
+    * mean of its in-bounds neighbors (9 in the interior, 6 on edges,
+    * 4 in corners). Nine conditional terms inside one codegen'd
+    * `transform` — the raster convolution primitive (smoothing, cloud
+    *-mask dilation) as a relational operator.
+    */
+  def focalMean3x3(arr: Column, w: Int): Column =
+    transform(sequence(lit(0), lit(w * w - 1)), { i =>
+      val y = floor(i.cast("double") / w).cast("long")
+      val x = i.cast("long") % w
+      val terms = for (dy <- -1 to 1; dx <- -1 to 1) yield {
+        val ny = y + dy
+        val nx = x + dx
+        val ok = ny >= 0 && ny < w && nx >= 0 && nx < w
+        (when(ok, element_at(arr, (ny * w + nx + 1).cast("int")))
+          .otherwise(0L),
+          when(ok, 1L).otherwise(0L))
+      }
+      val s = terms.map(_._1).reduce(_ + _)
+      val c = terms.map(_._2).reduce(_ + _)
+      floor(s.cast("double") / c).cast("long")
+    })
+
   val queries: Map[String, Q] = Map(
+
+    // Focal 3×3 mean over the same synthetic raster as the pyramid —
+    // see [[focalMean3x3]]; per-block stats of the filtered array gate
+    // the convolution arithmetic (incl. the edge/corner divisor
+    // handling) bit-for-bit. Narrow per-row work like m8.
+    "m9_focal_mean" -> ((s, d) => {
+      import s.implicits._
+      val blocks = s.range(0, 64).select(
+        ($"id" / 16).cast("long").as("tile"),
+        (($"id" / 4) % 4).cast("long").as("by"),
+        ($"id" % 4).as("bx"))
+        .select($"tile", $"by", $"bx",
+          transform(sequence(lit(0), lit(63)), { i =>
+            val y = $"by" * 8 + floor(i.cast("double") / 8).cast("long")
+            val x = $"bx" * 8 + i.cast("long") % 8
+            ($"tile" * 31 + y * 7 + x * 13) % 256
+          }).as("px"))
+      blocks.withColumn("fm", focalMean3x3($"px", 8))
+        .select($"tile", $"by", $"bx",
+          aggregate($"fm", lit(0L), (acc, x) => acc + x).as("focal_sum"),
+          array_min($"fm").as("focal_min"), array_max($"fm").as("focal_max"),
+          element_at($"fm", 1).as("corner_px"),
+          element_at($"fm", 28).as("interior_px"))
+        .orderBy($"tile", $"by", $"bx")
+    }),
 
     // Overview-pyramid build over a deterministic synthetic raster: 64
     // blocks of 8×8 integer pixels, downsampled 8→4→2 per block with
@@ -831,7 +880,39 @@ object Analytics {
         .orderBy($"source")
     }))
 
+  /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
+    * list variable `px` and index variable `i` (0-based, w = 8).
+    */
+  private val focalSqlExpr: String = {
+    val conds = for (dy <- -1 to 1; dx <- -1 to 1) yield {
+      val c = s"(i // 8 + $dy) BETWEEN 0 AND 7 AND (i % 8 + $dx) BETWEEN 0 AND 7"
+      val v = s"px[(i // 8 + $dy) * 8 + (i % 8 + $dx) + 1]"
+      (s"(CASE WHEN $c THEN $v ELSE 0 END)",
+        s"(CASE WHEN $c THEN 1 ELSE 0 END)")
+    }
+    s"(${conds.map(_._1).mkString(" + ")}) // (${conds.map(_._2).mkString(" + ")})"
+  }
+
   val oracles: Map[String, String] = Map(
+    "m9_focal_mean" ->
+      s"""WITH b AS (SELECT t.id // 16 AS tile, (t.id // 4) % 4 AS by,
+             t.id % 4 AS bx
+           FROM range(0, 64) t(id)),
+         p0 AS (SELECT tile, by, bx,
+             list_transform(generate_series(0, 63), i ->
+               (tile * 31 + (by * 8 + i // 8) * 7 + (bx * 8 + i % 8) * 13)
+                 % 256) AS px
+           FROM b),
+         fm AS (SELECT tile, by, bx,
+             list_transform(generate_series(0, 63), i -> $focalSqlExpr) AS f
+           FROM p0)
+         SELECT tile, by, bx,
+           CAST(list_aggregate(f, 'sum') AS BIGINT) AS focal_sum,
+           CAST(list_aggregate(f, 'min') AS BIGINT) AS focal_min,
+           CAST(list_aggregate(f, 'max') AS BIGINT) AS focal_max,
+           CAST(f[1] AS BIGINT) AS corner_px,
+           CAST(f[28] AS BIGINT) AS interior_px
+         FROM fm ORDER BY tile, by, bx""",
     "m8_overview_pyramid" ->
       """WITH b AS (SELECT t.id // 16 AS tile, (t.id // 4) % 4 AS by,
              t.id % 4 AS bx

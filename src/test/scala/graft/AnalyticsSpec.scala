@@ -48,6 +48,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(t.collect().head.getSeq[Long](0) == Seq(0L))
   }
 
+  test("focalMean3x3: corner/edge/interior divisors on a hand 3x3 grid") {
+    // grid: 0 1 2 / 3 4 5 / 6 7 8
+    // corner (0,0): mean(0,1,3,4) = 8/4 = 2
+    // edge (0,1): mean(0,1,2,3,4,5) = 15/6 = 2
+    // center: mean(0..8) = 36/9 = 4
+    val out = Seq(Tuple1((0L until 9L).toSeq)).toDF("px")
+      .select(Analytics.focalMean3x3($"px", 3).as("f"))
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L, 6L))
+  }
+
   test("bfsHops: shortest hop wins on diamonds; unreached nodes absent") {
     // 0 -> 1 -> 3, 0 -> 2 -> 3 (diamond), 3 -> 4, isolated 9
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),

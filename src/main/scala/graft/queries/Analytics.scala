@@ -822,6 +822,123 @@ object Analytics {
             + 0.5).cast("long").as("revenue_x100"))
     }),
 
+    // Last-touch attribution: each purchase credits the latest click or
+    // view in its trailing 7-day window. The touch→purchase pairing is
+    // a user-keyed interval hash join; the winner per purchase is a
+    // partial-aggregable max(struct(ts, id, type)) — NOT a row_number
+    // window — so map-side combine trims candidates before the
+    // exchange (the ad-tech staple, window-free at log scale).
+    "x_attribution_last_touch" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pid"), $"ts".as("pts"),
+          floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      val t = ev.filter($"event_type".isin("click", "view"))
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      p.join(t, Seq("user_id"))
+        .filter($"ts" < $"pts" && $"ts" >= $"pts" - expr("INTERVAL 7 DAY"))
+        .groupBy($"pid")
+        .agg(max(struct($"ts", $"event_id", $"event_type")).as("w"),
+          first($"cents").as("cents"))
+        .groupBy($"w.event_type".as("event_type"))
+        .agg(count(lit(1)).as("purchases"),
+          sum($"cents").as("attributed_cents"))
+        .orderBy($"event_type")
+    }),
+
+    // Event-sequence Markov transitions: consecutive event-type bigrams
+    // per user (BY-USER lead window, never global) → transition counts
+    // and row-normalized probabilities ×10000 — the session-flow model
+    // behind funnel design.
+    "x_markov_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val trans = events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type", $"nxt").agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy($"event_type").agg(sum($"n").as("tot"))
+      trans.join(totals, Seq("event_type"))
+        .select($"event_type", $"nxt", $"n",
+          expr("(n * 10000) div tot").as("p_x10000"))
+        .orderBy($"event_type", $"nxt")
+    }),
+
+    // Community-quality (modularity) contributions over the synthetic
+    // link graph with a deterministic 7-way community assignment:
+    // per community c, Q_c = e_c/m − (d_c/2m)² — internal edges via a
+    // double label equi-join, degree sums via one partial agg; the two
+    // FP divisions replay exactly, ×1e9-quantized. The clustering-
+    // evaluation half of the graph suite (components/pagerank/
+    // triangles/BFS are the algorithms; this scores a partition).
+    "v_modularity" -> ((s, d) => {
+      import s.implicits._
+      val e = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      val m = e.agg(count(lit(1)).as("m"))
+      val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("dg"))
+      val com = deg.select($"v", ($"v" % 7).as("c"), $"dg")
+      val ca = com.select($"v".as("a"), $"c".as("ca"))
+      val cb = com.select($"v".as("b"), $"c".as("cb"))
+      val ein = e.join(ca, "a").join(cb, "b").filter($"ca" === $"cb")
+        .groupBy($"ca".as("c")).agg(count(lit(1)).as("ec"))
+      val dsum = com.groupBy($"c").agg(sum($"dg").as("dc"))
+      dsum.join(ein, Seq("c"), "left")
+        .crossJoin(broadcast(m))
+        .select($"c", coalesce($"ec", lit(0L)).as("internal_edges"),
+          $"dc".as("degree_sum"),
+          floor((coalesce($"ec", lit(0L)).cast("double") / $"m" -
+            ($"dc".cast("double") / (lit(2) * $"m")) *
+            ($"dc".cast("double") / (lit(2) * $"m"))) * 1e9)
+            .cast("long").as("contrib_x1e9"))
+        .orderBy($"c")
+    }),
+
+    // TPC-H Q10 shape — returned-item revenue per customer, top 20:
+    // broadcast customer dim, date-windowed orders, flag-filtered
+    // lineitem, one partial agg, bounded TakeOrdered.
+    "q10_returned_items" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val l = lineitem(s, d).filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(customer(s, d).select($"c_custkey", $"c_name")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) *
+          100 + 0.5).cast("long").as("revenue_x100"))
+        .orderBy($"revenue_x100".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    // per-supplier aggregate compares against its own 1-row broadcast
+    // maximum in integer cents (the "view + scalar aggregate equality"
+    // pattern, decorrelated).
+    "q15_top_supplier" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) *
+          100 + 0.5).cast("long").as("rev_x100"))
+        .localCheckpoint(false)
+      val mx = rev.agg(max($"rev_x100").as("mx"))
+      rev.crossJoin(broadcast(mx)).filter($"rev_x100" === $"mx")
+        .join(broadcast(supplier(s, d).select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"rev_x100")
+        .orderBy($"s_suppkey")
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -1301,6 +1418,81 @@ object Analytics {
            CAST(floor(cume_dist() OVER (PARTITION BY lang
              ORDER BY n_chars) * 10000) AS BIGINT) AS cd_x10000
          FROM documents ORDER BY lang, doc_id""",
+    "x_attribution_last_touch" ->
+      """WITH p AS (SELECT user_id, event_id AS pid, ts AS pts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE event_type IN ('click', 'view')),
+         j AS (SELECT p.pid, p.cents, t.event_type,
+             row_number() OVER (PARTITION BY p.pid
+               ORDER BY t.ts DESC, t.event_id DESC) AS rn
+           FROM p JOIN t ON p.user_id = t.user_id
+             AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL 7 DAY)
+         SELECT event_type, count(*) AS purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+         FROM j WHERE rn = 1 GROUP BY 1 ORDER BY event_type""",
+    "x_markov_transitions" ->
+      """WITH o AS (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events),
+         tr AS (SELECT event_type, nxt, count(*) AS n FROM o
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM tr GROUP BY 1)
+         SELECT tr.event_type, tr.nxt, tr.n,
+           (tr.n * 10000) // tot.tot AS p_x10000
+         FROM tr JOIN tot USING (event_type)
+         ORDER BY tr.event_type, tr.nxt""",
+    "v_modularity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM (SELECT d.doc_id AS src,
+               (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+             FROM documents d, nn, range(1, 4) t(k))
+           WHERE src <> dst),
+         m AS (SELECT count(*) AS m FROM e),
+         deg AS (SELECT v, count(*) AS dg FROM
+           (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         com AS (SELECT v, v % 7 AS c, dg FROM deg),
+         ein AS (SELECT ca.c, count(*) AS ec
+           FROM e JOIN com ca ON e.a = ca.v
+           JOIN com cb ON e.b = cb.v AND ca.c = cb.c
+           GROUP BY 1),
+         dsum AS (SELECT c, CAST(sum(dg) AS BIGINT) AS dc
+           FROM com GROUP BY 1)
+         SELECT dsum.c, CAST(coalesce(ein.ec, 0) AS BIGINT)
+             AS internal_edges,
+           dsum.dc AS degree_sum,
+           CAST(floor((CAST(coalesce(ein.ec, 0) AS DOUBLE) / m.m
+             - (CAST(dsum.dc AS DOUBLE) / (2 * m.m))
+               * (CAST(dsum.dc AS DOUBLE) / (2 * m.m))) * 1e9) AS BIGINT)
+             AS contrib_x1e9
+         FROM dsum LEFT JOIN ein USING (c), m ORDER BY c""",
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+           CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100
+             + 0.5) AS BIGINT) AS revenue_x100
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY 1, 2 ORDER BY revenue_x100 DESC, c_custkey LIMIT 20""",
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 100
+               + 0.5) AS BIGINT) AS rev_x100
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1),
+         mx AS (SELECT max(rev_x100) AS mx FROM rev)
+         SELECT r.l_suppkey AS s_suppkey, s.s_name, r.rev_x100
+         FROM rev r, mx JOIN supplier s ON s.s_suppkey = r.l_suppkey
+         WHERE r.rev_x100 = mx.mx ORDER BY r.l_suppkey""",
     "q4_order_priority" ->
       """SELECT o.o_orderpriority, count(*) AS order_count
          FROM orders o

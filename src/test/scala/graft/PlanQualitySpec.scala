@@ -876,6 +876,44 @@ class PlanQualitySpec extends SparkSpec {
       s"hilbert plan exploded to ${plan.length} chars")
   }
 
+  test("x_attribution_last_touch: winner is a window-free argmax") {
+    val plan = planString(q("x_attribution_last_touch"))
+    assert(!plan.contains("Window"),
+      s"attribution must not row_number the touch log:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"the per-purchase winner must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"touch pairing stays keyed on user:\n$plan")
+  }
+
+  test("x_markov_transitions: lead windows partition by user") {
+    val plan = planString(q("x_markov_transitions"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global sort of the event log:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"transition counts must combine map-side:\n$plan")
+  }
+
+  test("v_modularity: label joins are equi; only the 1-row m broadcasts") {
+    val plan = planString(q("v_modularity"))
+    assert(!plan.contains("CartesianProduct"),
+      s"modularity never crosses the edge set:\n$plan")
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"only the 1-row edge count may nest-loop:\n$plan")
+  }
+
+  test("q10/q15: bounded heap top-k; checkpointed revenue view shared") {
+    val p10 = planString(q("q10_returned_items"))
+    assert(p10.contains("TakeOrderedAndProject") &&
+      !p10.contains("SortMergeJoin"),
+      s"q10 reduces via a heap over hash joins:\n$p10")
+    val p15 = planString(q("q15_top_supplier"))
+    assert(p15.contains("ExistingRDD"),
+      s"q15's revenue view must be computed once:\n$p15")
+    assert(!p15.contains("SortMergeJoin") && !p15.contains("CartesianProduct"),
+      s"q15 joins stay broadcast/hash:\n$p15")
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

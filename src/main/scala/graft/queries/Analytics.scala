@@ -201,7 +201,53 @@ object Analytics {
       floor(s.cast("double") / c).cast("long")
     })
 
+  /** Horn-method gradient magnitude (squared) over a w×w integer pixel
+    * array with edge replication: gx = (tr+2r+br) − (tl+2l+bl),
+    * gy = (bl+2b+br) − (tl+2t+tr), output gx²+gy² — the slope/terrain
+    * primitive in EXACT integer arithmetic (no trig, so the oracle
+    * replays bit-for-bit; a real slope product divides by cell size
+    * and applies atan at the edge of the pipeline).
+    */
+  def hornSlopeSq(arr: Column, w: Int): Column =
+    transform(sequence(lit(0), lit(w * w - 1)), { i =>
+      val y = floor(i.cast("double") / w).cast("long")
+      val x = i.cast("long") % w
+      def px(dy: Int, dx: Int): Column = {
+        val cy = greatest(lit(0L), least(lit(w - 1L), y + dy))
+        val cx = greatest(lit(0L), least(lit(w - 1L), x + dx))
+        element_at(arr, (cy * w + cx + 1).cast("int"))
+      }
+      val gx = (px(-1, 1) + lit(2L) * px(0, 1) + px(1, 1)) -
+        (px(-1, -1) + lit(2L) * px(0, -1) + px(1, -1))
+      val gy = (px(1, -1) + lit(2L) * px(1, 0) + px(1, 1)) -
+        (px(-1, -1) + lit(2L) * px(-1, 0) + px(-1, 1))
+      gx * gx + gy * gy
+    })
+
   val queries: Map[String, Q] = Map(
+
+    // Horn slope over the synthetic raster — see [[hornSlopeSq]]; the
+    // per-block stats gate the gradient stencil (incl. edge
+    // replication) exactly.
+    "m10_horn_slope" -> ((s, d) => {
+      import s.implicits._
+      val blocks = s.range(0, 64).select(
+        ($"id" / 16).cast("long").as("tile"),
+        (($"id" / 4) % 4).cast("long").as("by"),
+        ($"id" % 4).as("bx"))
+        .select($"tile", $"by", $"bx",
+          transform(sequence(lit(0), lit(63)), { i =>
+            val y = $"by" * 8 + floor(i.cast("double") / 8).cast("long")
+            val x = $"bx" * 8 + i.cast("long") % 8
+            ($"tile" * 31 + y * 7 + x * 13) % 256
+          }).as("px"))
+      blocks.withColumn("sl", hornSlopeSq($"px", 8))
+        .select($"tile", $"by", $"bx",
+          aggregate($"sl", lit(0L), (acc, x) => acc + x).as("slope_sum"),
+          array_min($"sl").as("slope_min"), array_max($"sl").as("slope_max"),
+          element_at($"sl", 28).as("interior_px"))
+        .orderBy($"tile", $"by", $"bx")
+    }),
 
     // Focal 3×3 mean over the same synthetic raster as the pyramid —
     // see [[focalMean3x3]]; per-block stats of the filtered array gate
@@ -1010,7 +1056,40 @@ object Analytics {
     s"(${conds.map(_._1).mkString(" + ")}) // (${conds.map(_._2).mkString(" + ")})"
   }
 
+  /** The [[hornSlopeSq]] stencil as a DuckDB lambda expression (list
+    * variable `px`, index `i`, w = 8, edge replication via
+    * greatest/least clamping).
+    */
+  private val hornSqlExpr: String = {
+    def px(dy: Int, dx: Int): String =
+      s"px[greatest(0, least(7, i // 8 + $dy)) * 8 + " +
+        s"greatest(0, least(7, i % 8 + $dx)) + 1]"
+    val gx = s"((${px(-1, 1)} + 2 * ${px(0, 1)} + ${px(1, 1)}) - " +
+      s"(${px(-1, -1)} + 2 * ${px(0, -1)} + ${px(1, -1)}))"
+    val gy = s"((${px(1, -1)} + 2 * ${px(1, 0)} + ${px(1, 1)}) - " +
+      s"(${px(-1, -1)} + 2 * ${px(-1, 0)} + ${px(-1, 1)}))"
+    s"$gx * $gx + $gy * $gy"
+  }
+
   val oracles: Map[String, String] = Map(
+    "m10_horn_slope" ->
+      s"""WITH b AS (SELECT t.id // 16 AS tile, (t.id // 4) % 4 AS by,
+             t.id % 4 AS bx
+           FROM range(0, 64) t(id)),
+         p0 AS (SELECT tile, by, bx,
+             list_transform(generate_series(0, 63), i ->
+               (tile * 31 + (by * 8 + i // 8) * 7 + (bx * 8 + i % 8) * 13)
+                 % 256) AS px
+           FROM b),
+         sl AS (SELECT tile, by, bx,
+             list_transform(generate_series(0, 63), i -> $hornSqlExpr) AS s
+           FROM p0)
+         SELECT tile, by, bx,
+           CAST(list_aggregate(s, 'sum') AS BIGINT) AS slope_sum,
+           CAST(list_aggregate(s, 'min') AS BIGINT) AS slope_min,
+           CAST(list_aggregate(s, 'max') AS BIGINT) AS slope_max,
+           CAST(s[28] AS BIGINT) AS interior_px
+         FROM sl ORDER BY tile, by, bx""",
     "m9_focal_mean" ->
       s"""WITH b AS (SELECT t.id // 16 AS tile, (t.id // 4) % 4 AS by,
              t.id % 4 AS bx

@@ -328,6 +328,51 @@ object StreamOps {
       }
   }
 
+  final case class FunnelState(tv: Long, tc: Long, tp: Long)
+  final case class FunnelOut(user_id: Long, stage: Int,
+                             tv: Long, tc: Long, tp: Long)
+
+  /** Streaming funnel via `mapGroupsWithState`: per user the state is
+    * the three first-touch timestamps (first view, first qualifying
+    * click within `clickMs` of it, first qualifying purchase within
+    * `purchaseMs` of the click; Long.MaxValue = not reached). Events
+    * fold in (ts, event_id) order within a batch and the carried state
+    * resolves stage windows across micro-batch boundaries — pinned
+    * equal to the batch x_event_funnel stage logic in StreamOpsSpec.
+    * State is THREE longs per user at any scale.
+    */
+  def funnelStream(events: Dataset[KeyedEvent],
+                   clickMs: Long = 24L * 3600 * 1000,
+                   purchaseMs: Long = 3L * 24 * 3600 * 1000)
+      : Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val None_ = Long.MaxValue
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None_, None_, None_))
+          for (e <- rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))) {
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if t < s.tv =>
+                s = FunnelState(t, s.tc, s.tp)
+              case "click" if s.tv != None_ && t > s.tv &&
+                  t <= s.tv + clickMs && t < s.tc =>
+                s = FunnelState(s.tv, t, s.tp)
+              case "purchase" if s.tc != None_ && t > s.tc &&
+                  t <= s.tc + purchaseMs && t < s.tp =>
+                s = FunnelState(s.tv, s.tc, t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage = if (s.tp != None_) 3 else if (s.tc != None_) 2
+            else if (s.tv != None_) 1 else 0
+          FunnelOut(user, stage, s.tv, s.tc, s.tp)
+      }
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

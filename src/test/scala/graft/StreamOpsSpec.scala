@@ -609,6 +609,47 @@ class StreamOpsSpec extends SparkSpec {
       "stale late change must not override the newer state")
   }
 
+  test("streaming funnel carries stage windows across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.KeyedEvent
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+
+    def stages(): Map[Long, Int] =
+      spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+
+    // batch 1: both users view; user 2 also clicks 2 DAYS later (outside
+    // the 1-day window -> must NOT advance)
+    input.addData(
+      KeyedEvent(1L, "view", 10L, ts("2024-01-01 00:00:00"), 0),
+      KeyedEvent(2L, "view", 20L, ts("2024-01-01 00:00:00"), 0),
+      KeyedEvent(2L, "click", 21L, ts("2024-01-03 00:00:00"), 0))
+    q.processAllAvailable()
+    assert(stages() == Map(1L -> 1, 2L -> 1))
+
+    // batch 2: user 1 clicks inside the window — the view time carried
+    // across the batch boundary must qualify it
+    input.addData(
+      KeyedEvent(1L, "click", 11L, ts("2024-01-01 12:00:00"), 0))
+    q.processAllAvailable()
+    assert(stages() == Map(1L -> 2, 2L -> 1))
+
+    // batch 3: user 1 purchases within 3 days of the click; user 2's
+    // purchase has no qualifying click -> stays at stage 1
+    input.addData(
+      KeyedEvent(1L, "purchase", 12L, ts("2024-01-03 00:00:00"), 9.0),
+      KeyedEvent(2L, "purchase", 22L, ts("2024-01-03 06:00:00"), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(stages() == Map(1L -> 3, 2L -> 1))
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

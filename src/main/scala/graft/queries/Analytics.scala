@@ -985,6 +985,38 @@ object Analytics {
         .orderBy($"s_suppkey")
     }),
 
+    // Integer half-life freshness decay: weight = 1e6 >> (age_days/7) —
+    // exponential decay as PURE bit shifts (no exp(), so the score
+    // replays exactly in any engine); the recency weighting a crawl
+    // scheduler or feed ranker applies, summed per event type. One scan
+    // + a 1-row max-ts broadcast.
+    "x_freshness_decay" -> ((s, d) => {
+      import s.implicits._
+      val mx = events(s, d).agg(max($"ts").as("m"))
+      events(s, d).crossJoin(broadcast(mx))
+        .select($"event_type", datediff($"m", $"ts").as("age"))
+        .select($"event_type",
+          expr("shiftright(1000000L, cast(age div 7 as int))").as("wt"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"wt").as("decayed_x1e6"))
+        .orderBy($"event_type")
+    }),
+
+    // Deterministic ordered aggregation digest: per source, the md5 of
+    // the comma-joined ORDERED doc-id list — the cheap content-manifest
+    // a replication check compares across clusters. sort_array sorts
+    // the collected LONGS (numeric order, matching the oracle's ORDER
+    // BY) before stringification.
+    "c26_ordered_digest" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy($"source")
+        .agg(md5(array_join(transform(sort_array(collect_list($"doc_id")),
+            x => x.cast("string")), ",").cast("binary")).as("digest"),
+          count(lit(1)).as("n"))
+        .orderBy($"source")
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -1572,6 +1604,20 @@ object Analytics {
          SELECT r.l_suppkey AS s_suppkey, s.s_name, r.rev_x100
          FROM rev r, mx JOIN supplier s ON s.s_suppkey = r.l_suppkey
          WHERE r.rev_x100 = mx.mx ORDER BY r.l_suppkey""",
+    "x_freshness_decay" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         e AS (SELECT event_type, datediff('day', ts, mx.m) AS age
+           FROM events, mx)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(1000000 // power(2, age // 7)) AS BIGINT)
+             AS decayed_x1e6
+         FROM e GROUP BY 1 ORDER BY event_type""",
+    "c26_ordered_digest" ->
+      """SELECT source,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS digest,
+           count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY source""",
     "q4_order_priority" ->
       """SELECT o.o_orderpriority, count(*) AS order_count
          FROM orders o

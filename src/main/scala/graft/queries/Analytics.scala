@@ -1017,6 +1017,59 @@ object Analytics {
         .orderBy($"source")
     }),
 
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): per user, merge
+    // the click and purchase streams with imperative per-key logic — a
+    // sorted click array + binary search answers "purchase preceded by
+    // a click within 1 hour" in O(log c) per purchase. The API surface
+    // for per-key merge logic that outgrows SQL; state is one user's
+    // events at a time, co-partitioned by the cogroup shuffle.
+    "x_cogroup_merge" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id",
+        unix_micros($"ts").as("ts_us"), $"event_type")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us").as[(Long, Long)]
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_us").as[(Long, Long)]
+      clicks.groupByKey(_._1).cogroup(purch.groupByKey(_._1)) {
+        (user, cs, ps) =>
+          val cl = cs.map(_._2).toArray.sorted
+          val plist = ps.map(_._2).toList
+          if (plist.isEmpty) Iterator.empty
+          else {
+            val qualified = plist.count { pt =>
+              val lo = pt - 3600L * 1000000L
+              var i = java.util.Arrays.binarySearch(cl, lo)
+              if (i < 0) i = -i - 1
+              i < cl.length && cl(i) < pt
+            }
+            Iterator((user, plist.size.toLong, qualified.toLong))
+          }
+      }.toDF("user_id", "n_purchases", "qualified")
+        .orderBy($"user_id")
+    }),
+
+    // Code-vs-prose detection (the curation signal that routes source
+    // files away from prose pipelines): deterministic synthetic code is
+    // appended to every 7th doc (the x_pii_scrub recipe), then flagged
+    // by the special-character density ratio — pure codegen'd regex
+    // counting, one scan.
+    "x_code_detection" -> ((s, d) => {
+      import s.implicits._
+      val doc = documents(s, d).select($"doc_id",
+        when($"doc_id" % 7 === 0,
+          concat($"text", lit(" if (x == 1) { y = f(x); } // end")))
+          .otherwise($"text").as("t"))
+      doc.select($"doc_id",
+          size(regexp_extract_all($"t", lit("[{};=()]"), lit(0)))
+            .cast("long").as("specials"),
+          length($"t").cast("long").as("len"))
+        .select($"doc_id", $"specials", $"len",
+          when($"specials" * 1000 >= $"len" * 10, 1L).otherwise(0L)
+            .as("code_flag"))
+        .orderBy($"doc_id")
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -1604,6 +1657,35 @@ object Analytics {
          SELECT r.l_suppkey AS s_suppkey, s.s_name, r.rev_x100
          FROM rev r, mx JOIN supplier s ON s.s_suppkey = r.l_suppkey
          WHERE r.rev_x100 = mx.mx ORDER BY r.l_suppkey""",
+    "x_cogroup_merge" ->
+      """WITH c AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         q AS (SELECT p.user_id, p.ts,
+             CASE WHEN EXISTS (SELECT 1 FROM c
+               WHERE c.user_id = p.user_id AND c.ts < p.ts
+                 AND c.ts >= p.ts - INTERVAL 1 HOUR)
+               THEN 1 ELSE 0 END AS ok
+           FROM p)
+         SELECT user_id, count(*) AS n_purchases,
+           CAST(sum(ok) AS BIGINT) AS qualified
+         FROM q GROUP BY 1 ORDER BY user_id""",
+    "x_code_detection" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' if (x == 1) { y = f(x); } // end'
+               ELSE text END AS t
+           FROM documents),
+         s AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[{};=()]')) AS BIGINT)
+               AS specials,
+             CAST(len(t) AS BIGINT) AS len
+           FROM d)
+         SELECT doc_id, specials, len,
+           CAST(CASE WHEN specials * 1000 >= len * 10 THEN 1 ELSE 0 END
+             AS BIGINT) AS code_flag
+         FROM s ORDER BY doc_id""",
     "x_freshness_decay" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events),
          e AS (SELECT event_type, datediff('day', ts, mx.m) AS age

@@ -914,6 +914,22 @@ class PlanQualitySpec extends SparkSpec {
       s"q15 joins stay broadcast/hash:\n$p15")
   }
 
+  test("x_cogroup_merge: plans the typed CoGroup physical operator") {
+    val plan = planString(q("x_cogroup_merge"))
+    assert(plan.contains("CoGroup"),
+      s"per-key merge must run through cogroup, not joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"no fallback join or window:\n$plan")
+  }
+
+  test("x_code_detection: one scan of codegen'd regex counting") {
+    val plan = planString(q("x_code_detection"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the detector is per-row arithmetic:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"one documents scan, saw $scans:\n$plan")
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

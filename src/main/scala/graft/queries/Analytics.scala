@@ -1070,6 +1070,31 @@ object Analytics {
         .orderBy($"doc_id")
     }),
 
+    // Snapshot ROLLBACK plan (the lakehouse RESTORE): the inverse change
+    // set that returns the T2 state to T1 — keys added since T1 emit a
+    // delete, keys removed or changed emit an upsert of their T1 value.
+    // Pure plan computation over the two window-free as-of folds + one
+    // full-outer diff; data is never rewritten to plan the restore.
+    "c27_rollback_plan" -> ((s, d) => {
+      import s.implicits._
+      val changes = events(s, d).select(
+        ($"user_id" % 50).as("k"), $"ts", $"event_id".as("change_id"),
+        when($"event_type" === "error", "delete").otherwise("upsert").as("op"),
+        floor($"value" * 100 + 0.5).cast("long").as("val_cents"))
+      def asof(t: String) = cdcSnapshot(
+        changes.filter($"ts" <= lit(t).cast("timestamp")))
+      val s1 = asof("2024-01-15").select($"k",
+        $"last_change".as("ch1"), $"last_val_cents".as("v1"))
+      val s2 = asof("2024-01-25").select($"k",
+        $"last_change".as("ch2"), $"last_val_cents".as("v2"))
+      s1.join(s2, Seq("k"), "full_outer")
+        .filter($"ch1".isNull || $"ch2".isNull || $"ch1" =!= $"ch2")
+        .select($"k",
+          when($"ch1".isNull, "delete").otherwise("upsert").as("action"),
+          coalesce($"v1", lit(0L)).as("target_val_cents"))
+        .orderBy($"k")
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -1686,6 +1711,28 @@ object Analytics {
            CAST(CASE WHEN specials * 1000 >= len * 10 THEN 1 ELSE 0 END
              AS BIGINT) AS code_flag
          FROM s ORDER BY doc_id""",
+    "c27_rollback_plan" ->
+      """WITH c AS (SELECT user_id % 50 AS k, ts, event_id AS change_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents
+           FROM events),
+         s1 AS (SELECT k, change_id AS ch1, val_cents AS v1 FROM
+           (SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts DESC, change_id DESC) AS rn
+            FROM c WHERE ts <= TIMESTAMP '2024-01-15')
+           WHERE rn = 1 AND op = 'upsert'),
+         s2 AS (SELECT k, change_id AS ch2, val_cents AS v2 FROM
+           (SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts DESC, change_id DESC) AS rn
+            FROM c WHERE ts <= TIMESTAMP '2024-01-25')
+           WHERE rn = 1 AND op = 'upsert')
+         SELECT coalesce(s1.k, s2.k) AS k,
+           CASE WHEN s1.k IS NULL THEN 'delete' ELSE 'upsert' END AS action,
+           coalesce(s1.v1, 0) AS target_val_cents
+         FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k
+         WHERE s1.k IS NULL OR s2.k IS NULL OR s1.ch1 <> s2.ch2
+         ORDER BY k""",
     "x_freshness_decay" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events),
          e AS (SELECT event_type, datediff('day', ts, mx.m) AS age

@@ -823,6 +823,42 @@ object Pipeline {
     scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
   }
 
+  /** IVF coarse-quantizer ANN top-5 (the v_ann_ivf pipeline): K=8
+    * deterministic integer centroids, max-inner-product assignment,
+    * nprobe=2 inverted-list probe, exact cosine re-score. Returns
+    * (qid, vec_id, cos, rnk ≤ 5).
+    */
+  private def annIvfTop5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 8; val NProbe = 2; val TopK = 5
+    val emb = embeddings(s, d).select($"vec_id", $"embedding")
+    val dims = emb.select($"vec_id", ($"vec_id" % K).cast("int").as("grp"),
+      posexplode($"embedding").as(Seq("k", "v")))
+      .select($"vec_id", $"grp", $"k",
+        floor($"v".cast("double") * 1000).cast("long").as("qv"))
+    val cent = dims.groupBy($"grp", $"k").agg(sum($"qv").as("cs"))
+      .select($"grp".as("cgrp"), $"k", $"cs")
+    val scores = dims.join(broadcast(cent), Seq("k"))
+      .groupBy($"vec_id", $"cgrp").agg(sum($"qv" * $"cs").as("ip"))
+    import org.apache.spark.sql.expressions.Window
+    val byIp = Window.partitionBy($"vec_id").orderBy(desc("ip"), $"cgrp")
+    val ranked = scores.withColumn("rk", row_number().over(byIp))
+    val assign = ranked.filter($"rk" === 1).select($"vec_id", $"cgrp")
+    val probe = ranked.filter($"vec_id".isin(0, 1, 2) && $"rk" <= NProbe)
+      .select($"vec_id".as("qid"), $"cgrp")
+    val cand = assign.filter(!$"vec_id".isin(0, 1, 2))
+      .join(broadcast(probe), Seq("cgrp"))
+      .select($"qid", $"vec_id").distinct()
+    val q = emb.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = emb.select($"vec_id", $"embedding".as("ce"))
+    val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
+      .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+    val byCos = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+    scored.withColumn("rnk", row_number().over(byCos))
+      .filter($"rnk" <= TopK)
+  }
+
   /** Per-doc unigram-LM surprisal: corpus-frequency logprobs quantized
     * once (vocab-sized table), order-free integer per-doc sums. Returns
     * (doc_id, tokens, nll_x1e6, mean_nll_x1e6).
@@ -1219,36 +1255,32 @@ object Pipeline {
     // never self-joins.
     "v_ann_ivf" -> ((s, d) => {
       import s.implicits._
-      val K = 8; val NProbe = 2; val TopK = 5
-      val emb = embeddings(s, d).select($"vec_id", $"embedding")
-      val dims = emb.select($"vec_id", ($"vec_id" % K).cast("int").as("grp"),
-        posexplode($"embedding").as(Seq("k", "v")))
-        .select($"vec_id", $"grp", $"k",
-          floor($"v".cast("double") * 1000).cast("long").as("qv"))
-      val cent = dims.groupBy($"grp", $"k").agg(sum($"qv").as("cs"))
-        .select($"grp".as("cgrp"), $"k", $"cs")
-      val scores = dims.join(broadcast(cent), Seq("k"))
-        .groupBy($"vec_id", $"cgrp").agg(sum($"qv" * $"cs").as("ip"))
-      import org.apache.spark.sql.expressions.Window
-      val byIp = Window.partitionBy($"vec_id").orderBy(desc("ip"), $"cgrp")
-      val ranked = scores.withColumn("rk", row_number().over(byIp))
-      val assign = ranked.filter($"rk" === 1).select($"vec_id", $"cgrp")
-      val probe = ranked.filter($"vec_id".isin(0, 1, 2) && $"rk" <= NProbe)
-        .select($"vec_id".as("qid"), $"cgrp")
-      val cand = assign.filter(!$"vec_id".isin(0, 1, 2))
-        .join(broadcast(probe), Seq("cgrp"))
-        .select($"qid", $"vec_id").distinct()
-      val q = emb.filter($"vec_id".isin(0, 1, 2))
-        .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val c = emb.select($"vec_id", $"embedding".as("ce"))
-      val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
-        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-      val byCos = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      scored.withColumn("rnk", row_number().over(byCos))
-        .filter($"rnk" <= TopK)
+      annIvfTop5(s, d)
         .select($"qid", $"vec_id",
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
         .orderBy($"qid", $"rnk")
+    }),
+
+    // IVF recall evaluation — the published index-quality table for the
+    // coarse-quantizer path, completing the ANN eval suite next to the
+    // LSH one (`v_recall_eval`): recall@5 + top-1 hit vs exact
+    // brute-force top-5 per query.
+    "v_recall_eval_ivf" -> ((s, d) => {
+      import s.implicits._
+      val ivf = annIvfTop5(s, d).select($"qid", $"vec_id",
+        $"rnk".as("ivf_rnk"))
+      val ex = annExactTop10(s, d).filter($"rnk" <= 5)
+        .select($"qid", $"vec_id", $"rnk".as("ex_rnk"))
+      val hits = ivf.join(ex, Seq("qid", "vec_id"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("hits"),
+          min(when($"ex_rnk" === 1, $"ivf_rnk")).as("top1_at"))
+      ex.select($"qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", coalesce($"hits", lit(0L)).as("hits"),
+          (coalesce($"hits", lit(0L)) * 20).as("recall_x100"),
+          $"top1_at".isNotNull.cast("long").as("top1_hit"))
+        .orderBy($"qid")
     }),
 
     // Product-quantization ANN (Jégou et al. 2011, the memory-bound
@@ -2358,6 +2390,58 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "v_recall_eval_ivf" ->
+      """WITH dims AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS grp, k,
+             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM embeddings, range(0, 64) t(k)),
+         cent AS (SELECT grp AS cgrp, k, CAST(sum(qv) AS BIGINT) AS cs
+           FROM dims GROUP BY 1, 2),
+         scores AS (SELECT d.vec_id, c.cgrp, sum(d.qv * c.cs) AS ip
+           FROM dims d JOIN cent c USING (k) GROUP BY 1, 2),
+         ranked AS (SELECT vec_id, cgrp,
+             row_number() OVER (PARTITION BY vec_id ORDER BY ip DESC, cgrp) AS rk
+           FROM scores),
+         assign AS (SELECT vec_id, cgrp FROM ranked WHERE rk = 1),
+         probe AS (SELECT vec_id AS qid, cgrp FROM ranked
+           WHERE vec_id IN (0, 1, 2) AND rk <= 2),
+         cand AS (SELECT DISTINCT p.qid, a.vec_id
+           FROM assign a JOIN probe p USING (cgrp)
+           WHERE a.vec_id NOT IN (0, 1, 2)),
+         idots AS (SELECT cand.qid, cand.vec_id,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nc
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+             JOIN embeddings b ON b.vec_id = cand.vec_id, range(1, 65) t(i)
+           GROUP BY 1, 2),
+         ivf5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM idots) WHERE rnk <= 5),
+         eq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0,1,2)),
+         ec AS (SELECT vec_id, embedding AS ce FROM embeddings
+           WHERE vec_id NOT IN (0,1,2)),
+         edots AS (SELECT qid, vec_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM eq, ec, range(1, 65) t(i) GROUP BY qid, vec_id),
+         ex5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM edots) WHERE rnk <= 5),
+         h AS (SELECT i.qid, count(*) AS hits,
+             min(CASE WHEN e.rnk = 1 THEN i.rnk END) AS top1_at
+           FROM ivf5 i JOIN ex5 e
+             ON i.qid = e.qid AND i.vec_id = e.vec_id
+           GROUP BY 1)
+         SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) * 20 AS BIGINT) AS recall_x100,
+           CAST(CASE WHEN h.top1_at IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS top1_hit
+         FROM (SELECT DISTINCT qid FROM ex5) q
+         LEFT JOIN h USING (qid) ORDER BY q.qid""",
     // Integer-for-integer replay of the PQ pipeline (the construction is
     // order-free on purpose): codebook from fixed 16-vector seed blocks,
     // encoding by min(ss - 32*ip), ADC sum, top-30 candidates, exact

@@ -1095,6 +1095,95 @@ object Analytics {
         .orderBy($"k")
     }),
 
+    // TPC-H Q5 shape — local-supplier volume: the six-table star join
+    // (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region) with the
+    // same-nation residual between customer and supplier. The three
+    // tiny dims broadcast; the two fact joins are the only shuffles;
+    // the region/date filters push to their scans.
+    "q5_local_volume" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val c = customer(s, d).select($"c_custkey", $"c_nationkey")
+      val l = lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice",
+          $"l_discount")
+      val sup = supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      val nr = nation(s, d)
+        .join(broadcast(region(s, d)
+          .filter($"r_name".isin("AMERICA", "ASIA"))),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) *
+          100 + 0.5).cast("long").as("revenue_x100"))
+        .orderBy($"revenue_x100".desc, $"n_name")
+    }),
+
+    // TPC-H Q8 shape — national market share: one nation's fraction of
+    // a region's spend on a part type, per year — the deepest join tree
+    // in the suite (8 relations) ending in a conditional-share
+    // aggregation; dims broadcast, facts shuffle once each.
+    "q8_market_share" -> ((s, d) => {
+      import s.implicits._
+      val l = lineitem(s, d).select($"l_orderkey", $"l_partkey",
+        $"l_suppkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("vol"))
+      val p = part(s, d).filter($"p_type" === "STANDARD")
+        .select($"p_partkey")
+      val o = orders(s, d)
+        .filter($"o_orderdate".between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").as("yr"))
+      val c = customer(s, d).select($"c_custkey", $"c_nationkey")
+      val n1r = nation(s, d)
+        .join(broadcast(region(s, d).filter($"r_name" === "AMERICA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("cnat"))
+      val sup = supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      val n2 = nation(s, d).select($"n_nationkey".as("snatkey"),
+        $"n_name".as("supp_nation"))
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n1r), $"c_nationkey" === $"cnat")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n2), $"s_nationkey" === $"snatkey")
+        .groupBy($"yr")
+        .agg(floor(sum(when($"supp_nation" === "NATION_7", $"vol")
+            .otherwise(0.0)) * 10000 / sum($"vol")).cast("long")
+            .as("share_x10000"),
+          count(lit(1)).as("n"))
+        .orderBy($"yr")
+    }),
+
+    // TPC-H Q13 shape — customer order-count distribution: the LEFT
+    // OUTER join with an ON-clause residual (zero-order customers must
+    // survive with count 0) folded into a two-level aggregation — the
+    // histogram-of-group-sizes pattern.
+    "q13_order_distribution" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d).filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_orderkey", $"o_custkey")
+      customer(s, d).select($"c_custkey")
+        .join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+        .limit(10)
+    }),
+
     // Partition-pruned storage layout: write documents through the
     // engine's partitionBy(lang) writer, then read back ONLY two
     // partitions — PlanQualitySpec pins that the lang predicate lands in
@@ -1711,6 +1800,51 @@ object Analytics {
            CAST(CASE WHEN specials * 1000 >= len * 10 THEN 1 ELSE 0 END
              AS BIGINT) AS code_flag
          FROM s ORDER BY doc_id""",
+    "q5_local_volume" ->
+      """SELECT n.n_name,
+           CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100
+             + 0.5) AS BIGINT) AS revenue_x100
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name IN ('AMERICA', 'ASIA')
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue_x100 DESC, n_name""",
+    "q8_market_share" ->
+      """WITH allrows AS (SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             n2.n_name AS supp_nation,
+             l.l_extendedprice * (1.0 - l.l_discount) AS vol
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+           JOIN region r ON n1.n_regionkey = r.r_regionkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+           WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+             AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+               AND TIMESTAMP '1996-12-31')
+         SELECT CAST(yr AS INT) AS yr,
+           CAST(floor(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+             ELSE 0.0::DOUBLE END) * 10000 / sum(vol)) AS BIGINT)
+             AS share_x10000,
+           count(*) AS n
+         FROM allrows GROUP BY 1 ORDER BY yr""",
+    "q13_order_distribution" ->
+      """WITH co AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+         FROM co GROUP BY 1
+         ORDER BY custdist DESC, c_count DESC LIMIT 10""",
     "c27_rollback_plan" ->
       """WITH c AS (SELECT user_id % 50 AS k, ts, event_id AS change_id,
              CASE WHEN event_type = 'error' THEN 'delete'

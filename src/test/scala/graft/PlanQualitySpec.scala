@@ -930,6 +930,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"one documents scan, saw $scans:\n$plan")
   }
 
+  test("q5/q8: star joins broadcast every dim; facts shuffle-join only") {
+    for (name <- Seq("q5_local_volume", "q8_market_share")) {
+      val plan = planString(q(name))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dims must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: no sort-merge/cartesian in the star:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$name: the final agg must combine map-side:\n$plan")
+    }
+  }
+
+  test("q13: zero-order customers survive the outer join into the histogram") {
+    val plan = planString(q("q13_order_distribution"))
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"the distribution needs an outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"outer join stays keyed:\n$plan")
+  }
+
   test("x_dataset_card: one corpus scan, two-level partial aggregation") {
     val plan = planString(q("x_dataset_card"))
     val scans = plan.split("FileScan parquet").length - 1

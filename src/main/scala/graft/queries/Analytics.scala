@@ -1166,6 +1166,40 @@ object Analytics {
         .orderBy($"yr")
     }),
 
+    // TPC-H Q7 shape — volume shipping between a nation PAIR in either
+    // direction: the disjunctive cross-dim pair predicate rides two
+    // broadcast nation joins as a residual; per (supplier-nation,
+    // customer-nation, year) revenue.
+    "q7_nation_volume" -> ((s, d) => {
+      import s.implicits._
+      val l = lineitem(s, d)
+        .filter($"l_shipdate".between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .select($"l_orderkey", $"l_suppkey",
+          year($"l_shipdate").as("yr"),
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("vol"))
+      val sup = supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      val n1 = nation(s, d).select($"n_nationkey".as("snk"),
+        $"n_name".as("supp_nation"))
+      val o = orders(s, d).select($"o_orderkey", $"o_custkey")
+      val c = customer(s, d).select($"c_custkey", $"c_nationkey")
+      val n2 = nation(s, d).select($"n_nationkey".as("cnk"),
+        $"n_name".as("cust_nation"))
+      val pairOk =
+        ($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_8") ||
+        ($"supp_nation" === "NATION_8" && $"cust_nation" === "NATION_3")
+      l.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"snk")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n2), $"c_nationkey" === $"cnk")
+        .filter(pairOk)
+        .groupBy($"supp_nation", $"cust_nation", $"yr")
+        .agg(floor(sum($"vol") * 100 + 0.5).cast("long").as("revenue_x100"))
+        .orderBy($"supp_nation", $"cust_nation", $"yr")
+    }),
+
     // TPC-H Q13 shape — customer order-count distribution: the LEFT
     // OUTER join with an ON-clause residual (zero-order customers must
     // survive with count 0) folded into a two-level aggregation — the
@@ -1836,6 +1870,22 @@ object Analytics {
              AS share_x10000,
            count(*) AS n
          FROM allrows GROUP BY 1 ORDER BY yr""",
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+           CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100
+             + 0.5) AS BIGINT) AS revenue_x100
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+             OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+           AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+             AND TIMESTAMP '1996-12-31'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q13_order_distribution" ->
       """WITH co AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
            FROM customer c LEFT JOIN orders o

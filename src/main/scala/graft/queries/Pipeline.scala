@@ -584,7 +584,11 @@ object Pipeline {
                                        iters: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    // the assignment feeds TWO consumers (centroid re-derivation and the
+    // own-cluster join) — checkpoint it so the k-means iterations run
+    // once, not once per consumer
     val assign = kmeansQuantized(emb, seeds, iters).select($"vec_id", $"cid")
+      .localCheckpoint(false)
     val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
       .select($"vec_id", $"k",
         floor($"v".cast("double") * 1000).cast("long").as("qv"))

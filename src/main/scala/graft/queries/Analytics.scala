@@ -224,6 +224,31 @@ object Analytics {
       gx * gx + gy * gy
     })
 
+  /** Last-touch attribution core (see the `x_attribution_last_touch`
+    * gate): purchases credit their latest click/view in a trailing
+    * 7-day window via a user-keyed interval hash join + a
+    * partial-aggregable max(struct) winner. Takes any events frame with
+    * (user_id, ts, event_id, event_type, value); factored out so
+    * ScaleSpec can soak the interval-join pair space at two sizes.
+    */
+  def lastTouchAttribution(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), $"ts".as("pts"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val t = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    p.join(t, Seq("user_id"))
+      .filter($"ts" < $"pts" && $"ts" >= $"pts" - expr("INTERVAL 7 DAY"))
+      .groupBy($"pid")
+      .agg(max(struct($"ts", $"event_id", $"event_type")).as("w"),
+        first($"cents").as("cents"))
+      .groupBy($"w.event_type".as("event_type"))
+      .agg(count(lit(1)).as("purchases"),
+        sum($"cents").as("attributed_cents"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Horn slope over the synthetic raster — see [[hornSlopeSq]]; the
@@ -874,24 +899,8 @@ object Analytics {
     // partial-aggregable max(struct(ts, id, type)) — NOT a row_number
     // window — so map-side combine trims candidates before the
     // exchange (the ad-tech staple, window-free at log scale).
-    "x_attribution_last_touch" -> ((s, d) => {
-      import s.implicits._
-      val ev = events(s, d)
-      val p = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"event_id".as("pid"), $"ts".as("pts"),
-          floor($"value" * 100 + 0.5).cast("long").as("cents"))
-      val t = ev.filter($"event_type".isin("click", "view"))
-        .select($"user_id", $"ts", $"event_id", $"event_type")
-      p.join(t, Seq("user_id"))
-        .filter($"ts" < $"pts" && $"ts" >= $"pts" - expr("INTERVAL 7 DAY"))
-        .groupBy($"pid")
-        .agg(max(struct($"ts", $"event_id", $"event_type")).as("w"),
-          first($"cents").as("cents"))
-        .groupBy($"w.event_type".as("event_type"))
-        .agg(count(lit(1)).as("purchases"),
-          sum($"cents").as("attributed_cents"))
-        .orderBy($"event_type")
-    }),
+    "x_attribution_last_touch" -> ((s, d) =>
+      lastTouchAttribution(events(s, d))),
 
     // Event-sequence Markov transitions: consecutive event-type bigrams
     // per user (BY-USER lead window, never global) → transition counts

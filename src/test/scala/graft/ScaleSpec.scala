@@ -457,6 +457,34 @@ class ScaleSpec extends SparkSpec {
       s"char-entropy peak memory grew superlinearly: $memRatio")
   }
 
+  test("soak: attribution interval-join pair space scales ~linearly at 10x") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // fixed per-user event density (events span a fixed 30-day window
+    // regardless of n, users scale with n): each purchase's 7-day
+    // trailing window meets a CONSTANT expected touch count, so the
+    // interval-join candidate rows — and the shuffle carrying them —
+    // must grow linearly with the corpus, not quadratically
+    def eventsAt(n: Long) = spark.range(n).select(
+        ($"id" % (n / 100)).as("user_id"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime) +
+          ($"id" * 2592000000L / n).cast("long")).as("ms"),
+        $"id".as("event_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase"),
+          lit("view"), lit("click")), ($"id" % 5 + 1).cast("int"))
+          .as("event_type"),
+        ($"id" % 100).cast("double").as("value"))
+      .select($"user_id", expr("timestamp_millis(ms)").as("ts"),
+        $"event_id", $"event_type", $"value")
+      .repartition(8)
+    val a1 = measure(graft.queries.Analytics.lastTouchAttribution(eventsAt(20000L)))
+    val a10 = measure(graft.queries.Analytics.lastTouchAttribution(eventsAt(200000L)))
+    assert(a1._1 > 0, "attribution: no shuffle measured at base size")
+    val ratio = a10._1.toDouble / a1._1
+    info(f"attribution: shuffle ${a1._1}B -> ${a10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"attribution pair space grew superlinearly: $ratio")
+  }
+
   private final class TaskMetricsProbe
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong

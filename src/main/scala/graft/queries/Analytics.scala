@@ -1283,6 +1283,144 @@ object Analytics {
           sum(conv(substring(md5($"text".cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("text_hash_sum"))
         .orderBy($"source")
+    }),
+
+    // TPC-H Q2 shape — minimum-cost supplier per part within a region:
+    // the correlated MIN subquery decorrelated to a partial-aggregable
+    // min(struct(cost, suppkey)) argmax. The schema carries no partsupp
+    // table, so the part-supplier cost relation derives from lineitem
+    // (min observed price cents per pair) — same shape, same plan
+    // skeleton: derived ps → regional-supplier broadcast semi →
+    // filtered-part broadcast semi → per-part argmax → winner re-join.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      import s.implicits._
+      val ps = lineitem(s, d)
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+          .as("cost_x100"))
+      val supEu = supplier(s, d)
+        .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region(s, d).filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val pfil = part(s, d)
+        .filter($"p_type" === "LARGE" && $"p_size" <= 15)
+        .select($"p_partkey", $"p_brand")
+      val best = ps
+        .join(broadcast(supEu.select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(pfil), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"p_brand")
+        .agg(min(struct($"cost_x100", $"l_suppkey")).as("best"))
+      best
+        .join(broadcast(supEu), $"best.l_suppkey" === $"s_suppkey")
+        .select(floor($"s_acctbal" * 100 + 0.5).cast("long")
+            .as("acctbal_x100"),
+          $"s_name", $"n_name", $"p_partkey", $"p_brand",
+          $"best.cost_x100".as("cost_x100"))
+        .orderBy($"acctbal_x100".desc, $"s_name", $"p_partkey")
+    }),
+
+    // TPC-H Q9 shape — product-line profit by nation and year: fact ⋈
+    // filtered-part ⋈ supplier ⋈ nation (all dims broadcast) ⋈ orders
+    // (the one genuine shuffle join, orderkey↔orderkey), profit =
+    // revenue − 0.4·retail·qty standing in for the partsupp supply
+    // cost. Two-level money: per-row exact cents, floored once at the
+    // aggregate like every other revenue gate.
+    "q9_product_profit" -> ((s, d) => {
+      import s.implicits._
+      val p = part(s, d).filter($"p_name".contains("an"))
+        .select($"p_partkey", $"p_retailprice")
+      val sup = supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      val n = nation(s, d).select($"n_nationkey", $"n_name")
+      val o = orders(s, d).select($"o_orderkey", year($"o_orderdate").as("yr"))
+      lineitem(s, d)
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", $"yr")
+        .agg(floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+            lit(0.4) * $"p_retailprice" * $"l_quantity") * 100 + 0.5)
+          .cast("long").as("profit_x100"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_name", $"yr".desc)
+    }),
+
+    // TPC-H Q11 shape — "important stock" value concentration: per-part
+    // value restricted to one region's suppliers, kept only where it
+    // exceeds 1.5× the MEAN per-part value — the scalar aggregate
+    // subquery decorrelated to a 1-row broadcast. The mean-relative
+    // threshold (2·value·n > 3·total, integer cents, no division) is
+    // scale-free: it selects the top tail at every SF, where TPC-H's
+    // fixed fraction goes empty as the part count grows.
+    "q11_important_stock" -> ((s, d) => {
+      import s.implicits._
+      val supR = supplier(s, d)
+        .join(broadcast(nation(s, d).filter($"n_regionkey" === 3)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val v = lineitem(s, d)
+        .join(broadcast(supR), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+          .as("value_x100"))
+        .localCheckpoint(false)
+      val tot = v.agg(sum($"value_x100").as("tot"),
+        count(lit(1)).as("nparts"))
+      v.crossJoin(broadcast(tot))
+        .filter($"value_x100" * $"nparts" * 2 > $"tot" * 3)
+        .select($"l_partkey", $"value_x100")
+        .orderBy($"value_x100".desc, $"l_partkey")
+    }),
+
+    // TPC-H Q16 shape — supplier diversity per (brand, type, size) with
+    // an excluded-supplier anti-join: distinct part-supplier pairs from
+    // the fact table, complaint suppliers (deterministic key-mod stand-in)
+    // removed BEFORE the count-distinct aggregate, NOT-IN folded to a
+    // broadcast left-anti hash join.
+    "q16_supplier_cnt" -> ((s, d) => {
+      import s.implicits._
+      val excl = supplier(s, d).filter($"s_suppkey" % 4 === 0)
+        .select($"s_suppkey")
+      val pfil = part(s, d)
+        .filter($"p_brand" =!= "Brand#13" && !$"p_type".startsWith("PROMO") &&
+          $"p_size".isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      lineitem(s, d).select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(excl), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(pfil), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
+    // TPC-H Q20 shape — excess-availability suppliers: the two nested
+    // IN subqueries (parts by name prefix; availability vs a half-year
+    // shipped threshold) decorrelated into ONE conditional-aggregate
+    // scan over lineitem — avail and windowed quantity come out of the
+    // same groupBy, so the correlated comparison is a plain filter, and
+    // the qualifying pairs semi-join down to distinct suppliers.
+    "q20_excess_avail" -> ((s, d) => {
+      import s.implicits._
+      val in96 = $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp")
+      val ps = lineitem(s, d)
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity").cast("long").as("avail"),
+          sum(when(in96, $"l_quantity").otherwise(0.0)).cast("long")
+            .as("q96"))
+        .filter($"q96" > 0 && $"avail" > $"q96" * 2)
+      val pblue = part(s, d).filter($"p_name".startsWith("blue"))
+        .select($"p_partkey")
+      val qualSupp = ps
+        .join(broadcast(pblue), $"l_partkey" === $"p_partkey")
+        .select($"l_suppkey").distinct()
+      supplier(s, d)
+        .join(qualSupp, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+        .orderBy($"s_suppkey")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -2000,5 +2138,82 @@ object Analytics {
       """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc,
            CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
              AS text_hash_sum
-         FROM documents GROUP BY 1 ORDER BY source""")
+         FROM documents GROUP BY 1 ORDER BY source""",
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+             CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+               AS cost_x100
+           FROM lineitem GROUP BY 1, 2),
+         se AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+           FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'EUROPE'),
+         cand AS (SELECT p.p_partkey, p.p_brand, ps.l_suppkey, ps.cost_x100,
+             row_number() OVER (PARTITION BY p.p_partkey
+               ORDER BY ps.cost_x100, ps.l_suppkey) AS rn
+           FROM ps
+           JOIN se ON ps.l_suppkey = se.s_suppkey
+           JOIN part p ON ps.l_partkey = p.p_partkey
+           WHERE p.p_type = 'LARGE' AND p.p_size <= 15)
+         SELECT CAST(floor(se.s_acctbal * 100 + 0.5) AS BIGINT)
+             AS acctbal_x100,
+           se.s_name, se.n_name, c.p_partkey, c.p_brand, c.cost_x100
+         FROM cand c JOIN se ON c.l_suppkey = se.s_suppkey
+         WHERE c.rn = 1
+         ORDER BY acctbal_x100 DESC, s_name, p_partkey""",
+    "q9_product_profit" ->
+      """SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+           CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)
+             - 0.4::DOUBLE * p.p_retailprice * l.l_quantity) * 100 + 0.5)
+             AS BIGINT) AS profit_x100,
+           count(*) AS n
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE p.p_name LIKE '%an%'
+         GROUP BY 1, 2 ORDER BY n_name, yr DESC""",
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l.l_partkey,
+             CAST(sum(floor(l.l_extendedprice * 100 + 0.5)) AS BIGINT)
+               AS value_x100
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           WHERE n.n_regionkey = 3
+           GROUP BY 1),
+         t AS (SELECT sum(value_x100) AS tot, count(*) AS nparts FROM v)
+         SELECT v.l_partkey, v.value_x100 FROM v, t
+         WHERE v.value_x100 * t.nparts * 2 > t.tot * 3
+         ORDER BY value_x100 DESC, l_partkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part p ON ps.l_partkey = p.p_partkey
+         WHERE p.p_brand <> 'Brand#13'
+           AND p.p_type NOT LIKE 'PROMO%'
+           AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           AND ps.l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_excess_avail" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+             CAST(sum(l_quantity) AS BIGINT) AS avail,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01'
+               THEN l_quantity ELSE 0.0::DOUBLE END) AS BIGINT) AS q96
+           FROM lineitem GROUP BY 1, 2),
+         qs AS (SELECT DISTINCT ps.l_suppkey
+           FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+           WHERE p.p_name LIKE 'blue%' AND ps.q96 > 0
+             AND ps.avail > ps.q96 * 2)
+         SELECT s.s_suppkey, s.s_name, n.n_name
+         FROM supplier s
+         JOIN qs ON s.s_suppkey = qs.l_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         ORDER BY s_suppkey""")
 }

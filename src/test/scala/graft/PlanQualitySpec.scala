@@ -960,4 +960,51 @@ class PlanQualitySpec extends SparkSpec {
       s"card metrics must combine map-side:\n$plan")
     assert(!plan.contains("Join"), s"no joins in the card:\n$plan")
   }
+
+  test("q2/q9: derived-ps argmax and profit star stay broadcast-hash") {
+    for (name <- Seq("q2_min_cost_supplier", "q9_product_profit")) {
+      val plan = planString(q(name))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dims must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: every join is keyed:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$name: aggregates must combine map-side:\n$plan")
+    }
+    // Q2's per-part minimum is a partial-aggregable min(struct), never a
+    // ranking window over the candidate set.
+    assert(!planString(q("q2_min_cost_supplier")).contains("Window"),
+      "q2's argmax must be an aggregate, not a window")
+  }
+
+  test("q11/q20: scalar-subquery thresholds ride 1-row broadcasts") {
+    val p11 = planString(q("q11_important_stock"))
+    assert(p11.contains("ExistingRDD"),
+      s"q11's per-part value view must be computed once:\n$p11")
+    val bnlj11 = p11.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj11 <= 1 && !p11.contains("CartesianProduct"),
+      s"only the 1-row total may nest-loop:\n$p11")
+    val p20 = planString(q("q20_excess_avail"))
+    assert(p20.contains("LeftSemi"),
+      s"q20 reduces via a semi join, never a fan-out join:\n$p20")
+    assert(!p20.contains("CartesianProduct") &&
+      !p20.contains("BroadcastNestedLoopJoin"),
+      s"q20: every join is keyed:\n$p20")
+    // Both IN subqueries fold into ONE conditional-aggregate lineitem
+    // scan: avail and the windowed quantity come from the same groupBy.
+    val scans20 = p20.split("FileScan parquet").count(_.contains("lineitem"))
+    assert(scans20 == 1, s"q20 scans lineitem once, saw $scans20:\n$p20")
+  }
+
+  test("q16: complaint suppliers leave via a broadcast anti join") {
+    val plan = planString(q("q16_supplier_cnt"))
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must fold to an anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part filter and exclusion list broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no sort-merge against the pair set:\n$plan")
+  }
 }

@@ -1421,6 +1421,106 @@ object Analytics {
         .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey", $"s_name", $"n_name")
         .orderBy($"s_suppkey")
+    }),
+
+    // Gap-based batch sessionization: a session starts when a user's
+    // inter-event gap exceeds 8 hours; session id = running count of
+    // starts (lag + cumulative sum over the SAME per-user ordering),
+    // then per-session stats. Both windows partition by user_id, so the
+    // whole query costs ONE shuffle — the session assignment never sees
+    // another user's rows, which is exactly what lets it scale per-key.
+    "x_sessionize" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val gapUs = 8L * 3600 * 1000000
+      events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+        .withColumn("nf",
+          when(lag($"ts_us", 1).over(w).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("sess", sum($"nf").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"ts_us").as("session_start_us"),
+          count(lit(1)).as("n_events"),
+          (max($"ts_us") - min($"ts_us")).cast("long").as("dur_us"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("purchases"))
+        .select($"user_id", $"session_start_us", $"n_events", $"dur_us",
+          $"purchases")
+        .orderBy($"user_id", $"session_start_us")
+    }),
+
+    // Blocked fuzzy matching (entity-resolution core): candidate pairs
+    // form only WITHIN a blocking key (the name's final token), then
+    // exact edit distance ≤ 4 scores them. The self-join runs over
+    // DISTINCT names — the pair space is bounded by the name vocabulary
+    // squared per block, not corpus rows squared, which is the standard
+    // blocking contract at scale.
+    "x_fuzzy_match" -> ((s, d) => {
+      import s.implicits._
+      val names = part(s, d).select($"p_name").distinct()
+        .select($"p_name", element_at(split($"p_name", " "), -1).as("blk"))
+        .localCheckpoint(false)
+      val a = names.select($"blk", $"p_name".as("name_a"))
+      val b = names.select($"blk", $"p_name".as("name_b"))
+      a.join(b, Seq("blk"))
+        .filter($"name_a" < $"name_b")
+        .withColumn("lev", levenshtein($"name_a", $"name_b"))
+        .filter($"lev" <= 4)
+        .select($"blk", $"name_a", $"name_b", $"lev".cast("long").as("lev"))
+        .orderBy($"blk", $"name_a", $"name_b")
+    }),
+
+    // Weighted single-source shortest paths, 3 relaxation rounds
+    // (Bellman-Ford over the Pregel-style frontier): each round joins
+    // the current distance table against the directed edge list, unions
+    // the relaxed candidates, and folds min per node — equi-joins and a
+    // partial-aggregable min only, the iterative-graph twin of
+    // v_pagerank/v_bfs_hops with per-edge costs. Deterministic integer
+    // weights w = (a+b) % 7 + 1 over the shared synthetic link graph.
+    "v_sssp" -> ((s, d) => {
+      import s.implicits._
+      val edges = linkGraphEdges(documents(s, d))
+        .select($"a", $"b", (($"a" + $"b") % 7 + 1).as("w"))
+        .localCheckpoint(false)
+      val dir = edges.select($"a".as("u"), $"b".as("v"), $"w")
+        .union(edges.select($"b".as("u"), $"a".as("v"), $"w"))
+      var dist = documents(s, d).filter($"doc_id" === 0)
+        .select($"doc_id".as("v"), lit(0L).as("dist"))
+      for (i <- 1 to 3) {
+        val relaxed = dist.join(dir, dist("v") === dir("u"))
+          .select(dir("v").as("v"), (dist("dist") + dir("w")).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy($"v").agg(min($"dist").as("dist"))
+        // Checkpoint the CLOSED rounds (each feeds two consumers next
+        // round); the last stays lazy so its join + min-fold plan is
+        // the query's own.
+        if (i < 3) dist = dist.localCheckpoint(false)
+      }
+      dist.orderBy($"v")
+    }),
+
+    // Deterministic stratified sampling: 5 docs per language, ranked by
+    // a 48-bit md5 prefix (pseudo-random but replayable; 48 bits stays
+    // exact in the aggregate's double score). Runs through the
+    // bounded-heap TopKAgg — O(k) state per stratum and NO ranking
+    // window, so the sample never sorts a partition's full row set.
+    "x_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"lang", $"doc_id",
+          conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 12),
+            16, 10).cast("long").as("h"))
+        .groupBy($"lang")
+        .agg(graft.operators.TopKAgg.topKByScore(-$"h".cast("double"),
+          $"doc_id", 5).as("top"))
+        .select($"lang", posexplode($"top").as(Seq("i", "e")))
+        .select($"lang", ($"i" + 1).cast("long").as("rk"),
+          $"e.id".as("doc_id"), (-$"e.score").cast("long").as("h"))
+        .orderBy($"lang", $"rk")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -2215,5 +2315,67 @@ object Analytics {
          FROM supplier s
          JOIN qs ON s.s_suppkey = qs.l_suppkey
          JOIN nation n ON s.s_nationkey = n.n_nationkey
-         ORDER BY s_suppkey""")
+         ORDER BY s_suppkey""",
+    "x_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+           FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1 ELSE 0 END
+               AS nf
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g)
+         SELECT user_id, min(ts_us) AS session_start_us,
+           count(*) AS n_events,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS purchases
+         FROM s GROUP BY user_id, sess
+         ORDER BY user_id, session_start_us""",
+    "x_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name,
+             string_split(p_name, ' ')[-1] AS blk
+           FROM part)
+         SELECT a.blk AS blk, a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+         FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 4
+         ORDER BY a.blk, name_a, name_b""",
+    "v_sssp" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         dir AS (SELECT a AS u, b AS v, (a + b) % 7 + 1 AS w FROM e
+           UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM e),
+         d0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+         d1 AS (SELECT v, min(dist) AS dist FROM (
+           SELECT * FROM d0 UNION ALL
+           SELECT dir.v, d0.dist + dir.w FROM d0 JOIN dir ON d0.v = dir.u)
+           GROUP BY v),
+         d2 AS (SELECT v, min(dist) AS dist FROM (
+           SELECT * FROM d1 UNION ALL
+           SELECT dir.v, d1.dist + dir.w FROM d1 JOIN dir ON d1.v = dir.u)
+           GROUP BY v),
+         d3 AS (SELECT v, min(dist) AS dist FROM (
+           SELECT * FROM d2 UNION ALL
+           SELECT dir.v, d2.dist + dir.w FROM d2 JOIN dir ON d2.v = dir.u)
+           GROUP BY v)
+         SELECT CAST(v AS BIGINT) AS v, CAST(dist AS BIGINT) AS dist
+         FROM d3 ORDER BY v""",
+    "x_stratified_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY h, doc_id) AS rk
+           FROM h)
+         SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+         FROM r WHERE rk <= 5 ORDER BY lang, rk""")
 }

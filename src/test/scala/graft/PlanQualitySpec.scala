@@ -997,6 +997,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans20 == 1, s"q20 scans lineitem once, saw $scans20:\n$p20")
   }
 
+  test("x_sessionize: per-user windows and session agg share one pipeline") {
+    val df = q("x_sessionize")
+    val plan = planString(df)
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"sessionization is ONE events scan, saw $scans:\n$plan")
+    assert(!plan.contains("Join"), s"no joins in sessionization:\n$plan")
+    // Window by user_id + groupBy (user_id, sess) + output sort: the
+    // assignment itself costs one exchange; the stats re-key adds one.
+    df.collect()
+    val shuffles = countShuffles(df.queryExecution.executedPlan)
+    assert(shuffles <= 3, s"expected <=3 shuffles, saw $shuffles:\n$plan")
+  }
+
+  test("x_fuzzy_match: pairs form only within blocks, names computed once") {
+    val plan = planString(q("x_fuzzy_match"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the join keyed:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the distinct name table must be computed once:\n$plan")
+  }
+
+  test("v_sssp: relaxation rounds are equi-joins + partial min folds") {
+    val plan = planString(q("v_sssp"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frontier relaxation joins stay keyed:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"the per-node min must combine map-side:\n$plan")
+  }
+
+  test("x_stratified_sample: bounded-heap sample, no ranking window") {
+    val plan = planString(q("x_stratified_sample"))
+    assert(!plan.contains("Window"),
+      s"the per-stratum sample must use the heap aggregate:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"one documents scan, saw $scans:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKAgg runs through ObjectHashAggregate:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

@@ -1521,6 +1521,99 @@ object Analytics {
         .select($"lang", ($"i" + 1).cast("long").as("rk"),
           $"e.id".as("doc_id"), (-$"e.score").cast("long").as("h"))
         .orderBy($"lang", $"rk")
+    }),
+
+    // Semi-supervised label propagation, 2 synchronous rounds: seeds
+    // (doc_id % 10 = 0, label = doc_id % 3) stay fixed; an unlabeled
+    // node adopts the most common label among its labeled neighbors,
+    // ties to the SMALLEST label (argmax by max(struct(cnt, -label)) —
+    // partial-aggregable, window-free). Per round: one equi-join of the
+    // current label table against the directed edge list + two hash
+    // aggregates — the sync-round structure every Pregel label spread
+    // runs at scale.
+    "v_label_prop" -> ((s, d) => {
+      import s.implicits._
+      val edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      val dir = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+      var labels = documents(s, d).filter($"doc_id" % 10 === 0)
+        .select($"doc_id".as("v"), ($"doc_id" % 3).as("lbl"))
+        .localCheckpoint(false)
+      for (i <- 1 to 2) {
+        val votes = labels.join(dir, labels("v") === dir("u"))
+          .select(dir("v").as("v"), labels("lbl").as("lbl"))
+          .groupBy($"v", $"lbl").agg(count(lit(1)).as("cnt"))
+        val adopted = votes.groupBy($"v")
+          .agg(max(struct($"cnt", (-$"lbl").as("neg"))).as("best"))
+          .select($"v", (-$"best.neg").as("lbl"))
+          .join(labels.select($"v"), Seq("v"), "left_anti")
+        labels = labels.union(adopted)
+        if (i < 2) labels = labels.localCheckpoint(false)
+      }
+      labels.orderBy($"v")
+    }),
+
+    // Trailing-7-day distinct active users per day (rolling DAU): each
+    // event fans out to the 7 window-end days it participates in
+    // (explode over a 0..6 offset), then distinct (day, user) + count —
+    // the shuffle carries distinct pairs with partial aggregation, where
+    // the naive per-day self-join re-scans the fact table 7×. Window
+    // ends are restricted to days that actually occur.
+    "x_rolling_dau" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(to_date($"ts").as("day"), $"user_id")
+      val days = ev.select($"day").distinct()
+      ev.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
+          $"user_id")
+        .select(date_add($"day", $"off").as("wday"), $"user_id")
+        .distinct()
+        .join(days.select($"day".as("wday")), Seq("wday"))
+        .groupBy($"wday")
+        .agg(countDistinct($"user_id").as("dau7"))
+        .select(date_format($"wday", "yyyy-MM-dd").as("day"), $"dau7")
+        .orderBy($"day")
+    }),
+
+    // Data-quality constraint audit (the Deequ/dbt-tests shape): every
+    // row-level expectation over orders — null keys, value range,
+    // domain membership, date bounds — evaluates in ONE conditional-
+    // aggregate scan producing a single row, unpivoted to one row per
+    // constraint; the key-uniqueness expectation adds its own keyed
+    // aggregate. At 100 TB the audit costs one pass plus one shuffle
+    // on the unique-key check, independent of how many expectations run.
+    "c28_constraint_audit" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+      val rowChecks = o.agg(
+        count(lit(1)).as("checked"),
+        sum(when($"o_orderkey".isNull || $"o_custkey".isNull, 1L)
+          .otherwise(0L)).as("null_keys"),
+        sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("bad_price"),
+        sum(when(!$"o_orderstatus".isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("bad_status"),
+        sum(when($"o_orderdate" < lit("1990-01-01").cast("timestamp") ||
+          $"o_orderdate" >= lit("2010-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("bad_date"))
+      val dupKeys = o.groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("checked"),
+          sum(when($"c" > 1, $"c").otherwise(0L)).as("violations"))
+        .select(lit("unique_orderkey").as("constraint_name"), $"violations",
+          $"checked")
+      rowChecks
+        .select(explode(array(
+          struct(lit("not_null_keys").as("constraint_name"),
+            $"null_keys".as("violations"), $"checked"),
+          struct(lit("positive_price").as("constraint_name"),
+            $"bad_price".as("violations"), $"checked"),
+          struct(lit("status_domain").as("constraint_name"),
+            $"bad_status".as("violations"), $"checked"),
+          struct(lit("date_bounds").as("constraint_name"),
+            $"bad_date".as("violations"), $"checked"))).as("r"))
+        .select($"r.constraint_name", $"r.violations", $"r.checked")
+        .union(dupKeys)
+        .orderBy($"constraint_name")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -2377,5 +2470,71 @@ object Analytics {
              ORDER BY h, doc_id) AS rk
            FROM h)
          SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
-         FROM r WHERE rk <= 5 ORDER BY lang, rk""")
+         FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    "v_label_prop" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         dir AS (SELECT a AS u, b AS v FROM e
+           UNION ALL SELECT b, a FROM e),
+         l0 AS (SELECT doc_id AS v, doc_id % 3 AS lbl FROM documents
+           WHERE doc_id % 10 = 0),
+         c1 AS (SELECT dir.v AS v, l0.lbl, count(*) AS cnt
+           FROM l0 JOIN dir ON l0.v = dir.u GROUP BY 1, 2),
+         a1 AS (SELECT v, lbl FROM (SELECT v, lbl,
+             row_number() OVER (PARTITION BY v
+               ORDER BY cnt DESC, lbl) AS rn FROM c1)
+           WHERE rn = 1 AND v NOT IN (SELECT v FROM l0)),
+         l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM a1),
+         c2 AS (SELECT dir.v AS v, l1.lbl, count(*) AS cnt
+           FROM l1 JOIN dir ON l1.v = dir.u GROUP BY 1, 2),
+         a2 AS (SELECT v, lbl FROM (SELECT v, lbl,
+             row_number() OVER (PARTITION BY v
+               ORDER BY cnt DESC, lbl) AS rn FROM c2)
+           WHERE rn = 1 AND v NOT IN (SELECT v FROM l1)),
+         l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM a2)
+         SELECT CAST(v AS BIGINT) AS v, CAST(lbl AS BIGINT) AS lbl
+         FROM l2 ORDER BY v""",
+    "x_rolling_dau" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             user_id
+           FROM events),
+         days AS (SELECT DISTINCT day FROM e),
+         p AS (SELECT DISTINCT e.day + to_days(CAST(t.off AS INTEGER))
+             AS wday, e.user_id
+           FROM e, range(0, 7) t(off)),
+         j AS (SELECT p.wday, p.user_id
+           FROM p JOIN days d ON p.wday = d.day)
+         SELECT strftime(wday, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS dau7
+         FROM j GROUP BY 1 ORDER BY day""",
+    "c28_constraint_audit" ->
+      """WITH r AS (SELECT count(*) AS checked,
+           sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+             THEN 1 ELSE 0 END) AS null_keys,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+           sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+             THEN 1 ELSE 0 END) AS bad_status,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+             OR o_orderdate >= TIMESTAMP '2010-01-01'
+             THEN 1 ELSE 0 END) AS bad_date
+           FROM orders),
+         u AS (SELECT count(*) AS checked,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS violations
+           FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1))
+         SELECT * FROM (
+           SELECT 'not_null_keys' AS constraint_name,
+             CAST(null_keys AS BIGINT) AS violations, checked FROM r
+           UNION ALL SELECT 'positive_price', CAST(bad_price AS BIGINT),
+             checked FROM r
+           UNION ALL SELECT 'status_domain', CAST(bad_status AS BIGINT),
+             checked FROM r
+           UNION ALL SELECT 'date_bounds', CAST(bad_date AS BIGINT),
+             checked FROM r
+           UNION ALL SELECT 'unique_orderkey', CAST(violations AS BIGINT),
+             checked FROM u)
+         ORDER BY constraint_name""")
 }

@@ -1287,6 +1287,39 @@ object Pipeline {
         .orderBy($"qid")
     }),
 
+    // Matryoshka-prefix retrieval eval (Kusupati et al. 2022): rank by
+    // cosine over only the FIRST 16 of 64 dims — the truncated-embedding
+    // scale path (4× less dot-product compute and index memory; a real
+    // MRL deployment prunes with the prefix and re-scores survivors
+    // with the full vector) — and score its top-5 against the full-dim
+    // exact top-5. Completes the ANN eval table: LSH, IVF, PQ, MRL.
+    "v_recall_eval_mrl" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val qp = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), slice($"embedding", 1, 16).as("qe"))
+      val cp = emb.filter(!$"vec_id".isin(0, 1, 2))
+        .select($"vec_id", slice($"embedding", 1, 16).as("ce"))
+      val scored = cp.crossJoin(broadcast(qp))
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      val mrl = scored.withColumn("mrl_rnk", row_number().over(w))
+        .filter($"mrl_rnk" <= 5).select($"qid", $"vec_id", $"mrl_rnk")
+      val ex = annExactTop10(s, d).filter($"rnk" <= 5)
+        .select($"qid", $"vec_id", $"rnk".as("ex_rnk"))
+      val hits = mrl.join(ex, Seq("qid", "vec_id"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("hits"),
+          min(when($"ex_rnk" === 1, $"mrl_rnk")).as("top1_at"))
+      ex.select($"qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", coalesce($"hits", lit(0L)).as("hits"),
+          (coalesce($"hits", lit(0L)) * 20).as("recall_x100"),
+          $"top1_at".isNotNull.cast("long").as("top1_hit"))
+        .orderBy($"qid")
+    }),
+
     // Product-quantization ANN (Jégou et al. 2011, the memory-bound
     // scale path): 64 dims split into M=16 subspaces of 4 (the classic
     // PQ16 64-bit code); per subspace, K=16 codewords built as
@@ -2439,6 +2472,40 @@ object Pipeline {
              min(CASE WHEN e.rnk = 1 THEN i.rnk END) AS top1_at
            FROM ivf5 i JOIN ex5 e
              ON i.qid = e.qid AND i.vec_id = e.vec_id
+           GROUP BY 1)
+         SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) * 20 AS BIGINT) AS recall_x100,
+           CAST(CASE WHEN h.top1_at IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS top1_hit
+         FROM (SELECT DISTINCT qid FROM ex5) q
+         LEFT JOIN h USING (qid) ORDER BY q.qid""",
+    "v_recall_eval_mrl" ->
+      """WITH eq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0,1,2)),
+         ec AS (SELECT vec_id, embedding AS ce FROM embeddings
+           WHERE vec_id NOT IN (0,1,2)),
+         pdots AS (SELECT qid, vec_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM eq, ec, range(1, 17) t(i) GROUP BY qid, vec_id),
+         mrl5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM pdots) WHERE rnk <= 5),
+         edots AS (SELECT qid, vec_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM eq, ec, range(1, 65) t(i) GROUP BY qid, vec_id),
+         ex5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM edots) WHERE rnk <= 5),
+         h AS (SELECT m.qid, count(*) AS hits,
+             min(CASE WHEN e.rnk = 1 THEN m.rnk END) AS top1_at
+           FROM mrl5 m JOIN ex5 e
+             ON m.qid = e.qid AND m.vec_id = e.vec_id
            GROUP BY 1)
          SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
            CAST(coalesce(h.hits, 0) * 20 AS BIGINT) AS recall_x100,

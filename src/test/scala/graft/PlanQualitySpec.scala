@@ -1038,6 +1038,37 @@ class PlanQualitySpec extends SparkSpec {
       s"TopKAgg runs through ObjectHashAggregate:\n$plan")
   }
 
+  test("v_label_prop: sync rounds are equi-joins + window-free argmax") {
+    val plan = planString(q("v_label_prop"))
+    // The already-labeled anti-join may sort-merge — the label table is
+    // O(nodes), not broadcastable at scale; what must never appear is an
+    // unkeyed join.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"label spread joins stay keyed:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the per-node vote argmax must be an aggregate:\n$plan")
+    assert(plan.contains("partial_"),
+      s"vote counts must combine map-side:\n$plan")
+  }
+
+  test("x_rolling_dau: window fan-out aggregates partially, joins keyed") {
+    val plan = planString(q("x_rolling_dau"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"day-restriction join must be keyed:\n$plan")
+    assert(plan.contains("partial_"),
+      s"distinct pairs must combine map-side:\n$plan")
+  }
+
+  test("c28_constraint_audit: all expectations ride two orders scans") {
+    val plan = planString(q("c28_constraint_audit"))
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 2,
+      s"one row-level scan + one uniqueness scan, saw $scans:\n$plan")
+    assert(!plan.contains("Join"), s"no joins in the audit:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

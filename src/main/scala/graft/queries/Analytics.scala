@@ -1614,6 +1614,52 @@ object Analytics {
         .select($"r.constraint_name", $"r.violations", $"r.checked")
         .union(dupKeys)
         .orderBy($"constraint_name")
+    }),
+
+    // §2.8 — streaming rate-anomaly detection, batch replay: hourly
+    // per-type counts flagged where a bucket exceeds 2× its trailing
+    // 8-bucket average (integer cross-multiply, never a division; the
+    // first 8 buckets can't flag). The trailing frame is a rows-window
+    // per event_type over closed buckets — StreamOpsSpec pins
+    // StreamOps.anomalyStream (O(window) ring state per key via
+    // flatMapGroupsWithState) equal to this shape across micro-batches.
+    "w_stream_anomaly" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val buckets = events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val tw = Window.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(-8, -1)
+      buckets
+        .withColumn("trail_n", count(lit(1)).over(tw))
+        .withColumn("trail_sum_raw", coalesce(sum($"cnt").over(tw), lit(0L)))
+        .select($"event_type",
+          date_format($"hr", "yyyy-MM-dd HH:mm").as("hr"), $"cnt",
+          when($"trail_n" === 8, $"trail_sum_raw").otherwise(0L)
+            .as("trail_sum"),
+          $"trail_n",
+          when($"trail_n" === 8 && $"cnt" * 8 > $"trail_sum_raw" * 2, 1L)
+            .otherwise(0L).as("flag"))
+        .orderBy($"event_type", $"hr")
+    }),
+
+    // k-anonymity audit (the privacy gate before a corpus release):
+    // group sizes over the quasi-identifier tuple (lang, source,
+    // length-centile bin); per (lang, source) the count of
+    // re-identifiable groups (size < k = 5) and the rows suppression
+    // would drop. Two chained hash aggregates, both partial-aggregable
+    // — one corpus scan at any scale.
+    "x_group_anonymity" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy($"lang", $"source", expr("n_chars div 100").as("size_bin"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"c" < 5, 1L).otherwise(0L)).as("risky_groups"),
+          sum(when($"c" < 5, $"c").otherwise(0L)).as("suppressed_rows"))
+        .orderBy($"lang", $"source")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -2536,5 +2582,32 @@ object Analytics {
              checked FROM r
            UNION ALL SELECT 'unique_orderkey', CAST(violations AS BIGINT),
              checked FROM u)
-         ORDER BY constraint_name""")
+         ORDER BY constraint_name""",
+    "w_stream_anomaly" ->
+      """WITH b AS (SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hr,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT *, count(*) OVER tw AS trail_n,
+             coalesce(sum(cnt) OVER tw, 0) AS trail_sum
+           FROM b
+           WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M') AS hr, cnt,
+           CAST(CASE WHEN trail_n = 8 THEN trail_sum ELSE 0 END AS BIGINT)
+             AS trail_sum,
+           CAST(trail_n AS BIGINT) AS trail_n,
+           CAST(CASE WHEN trail_n = 8 AND cnt * 8 > trail_sum * 2
+             THEN 1 ELSE 0 END AS BIGINT) AS flag
+         FROM w ORDER BY event_type, hr""",
+    "x_group_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS size_bin,
+             count(*) AS c
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT lang, source, count(*) AS n_groups,
+           CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_groups,
+           CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+             AS suppressed_rows
+         FROM g GROUP BY 1, 2 ORDER BY lang, source""")
 }

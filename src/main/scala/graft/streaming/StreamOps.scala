@@ -373,6 +373,45 @@ object StreamOps {
       }
   }
 
+  final case class BucketCount(event_type: String, hr_us: Long, cnt: Long)
+  final case class AnomalyOut(event_type: String, hr_us: Long, cnt: Long,
+                              trail_sum: Long, trail_n: Long, flag: Long)
+
+  /** Streaming rate-anomaly detector over a stream of CLOSED bucket
+    * counts (the output of a tumbling-window aggregation): per key the
+    * state is a ring of the trailing `window` bucket counts; a bucket is
+    * flagged when its count exceeds `num/den` × the trailing average
+    * (integer cross-multiply — cnt·window·den > trail_sum·num requires a
+    * FULL trail, so the first `window` buckets never flag). Buckets fold
+    * in hr order within a batch and the ring carries across micro-batches
+    * — pinned equal to the batch window-frame shape (the
+    * `w_stream_anomaly` gate) in StreamOpsSpec. State is `window` longs
+    * per key at any scale.
+    */
+  def anomalyStream(buckets: Dataset[BucketCount], window: Int = 8,
+                    num: Int = 2, den: Int = 1): Dataset[AnomalyOut] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Vector[Long], AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Vector[Long]]) =>
+          var ring = state.getOption.getOrElse(Vector.empty[Long])
+          val out = rows.toSeq.sortBy(_.hr_us).map { b =>
+            val trailSum = ring.sum
+            val trailN = ring.size.toLong
+            val flag =
+              if (trailN == window && b.cnt * window * den > trailSum * num)
+                1L
+              else 0L
+            ring = (ring :+ b.cnt).takeRight(window)
+            AnomalyOut(key, b.hr_us, b.cnt,
+              if (trailN == window) trailSum else 0L, trailN, flag)
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

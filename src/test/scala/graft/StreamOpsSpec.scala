@@ -650,6 +650,67 @@ class StreamOpsSpec extends SparkSpec {
     assert(stages() == Map(1L -> 3, 2L -> 1))
   }
 
+  test("streaming anomaly ring carries the trailing window across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    import StreamOps.{AnomalyOut, BucketCount}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[BucketCount]
+    // window=4 so the ring fills fast; flag when cnt*4 > trail_sum*2
+    val q = StreamOps.anomalyStream(input.toDS(), window = 4)
+      .writeStream.format("memory").queryName("anomaly")
+      .outputMode("append").start()
+
+    def rows(): Seq[AnomalyOut] =
+      spark.table("anomaly").as[AnomalyOut].collect().toSeq.sortBy(_.hr_us)
+
+    // batch 1: the first 4 buckets only build the ring — never flag,
+    // partial trails report 0
+    input.addData((1 to 4).map(h => BucketCount("click", h * 100L, 10L)): _*)
+    q.processAllAvailable()
+    assert(rows().map(_.flag) == Seq(0L, 0L, 0L, 0L))
+    assert(rows().map(_.trail_n) == Seq(0L, 1L, 2L, 3L))
+    assert(rows().map(_.trail_sum) == Seq(0L, 0L, 0L, 0L))
+
+    // batch 2: the ring (40 over 4 buckets) crossed the batch boundary;
+    // 21*4=84 > 40*2=80 flags, 20*4=80 does not (strict inequality)
+    input.addData(BucketCount("click", 500L, 21L))
+    q.processAllAvailable()
+    assert(rows().last == AnomalyOut("click", 500L, 21L, 40L, 4L, 1L))
+
+    // batch 3: the spike entered the ring (10+10+10+21=51); 20*4=80 is
+    // NOT > 51*2=102 -> no flag; an independent key starts its own ring
+    input.addData(BucketCount("click", 600L, 20L),
+      BucketCount("error", 100L, 1000L))
+    q.processAllAvailable()
+    q.stop()
+    val byKey = rows().groupBy(_.event_type)
+    assert(byKey("click").last == AnomalyOut("click", 600L, 20L, 51L, 4L, 0L))
+    assert(byKey("error").head.flag == 0L, "a fresh ring can never flag")
+
+    // the batch window-frame shape over the same buckets agrees
+    val batch = Seq(("click", 100L, 10L), ("click", 200L, 10L),
+      ("click", 300L, 10L), ("click", 400L, 10L), ("click", 500L, 21L),
+      ("click", 600L, 20L), ("error", 100L, 1000L))
+      .toDF("event_type", "hr_us", "cnt")
+    import org.apache.spark.sql.expressions.Window
+    val tw = Window.partitionBy($"event_type").orderBy($"hr_us")
+      .rowsBetween(-4, -1)
+    val batchFlags = batch
+      .withColumn("trail_n", count(lit(1)).over(tw))
+      .withColumn("ts_raw", coalesce(sum($"cnt").over(tw), lit(0L)))
+      .select($"event_type", $"hr_us", $"cnt",
+        when($"trail_n" === 4, $"ts_raw").otherwise(0L).as("trail_sum"),
+        $"trail_n",
+        when($"trail_n" === 4 && $"cnt" * 4 > $"ts_raw" * 2, 1L)
+          .otherwise(0L).as("flag"))
+      .as[AnomalyOut].collect().toSeq.sortBy(r => (r.event_type, r.hr_us))
+    val streamed = rows().sortBy(r => (r.event_type, r.hr_us))
+    assert(streamed == batchFlags,
+      "streaming ring must equal the batch trailing-frame shape")
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

@@ -1660,6 +1660,141 @@ object Analytics {
           sum(when($"c" < 5, 1L).otherwise(0L)).as("risky_groups"),
           sum(when($"c" < 5, $"c").otherwise(0L)).as("suppressed_rows"))
         .orderBy($"lang", $"source")
+    }),
+
+    // 2D Pareto frontier (skyline): parts no other part dominates
+    // (retail price ≥, size ≤, one strict). Two-phase, never all-pairs:
+    // a LOCAL skyline per hash bucket (running-min window inside the
+    // bucket — anything locally dominated is globally dominated, so
+    // pruning is lossless) shrinks n to the survivors (O(log n)
+    // expected on unclustered data), then the exact global windows run
+    // over that small set — where the textbook dominance test is an
+    // all-pairs theta join. Price in exact cents so the range frame's
+    // "strictly higher" boundary is integral.
+    "x_pareto_frontier" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def skyline(df: DataFrame, part: Seq[Column]): DataFrame = {
+        val higher = Window.partitionBy(part: _*)
+          .orderBy(col("price_x100").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val same = Window.partitionBy(part :+ col("price_x100"): _*)
+        df.withColumn("mh", min(col("p_size")).over(higher))
+          .withColumn("ms", min(col("p_size")).over(same))
+          .filter((col("mh").isNull || col("p_size") < col("mh")) &&
+            col("p_size") === col("ms"))
+          .drop("mh", "ms")
+      }
+      val p = part(s, d).select($"p_partkey", $"p_name", $"p_size",
+        floor($"p_retailprice" * 100 + 0.5).cast("long").as("price_x100"))
+        .withColumn("bkt", pmod(crc32($"p_partkey".cast("string")
+          .cast("binary")), lit(32)))
+      val local = skyline(p, Seq($"bkt"))
+      skyline(local, Seq.empty)
+        .select($"p_partkey", $"p_name", $"price_x100",
+          $"p_size".cast("long").as("p_size"))
+        .orderBy($"price_x100".desc, $"p_partkey")
+    }),
+
+    // Rolling-DAU sketch path: the x_rolling_dau fan-out with
+    // approx_count_distinct (HLL++) next to the exact count, banded —
+    // hll_ok pins |sketch − exact| ≤ max(2, 5%·exact) as a LITERAL 1 in
+    // the oracle, so the gate fails if sketch quality drifts. At 100 TB
+    // only the mergeable sketch survives: per-day HLL registers shuffle
+    // O(1) per (day, register) where exact distinct shuffles every
+    // (day, user) pair.
+    "x_rolling_dau_hll" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(to_date($"ts").as("day"), $"user_id")
+      val days = ev.select($"day").distinct()
+      ev.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
+          $"user_id")
+        .select(date_add($"day", $"off").as("wday"), $"user_id")
+        .distinct()
+        .join(days.select($"day".as("wday")), Seq("wday"))
+        .groupBy($"wday")
+        .agg(countDistinct($"user_id").as("dau7"),
+          approx_count_distinct($"user_id", 0.02).as("hll"))
+        .select(date_format($"wday", "yyyy-MM-dd").as("day"), $"dau7",
+          when(abs($"hll" - $"dau7") <=
+            greatest(lit(2.0), $"dau7" * 0.05), 1L).otherwise(0L)
+            .as("hll_ok"))
+        .orderBy($"day")
+    }),
+
+    // Linear interpolation of hourly gaps (time-series repair, the
+    // step past f_ffill): per user, purchase values land on a shared
+    // hourly grid; missing hours fill linearly between the bracketing
+    // observations (integer cents, floor'd once), edges carry the
+    // nearest observation. The grid explodes from a 1-row broadcast
+    // min/max; prev/next come from two ignoreNulls window passes over
+    // the SAME per-user ordering.
+    "f_interpolate" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // obs feeds three consumers (bounds, user list, join side):
+      // materialize it once instead of re-scanning events per consumer.
+      val obs = events(s, d).filter($"event_type" === "purchase")
+        .groupBy($"user_id",
+          (unix_micros(date_trunc("hour", $"ts")) / 3600000000L)
+            .cast("long").as("h"))
+        .agg(floor(avg($"value") * 100 + 0.5).cast("long").as("cents"))
+        .localCheckpoint(false)
+      val bounds = obs.agg(min($"h").as("h_lo"), max($"h").as("h_hi"))
+      val grid = obs.select($"user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"user_id", explode(sequence($"h_lo", $"h_hi")).as("h"))
+      val w = Window.partitionBy($"user_id").orderBy($"h")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("pv", last($"cents", ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when($"cents".isNotNull, $"h"),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first($"cents", ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when($"cents".isNotNull, $"h"),
+          ignoreNulls = true).over(wNext))
+        .select($"user_id", $"h",
+          when($"cents".isNotNull, $"cents")
+            .when($"pv".isNotNull && $"nv".isNotNull,
+              ($"pv" + floor((($"nv" - $"pv") * ($"h" - $"ph"))
+                .cast("double") / ($"nh" - $"ph"))).cast("long"))
+            .otherwise(coalesce($"pv", $"nv")).as("filled_cents"),
+          when($"cents".isNotNull, lit("obs"))
+            .when($"pv".isNotNull && $"nv".isNotNull, lit("interp"))
+            .otherwise(lit("edge")).as("src"))
+        .orderBy($"user_id", $"h")
+    }),
+
+    // Time-respecting reachability (temporal graph): earliest-arrival
+    // times from node 0 where a directed edge (u→v, t) is usable only
+    // if t ≥ the arrival time at u — 3 relaxation rounds, each an
+    // equi-join on u with the time constraint as a residual filter +
+    // a partial-aggregable min fold. The v_sssp skeleton with temporal
+    // path semantics (information-flow / contact-tracing reachability).
+    "v_temporal_reach" -> ((s, d) => {
+      import s.implicits._
+      val nRow = documents(s, d).agg(count(lit(1)).as("n"))
+      val edges = documents(s, d).select($"doc_id").crossJoin(broadcast(nRow))
+        .select($"doc_id".as("u"), explode(array(
+          ($"doc_id" * $"doc_id" + 37) % $"n",
+          ($"doc_id" * $"doc_id" + 74) % $"n",
+          ($"doc_id" * $"doc_id" + 111) % $"n")).as("v"))
+        .filter($"u" =!= $"v")
+        .select($"u", $"v", (($"u" * 7 + $"v") % 100).as("t"))
+        .localCheckpoint(false)
+      var arr = documents(s, d).filter($"doc_id" === 0)
+        .select($"doc_id".as("v"), lit(0L).as("arr"))
+      for (i <- 1 to 3) {
+        val relaxed = arr.join(edges, arr("v") === edges("u"))
+          .filter(edges("t") >= arr("arr"))
+          .select(edges("v").as("v"), edges("t").as("arr"))
+        arr = arr.union(relaxed)
+          .groupBy($"v").agg(min($"arr").as("arr"))
+        if (i < 3) arr = arr.localCheckpoint(false)
+      }
+      arr.orderBy($"v")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -2609,5 +2744,87 @@ object Analytics {
              AS risky_groups,
            CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
              AS suppressed_rows
-         FROM g GROUP BY 1, 2 ORDER BY lang, source""")
+         FROM g GROUP BY 1, 2 ORDER BY lang, source""",
+    "x_pareto_frontier" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_x100,
+             CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+         SELECT p_partkey, p_name, price_x100, p_size FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+           WHERE b.price_x100 >= a.price_x100 AND b.p_size <= a.p_size
+             AND (b.price_x100 > a.price_x100 OR b.p_size < a.p_size))
+         ORDER BY price_x100 DESC, p_partkey""",
+    "x_rolling_dau_hll" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             user_id
+           FROM events),
+         days AS (SELECT DISTINCT day FROM e),
+         p AS (SELECT DISTINCT e.day + to_days(CAST(t.off AS INTEGER))
+             AS wday, e.user_id
+           FROM e, range(0, 7) t(off)),
+         j AS (SELECT p.wday, p.user_id
+           FROM p JOIN days d ON p.wday = d.day)
+         SELECT strftime(wday, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS dau7,
+           CAST(1 AS BIGINT) AS hll_ok
+         FROM j GROUP BY wday ORDER BY day""",
+    "f_interpolate" ->
+      """WITH obs AS (SELECT user_id,
+             epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+               // 3600000000 AS h,
+             CAST(floor(avg(value) * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT min(h) AS lo, max(h) AS hi FROM obs),
+         u AS (SELECT DISTINCT user_id FROM obs),
+         grid AS (SELECT u.user_id, t.h
+           FROM u, (SELECT unnest(generate_series(b.lo, b.hi)) AS h
+             FROM b) t),
+         j AS (SELECT g.user_id, g.h, o.cents
+           FROM grid g LEFT JOIN obs o
+             ON g.user_id = o.user_id AND g.h = o.h),
+         wn AS (SELECT *,
+             last_value(cents IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN h END
+               IGNORE NULLS) OVER wp AS ph,
+             first_value(cents IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN h END
+               IGNORE NULLS) OVER wf AS nh
+           FROM j
+           WINDOW wp AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, h,
+           CASE WHEN cents IS NOT NULL THEN cents
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv +
+               CAST(floor(((nv - pv) * (h - ph))::DOUBLE / (nh - ph))
+                 AS BIGINT)
+             ELSE coalesce(pv, nv) END AS filled_cents,
+           CASE WHEN cents IS NOT NULL THEN 'obs'
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             ELSE 'edge' END AS src
+         FROM wn ORDER BY user_id, h""",
+    "v_temporal_reach" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT u, v, (u * 7 + v) % 100 AS t FROM
+           (SELECT d.doc_id AS u,
+               (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS v
+             FROM documents d, nn, range(1, 4) t(k))
+           WHERE u <> v),
+         a0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS arr),
+         a1 AS (SELECT v, min(arr) AS arr FROM (
+           SELECT * FROM a0 UNION ALL
+           SELECT e.v, e.t FROM a0 JOIN e ON a0.v = e.u AND e.t >= a0.arr)
+           GROUP BY v),
+         a2 AS (SELECT v, min(arr) AS arr FROM (
+           SELECT * FROM a1 UNION ALL
+           SELECT e.v, e.t FROM a1 JOIN e ON a1.v = e.u AND e.t >= a1.arr)
+           GROUP BY v),
+         a3 AS (SELECT v, min(arr) AS arr FROM (
+           SELECT * FROM a2 UNION ALL
+           SELECT e.v, e.t FROM a2 JOIN e ON a2.v = e.u AND e.t >= a2.arr)
+           GROUP BY v)
+         SELECT CAST(v AS BIGINT) AS v, CAST(arr AS BIGINT) AS arr
+         FROM a3 ORDER BY v""")
 }

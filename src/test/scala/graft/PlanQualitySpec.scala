@@ -1069,6 +1069,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"no joins in the audit:\n$plan")
   }
 
+  test("x_pareto_frontier: two-phase skyline — windows only, no theta join") {
+    val plan = planString(q("x_pareto_frontier"))
+    assert(!plan.contains("Join"),
+      s"the skyline must never run the all-pairs dominance join:\n$plan")
+    assert(plan.contains("Window"), s"running-min windows expected:\n$plan")
+    // the local pass is genuinely bucketed — a partitioned window exists
+    assert(plan.matches("(?s).*Window.*partitionBy.*bkt.*|(?s).*\\[bkt.*Window.*"),
+      s"local skyline must partition by the hash bucket:\n$plan")
+  }
+
+  test("x_rolling_dau_hll: mergeable sketch aggregates partially") {
+    val plan = planString(q("x_rolling_dau_hll"))
+    assert(plan.contains("partial_"),
+      s"HLL registers must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"day-restriction join stays keyed:\n$plan")
+  }
+
+  test("f_interpolate: grid joins keyed; only the 1-row bounds nest-loops") {
+    val plan = planString(q("f_interpolate"))
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in gap filling:\n$plan")
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"only the 1-row bounds may nest-loop:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the observation table must be computed once:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 0, s"consumers reuse the checkpoint, saw $scans scans:\n$plan")
+  }
+
+  test("v_temporal_reach: time-respecting relaxation stays keyed + partial") {
+    val plan = planString(q("v_temporal_reach"))
+    assert(!plan.contains("CartesianProduct"),
+      s"temporal relaxation joins stay keyed:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"earliest-arrival fold must combine map-side:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

@@ -81,6 +81,51 @@ object Analytics {
       .select($"x", $"y", $"z")
   }
 
+  /** Gap-based batch sessionization (the x_sessionize gate): input
+    * columns (user_id, event_id, ts_us, event_type); a session starts
+    * when the per-user inter-event gap exceeds `gapUs`. Both windows
+    * and the stats aggregate key on user_id, so the whole operator
+    * clusters once per user partition — per-key cost only.
+    */
+  def sessionize(ev: DataFrame,
+                 gapUs: Long = 8L * 3600 * 1000000): DataFrame = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    ev
+      .withColumn("nf",
+        when(lag($"ts_us", 1).over(w).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum($"nf").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts_us").as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (max($"ts_us") - min($"ts_us")).cast("long").as("dur_us"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+      .select($"user_id", $"session_start_us", $"n_events", $"dur_us",
+        $"purchases")
+  }
+
+  /** Trailing-7-day distinct users per observed day (the x_rolling_dau
+    * gate): input columns (day: date, user_id). Each event fans out to
+    * its 7 window-end days; the shuffle carries DISTINCT (day, user)
+    * pairs with partial aggregation — never 7 re-scans of the fact
+    * table. Returns (wday, dau7).
+    */
+  def rollingDau(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val days = ev.select($"day").distinct()
+    ev.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
+        $"user_id")
+      .select(date_add($"day", $"off").as("wday"), $"user_id")
+      .distinct()
+      .join(days.select($"day".as("wday")), Seq("wday"))
+      .groupBy($"wday")
+      .agg(countDistinct($"user_id").as("dau7"))
+  }
+
   /** CDC latest-state snapshot: fold an upsert/delete change stream to
     * the live state by per-key argmax over (ts, change_id) — a
     * partial-aggregable max(struct(...)), NOT a row_number window, so
@@ -1431,25 +1476,9 @@ object Analytics {
     // another user's rows, which is exactly what lets it scale per-key.
     "x_sessionize" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-      val gapUs = 8L * 3600 * 1000000
-      events(s, d)
+      sessionize(events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
-          $"event_type")
-        .withColumn("nf",
-          when(lag($"ts_us", 1).over(w).isNull ||
-            $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
-        .withColumn("sess", sum($"nf").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"sess")
-        .agg(min($"ts_us").as("session_start_us"),
-          count(lit(1)).as("n_events"),
-          (max($"ts_us") - min($"ts_us")).cast("long").as("dur_us"),
-          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
-            .as("purchases"))
-        .select($"user_id", $"session_start_us", $"n_events", $"dur_us",
-          $"purchases")
+          $"event_type"))
         .orderBy($"user_id", $"session_start_us")
     }),
 
@@ -1561,16 +1590,7 @@ object Analytics {
     // ends are restricted to days that actually occur.
     "x_rolling_dau" -> ((s, d) => {
       import s.implicits._
-      val ev = events(s, d)
-        .select(to_date($"ts").as("day"), $"user_id")
-      val days = ev.select($"day").distinct()
-      ev.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
-          $"user_id")
-        .select(date_add($"day", $"off").as("wday"), $"user_id")
-        .distinct()
-        .join(days.select($"day".as("wday")), Seq("wday"))
-        .groupBy($"wday")
-        .agg(countDistinct($"user_id").as("dau7"))
+      rollingDau(events(s, d).select(to_date($"ts").as("day"), $"user_id"))
         .select(date_format($"wday", "yyyy-MM-dd").as("day"), $"dau7")
         .orderBy($"day")
     }),
@@ -1795,6 +1815,91 @@ object Analytics {
         if (i < 3) arr = arr.localCheckpoint(false)
       }
       arr.orderBy($"v")
+    }),
+
+    // Mixture sampling to per-source token budgets (the data-mixing
+    // step of LLM corpus assembly): each source class gets a budget
+    // fraction (25/50/75% by source id mod 3), docs admit in md5 order
+    // until the running total crosses it (take-until-crossing: the
+    // first crossing doc is included). The cumulative sum partitions by
+    // source — per-source state only; the budget table derives from a
+    // partial-agg totals pass, broadcast back.
+    "x_dataset_mixer" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).select($"doc_id", $"source", $"n_chars",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+      val budgets = docs.groupBy($"source")
+        .agg(sum($"n_chars").as("total_chars"))
+        .select($"source", $"total_chars",
+          expr("(total_chars * (cast(substring(source, 4, 10) as bigint)" +
+            " % 3 + 1)) div 4").as("budget_chars"))
+      val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(budgets), Seq("source"))
+        .withColumn("cum_excl", coalesce(sum($"n_chars").over(w), lit(0L)))
+        .filter($"cum_excl" < $"budget_chars")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_kept"), sum($"n_chars").as("chars_kept"),
+          first($"budget_chars").as("budget_chars"))
+        .orderBy($"source")
+    }),
+
+    // Source vocabulary-overlap matrix (near-duplicate SOURCE
+    // detection): per source pair, the Jaccard of distinct token sets
+    // ×10000 — the corpus-level contamination fingerprint. Token-keyed
+    // equi-join over the distinct (source, token) table: the pair space
+    // per token is bounded by the source count, the token table by the
+    // vocabulary — never corpus-quadratic.
+    "x_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val tok = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"source", explode(words($"text")).as("tk"))
+        .filter($"tk" =!= "").distinct()
+        .localCheckpoint(false)
+      val sizes = tok.groupBy($"source").agg(count(lit(1)).as("nt"))
+      val inter = tok.select($"source".as("sa"), $"tk")
+        .join(tok.select($"source".as("sb"), $"tk"), Seq("tk"))
+        .filter($"sa" < $"sb")
+        .groupBy($"sa", $"sb").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select($"source".as("sa"), $"nt".as("na"))),
+          Seq("sa"))
+        .join(broadcast(sizes.select($"source".as("sb"), $"nt".as("nb"))),
+          Seq("sb"))
+        .select($"sa", $"sb", $"inter",
+          floor(lit(10000.0) * $"inter" / ($"na" + $"nb" - $"inter") + 0.5)
+            .cast("long").as("jacc_x10000"))
+        .orderBy($"sa", $"sb")
+    }),
+
+    // Zonal statistics over the shared synthetic raster (m8/m9's 4
+    // tiles of 32×32): pixels map to zones that CUT ACROSS block
+    // boundaries (11-row × 16-col bands), so each block explodes to
+    // per-pixel rows carrying global coordinates and zone stats fold
+    // with partial aggregation — the explode-then-partial-agg shape is
+    // exactly how zonal stats distribute when zone geometries ignore
+    // the tile grid.
+    "m11_zonal_stats" -> ((s, d) => {
+      import s.implicits._
+      val blocks = s.range(0, 64).select(
+        ($"id" / 16).cast("long").as("tile"),
+        (($"id" / 4) % 4).cast("long").as("by"),
+        ($"id" % 4).as("bx"))
+        .select($"tile", $"by", $"bx",
+          posexplode(transform(sequence(lit(0), lit(63)), { i =>
+            val y = $"by" * 8 + floor(i.cast("double") / 8).cast("long")
+            val x = $"bx" * 8 + i.cast("long") % 8
+            ($"tile" * 31 + y * 7 + x * 13) % 256
+          })).as(Seq("i", "v")))
+      blocks
+        .select($"tile",
+          expr("(by * 8 + i div 8) div 11").as("zy"),
+          expr("(bx * 8 + i % 8) div 16").as("zx"), $"v")
+        .groupBy($"tile", $"zy", $"zx")
+        .agg(count(lit(1)).as("n_px"), sum($"v").as("px_sum"),
+          min($"v").as("px_min"), max($"v").as("px_max"))
+        .orderBy($"tile", $"zy", $"zx")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -2826,5 +2931,53 @@ object Analytics {
            SELECT e.v, e.t FROM a2 JOIN e ON a2.v = e.u AND e.t >= a2.arr)
            GROUP BY v)
          SELECT CAST(v AS BIGINT) AS v, CAST(arr AS BIGINT) AS arr
-         FROM a3 ORDER BY v""")
+         FROM a3 ORDER BY v""",
+    "x_dataset_mixer" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         b AS (SELECT source, sum(n_chars) AS total_chars,
+             (sum(n_chars) * (CAST(substr(source, 4) AS BIGINT) % 3 + 1))
+               // 4 AS budget_chars
+           FROM docs GROUP BY 1),
+         c AS (SELECT d.*, b.budget_chars,
+             coalesce(sum(d.n_chars) OVER (PARTITION BY d.source
+               ORDER BY d.h, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+           FROM docs d JOIN b USING (source))
+         SELECT source, count(*) AS docs_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+           CAST(min(budget_chars) AS BIGINT) AS budget_chars
+         FROM c WHERE cum_excl < budget_chars
+         GROUP BY 1 ORDER BY source""",
+    "x_source_overlap" ->
+      """WITH tok AS (SELECT DISTINCT source, tk FROM (
+           SELECT source, unnest(string_split_regex(trim(text), ' +')) AS tk
+           FROM documents WHERE len(trim(text)) > 0)
+           WHERE tk <> ''),
+         sz AS (SELECT source, count(*) AS nt FROM tok GROUP BY 1),
+         i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+           FROM tok a JOIN tok b ON a.tk = b.tk AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT i.sa, i.sb, i.inter,
+           CAST(floor(10000.0 * i.inter /
+             (za.nt + zb.nt - i.inter) + 0.5) AS BIGINT) AS jacc_x10000
+         FROM i JOIN sz za ON i.sa = za.source
+           JOIN sz zb ON i.sb = zb.source
+         ORDER BY sa, sb""",
+    "m11_zonal_stats" ->
+      """WITH blk AS (SELECT t.id // 16 AS tile, (t.id // 4) % 4 AS by,
+             t.id % 4 AS bx, p.i
+           FROM range(0, 64) t(id), range(0, 64) p(i)),
+         px AS (SELECT tile, by, bx, i,
+             (tile * 31 + (by * 8 + i // 8) * 7 + (bx * 8 + i % 8) * 13)
+               % 256 AS v
+           FROM blk)
+         SELECT CAST(tile AS BIGINT) AS tile,
+           CAST((by * 8 + i // 8) // 11 AS BIGINT) AS zy,
+           CAST((bx * 8 + i % 8) // 16 AS BIGINT) AS zx,
+           count(*) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+         FROM px GROUP BY 1, 2, 3 ORDER BY tile, zy, zx""")
 }

@@ -1108,6 +1108,39 @@ class PlanQualitySpec extends SparkSpec {
       s"earliest-arrival fold must combine map-side:\n$plan")
   }
 
+  test("x_dataset_mixer: budgets broadcast; admission is one keyed window") {
+    val plan = planString(q("x_dataset_mixer"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the budget table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no wide join in admission:\n$plan")
+    assert(plan.contains("Window"),
+      s"take-until-crossing runs on a per-source cumulative window:\n$plan")
+  }
+
+  test("x_source_overlap: pair join keyed on token, sizes broadcast") {
+    val plan = planString(q("x_source_overlap"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the overlap join must stay token-keyed:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the distinct token table must be computed once:\n$plan")
+    assert(plan.contains("partial_"),
+      s"pair counts must combine map-side:\n$plan")
+  }
+
+  test("m11_zonal_stats: per-pixel explode folds with partial aggregation") {
+    val plan = planString(q("m11_zonal_stats"))
+    assert(!plan.contains("Join"), s"zonal stats never join:\n$plan")
+    assert(plan.contains("partial_"),
+      s"zone stats must combine map-side before one exchange:\n$plan")
+    val df = q("m11_zonal_stats")
+    df.collect()
+    val shuffles = countShuffles(df.queryExecution.executedPlan)
+    assert(shuffles <= 2, s"explode + agg + sort needs <=2 shuffles:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

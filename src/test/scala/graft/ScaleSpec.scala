@@ -485,6 +485,44 @@ class ScaleSpec extends SparkSpec {
     assert(ratio < 25, s"attribution pair space grew superlinearly: $ratio")
   }
 
+  test("soak: sessionization shuffle scales ~linearly at 10x events") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // users scale with n (fixed per-user density): the per-user windows
+    // and session aggregate all key on user_id, so shuffle bytes track
+    // the event count linearly — no per-user blowup, no global sort
+    def eventsAt(n: Long) = spark.range(n).select(
+        ($"id" % (n / 100)).as("user_id"), $"id".as("event_id"),
+        ($"id" * 3600000000L / (n / 100)).as("ts_us"),
+        element_at(array(lit("view"), lit("purchase")),
+          ($"id" % 2 + 1).cast("int")).as("event_type"))
+      .repartition(8)
+    val s1 = measure(graft.queries.Analytics.sessionize(eventsAt(20000L)))
+    val s10 = measure(graft.queries.Analytics.sessionize(eventsAt(200000L)))
+    assert(s1._1 > 0, "sessionize: no shuffle measured at base size")
+    val ratio = s10._1.toDouble / s1._1
+    info(f"sessionize: shuffle ${s1._1}B -> ${s10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"sessionize shuffle grew superlinearly: $ratio")
+    assert(ratio > 3, s"sessionize shuffle growth suspiciously flat: $ratio")
+  }
+
+  test("soak: rolling-DAU fan-out shuffle scales ~linearly at 10x events") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the 7x window fan-out is a constant factor and the distinct
+    // (day, user) pairs are bounded by 7·n — shuffle must stay linear
+    def dauAt(n: Long) = spark.range(n).select(
+        expr(s"date_add(date '2024-01-01', cast(id % 60 as int))").as("day"),
+        ($"id" % (n / 50)).as("user_id"))
+      .repartition(8)
+    val d1 = measure(graft.queries.Analytics.rollingDau(dauAt(20000L)))
+    val d10 = measure(graft.queries.Analytics.rollingDau(dauAt(200000L)))
+    assert(d1._1 > 0, "rollingDau: no shuffle measured at base size")
+    val ratio = d10._1.toDouble / d1._1
+    info(f"rollingDau: shuffle ${d1._1}B -> ${d10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"rolling-DAU shuffle grew superlinearly: $ratio")
+  }
+
   private final class TaskMetricsProbe
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong

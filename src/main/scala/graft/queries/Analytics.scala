@@ -1900,6 +1900,80 @@ object Analytics {
         .agg(count(lit(1)).as("n_px"), sum($"v").as("px_sum"),
           min($"v").as("px_min"), max($"v").as("px_max"))
         .orderBy($"tile", $"zy", $"zx")
+    }),
+
+    // Positional phrase search ("window join" as an exact phrase): the
+    // positional-postings index shape — (doc, position, term) rows from
+    // one posexplode, term-filtered BEFORE any join (the index is
+    // term-selective), adjacency by an equi-join on (doc, pos+1).
+    // Distinct from the bag-of-words BM25 gate: phrase semantics need
+    // positions, and the join carries only the two terms' postings.
+    "x_phrase_search" -> ((s, d) => {
+      import s.implicits._
+      val postings = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "tk")))
+        .filter($"tk".isin("window", "join"))
+        .localCheckpoint(false)
+      val p1 = postings.filter($"tk" === "window")
+        .select($"doc_id", ($"pos" + 1).as("nxt"))
+      val p2 = postings.filter($"tk" === "join")
+        .select($"doc_id", $"pos".as("nxt"))
+      p1.join(p2, Seq("doc_id", "nxt"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_matches"),
+          (min($"nxt") - 1).cast("long").as("first_pos"))
+        .orderBy($"doc_id")
+    }),
+
+    // Point-in-time training-set assembly (feature-store semantics):
+    // features aggregate STRICTLY up to the cutoff, the churn label
+    // comes only from the following 7 days — the leakage-free temporal
+    // split every production ML pipeline needs. Two conditional-
+    // aggregate passes over one scan (the label is a filtered
+    // aggregate, not a second scan), keyed once per user.
+    "x_feature_snapshot" -> ((s, d) => {
+      import s.implicits._
+      val cutoff = lit("2024-01-24").cast("timestamp")
+      val horizon = lit("2024-01-31").cast("timestamp")
+      events(s, d)
+        .filter($"ts" < horizon)
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"ts" <= cutoff, 1L).otherwise(0L)).as("n_events"),
+          sum(when($"ts" <= cutoff && $"event_type" === "purchase", 1L)
+            .otherwise(0L)).as("n_purchases"),
+          sum(when($"ts" <= cutoff, floor($"value" * 100 + 0.5))
+            .otherwise(0L)).cast("long").as("value_cents"),
+          max(when($"ts" <= cutoff, unix_micros($"ts"))).as("last_seen_us"),
+          max(when($"ts" > cutoff && $"event_type" === "purchase", 1L)
+            .otherwise(0L)).as("label_purchase_7d"))
+        .filter($"n_events" > 0)
+        .orderBy($"user_id")
+    }),
+
+    // k-core decomposition (k=4), 3 peel rounds: drop nodes whose
+    // degree falls below k, restrict the edge set to survivors (two
+    // semi joins), recount — the iterative-peel structure that finds
+    // the dense backbone of a graph. Each round is partial-agg degree
+    // counts + keyed semi joins; rounds checkpoint so the edge subtree
+    // never replays.
+    "v_kcore" -> ((s, d) => {
+      import s.implicits._
+      var edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      var deg: DataFrame = null
+      for (i <- 1 to 3) {
+        deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter($"deg" >= 4).select($"v")
+          .localCheckpoint(false)
+        edges = edges
+          .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
+          .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
+        // Checkpoint only the early rounds; the final round stays lazy
+        // so the peel's semi-join + degree-count plan is the query's own.
+        if (i < 2) edges = edges.localCheckpoint(false)
+      }
+      deg.filter($"deg" >= 4).orderBy($"v")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -2979,5 +3053,55 @@ object Analytics {
            CAST((bx * 8 + i % 8) // 16 AS BIGINT) AS zx,
            count(*) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
-         FROM px GROUP BY 1, 2, 3 ORDER BY tile, zy, zx""")
+         FROM px GROUP BY 1, 2, 3 ORDER BY tile, zy, zx""",
+    "x_phrase_search" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS tk,
+             generate_subscripts(string_split_regex(trim(text), ' +'), 1)
+               - 1 AS pos
+           FROM documents WHERE len(trim(text)) > 0),
+         p1 AS (SELECT doc_id, pos + 1 AS nxt FROM w WHERE tk = 'window'),
+         p2 AS (SELECT doc_id, pos AS nxt FROM w WHERE tk = 'join')
+         SELECT p1.doc_id AS doc_id, count(*) AS n_matches,
+           CAST(min(p1.nxt) - 1 AS BIGINT) AS first_pos
+         FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p1.nxt = p2.nxt
+         GROUP BY 1 ORDER BY p1.doc_id""",
+    "x_feature_snapshot" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN ts <= TIMESTAMP '2024-01-24' THEN 1 ELSE 0
+             END) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts <= TIMESTAMP '2024-01-24'
+             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           CAST(sum(CASE WHEN ts <= TIMESTAMP '2024-01-24'
+             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS value_cents,
+           max(CASE WHEN ts <= TIMESTAMP '2024-01-24'
+             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS last_seen_us,
+           CAST(max(CASE WHEN ts > TIMESTAMP '2024-01-24'
+             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS label_purchase_7d
+         FROM events WHERE ts < TIMESTAMP '2024-01-31'
+         GROUP BY 1 HAVING n_events > 0 ORDER BY user_id""",
+    "v_kcore" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         d1 AS (SELECT v, count(*) AS deg FROM
+           (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+         k1 AS (SELECT v FROM d1 WHERE deg >= 4),
+         e1 AS (SELECT a, b FROM e0
+           WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+         d2 AS (SELECT v, count(*) AS deg FROM
+           (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+         k2 AS (SELECT v FROM d2 WHERE deg >= 4),
+         e2 AS (SELECT a, b FROM e1
+           WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+         d3 AS (SELECT v, count(*) AS deg FROM
+           (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v)
+         SELECT CAST(v AS BIGINT) AS v, CAST(deg AS BIGINT) AS deg
+         FROM d3 WHERE deg >= 4 ORDER BY v""")
 }

@@ -1141,6 +1141,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles <= 2, s"explode + agg + sort needs <=2 shuffles:\n$plan")
   }
 
+  test("x_phrase_search: postings term-filtered before one keyed join") {
+    val plan = planString(q("x_phrase_search"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"adjacency must be an equi-join on (doc, pos):\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the two-term posting table must be computed once:\n$plan")
+  }
+
+  test("x_feature_snapshot: features and label from ONE scan, no joins") {
+    val plan = planString(q("x_feature_snapshot"))
+    assert(!plan.contains("Join"),
+      s"the label is a filtered aggregate, not a second scan + join:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"one events scan, saw $scans:\n$plan")
+    assert(plan.contains("partial_"),
+      s"feature aggregates must combine map-side:\n$plan")
+    assert(plan.contains("PushedFilters"),
+      s"the horizon filter must reach the scan:\n$plan")
+  }
+
+  test("v_kcore: peel rounds are semi joins + partial degree counts") {
+    val plan = planString(q("v_kcore"))
+    assert(plan.contains("LeftSemi"),
+      s"survivor restriction must be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"peel joins stay keyed:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"degree counts must combine map-side:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

@@ -1974,6 +1974,79 @@ object Analytics {
         if (i < 2) edges = edges.localCheckpoint(false)
       }
       deg.filter($"deg" >= 4).orderBy($"v")
+    }),
+
+    // SQL front-end window query (literal spark.sql over a registered
+    // view): top-3 orders per customer by ranking window — the
+    // q6_revenue_forecast_sql twin for the WINDOW surface, proving the
+    // SQL entry point plans/executes ranked queries identically to the
+    // DataFrame API.
+    "q_sql_topn" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, price_x100, rk FROM (
+             SELECT o_custkey AS c_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_x100,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+             FROM orders_v) t
+           WHERE rk <= 3 ORDER BY c_custkey, rk""")
+    }),
+
+    // MinHash signature MERGEABILITY (the property that makes the dedup
+    // index incremental): sig(A ∪ B) = elementwise min of sig(A) and
+    // sig(B). Shingles split by hash parity into two deltas, signatures
+    // built per delta, merged via least() — merged_ok pins equality
+    // with the directly-built signature for every doc (oracle replays
+    // it as LITERAL 1, so the gate fails if merging ever diverges).
+    // This is why a 100 TB corpus updates its MinHash index by folding
+    // per-batch signatures instead of re-sketching history.
+    "x_minhash_incremental" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val sh = Pipeline.bigramShingles(docs).localCheckpoint(false)
+      val direct = Pipeline.minhashSigsFromShingles(sh)
+      val parity = substring(md5($"s".cast("binary")), 1, 1) < "8"
+      def renamed(df: DataFrame, p: String) =
+        df.select($"doc_id" +: (0 until 8).map(j =>
+          col(s"m$j").as(s"$p$j")): _*)
+      val sigA = renamed(Pipeline.minhashSigsFromShingles(
+        sh.filter(parity)), "a")
+      val sigB = renamed(Pipeline.minhashSigsFromShingles(
+        sh.filter(!parity)), "b")
+      // "g" sorts after every hex digit — an absent delta never wins
+      val ok = (0 until 8).map(j =>
+        col(s"m$j") === least(coalesce(col(s"a$j"), lit("g")),
+          coalesce(col(s"b$j"), lit("g")))).reduce(_ && _)
+      direct
+        .join(sigA, Seq("doc_id"), "left")
+        .join(sigB, Seq("doc_id"), "left")
+        .select($"doc_id", $"m0", when(ok, 1L).otherwise(0L)
+          .as("merged_ok"))
+        .orderBy($"doc_id")
+    }),
+
+    // Sample-ratio-mismatch check (the A/B-test health gate): per
+    // user-cohort, arm counts under the x_ab_experiment assignment and
+    // the one-degree chi-square ×1e6 against the expected 50/50 —
+    // flagged above the 3.8415 critical value. One distinct-user pass,
+    // integer-exact chi-square via cross-multiplication.
+    "x_ab_srm" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).select($"user_id").distinct()
+        .select(($"user_id" % 5).as("cohort"),
+          when(substring(md5(concat(lit("exp1:"),
+            $"user_id".cast("string")).cast("binary")), 1, 1) < "8", 1L)
+            .otherwise(0L).as("is_a"))
+        .groupBy($"cohort")
+        .agg(sum($"is_a").as("n_a"),
+          sum(lit(1L) - $"is_a").as("n_b"))
+        .select($"cohort", $"n_a", $"n_b",
+          floor(lit(1e6) * ($"n_a" - $"n_b") * ($"n_a" - $"n_b") /
+            ($"n_a" + $"n_b")).cast("long").as("chi2_x1e6"))
+        .select($"cohort", $"n_a", $"n_b", $"chi2_x1e6",
+          when($"chi2_x1e6" > 3841459L, 1L).otherwise(0L).as("srm_flag"))
+        .orderBy($"cohort")
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -3103,5 +3176,42 @@ object Analytics {
          d3 AS (SELECT v, count(*) AS deg FROM
            (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v)
          SELECT CAST(v AS BIGINT) AS v, CAST(deg AS BIGINT) AS deg
-         FROM d3 WHERE deg >= 4 ORDER BY v""")
+         FROM d3 WHERE deg >= 4 ORDER BY v""",
+    "q_sql_topn" ->
+      """SELECT c_custkey, o_orderkey, price_x100, rk FROM (
+           SELECT o_custkey AS c_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_x100,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY c_custkey, rk""",
+    "x_minhash_incremental" ->
+      """WITH base AS (SELECT doc_id,
+             string_split_regex(trim(text), ' +') AS w
+           FROM documents),
+         base2 AS (SELECT doc_id, w FROM base WHERE len(w) >= 2),
+         sh AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS s
+           FROM base2),
+         sig AS (SELECT doc_id, min(md5('0|' || s)) AS m0
+           FROM sh GROUP BY 1)
+         SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
+         FROM sig ORDER BY doc_id""",
+    "x_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         a AS (SELECT user_id % 5 AS cohort,
+             CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+               1, 1) < '8' THEN 1 ELSE 0 END AS is_a
+           FROM u),
+         c AS (SELECT cohort, CAST(sum(is_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - is_a) AS BIGINT) AS n_b
+           FROM a GROUP BY 1)
+         SELECT cohort, n_a, n_b,
+           CAST(floor(1e6 * (n_a - n_b) * (n_a - n_b) / (n_a + n_b))
+             AS BIGINT) AS chi2_x1e6,
+           CAST(CASE WHEN floor(1e6 * (n_a - n_b) * (n_a - n_b) /
+             (n_a + n_b)) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
+             AS srm_flag
+         FROM c ORDER BY cohort""")
 }

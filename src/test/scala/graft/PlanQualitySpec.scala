@@ -1173,6 +1173,34 @@ class PlanQualitySpec extends SparkSpec {
       s"degree counts must combine map-side:\n$plan")
   }
 
+  test("q_sql_topn: the SQL window plans a rank filter, not a full sort+scan") {
+    val plan = planString(q("q_sql_topn"))
+    assert(plan.contains("Window"), s"ranking window expected:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"no joins in the ranked read:\n$plan")
+  }
+
+  test("x_minhash_incremental: one shingle explode feeds all three sigs") {
+    val plan = planString(q("x_minhash_incremental"))
+    assert(plan.contains("ExistingRDD"),
+      s"the shingle table must be computed once:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 0,
+      s"delta and direct signatures reuse the checkpoint, saw $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"signature joins stay keyed on doc_id:\n$plan")
+  }
+
+  test("x_ab_srm: one distinct-user pass, no joins") {
+    val plan = planString(q("x_ab_srm"))
+    assert(!plan.contains("Join"), s"the SRM check never joins:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"one events scan, saw $scans:\n$plan")
+    assert(plan.contains("partial_"),
+      s"cohort counts must combine map-side:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

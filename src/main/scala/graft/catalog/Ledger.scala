@@ -50,6 +50,56 @@ object Ledger {
       .unionByName(completions)
   }
 
+  /** Exactly-once streaming sink body for `foreachBatch`: upsert a
+    * micro-batch of completions into a versioned parquet ledger, with
+    * the applied-batch set as the replay fence. Structured Streaming's
+    * contract is at-least-once delivery to `foreachBatch` — after a
+    * failure the SAME (batch, batchId) replays — so the sink must be
+    * idempotent: a batchId in `_applied` is a no-op, and the version
+    * pointer flips via write-temp-then-atomic-rename AFTER the new
+    * version is fully written (the Publish commit discipline). State on
+    * disk is therefore always a complete version, and re-running any
+    * prefix of batches converges to the same ledger.
+    */
+  def idempotentBatchUpsert(spark: SparkSession, dir: String)
+                           (batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val appliedPath = Paths.get(dir, "_applied")
+    val applied: Set[String] =
+      if (Files.exists(appliedPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(appliedPath)).asScala.toSet
+      else Set.empty
+    if (applied.contains(batchId.toString)) return
+    val current = currentVersion(dir)
+    val cur = current match {
+      case Some(v) => spark.read.parquet(s"$dir/$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    }
+    val nextV = s"ledger_v$batchId"
+    upsert(cur, batch).write.mode("overwrite").parquet(s"$dir/$nextV")
+    val tmp = Paths.get(dir, "_current.tmp")
+    Files.write(tmp, nextV.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.write(appliedPath,
+      (applied + batchId.toString).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** The ledger version the `_current` pointer names, if any. */
+  def currentVersion(dir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(dir, "_current")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** Read the ledger as of its current committed version. */
+  def readCurrent(spark: SparkSession, dir: String): Option[DataFrame] =
+    currentVersion(dir).map(v => spark.read.parquet(s"$dir/$v"))
+
   /** C3 — per-tile summary with missing periods as a set difference. */
   def summarize(ledger: DataFrame, periods: DataFrame): DataFrame = {
     val spark = ledger.sparkSession

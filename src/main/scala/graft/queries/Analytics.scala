@@ -2047,6 +2047,28 @@ object Analytics {
         .select($"cohort", $"n_a", $"n_b", $"chi2_x1e6",
           when($"chi2_x1e6" > 3841459L, 1L).otherwise(0L).as("srm_flag"))
         .orderBy($"cohort")
+    }),
+
+    // ANALYZE-style column statistics (the optimizer's planning input:
+    // NDV, null rate, bounds): exact distinct counts for three columns
+    // plus min/max/nulls in ONE logical pass — Spark expands multiple
+    // DISTINCT aggregates into a single Expand + two-level aggregate,
+    // not one scan per column, which is what makes stats collection
+    // affordable on a 100 TB table.
+    "c29_analyze_stats" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"o_custkey").as("ndv_custkey"),
+          countDistinct($"o_orderstatus").as("ndv_status"),
+          countDistinct($"o_orderpriority").as("ndv_priority"),
+          sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_custkey"),
+          min($"o_orderkey").as("min_orderkey"),
+          max($"o_orderkey").as("max_orderkey"),
+          floor(min($"o_totalprice") * 100 + 0.5).cast("long")
+            .as("min_price_x100"),
+          floor(max($"o_totalprice") * 100 + 0.5).cast("long")
+            .as("max_price_x100"))
     }))
 
   /** The [[focalMean3x3]] arithmetic as a DuckDB lambda expression over
@@ -3213,5 +3235,19 @@ object Analytics {
            CAST(CASE WHEN floor(1e6 * (n_a - n_b) * (n_a - n_b) /
              (n_a + n_b)) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
              AS srm_flag
-         FROM c ORDER BY cohort""")
+         FROM c ORDER BY cohort""",
+    "c29_analyze_stats" ->
+      """SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS ndv_custkey,
+           count(DISTINCT o_orderstatus) AS ndv_status,
+           count(DISTINCT o_orderpriority) AS ndv_priority,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS null_custkey,
+           min(o_orderkey) AS min_orderkey,
+           max(o_orderkey) AS max_orderkey,
+           CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS min_price_x100,
+           CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS max_price_x100
+         FROM orders""")
 }

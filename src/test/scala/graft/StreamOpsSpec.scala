@@ -711,6 +711,79 @@ class StreamOpsSpec extends SparkSpec {
       "streaming ring must equal the batch trailing-frame shape")
   }
 
+  test("foreachBatch ledger sink is exactly-once under batch replay") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.catalog.Ledger
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, String, String, String, String, String)]
+    val toLedger = (df: org.apache.spark.sql.DataFrame) => df.toDF(
+      "cube", "tile_id", "p_start", "p_end", "band", "status")
+    val q = input.toDS().toDF()
+      .writeStream
+      // a DURABLE checkpoint: run 2 must resume batch numbering (a fresh
+      // temp checkpoint would restart at batchId 0 and hit the fence)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Ledger.idempotentBatchUpsert(spark, dir)(toLedger(b.toDF()), id)
+      }
+      .trigger(Trigger.AvailableNow())
+    input.addData(("c", "t1", "2024-01-01", "2024-01-16", "B04", "CREATED"),
+      ("c", "t2", "2024-01-01", "2024-01-16", "B04", "SUCCESS"))
+    val run1 = q.start(); run1.awaitTermination()
+
+    def snapshot(): Set[(String, String)] =
+      Ledger.readCurrent(spark, dir).get
+        .select($"tile_id", $"status").as[(String, String)].collect().toSet
+    assert(snapshot() == Set("t1" -> "CREATED", "t2" -> "SUCCESS"))
+
+    // a second batch upserts t1 to SUCCESS
+    input.addData(("c", "t1", "2024-01-01", "2024-01-16", "B04", "SUCCESS"))
+    val run2 = q.start(); run2.awaitTermination()
+    assert(snapshot() == Set("t1" -> "SUCCESS", "t2" -> "SUCCESS"))
+
+    // REPLAY batch 0 (the at-least-once failure case): the applied-id
+    // fence makes it a no-op — t1 must NOT regress to CREATED
+    val replay = Seq(("c", "t1", "2024-01-01", "2024-01-16", "B04",
+      "CREATED")).toDF("cube", "tile_id", "p_start", "p_end", "band",
+      "status")
+    Ledger.idempotentBatchUpsert(spark, dir)(replay, 0L)
+    assert(snapshot() == Set("t1" -> "SUCCESS", "t2" -> "SUCCESS"),
+      "replaying an applied batchId must not change the ledger")
+
+    // an unseen batchId still applies
+    Ledger.idempotentBatchUpsert(spark, dir)(replay, 99L)
+    assert(snapshot() == Set("t1" -> "CREATED", "t2" -> "SUCCESS"))
+  }
+
+  test("watermark drops the too-late row and reports it in progress metrics") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val counts = StreamOps.tumblingCounts(input.toDF(), "1 hour", "30 minutes")
+    val q = counts.writeStream.format("memory").queryName("late_agg")
+      .outputMode("update").start()
+    // batch 1 advances the watermark to 11:30
+    input.addData(Event(1L, ts("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // batch 2: 09:00 is far behind the watermark -> dropped, and the
+    // progress metrics must SAY so (the observability a pipeline needs
+    // to notice silent data loss)
+    input.addData(Event(1L, ts("2024-01-01 09:00:00"), 1.0))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .map(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsDroppedByWatermark).sum).sum
+    q.stop()
+    assert(dropped == 1L,
+      s"expected exactly the late row dropped, metrics said $dropped")
+    val rows = spark.table("late_agg").collect()
+    assert(!rows.exists(_.toString.contains("09:00")),
+      "the dropped row must not appear in any window")
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

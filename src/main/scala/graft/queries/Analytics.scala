@@ -2049,6 +2049,68 @@ object Analytics {
         .orderBy($"cohort")
     }),
 
+    // Deterministic random-walk sampling (the node2vec/DeepWalk corpus
+    // generator): 3-step walks from seed nodes; each step picks
+    // neighbor index md5(walk, step, node) mod degree from the RANKED
+    // adjacency list — an equi-join on (node, rank), never a scan of
+    // the neighbor set. The ranking window partitions per node (its
+    // partition is one adjacency list), and each step is one keyed
+    // join — the walk batch scales with walks, not graph size.
+    "v_random_walk" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      val dir = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+      val wRank = Window.partitionBy($"u").orderBy($"v")
+      val adj = dir
+        .withColumn("rnk", row_number().over(wRank))
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy($"u")))
+        .localCheckpoint(false)
+      var walks = documents(s, d).filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("walk_id"), $"doc_id".as("cur"),
+          $"doc_id".cast("string").as("path"))
+      for (step <- 1 to 3) {
+        val idx = conv(substring(md5(concat($"walk_id", lit(":"),
+          lit(step), lit(":"), $"cur").cast("binary")), 1, 12), 16, 10)
+          .cast("long")
+        walks = walks
+          .join(adj, walks("cur") === adj("u"))
+          .filter($"rnk" === idx % $"deg" + 1)
+          .select($"walk_id", $"v".as("cur"),
+            concat($"path", lit(">"), $"v").as("path"))
+        if (step < 3) walks = walks.localCheckpoint(false)
+      }
+      walks.select($"walk_id", $"cur".as("end_node"), $"path")
+        .orderBy($"walk_id")
+    }),
+
+    // Market-basket pair mining (the A-priori first pass): distinct
+    // items per order, co-occurrence pairs via a self-join keyed on the
+    // order (fan-out bounded by items-per-order², a per-basket
+    // constant), pairs above min-support kept with their lift
+    // denominator inputs. The shuffle carries (pair, count) partials —
+    // never the basket cross-product globally.
+    "x_itemsets_pairs" -> ((s, d) => {
+      import s.implicits._
+      val items = lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        .distinct().localCheckpoint(false)
+      val pairs = items.select($"l_orderkey", $"l_partkey".as("pa"))
+        .join(items.select($"l_orderkey", $"l_partkey".as("pb")),
+          Seq("l_orderkey"))
+        .filter($"pa" < $"pb")
+        .groupBy($"pa", $"pb").agg(count(lit(1)).as("support"))
+        .filter($"support" >= 3)
+      val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("f"))
+      pairs
+        .join(broadcast(freq.select($"l_partkey".as("pa"), $"f".as("fa"))),
+          Seq("pa"))
+        .join(broadcast(freq.select($"l_partkey".as("pb"), $"f".as("fb"))),
+          Seq("pb"))
+        .select($"pa", $"pb", $"support", $"fa", $"fb")
+        .orderBy($"support".desc, $"pa", $"pb")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3249,5 +3311,46 @@ object Analytics {
              AS min_price_x100,
            CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT)
              AS max_price_x100
-         FROM orders""")
+         FROM orders""",
+    "v_random_walk" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         adj AS (SELECT u, v,
+             row_number() OVER (PARTITION BY u ORDER BY v) AS rnk,
+             count(*) OVER (PARTITION BY u) AS deg
+           FROM dir),
+         w0 AS (SELECT doc_id AS walk_id, doc_id AS cur,
+             CAST(doc_id AS VARCHAR) AS path
+           FROM documents WHERE doc_id % 20 = 0),
+         w1 AS (SELECT w.walk_id, a.v AS cur, w.path || '>' || a.v AS path
+           FROM w0 w JOIN adj a ON w.cur = a.u
+           WHERE a.rnk = ('0x' || substr(md5(w.walk_id || ':1:' || w.cur),
+             1, 12))::BIGINT % a.deg + 1),
+         w2 AS (SELECT w.walk_id, a.v AS cur, w.path || '>' || a.v AS path
+           FROM w1 w JOIN adj a ON w.cur = a.u
+           WHERE a.rnk = ('0x' || substr(md5(w.walk_id || ':2:' || w.cur),
+             1, 12))::BIGINT % a.deg + 1),
+         w3 AS (SELECT w.walk_id, a.v AS cur, w.path || '>' || a.v AS path
+           FROM w2 w JOIN adj a ON w.cur = a.u
+           WHERE a.rnk = ('0x' || substr(md5(w.walk_id || ':3:' || w.cur),
+             1, 12))::BIGINT % a.deg + 1)
+         SELECT walk_id, CAST(cur AS BIGINT) AS end_node, path
+         FROM w3 ORDER BY walk_id""",
+    "x_itemsets_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             count(*) AS support
+           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY 1)
+         SELECT p.pa, p.pb, p.support, fa.f AS fa, fb.f AS fb
+         FROM pairs p JOIN freq fa ON p.pa = fa.l_partkey
+           JOIN freq fb ON p.pb = fb.l_partkey
+         ORDER BY support DESC, pa, pb""")
 }

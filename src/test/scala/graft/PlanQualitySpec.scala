@@ -1201,6 +1201,26 @@ class PlanQualitySpec extends SparkSpec {
       s"cohort counts must combine map-side:\n$plan")
   }
 
+  test("v_random_walk: steps are (node, rank) equi-joins on the ranked adjacency") {
+    val plan = planString(q("v_random_walk"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"walk steps never scan the neighbor set unkeyed:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the ranked adjacency must be computed once:\n$plan")
+  }
+
+  test("x_itemsets_pairs: basket self-join keyed on order, freq broadcast") {
+    val plan = planString(q("x_itemsets_pairs"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair fan-out only within a basket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"item frequencies must broadcast:\n$plan")
+    assert(plan.contains("partial_"),
+      s"support counts must combine map-side:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

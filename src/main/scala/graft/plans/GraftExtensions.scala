@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArraySumLong, DotProduct, ValueHistogram}
+import graft.functions.{ArraySumLong, DotProduct, NormalizeNFC, ValueHistogram}
 
 /** The library's `SparkSessionExtensions` entry point — how a cluster
   * wires graft into every session without code changes:
@@ -57,7 +57,11 @@ object GraftFunctions {
       info("graft_value_histogram",
         "graft_value_histogram(px, nodata) - (value, count) rows of an " +
           "int array, nodata excluded"),
-      (args: Seq[Expression]) => ValueHistogram(args.head, args(1))))
+      (args: Seq[Expression]) => ValueHistogram(args.head, args(1))),
+    ("graft_nfc",
+      info("graft_nfc",
+        "graft_nfc(s) - Unicode NFC canonical normalization"),
+      (args: Seq[Expression]) => NormalizeNFC(args.head)))
 
   /** Imperative registration into a live session (the
     * Sedona/Iceberg-style `registerAll` path).

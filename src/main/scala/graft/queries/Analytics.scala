@@ -2111,6 +2111,46 @@ object Analytics {
         .orderBy($"support".desc, $"pa", $"pb")
     }),
 
+    // Unicode NFC canonicalization audit through the codegen'd
+    // NormalizeNFC expression (graft.functions.TextExpressions): every
+    // 9th doc gets a decomposed "e"+COMBINING ACUTE appended, NFC
+    // composes it to one codepoint — per lang, docs whose normalized
+    // form differs and the codepoints saved. The canonicalization step
+    // a pipeline runs BEFORE hashing/dedup; one scan, zero joins, and
+    // the expression stays inside whole-stage codegen (no UDF).
+    "x_unicode_nfc" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextExpressions.nfcNormalize
+      val raw = documents(s, d).select($"doc_id", $"lang",
+        when($"doc_id" % 9 === 0, concat($"text", lit(" cafe\u0301")))
+          .otherwise($"text").as("t"))
+      raw.select($"lang", $"t", nfcNormalize($"t").as("n"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"t" =!= $"n", 1L).otherwise(0L)).as("n_changed"),
+          sum(length($"t") - length($"n")).as("cp_saved"))
+        .orderBy($"lang")
+    }),
+
+    // Right-to-be-forgotten erasure plan (GDPR delete): for a keyed
+    // erase set (user_id % 17 = 0), the per-file rewrite bill — rows to
+    // delete, rows surviving, affected users, and whether the file
+    // needs a rewrite at all. File-level planning from input_file_name
+    // over one scan; at 100 TB the plan prunes the rewrite to exactly
+    // the files that contain the subjects.
+    "c30_erasure_plan" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+          $"user_id", ($"user_id" % 17 === 0).as("erase"))
+        .groupBy($"file")
+        .agg(sum(when($"erase", 1L).otherwise(0L)).as("rows_to_delete"),
+          sum(when(!$"erase", 1L).otherwise(0L)).as("rows_kept"),
+          countDistinct(when($"erase", $"user_id")).as("affected_users"),
+          max(when($"erase", 1L).otherwise(0L)).as("rewrite_needed"))
+        .orderBy($"file")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3298,6 +3338,28 @@ object Analytics {
              (n_a + n_b)) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
              AS srm_flag
          FROM c ORDER BY cohort""",
+    "x_unicode_nfc" ->
+      """WITH r AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 9 = 0 THEN text || ' cafe' || chr(769)
+               ELSE text END AS t
+           FROM documents),
+         n AS (SELECT lang, t, nfc_normalize(t) AS nt FROM r)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN t <> nt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(len(t) - len(nt)) AS BIGINT) AS cp_saved
+         FROM n GROUP BY 1 ORDER BY lang""",
+    "c30_erasure_plan" ->
+      """SELECT 'events.parquet' AS file,
+           CAST(sum(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS rows_to_delete,
+           CAST(sum(CASE WHEN user_id % 17 = 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS rows_kept,
+           count(DISTINCT CASE WHEN user_id % 17 = 0 THEN user_id END)
+             AS affected_users,
+           CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS rewrite_needed
+         FROM events""",
     "c29_analyze_stats" ->
       """SELECT count(*) AS n_rows,
            count(DISTINCT o_custkey) AS ndv_custkey,

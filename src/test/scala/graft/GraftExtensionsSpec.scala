@@ -28,6 +28,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hist == Map(5 -> 2L, 7 -> 1L), s"got $hist")
   }
 
+  test("NormalizeNFC composes decomposed accents; codegen matches eval") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.functions.TextExpressions.nfcNormalize
+    val df = Seq("café", "café", "plain", null)
+      .toDF("s").repartition(2)
+    val out = df.select(nfcNormalize($"s").as("n"), length($"s").as("l"),
+        length(nfcNormalize($"s")).as("ln"))
+      .collect()
+    val vals = out.map(r => Option(r.getString(0)))
+    assert(vals.count(_.contains("caf\u00e9")) == 2,
+      "both spellings must normalize to the precomposed form")
+    assert(vals.contains(None), "null passes through")
+    // the decomposed input loses one codepoint under NFC
+    assert(out.filter(r => !r.isNullAt(0)).exists(r =>
+      r.getInt(1) == 5 && r.getInt(2) == 4))
+    // SQL registry path
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_nfc('café') = 'café'")
+      .collect().head.getBoolean(0))
+  }
+
   test("levenshtein guard: added once, results unchanged, plan guarded") {
     val sparkS = spark
     import sparkS.implicits._

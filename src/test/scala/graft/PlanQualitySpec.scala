@@ -1221,6 +1221,26 @@ class PlanQualitySpec extends SparkSpec {
       s"support counts must combine map-side:\n$plan")
   }
 
+  test("x_unicode_nfc: the native expression stays inside codegen, one scan") {
+    val plan = planString(q("x_unicode_nfc"))
+    assert(!plan.contains("Join") && !plan.contains("BatchEvalPython"),
+      s"normalization is per-row native work:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"one documents scan, saw $scans:\n$plan")
+    assert(plan.contains("normalizenfc") || plan.contains("NormalizeNFC") ||
+      plan.contains("normalize_nfc"),
+      s"the custom expression must appear in the plan:\n$plan")
+  }
+
+  test("c30_erasure_plan: file-level plan from one scan, no joins") {
+    val plan = planString(q("c30_erasure_plan"))
+    assert(!plan.contains("Join"), s"erasure planning never joins:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"one events scan, saw $scans:\n$plan")
+    assert(plan.contains("partial_"),
+      s"per-file counts must combine map-side:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

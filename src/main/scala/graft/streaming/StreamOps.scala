@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, ValueState}
 
 /** Structured-Streaming surface (SURVEY §2.8).
   *
@@ -410,6 +410,99 @@ object StreamOps {
           state.update(ring)
           out.iterator
       }
+  }
+
+  final case class SessEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class SessRow(user_id: Long, session_start_us: Long,
+                           n_events: Long, dur_us: Long, purchases: Long)
+  private final case class SessState(start: Long, last: Long, n: Long,
+                                     purchases: Long)
+
+  /** Gap-based streaming sessionization on the Spark 4
+    * `transformWithState` API (the arbitrary-stateful successor to
+    * mapGroupsWithState): per user a ValueState holds the open
+    * session, and an EVENT-TIME TIMER at last + gap closes it — the
+    * session row emits exactly when the watermark proves no more
+    * events can extend it, which mapGroupsWithState could only
+    * approximate with per-batch timeout sweeps. In-batch gaps close
+    * inline; the timer handles the cross-batch tail. State is one
+    * 4-long record + one timer per open session, RocksDB-backed.
+    * Closed sessions carry the same fields as the batch
+    * [[graft.queries.Analytics.sessionize]] shape.
+    */
+  final class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessRow] {
+    @transient private var state: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("session",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def close(s: SessState, user: Long): SessRow =
+      SessRow(user, s.start, s.n, s.last - s.start, s.purchases)
+
+    private def retime(expiryMs: Long): Unit = {
+      val it = getHandle.listTimers()
+      while (it.hasNext) getHandle.deleteTimer(it.next().asInstanceOf[Long])
+      getHandle.registerTimer(expiryMs)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessRow] = {
+      var out: List[SessRow] = Nil
+      var cur: Option[SessState] =
+        if (state.exists()) Some(state.get()) else None
+      for (e <- rows.toSeq.sortBy(_.ts_us)) {
+        val p = if (e.event_type == "purchase") 1L else 0L
+        cur match {
+          case None =>
+            cur = Some(SessState(e.ts_us, e.ts_us, 1L, p))
+          case Some(s) if e.ts_us - s.last > gapUs =>
+            out ::= close(s, user)
+            cur = Some(SessState(e.ts_us, e.ts_us, 1L, p))
+          case Some(s) =>
+            cur = Some(SessState(s.start, math.max(s.last, e.ts_us),
+              s.n + 1, s.purchases + p))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        retime((s.last + gapUs) / 1000L)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessRow] = {
+      if (state.exists()) {
+        val s = state.get()
+        if (expired.getExpiryTimeInMs >= (s.last + gapUs) / 1000L) {
+          state.clear()
+          Iterator.single(close(s, user))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** [[SessionTimerProcessor]] wired over a watermarked event stream:
+    * emits each CLOSED session once, in Append mode under event time.
+    */
+  def sessionizeTws(events: Dataset[SessEvent],
+                    gapUs: Long = 8L * 3600 * 1000000): Dataset[SessRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "0 seconds")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in

@@ -784,6 +784,60 @@ class StreamOpsSpec extends SparkSpec {
       "the dropped row must not appear in any window")
   }
 
+  test("transformWithState sessionizer: timers close sessions at the watermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.{SessEvent, SessRow}
+    implicit val sc = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[SessEvent]
+    val q = StreamOps.sessionizeTws(input.toDS(), gapUs = 3600L * 1000000)
+      .writeStream.format("memory").queryName("tws_sess")
+      .outputMode("append").start()
+    try {
+      def rows(): Seq[SessRow] =
+        spark.table("tws_sess").as[SessRow].collect().toSeq
+          .sortBy(r => (r.user_id, r.session_start_us))
+
+      val h = 3600L * 1000000
+      // batch 1: u1 has two events 30 min apart; u2's in-batch gap
+      // closes its first session inline AND advances the global
+      // watermark to 20h — past u1's (last + gap) timer at 11.5h, so
+      // the TIMER closes u1's session in the same processAllAvailable
+      // even though no further u1 event arrives. u2's second session
+      // (timer 21h) stays open.
+      input.addData(
+        SessEvent(1L, 10 * h, "view"), SessEvent(1L, 10 * h + h / 2, "purchase"),
+        SessEvent(2L, 10 * h, "view"), SessEvent(2L, 20 * h, "view"))
+      q.processAllAvailable()
+      assert(rows() == Seq(SessRow(1L, 10 * h, 2L, h / 2, 1L),
+        SessRow(2L, 10 * h, 1L, 0L, 0L)),
+        s"u1 closes by timer, u2's first by in-batch gap, got ${rows()}")
+
+      // batch 2: a fresh key's far-future event pushes the watermark to
+      // 40h — u2's open second session closes by timer, cross-batch
+      input.addData(SessEvent(3L, 40 * h, "view"))
+      q.processAllAvailable()
+      assert(rows().filter(_.user_id == 2L) ==
+        Seq(SessRow(2L, 10 * h, 1L, 0L, 0L), SessRow(2L, 20 * h, 1L, 0L, 0L)),
+        s"u2's second session must close by the cross-batch timer, got ${rows()}")
+      // u3's own session stays open (its timer is past the watermark)
+      assert(!rows().exists(_.user_id == 3L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

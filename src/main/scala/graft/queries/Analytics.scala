@@ -2151,6 +2151,53 @@ object Analytics {
         .orderBy($"file")
     }),
 
+    // Longest consecutive-active-day streak per user (the
+    // gaps-and-islands pattern): day-index minus per-user rank is
+    // constant within a run, so one distinct + one ranking window +
+    // two aggregates find every streak without self-joins; the best
+    // streak per user resolves by a window-free max(struct) argmax
+    // (longest, ties to earliest start).
+    "x_streaks" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val days = events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      days
+        .withColumn("isl",
+          datediff($"day", lit("2024-01-01").cast("date")) -
+            row_number().over(w))
+        .groupBy($"user_id", $"isl")
+        .agg(count(lit(1)).as("len"), min($"day").as("start"))
+        .groupBy($"user_id")
+        .agg(max(struct($"len", (-datediff($"start",
+            lit("2024-01-01").cast("date"))).as("negd"), $"start"))
+          .as("best"), count(lit(1)).as("n_streaks"))
+        .select($"user_id", $"best.len".as("best_len"),
+          date_format($"best.start", "yyyy-MM-dd").as("streak_start"),
+          $"n_streaks")
+        .orderBy($"user_id")
+    }),
+
+    // Malformed-record ingestion (the dead-letter surface): every 11th
+    // doc's JSON is corrupted, from_json under PERMISSIVE yields null
+    // fields — per lang, parsed vs corrupt counts and the recovered
+    // payload sum. One scan; the JSON codec runs inside codegen.
+    "s_json_corrupt" -> ((s, d) => {
+      import s.implicits._
+      val j = documents(s, d).select($"lang",
+        when($"doc_id" % 11 === 0, lit("{not json"))
+          .otherwise(to_json(struct($"doc_id", $"n_chars"))).as("payload"))
+      j.select($"lang", from_json($"payload",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, n_chars LONG")).as("p"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"p.doc_id".isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(coalesce($"p.n_chars", lit(0L))).as("chars_recovered"))
+        .orderBy($"lang")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3338,6 +3385,38 @@ object Analytics {
              (n_a + n_b)) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
              AS srm_flag
          FROM c ORDER BY cohort""",
+    "x_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+         isl AS (SELECT user_id, day,
+             datediff('day', DATE '2024-01-01', day) -
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+           FROM days),
+         runs AS (SELECT user_id, g, count(*) AS len, min(day) AS start
+           FROM isl GROUP BY 1, 2),
+         best AS (SELECT user_id, len, start, count(*) OVER
+               (PARTITION BY user_id) AS n_streaks,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, start) AS rn
+           FROM runs)
+         SELECT user_id, CAST(len AS BIGINT) AS best_len,
+           strftime(start, '%Y-%m-%d') AS streak_start,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+         FROM best WHERE rn = 1 ORDER BY user_id""",
+    "s_json_corrupt" ->
+      """WITH j AS (SELECT lang,
+             CASE WHEN doc_id % 11 = 0 THEN '{not json'
+               ELSE '{"doc_id":' || doc_id || ',"n_chars":' || n_chars || '}'
+               END AS payload
+           FROM documents)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN json_valid(payload)
+             THEN CAST(json_extract_string(payload, '$.n_chars') AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS chars_recovered
+         FROM j GROUP BY 1 ORDER BY lang""",
     "x_unicode_nfc" ->
       """WITH r AS (SELECT doc_id, lang,
              CASE WHEN doc_id % 9 = 0 THEN text || ' cafe' || chr(769)

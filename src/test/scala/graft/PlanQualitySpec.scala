@@ -1241,6 +1241,24 @@ class PlanQualitySpec extends SparkSpec {
       s"per-file counts must combine map-side:\n$plan")
   }
 
+  test("x_streaks: islands from one window pass, argmax window-free") {
+    val plan = planString(q("x_streaks"))
+    assert(!plan.contains("Join"),
+      s"gaps-and-islands must not self-join:\n$plan")
+    val windows = plan.split("Window").length - 1
+    assert(windows <= 2, s"one ranking window pass expected:\n$plan")
+    assert(plan.contains("partial_"),
+      s"run stats must combine map-side:\n$plan")
+  }
+
+  test("s_json_corrupt: JSON parse stays in one scan with no joins") {
+    val plan = planString(q("s_json_corrupt"))
+    assert(!plan.contains("Join") && !plan.contains("BatchEvalPython"),
+      s"ingestion parsing is per-row native work:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"one documents scan, saw $scans:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

@@ -126,6 +126,50 @@ object Analytics {
       .agg(countDistinct($"user_id").as("dau7"))
   }
 
+  /** Two-phase 2D Pareto frontier (the x_pareto_frontier gate): input
+    * columns (id, price_x100, p_size) — rows no other row dominates
+    * (price ≥, size ≤, one strict). Local skyline per hash bucket
+    * prunes losslessly; the exact global windows run over survivors.
+    */
+  def paretoFrontier(points: DataFrame): DataFrame = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def skyline(df: DataFrame, part: Seq[Column]): DataFrame = {
+      val higher = Window.partitionBy(part: _*)
+        .orderBy(col("price_x100").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val same = Window.partitionBy(part :+ col("price_x100"): _*)
+      df.withColumn("mh", min(col("p_size")).over(higher))
+        .withColumn("ms", min(col("p_size")).over(same))
+        .filter((col("mh").isNull || col("p_size") < col("mh")) &&
+          col("p_size") === col("ms"))
+        .drop("mh", "ms")
+    }
+    val b = points.withColumn("bkt",
+      pmod(crc32($"id".cast("string").cast("binary")), lit(32)))
+    skyline(skyline(b, Seq($"bkt")), Seq.empty).drop("bkt")
+  }
+
+  /** k-core peel (the v_kcore gate): canonical undirected edges
+    * (a < b), `rounds` iterations of degree-filter + survivor
+    * restriction; returns surviving (v, deg) at the final round.
+    */
+  def kcore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import edges0.sparkSession.implicits._
+    var edges = edges0.localCheckpoint(false)
+    var deg: DataFrame = null
+    for (i <- 1 to rounds) {
+      deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter($"deg" >= k).select($"v").localCheckpoint(false)
+      edges = edges
+        .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
+        .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
+      if (i < rounds - 1) edges = edges.localCheckpoint(false)
+    }
+    deg.filter($"deg" >= k)
+  }
+
   /** CDC latest-state snapshot: fold an upsert/delete change stream to
     * the live state by per-key argmax over (ts, change_id) — a
     * partial-aggregable max(struct(...)), NOT a row_number window, so
@@ -1693,25 +1737,10 @@ object Analytics {
     // "strictly higher" boundary is integral.
     "x_pareto_frontier" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      def skyline(df: DataFrame, part: Seq[Column]): DataFrame = {
-        val higher = Window.partitionBy(part: _*)
-          .orderBy(col("price_x100").desc)
-          .rangeBetween(Window.unboundedPreceding, -1)
-        val same = Window.partitionBy(part :+ col("price_x100"): _*)
-        df.withColumn("mh", min(col("p_size")).over(higher))
-          .withColumn("ms", min(col("p_size")).over(same))
-          .filter((col("mh").isNull || col("p_size") < col("mh")) &&
-            col("p_size") === col("ms"))
-          .drop("mh", "ms")
-      }
-      val p = part(s, d).select($"p_partkey", $"p_name", $"p_size",
-        floor($"p_retailprice" * 100 + 0.5).cast("long").as("price_x100"))
-        .withColumn("bkt", pmod(crc32($"p_partkey".cast("string")
-          .cast("binary")), lit(32)))
-      val local = skyline(p, Seq($"bkt"))
-      skyline(local, Seq.empty)
-        .select($"p_partkey", $"p_name", $"price_x100",
+      paretoFrontier(part(s, d).select($"p_partkey".as("id"), $"p_name",
+          $"p_size",
+          floor($"p_retailprice" * 100 + 0.5).cast("long").as("price_x100")))
+        .select($"id".as("p_partkey"), $"p_name", $"price_x100",
           $"p_size".cast("long").as("p_size"))
         .orderBy($"price_x100".desc, $"p_partkey")
     }),
@@ -1765,16 +1794,22 @@ object Analytics {
       val grid = obs.select($"user_id").distinct()
         .crossJoin(broadcast(bounds))
         .select($"user_id", explode(sequence($"h_lo", $"h_hi")).as("h"))
-      val w = Window.partitionBy($"user_id").orderBy($"h")
-      val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
-      val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+      // Both bracket sides are RUNNING frames (unboundedPreceding →
+      // current), the "next" side over DESCENDING hour order: Spark
+      // evaluates running frames incrementally, where a
+      // (current → unboundedFollowing) frame re-scans the tail per row
+      // — O(rows²) per user (measured 44 s vs ~1 s at sf0.1).
+      val wPrev = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNextRun = Window.partitionBy($"user_id").orderBy($"h".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       grid.join(obs, Seq("user_id", "h"), "left")
         .withColumn("pv", last($"cents", ignoreNulls = true).over(wPrev))
         .withColumn("ph", last(when($"cents".isNotNull, $"h"),
           ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first($"cents", ignoreNulls = true).over(wNext))
-        .withColumn("nh", first(when($"cents".isNotNull, $"h"),
-          ignoreNulls = true).over(wNext))
+        .withColumn("nv", last($"cents", ignoreNulls = true).over(wNextRun))
+        .withColumn("nh", last(when($"cents".isNotNull, $"h"),
+          ignoreNulls = true).over(wNextRun))
         .select($"user_id", $"h",
           when($"cents".isNotNull, $"cents")
             .when($"pv".isNotNull && $"nv".isNotNull,
@@ -1959,21 +1994,8 @@ object Analytics {
     // never replays.
     "v_kcore" -> ((s, d) => {
       import s.implicits._
-      var edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
-      var deg: DataFrame = null
-      for (i <- 1 to 3) {
-        deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
-          .groupBy($"v").agg(count(lit(1)).as("deg"))
-        val keep = deg.filter($"deg" >= 4).select($"v")
-          .localCheckpoint(false)
-        edges = edges
-          .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
-          .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
-        // Checkpoint only the early rounds; the final round stays lazy
-        // so the peel's semi-join + degree-count plan is the query's own.
-        if (i < 2) edges = edges.localCheckpoint(false)
-      }
-      deg.filter($"deg" >= 4).orderBy($"v")
+      kcore(linkGraphEdges(documents(s, d)), k = 4, rounds = 3)
+        .orderBy($"v")
     }),
 
     // SQL front-end window query (literal spark.sql over a registered

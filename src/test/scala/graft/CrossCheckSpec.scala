@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Analytics
+
+/** Independent-algorithm cross-checks on seeded random data: the
+  * distributed operator vs a brute-force in-memory reference computed
+  * with DIFFERENT logic (all-pairs dominance, naive peel loop, linear
+  * session scan). The DuckDB oracles replay the same plan shape; these
+  * replay only the SPEC, so a shared blind spot in the formulation
+  * would surface here.
+  */
+class CrossCheckSpec extends SparkSpec {
+
+  private def seeds = Seq(7L, 42L, 1234L)
+
+  test("pareto frontier equals all-pairs dominance on random points") {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.tabulate(300)(i =>
+        (i.toLong, rnd.nextInt(50).toLong + 1, rnd.nextInt(30).toLong + 1))
+      val df = pts.toDF("id", "price_x100", "p_size").repartition(7)
+      val got = Analytics.paretoFrontier(df)
+        .select($"id").as[Long].collect().toSet
+      val want = pts.filter { case (_, p, sz) =>
+        !pts.exists { case (_, p2, sz2) =>
+          p2 >= p && sz2 <= sz && (p2 > p || sz2 < sz)
+        }
+      }.map(_._1).toSet
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
+  test("k-core equals the naive peel loop on random graphs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val df = edges.toDF("a", "b").repartition(5)
+      val got = Analytics.kcore(df, k = 3, rounds = 3)
+        .select($"v", $"deg").as[(Long, Long)].collect().toMap
+      // reference: literal peel — recount degrees over the surviving
+      // induced subgraph each round, drop nodes under k
+      var es = edges
+      var degs = Map.empty[Long, Int]
+      for (_ <- 1 to 3) {
+        degs = es.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = degs.filter(_._2 >= 3).keySet
+        es = es.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      val want = degs.filter(_._2 >= 3)
+        .map { case (v, d) => (v, d.toLong) }
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
+  test("sessionize equals a linear per-user scan on random event streams") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val gapUs = 1000L
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val evs = Seq.tabulate(500)(i => (rnd.nextInt(8).toLong, i.toLong,
+        rnd.nextInt(20000).toLong,
+        if (rnd.nextBoolean()) "purchase" else "view"))
+      val df = evs.toDF("user_id", "event_id", "ts_us", "event_type")
+        .repartition(6)
+      val got = Analytics.sessionize(df, gapUs)
+        .select($"user_id", $"session_start_us", $"n_events", $"dur_us",
+          $"purchases")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // reference: sort each user's stream, split on gap, fold stats
+      val want = evs.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+          case (acc, r) =>
+            val e = (r._1, r._2, r._3, r._4)
+            acc match {
+              case cur :: rest if r._3 - cur.head._3 <= gapUs =>
+                (e :: cur) :: rest
+              case _ => List(e) :: acc
+            }
+        }
+        sessions.map { s =>
+          val ts = s.map(_._3)
+          (u, ts.min, s.size.toLong, ts.max - ts.min,
+            s.count(_._4 == "purchase").toLong)
+        }
+      }.toSet
+      assert(got == want, s"seed $seed mismatch")
+    }
+  }
+}

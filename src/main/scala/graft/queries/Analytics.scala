@@ -2220,6 +2220,46 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Consistent-hash placement + rebalance audit (how a 100 TB store
+    // assigns and MOVES data): md5 ring with 8 virtual nodes per
+    // shard; each doc lands on the clockwise-nearest vnode. Adding a
+    // 5th shard must move ONLY docs that land on the new shard —
+    // stable_ok pins that no doc moved between surviving shards
+    // (the property that makes consistent hashing worth its name; a
+    // mod-N partitioner would reshuffle almost everything). Vnode
+    // tables are 32/40-row broadcasts; assignment is a per-doc argmin.
+    "x_consistent_hash" -> ((s, d) => {
+      import s.implicits._
+      val M = 1L << 48
+      def vnodes(nShards: Int): DataFrame =
+        (0 until nShards).flatMap(sh => (0 until 8).map(v => (sh.toLong,
+          java.lang.Long.parseLong(
+            org.apache.commons.codec.digest.DigestUtils
+              .md5Hex(s"shard:$sh:$v").substring(0, 12), 16))))
+          .toDF("shard", "vh")
+      def assign(docs: DataFrame, vn: DataFrame, out: String): DataFrame =
+        docs.crossJoin(broadcast(vn))
+          .select($"doc_id",
+            struct((($"vh" - $"dh") + M) % M, $"shard").as("c"))
+          .groupBy($"doc_id").agg(min($"c").as("best"))
+          .select($"doc_id", $"best.shard".as(out))
+      val docs = documents(s, d).select($"doc_id",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 12),
+          16, 10).cast("long").as("dh")).localCheckpoint(false)
+      val a4 = assign(docs, vnodes(4), "s4")
+      val a5 = assign(docs, vnodes(5), "s5")
+      a4.join(a5, Seq("doc_id"))
+        .groupBy($"s4")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"s4" =!= $"s5", 1L).otherwise(0L)).as("moved"),
+          sum(when($"s4" =!= $"s5" && $"s5" =!= 4, 1L).otherwise(0L))
+            .as("moved_to_existing"))
+        .select($"s4".as("shard"), $"n_docs", $"moved",
+          when($"moved_to_existing" === 0, 1L).otherwise(0L)
+            .as("stable_ok"))
+        .orderBy($"shard")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3461,6 +3501,38 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_consistent_hash" ->
+      """WITH doc AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS dh
+           FROM documents),
+         vn4 AS (SELECT sh.s AS shard,
+             ('0x' || substr(md5('shard:' || sh.s || ':' || v.v), 1, 12))
+               ::BIGINT AS vh
+           FROM range(0, 4) sh(s), range(0, 8) v(v)),
+         vn5 AS (SELECT sh.s AS shard,
+             ('0x' || substr(md5('shard:' || sh.s || ':' || v.v), 1, 12))
+               ::BIGINT AS vh
+           FROM range(0, 5) sh(s), range(0, 8) v(v)),
+         a4 AS (SELECT doc_id, shard AS s4 FROM (
+           SELECT d.doc_id, vn4.shard, row_number() OVER (
+               PARTITION BY d.doc_id ORDER BY
+               (vn4.vh - d.dh + 281474976710656) % 281474976710656,
+               vn4.shard) AS rn
+           FROM doc d, vn4) WHERE rn = 1),
+         a5 AS (SELECT doc_id, shard AS s5 FROM (
+           SELECT d.doc_id, vn5.shard, row_number() OVER (
+               PARTITION BY d.doc_id ORDER BY
+               (vn5.vh - d.dh + 281474976710656) % 281474976710656,
+               vn5.shard) AS rn
+           FROM doc d, vn5) WHERE rn = 1)
+         SELECT a4.s4 AS shard, count(*) AS n_docs,
+           CAST(sum(CASE WHEN s4 <> s5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS moved,
+           CAST(CASE WHEN sum(CASE WHEN s4 <> s5 AND s5 <> 4
+             THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS stable_ok
+         FROM a4 JOIN a5 USING (doc_id) GROUP BY 1 ORDER BY shard""",
     "c29_analyze_stats" ->
       """SELECT count(*) AS n_rows,
            count(DISTINCT o_custkey) AS ndv_custkey,

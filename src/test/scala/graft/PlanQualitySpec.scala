@@ -1259,6 +1259,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"one documents scan, saw $scans:\n$plan")
   }
 
+  test("x_consistent_hash: ring lookup is a broadcast argmin, no window") {
+    val plan = planString(q("x_consistent_hash"))
+    assert(!plan.contains("Window"),
+      s"vnode argmin must be an aggregate, not a ranking window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"only the tiny vnode broadcasts fan out:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"per-doc argmin must combine map-side:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

@@ -2260,6 +2260,32 @@ object Analytics {
         .orderBy($"shard")
     }),
 
+    // Language-ID confusion matrix (the classifier eval table, like
+    // the ANN recall evals): the x_langid stopword scorer's prediction
+    // against the corpus's TRUE lang label, per (true, predicted)
+    // counts with the per-class hit flag — the honest per-class
+    // accuracy readout (fr/zh have no scorer class and show exactly
+    // where they land). One scan + one partial-agg shuffle.
+    "x_langid_confusion" -> ((s, d) => {
+      import s.implicits._
+      def hits(w: Column, xs: Seq[String]): Column =
+        size(filter(w, x => x.isin(xs: _*)))
+      documents(s, d)
+        .select($"lang", words($"text").as("w"))
+        .select($"lang",
+          hits($"w", Seq("the", "a", "of", "and")).as("s_en"),
+          hits($"w", Seq("el", "la", "de", "y")).as("s_es"),
+          hits($"w", Seq("der", "die", "das", "und")).as("s_de"))
+        .select($"lang",
+          when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
+            .when($"s_es" >= $"s_de", "es")
+            .otherwise("de").as("pred_lang"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"),
+          max(when($"lang" === $"pred_lang", 1L).otherwise(0L)).as("hit"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3501,6 +3527,23 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_langid_confusion" ->
+      """WITH sc AS (SELECT lang,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS s_en,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('el', 'la', 'de', 'y'))) AS INT) AS s_es,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('der', 'die', 'das', 'und'))) AS INT) AS s_de
+           FROM documents),
+         p AS (SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+           FROM sc)
+         SELECT lang, pred_lang, count(*) AS n,
+           CAST(max(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS hit
+         FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""",
     "x_consistent_hash" ->
       """WITH doc AS (SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT

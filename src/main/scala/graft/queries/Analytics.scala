@@ -2286,6 +2286,42 @@ object Analytics {
         .orderBy($"lang", $"pred_lang")
     }),
 
+    // Perceptual image dedup by average-hash (aHash): each image's 8×8
+    // grayscale grid thresholds against its own mean into a 64-bit
+    // fingerprint (carried as two 32-bit halves — no sign games, exact
+    // oracle replay); images sharing the fingerprint group into dup
+    // clusters by one hash aggregate — the image-modality twin of the
+    // text fingerprint dedup. Synthetic frames 4..7 repeat 0..3's
+    // pixel function, so every base has exactly one duplicate.
+    "x_image_ahash" -> ((s, d) => {
+      import s.implicits._
+      val imgs = s.range(0, 8).select($"id".as("img_id"),
+          ($"id" % 4).as("base"))
+        .select($"img_id",
+          // multiplicative in base: a CONSTANT brightness shift would
+          // give every frame the same fingerprint (aHash is brightness-
+          // invariant by construction — that invariance is the point)
+          transform(sequence(lit(0), lit(63)), { i =>
+            (($"base" + 1) * (floor(i.cast("double") / 8).cast("long") * 7 +
+              (i.cast("long") % 8) * 13)) % 256
+          }).as("px"))
+      val withMean = imgs.withColumn("mean",
+        expr("aggregate(px, 0L, (acc, x) -> acc + x) div 64"))
+      def half(lo: Int): Column =
+        (lo until lo + 32).map(i =>
+          when(element_at($"px", i + 1) > $"mean", lit(1L << (i - lo)))
+            .otherwise(0L)).reduce(_ + _)
+      val hashed = withMean
+        .select($"img_id", half(0).as("h_lo"), half(32).as("h_hi"))
+      hashed.groupBy($"h_hi", $"h_lo")
+        .agg(count(lit(1)).as("n_dups"),
+          sort_array(collect_list($"img_id")).as("members"))
+        .select($"h_hi", $"h_lo", $"n_dups",
+          array_join(transform($"members", x => x.cast("string")), ",")
+            .as("members"))
+        .orderBy($"h_hi", $"h_lo")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3527,6 +3563,22 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_image_ahash" ->
+      """WITH img AS (SELECT t.id AS img_id, t.id % 4 AS base, p.i,
+             ((t.id % 4 + 1) * ((p.i // 8) * 7 + (p.i % 8) * 13)) % 256 AS v
+           FROM range(0, 8) t(id), range(0, 64) p(i)),
+         m AS (SELECT img_id, CAST(sum(v) AS BIGINT) // 64 AS mean
+           FROM img GROUP BY 1),
+         h AS (SELECT img.img_id,
+             CAST(sum(CASE WHEN img.i < 32 AND img.v > m.mean
+               THEN 1::BIGINT << img.i ELSE 0 END) AS BIGINT) AS h_lo,
+             CAST(sum(CASE WHEN img.i >= 32 AND img.v > m.mean
+               THEN 1::BIGINT << (img.i - 32) ELSE 0 END) AS BIGINT) AS h_hi
+           FROM img JOIN m USING (img_id) GROUP BY 1)
+         SELECT h_hi, h_lo, count(*) AS n_dups,
+           string_agg(CAST(img_id AS VARCHAR), ',' ORDER BY img_id)
+             AS members
+         FROM h GROUP BY 1, 2 ORDER BY h_hi, h_lo""",
     "x_langid_confusion" ->
       """WITH sc AS (SELECT lang,
            CAST(len(list_filter(string_split_regex(trim(text), ' +'),

@@ -30,6 +30,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.install(spark)
 
     // untimed warmup: JIT + session init must not bill the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -15,6 +15,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.install(spark)
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
     println(s"[smoke] entry returned ${rows.length} rows; first: " +

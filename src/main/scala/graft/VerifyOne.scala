@@ -18,6 +18,7 @@ object VerifyOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => names(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -71,6 +71,18 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }
+
+  /** Full live-session install: SQL functions + the optimizer rules —
+    * what [[GraftExtensions]] does at session build, retrofitted. The
+    * engine's own entry points (Verify / Bench / Smoke) call this, so
+    * every gated query runs with the rules active. Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    register(spark)
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinGuard
+  }
 }
 
 /** Plants a cheap length-difference guard in front of bounded edit-

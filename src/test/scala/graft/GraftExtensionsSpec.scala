@@ -69,7 +69,9 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(LevenshteinGuard(optimized).sameResult(optimized),
         "guard must be a fixpoint after one application")
       val withGuard = guarded.count()
-      spark.experimental.extraOptimizations = prev
+      // strip the rule explicitly — another suite may have install()ed it
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_ == LevenshteinGuard)
       val bare = q
       assert(!bare.queryExecution.optimizedPlan.toString.toLowerCase
         .contains("abs("), "control plan must be unguarded")

@@ -170,6 +170,22 @@ object Analytics {
     deg.filter($"deg" >= k)
   }
 
+  /** Market-basket pair mining (the x_itemsets_pairs gate): distinct
+    * (basket, item) rows in, co-occurrence pairs with support ≥
+    * `minSupport` out — the self-join keys on the basket, so fan-out
+    * is bounded per basket, never global.
+    */
+  def basketPairs(items0: DataFrame, minSupport: Long): DataFrame = {
+    import items0.sparkSession.implicits._
+    val items = items0.localCheckpoint(false)
+    items.select($"l_orderkey", $"l_partkey".as("pa"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("pb")),
+        Seq("l_orderkey"))
+      .filter($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("support"))
+      .filter($"support" >= minSupport)
+  }
+
   /** CDC latest-state snapshot: fold an upsert/delete change stream to
     * the live state by per-key argmax over (ts, change_id) — a
     * partial-aggregable max(struct(...)), NOT a row_number window, so
@@ -2117,12 +2133,7 @@ object Analytics {
       import s.implicits._
       val items = lineitem(s, d).select($"l_orderkey", $"l_partkey")
         .distinct().localCheckpoint(false)
-      val pairs = items.select($"l_orderkey", $"l_partkey".as("pa"))
-        .join(items.select($"l_orderkey", $"l_partkey".as("pb")),
-          Seq("l_orderkey"))
-        .filter($"pa" < $"pb")
-        .groupBy($"pa", $"pb").agg(count(lit(1)).as("support"))
-        .filter($"support" >= 3)
+      val pairs = basketPairs(items, minSupport = 3)
       val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("f"))
       pairs
         .join(broadcast(freq.select($"l_partkey".as("pa"), $"f".as("fa"))),

@@ -523,6 +523,40 @@ class ScaleSpec extends SparkSpec {
     assert(ratio < 25, s"rolling-DAU shuffle grew superlinearly: $ratio")
   }
 
+  test("soak: pareto local-skyline shuffle scales ~linearly at 10x points") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the bucket window shuffles all n rows once; survivors are tiny
+    // (O(log n) expected), so the exact global pass costs ~nothing
+    def ptsAt(n: Long) = spark.range(n).select($"id",
+        (pmod(hash($"id" * 7), lit(100000)) + 1).as("price_x100"),
+        (pmod(hash($"id" * 13 + 1), lit(500)) + 1).as("p_size"))
+      .repartition(8)
+    val p1 = measure(graft.queries.Analytics.paretoFrontier(ptsAt(20000L)))
+    val p10 = measure(graft.queries.Analytics.paretoFrontier(ptsAt(200000L)))
+    assert(p1._1 > 0, "pareto: no shuffle measured at base size")
+    val ratio = p10._1.toDouble / p1._1
+    info(f"pareto: shuffle ${p1._1}B -> ${p10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"pareto shuffle grew superlinearly: $ratio")
+  }
+
+  test("soak: basket pair mining shuffle ~linear at 10x baskets") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // FIXED basket size (8 items): the keyed self-join fans out a
+    // constant 28 pairs per basket — total work linear in baskets
+    def itemsAt(n: Long) = spark.range(n * 8).select(
+        ($"id" / 8).cast("long").as("l_orderkey"),
+        pmod(hash($"id" * 31), lit(2000)).as("l_partkey"))
+      .distinct().repartition(8)
+    val b1 = measure(graft.queries.Analytics.basketPairs(itemsAt(2000L), 2))
+    val b10 = measure(graft.queries.Analytics.basketPairs(itemsAt(20000L), 2))
+    assert(b1._1 > 0, "baskets: no shuffle measured at base size")
+    val ratio = b10._1.toDouble / b1._1
+    info(f"baskets: shuffle ${b1._1}B -> ${b10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"basket pair space grew superlinearly: $ratio")
+  }
+
   private final class TaskMetricsProbe
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong

@@ -52,6 +52,11 @@ object HistogramMatch {
     val refPoint = when($"is_src" === 0, struct($"cdf".as("c"), $"v".as("rv")))
     val lo = last(refPoint, ignoreNulls = true)
       .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    // The unbounded-FOLLOWING frame is O(rows²) per partition (Spark
+    // re-scans the tail per row) — acceptable ONLY because a partition
+    // here is a value histogram, bounded by the sample grid (≤256 rows
+    // for byte imagery), not corpus-sized. On unbounded partitions use
+    // a running frame over the reversed ordering (see f_interpolate).
     val hi = first(refPoint, ignoreNulls = true)
       .over(ord.rowsBetween(0, Window.unboundedFollowing))
 
@@ -125,6 +130,11 @@ object HistogramMatch {
     val refPoint = when($"is_src" === 0, struct($"cdf".as("c"), $"v".as("rv")))
     val lo = last(refPoint, ignoreNulls = true)
       .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    // The unbounded-FOLLOWING frame is O(rows²) per partition (Spark
+    // re-scans the tail per row) — acceptable ONLY because a partition
+    // here is a value histogram, bounded by the sample grid (≤256 rows
+    // for byte imagery), not corpus-sized. On unbounded partitions use
+    // a running frame over the reversed ordering (see f_interpolate).
     val hi = first(refPoint, ignoreNulls = true)
       .over(ord.rowsBetween(0, Window.unboundedFollowing))
 

@@ -2333,6 +2333,47 @@ object Analytics {
         .orderBy($"h_hi", $"h_lo")
     }),
 
+    // Parquet footer-integrity audit: the row-group statistics the
+    // engine PRUNES WITH (min/max/value counts read via parquet-mr
+    // from the file footers, folded across row groups inside
+    // mapPartitions — the distributed manifest-collection shape) must
+    // equal the data's true aggregates, which the oracle recomputes
+    // from the rows. A footer that lies here would mean silent wrong
+    // answers under predicate pushdown — this gate makes the skipping
+    // metadata itself part of the verified surface.
+    "s_footer_stats" -> ((s, d) => {
+      import s.implicits._
+      val files = s.createDataset(Seq(s"$d/lineitem.parquet"))
+      val rows = files.mapPartitions { it =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        it.flatMap { p =>
+          val in = HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p),
+            new org.apache.hadoop.conf.Configuration())
+          val r = ParquetFileReader.open(in)
+          try {
+            val cols = r.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala)
+            def fold(name: String): (String, Long, Double, Double) = {
+              val cs = cols.filter(_.getPath.toDotString == name)
+              val mins = cs.map(_.getStatistics.genericGetMin
+                .asInstanceOf[Number].doubleValue())
+              val maxs = cs.map(_.getStatistics.genericGetMax
+                .asInstanceOf[Number].doubleValue())
+              (name, cs.map(_.getValueCount).sum, mins.min, maxs.max)
+            }
+            Iterator(fold("l_orderkey"), fold("l_quantity"))
+          } finally r.close()
+        }
+      }.toDF("col", "n_values", "mn", "mx")
+      rows.select($"col", $"n_values",
+          floor($"mn" * 100 + 0.5).cast("long").as("min_x100"),
+          floor($"mx" * 100 + 0.5).cast("long").as("max_x100"))
+        .orderBy($"col")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3574,6 +3615,17 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "s_footer_stats" ->
+      """SELECT 'l_orderkey' AS col, count(*) AS n_values,
+           CAST(floor(min(l_orderkey) * 100 + 0.5) AS BIGINT) AS min_x100,
+           CAST(floor(max(l_orderkey) * 100 + 0.5) AS BIGINT) AS max_x100
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', count(*),
+           CAST(floor(min(l_quantity) * 100 + 0.5) AS BIGINT),
+           CAST(floor(max(l_quantity) * 100 + 0.5) AS BIGINT)
+         FROM lineitem
+         ORDER BY col""",
     "x_image_ahash" ->
       """WITH img AS (SELECT t.id AS img_id, t.id % 4 AS base, p.i,
              ((t.id % 4 + 1) * ((p.i // 8) * 7 + (p.i % 8) * 13)) % 256 AS v

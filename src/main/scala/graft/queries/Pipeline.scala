@@ -1287,6 +1287,47 @@ object Pipeline {
         .orderBy($"qid")
     }),
 
+    // Filtered vector search — the pre-filter/post-filter semantics
+    // question every vector store faces: top-3 same-label neighbors by
+    // (a) PRE-filtering candidates to the label before ranking (exact
+    // answer; the filter prunes the scan) vs (b) ranking globally
+    // top-10 then filtering (cheaper per probe but can return FEWER
+    // than k — the recall hole this gate makes visible: both
+    // strategies' rows sit side by side, post-filter rows only where
+    // the label survived the global top-10). Broadcast query side,
+    // candidates never self-join.
+    "v_ann_filtered" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, d)
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"label".as("qlabel"),
+          $"embedding".as("qe"))
+      val c = emb.filter(!$"vec_id".isin(0, 1, 2))
+        .select($"vec_id", $"label", $"embedding".as("ce"))
+      val scored = c.crossJoin(broadcast(q))
+        .select($"qid", $"qlabel", $"vec_id", $"label",
+          cosine($"qe", $"ce").as("cos"))
+        .localCheckpoint(false)
+      val wAll = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      val wLbl = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      val pre = scored.filter($"label" === $"qlabel")
+        .withColumn("rnk", row_number().over(wLbl))
+        .filter($"rnk" <= 3)
+        .select($"qid", lit("prefilter").as("strategy"), $"rnk",
+          $"vec_id", floor($"cos" * 10000 + 0.5).cast("long")
+            .as("score_x10000"))
+      val post = scored
+        .withColumn("grnk", row_number().over(wAll))
+        .filter($"grnk" <= 10 && $"label" === $"qlabel")
+        .withColumn("rnk", row_number().over(wLbl))
+        .filter($"rnk" <= 3)
+        .select($"qid", lit("postfilter").as("strategy"), $"rnk",
+          $"vec_id", floor($"cos" * 10000 + 0.5).cast("long")
+            .as("score_x10000"))
+      pre.unionByName(post).orderBy($"qid", $"strategy", $"rnk")
+    }),
+
     // Matryoshka-prefix retrieval eval (Kusupati et al. 2022): rank by
     // cosine over only the FIRST 16 of 64 dims — the truncated-embedding
     // scale path (4× less dot-product compute and index memory; a real
@@ -2479,6 +2520,35 @@ object Pipeline {
              AS top1_hit
          FROM (SELECT DISTINCT qid FROM ex5) q
          LEFT JOIN h USING (qid) ORDER BY q.qid""",
+    "v_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+           FROM embeddings WHERE vec_id IN (0,1,2)),
+         c AS (SELECT vec_id, label, embedding AS ce
+           FROM embeddings WHERE vec_id NOT IN (0,1,2)),
+         dots AS (SELECT qid, qlabel, vec_id, label,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM q, c, range(1, 65) t(i)
+           GROUP BY qid, qlabel, vec_id, label),
+         s AS (SELECT qid, qlabel, vec_id, label,
+             dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots),
+         pre AS (SELECT qid, 'prefilter' AS strategy, rnk, vec_id,
+             CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
+           FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS INT) AS rnk
+             FROM s WHERE label = qlabel)
+           WHERE rnk <= 3),
+         g AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY cos DESC, vec_id) AS grnk FROM s),
+         post AS (SELECT qid, 'postfilter' AS strategy, rnk, vec_id,
+             CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000
+           FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS INT) AS rnk
+             FROM g WHERE grnk <= 10 AND label = qlabel)
+           WHERE rnk <= 3)
+         SELECT * FROM pre UNION ALL SELECT * FROM post
+         ORDER BY qid, strategy, rnk""",
     "v_recall_eval_mrl" ->
       """WITH eq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            WHERE vec_id IN (0,1,2)),

@@ -1270,6 +1270,18 @@ class PlanQualitySpec extends SparkSpec {
       s"per-doc argmin must combine map-side:\n$plan")
   }
 
+  test("v_ann_filtered: scored once for both strategies, queries broadcast") {
+    val plan = planString(q("v_ann_filtered"))
+    assert(plan.contains("ExistingRDD"),
+      s"the scored table must be computed once for both strategies:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 0,
+      s"pre and post filter reuse the checkpoint, saw $scans scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"no wide join in the filtered search:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

@@ -1328,6 +1328,31 @@ object Pipeline {
       pre.unionByName(post).orderBy($"qid", $"strategy", $"rnk")
     }),
 
+    // Late-interaction retrieval (ColBERT MaxSim, Khattab 2020): docs
+    // are MULTI-vector (4 token vectors each — vec_id div 4 groups the
+    // flat table); score(D) = Σ_q max_{t∈D} cos(q, t). The shape is
+    // two partial-aggregable levels — per (doc, query-token) max, then
+    // per-doc sum — over a broadcast of the query's token vectors;
+    // token count per doc bounds the fan-out, and nothing ever
+    // self-joins the corpus.
+    "v_maxsim_retrieval" -> ((s, d) => {
+      import s.implicits._
+      val toks = embeddings(s, d)
+        .select(expr("vec_id div 4").as("doc"), $"vec_id", $"embedding")
+      val q = toks.filter($"doc" === 0)
+        .select($"vec_id".as("qvid"), $"embedding".as("qe"))
+      val cand = toks.filter($"doc" =!= 0)
+        .select($"doc", $"embedding".as("ce"))
+      cand.crossJoin(broadcast(q))
+        .select($"doc", $"qvid", cosine($"qe", $"ce").as("cos"))
+        .groupBy($"doc", $"qvid").agg(max($"cos").as("mx"))
+        .groupBy($"doc")
+        .agg(floor(sum($"mx") * 10000 + 0.5).cast("long")
+          .as("maxsim_x10000"))
+        .orderBy($"maxsim_x10000".desc, $"doc")
+        .limit(5)
+    }),
+
     // Matryoshka-prefix retrieval eval (Kusupati et al. 2022): rank by
     // cosine over only the FIRST 16 of 64 dims — the truncated-embedding
     // scale path (4× less dot-product compute and index memory; a real
@@ -2520,6 +2545,25 @@ object Pipeline {
              AS top1_hit
          FROM (SELECT DISTINCT qid FROM ex5) q
          LEFT JOIN h USING (qid) ORDER BY q.qid""",
+    "v_maxsim_retrieval" ->
+      """WITH t AS (SELECT vec_id // 4 AS doc, vec_id, embedding
+           FROM embeddings),
+         q AS (SELECT vec_id AS qvid, embedding AS qe FROM t WHERE doc = 0),
+         c AS (SELECT doc, vec_id AS cvid, embedding AS ce
+           FROM t WHERE doc <> 0),
+         dots AS (SELECT c.doc, c.cvid, q.qvid,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM q, c, range(1, 65) t(i)
+           GROUP BY c.doc, c.cvid, q.qvid),
+         mx AS (SELECT doc, qvid, max(dp/(sqrt(nq)*sqrt(nc))) AS m
+           FROM dots GROUP BY 1, 2),
+         sc AS (SELECT doc,
+             CAST(floor(sum(m) * 10000 + 0.5) AS BIGINT) AS maxsim_x10000
+           FROM mx GROUP BY 1)
+         SELECT CAST(doc AS BIGINT) AS doc, maxsim_x10000 FROM sc
+         ORDER BY maxsim_x10000 DESC, doc LIMIT 5""",
     "v_ann_filtered" ->
       """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
            FROM embeddings WHERE vec_id IN (0,1,2)),

@@ -1328,6 +1328,68 @@ object Pipeline {
       pre.unionByName(post).orderBy($"qid", $"strategy", $"rnk")
     }),
 
+    // Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack 2009 —
+    // the standard lexical+vector fusion): BM25 top-15 and embedding-
+    // cosine top-15 (vec_id aligns with doc_id) fuse as
+    // Σ 1e6 div (60 + rank) in EXACT integer arithmetic; a doc absent
+    // from one ranking contributes 0 from that side. Both ranked lists
+    // are k-bounded before any window touches them, so the fusion cost
+    // is O(k), independent of corpus size.
+    "x_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bmTop = bm25Search(documents(s, d),
+        Seq("hash", "join", "batch"), k = 15).localCheckpoint(false)
+      val wBm = Window.orderBy(desc("score"), $"doc_id")
+      val bmr = bmTop.withColumn("r_bm", row_number().over(wBm))
+        .select($"doc_id", $"r_bm")
+      val emb = embeddings(s, d)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qe"))
+      val scored = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id".as("doc_id"), cosine($"qe", $"embedding").as("cos"))
+        .orderBy(desc("cos"), $"doc_id").limit(15)
+        .localCheckpoint(false)
+      val wV = Window.orderBy(desc("cos"), $"doc_id")
+      val vr = scored.withColumn("r_vec", row_number().over(wV))
+        .select($"doc_id", $"r_vec")
+      bmr.join(vr, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          coalesce($"r_bm", lit(0L)).cast("long").as("r_bm"),
+          coalesce($"r_vec", lit(0L)).cast("long").as("r_vec"),
+          (coalesce(expr("1000000 div (60 + r_bm)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+            .as("rrf_x1e6"))
+        .orderBy($"rrf_x1e6".desc, $"doc_id")
+        .limit(10)
+    }),
+
+    // Best-snippet extraction (search UX): among a doc's query-term
+    // positions, the 10-token window holding the most hits — the hit
+    // count per candidate start is a RANGE frame over positions (only
+    // term-hit rows ever enter the window), and the best start resolves
+    // by a window-free max(struct) argmax. Work is proportional to
+    // term hits, not document length.
+    "x_snippet_extract" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hits = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "tk")))
+        .filter($"tk".isin("hash", "join", "batch"))
+      val wr = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rangeBetween(0, 9)
+      hits
+        .withColumn("win_hits", count(lit(1)).over(wr))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          max(struct($"win_hits", (-$"pos").as("negp"))).as("best"))
+        .filter($"n_hits" >= 2)
+        .select($"doc_id", $"n_hits", $"best.win_hits".as("best_win_hits"),
+          (-$"best.negp").cast("long").as("best_start"))
+        .orderBy($"doc_id")
+    }),
+
     // Late-interaction retrieval (ColBERT MaxSim, Khattab 2020): docs
     // are MULTI-vector (4 token vectors each — vec_id div 4 groups the
     // flat table); score(D) = Σ_q max_{t∈D} cos(q, t). The shape is
@@ -2545,6 +2607,67 @@ object Pipeline {
              AS top1_hit
          FROM (SELECT DISTINCT qid FROM ex5) q
          LEFT JOIN h USING (qid) ORDER BY q.qid""",
+    "x_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS a FROM d),
+         t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             unnest(w) AS term FROM d),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term IN ('hash', 'join', 'batch') GROUP BY 1, 2, 3),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id, CAST(sum(
+             (((1000 * n_docs) // df) * (44 * a * tf))
+               // (20 * a * tf + 6 * a + 18 * dl * n_docs)
+           ) AS BIGINT) AS score
+           FROM tf JOIN dfq USING (term), st GROUP BY 1),
+         bmtop AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 15),
+         bmr AS (SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm FROM bmtop),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         dots AS (SELECT c.vec_id AS doc_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+               AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(c.embedding[i] AS DOUBLE) *
+               CAST(c.embedding[i] AS DOUBLE)) AS nc
+           FROM q, embeddings c, range(1, 65) t(i)
+           WHERE c.vec_id <> 0 GROUP BY 1),
+         vtop AS (SELECT doc_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots
+           ORDER BY cos DESC, doc_id LIMIT 15),
+         vr AS (SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec FROM vtop),
+         f AS (SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
+             bmr.r_bm, vr.r_vec
+           FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
+         SELECT doc_id, coalesce(r_bm, 0) AS r_bm,
+           coalesce(r_vec, 0) AS r_vec,
+           coalesce(1000000 // (60 + r_bm), 0) +
+             coalesce(1000000 // (60 + r_vec), 0) AS rrf_x1e6
+         FROM f ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""",
+    "x_snippet_extract" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS tk,
+             generate_subscripts(string_split_regex(trim(text), ' +'), 1)
+               - 1 AS pos
+           FROM documents WHERE len(trim(text)) > 0),
+         h AS (SELECT doc_id, pos FROM w
+           WHERE tk IN ('hash', 'join', 'batch')),
+         wh AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id
+             ORDER BY pos RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING)
+             AS win_hits
+           FROM h),
+         r AS (SELECT doc_id, pos, win_hits,
+             count(*) OVER (PARTITION BY doc_id) AS n_hits,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY win_hits DESC, pos) AS rn
+           FROM wh)
+         SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(win_hits AS BIGINT) AS best_win_hits,
+           CAST(pos AS BIGINT) AS best_start
+         FROM r WHERE rn = 1 AND n_hits >= 2 ORDER BY doc_id""",
     "v_maxsim_retrieval" ->
       """WITH t AS (SELECT vec_id // 4 AS doc, vec_id, embedding
            FROM embeddings),

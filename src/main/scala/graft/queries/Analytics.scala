@@ -2374,6 +2374,81 @@ object Analytics {
         .orderBy($"col")
     }),
 
+    // RFM segmentation (recency / frequency / monetary): per-user
+    // purchase stats quantiled into terciles per dimension (ntile over
+    // the user table — small relative to events), concatenated into
+    // the classic segment code. One event scan, one user-level window
+    // pass; the heavy table never sorts globally.
+    "x_rfm_segments" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val mx = events(s, d).agg(max($"ts").as("m"))
+      val rfm = events(s, d).filter($"event_type" === "purchase")
+        .crossJoin(broadcast(mx))
+        .groupBy($"user_id")
+        .agg(min(datediff($"m", $"ts")).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          floor(sum($"value") * 100 + 0.5).cast("long").as("monetary_x100"))
+      val r = ntile(3).over(Window.orderBy($"recency_days", $"user_id"))
+      val f = ntile(3).over(Window.orderBy($"frequency".desc, $"user_id"))
+      val m = ntile(3).over(Window.orderBy($"monetary_x100".desc,
+        $"user_id"))
+      rfm.select($"user_id", $"recency_days".cast("long").as("recency_days"),
+          $"frequency", $"monetary_x100",
+          concat(r.cast("string"), f.cast("string"), m.cast("string"))
+            .as("segment"))
+        .orderBy($"user_id")
+    }),
+
+    // A/B-test power analysis (the pre-registration step): from the
+    // pooled per-user purchase-value moments, the per-arm sample size
+    // for 80% power at α=0.05 to detect a 5% lift —
+    // n = 16·σ²/Δ² (Lehr), all moments integer cents until the final
+    // quantized division. One scan to a single planning row.
+    "x_ab_power" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+        .agg(count(lit(1)).as("n_users"),
+          sum($"cents").as("sc"), sum($"cents" * $"cents").as("scc"))
+        .select($"n_users", $"sc", $"scc",
+          // σ² = (Σx² − (Σx)²/n)/(n−1); Δ = 5% of the mean; both ×1
+          // cent² — the 16σ²/Δ² ratio is dimensionless
+          floor(lit(16.0) *
+            (($"scc" - $"sc" * $"sc" / $"n_users") / ($"n_users" - 1)) /
+            (($"sc" / $"n_users") * 0.05 * ($"sc" / $"n_users") * 0.05))
+            .cast("long").as("n_per_arm"))
+    }),
+
+    // Zipf-law fit over the token frequency table: OLS slope of
+    // log-freq on log-rank (both floor-quantized ×1e6 integers so the
+    // regression inputs replay exactly; only the final slope division
+    // is FP, floored once). The corpus-science sanity check — a
+    // healthy natural corpus fits slope ≈ −1; the window ranks only
+    // the VOCABULARY table.
+    "x_zipf_fit" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val freq = documents(s, d).filter(length(trim($"text")) > 0)
+        .select(explode(words($"text")).as("tk"))
+        .filter($"tk" =!= "")
+        .groupBy($"tk").agg(count(lit(1)).as("f"))
+      val ranked = freq
+        .withColumn("r", row_number().over(
+          Window.orderBy($"f".desc, $"tk")))
+        .filter($"r" <= 200)
+        .select(floor(log($"r".cast("double")) * 1e6).cast("long").as("x"),
+          floor(log($"f".cast("double")) * 1e6).cast("long").as("y"))
+      ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"))
+        .select($"n",
+          floor(lit(1e6) * ($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")).cast("long")
+            .as("slope_x1e6"))
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3615,6 +3690,55 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+         rfm AS (SELECT user_id,
+             CAST(min(datediff('day', CAST(ts AS TIMESTAMP), mx.m))
+               AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS monetary_x100
+           FROM events, mx WHERE event_type = 'purchase'
+           GROUP BY user_id, mx.m),
+         q AS (SELECT *,
+             ntile(3) OVER (ORDER BY recency_days, user_id) AS r,
+             ntile(3) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(3) OVER (ORDER BY monetary_x100 DESC, user_id) AS m
+           FROM rfm)
+         SELECT user_id, recency_days, frequency, monetary_x100,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment
+         FROM q ORDER BY user_id""",
+    "x_ab_power" ->
+      """WITH u AS (SELECT user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         m AS (SELECT count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(cents * cents) AS BIGINT) AS scc
+           FROM u)
+         SELECT n_users, sc, scc,
+           CAST(floor(16.0 * ((scc - sc * sc / n_users) / (n_users - 1)) /
+             ((sc / n_users) * 0.05 * (sc / n_users) * 0.05)) AS BIGINT)
+             AS n_per_arm
+         FROM m""",
+    "x_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), ' +'))
+             AS tk
+           FROM documents WHERE len(trim(text)) > 0),
+         freq AS (SELECT tk, count(*) AS f FROM tok WHERE tk <> ''
+           GROUP BY 1),
+         ranked AS (SELECT CAST(floor(ln(r) * 1e6) AS BIGINT) AS x,
+             CAST(floor(ln(f) * 1e6) AS BIGINT) AS y
+           FROM (SELECT f, row_number() OVER (ORDER BY f DESC, tk) AS r
+             FROM freq) WHERE r <= 200),
+         m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM ranked)
+         SELECT n, CAST(floor(1e6 * (n * sxy - sx * sy) /
+             (n * sxx - sx * sx)) AS BIGINT) AS slope_x1e6
+         FROM m""",
     "s_footer_stats" ->
       """SELECT 'l_orderkey' AS col, count(*) AS n_values,
            CAST(floor(min(l_orderkey) * 100 + 0.5) AS BIGINT) AS min_x100,

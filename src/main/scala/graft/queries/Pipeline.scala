@@ -1328,6 +1328,50 @@ object Pipeline {
       pre.unionByName(post).orderBy($"qid", $"strategy", $"rnk")
     }),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998): greedy
+    // selection of 5 from the cosine top-15, each round's score =
+    // 2·rel − max-sim-to-selected in ×10000 integers (the λ=0.5
+    // trade-off with denominators cleared). The candidate set is
+    // k-BOUNDED before the quadratic part begins: relevance and the
+    // 15×15 similarity table compute once (checkpointed), and each
+    // greedy round is a keyed aggregate + 1-row pick — the unbounded
+    // corpus is touched exactly once, by the top-15 cut.
+    "x_mmr_diversify" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      val top = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", $"embedding",
+          floor(cosine($"qe", $"embedding") * 10000 + 0.5).cast("long")
+            .as("rel"))
+        .orderBy($"rel".desc, $"vec_id").limit(15)
+        .localCheckpoint(false)
+      val a = top.select($"vec_id".as("a"), $"embedding".as("ea"))
+      val b = top.select($"vec_id".as("b"), $"embedding".as("eb"))
+      val sims = a.join(b, $"a" =!= $"b")
+        .select($"a", $"b",
+          floor(cosine($"ea", $"eb") * 10000 + 0.5).cast("long").as("sim"))
+        .localCheckpoint(false)
+      val base = top.select($"vec_id", $"rel")
+      var selected = base
+        .orderBy($"rel".desc, $"vec_id").limit(1)
+        .select($"vec_id", lit(1L).as("rnk"), ($"rel" * 2).as("mmr_x10000"))
+        .localCheckpoint(false)
+      for (k <- 2 to 5) {
+        val pick = base
+          .join(selected.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .join(sims, $"vec_id" === $"a")
+          .join(selected.select($"vec_id".as("b")), Seq("b"), "left_semi")
+          .groupBy($"vec_id", $"rel").agg(max($"sim").as("ms"))
+          .select($"vec_id", lit(k.toLong).as("rnk"),
+            ($"rel" * 2 - $"ms").as("mmr_x10000"))
+          .orderBy($"mmr_x10000".desc, $"vec_id").limit(1)
+        selected = selected.union(pick).localCheckpoint(false)
+      }
+      selected.orderBy($"rnk")
+    }),
+
     // Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack 2009 —
     // the standard lexical+vector fusion): BM25 top-15 and embedding-
     // cosine top-15 (vec_id aligns with doc_id) fuse as
@@ -2607,6 +2651,71 @@ object Pipeline {
              AS top1_hit
          FROM (SELECT DISTINCT qid FROM ex5) q
          LEFT JOIN h USING (qid) ORDER BY q.qid""",
+    "x_mmr_diversify" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         rd AS (SELECT c.vec_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+               AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(c.embedding[i] AS DOUBLE) *
+               CAST(c.embedding[i] AS DOUBLE)) AS nc
+           FROM q, embeddings c, range(1, 65) t(i)
+           WHERE c.vec_id <> 0 GROUP BY 1),
+         rel0 AS (SELECT vec_id,
+             CAST(floor(dp/(sqrt(nq)*sqrt(nc)) * 10000 + 0.5) AS BIGINT)
+               AS rel
+           FROM rd),
+         top AS (SELECT r.vec_id, r.rel, e.embedding
+           FROM rel0 r JOIN embeddings e USING (vec_id)
+           ORDER BY r.rel DESC, r.vec_id LIMIT 15),
+         pd AS (SELECT x.vec_id AS a, y.vec_id AS b,
+             sum(CAST(x.embedding[i] AS DOUBLE) *
+               CAST(y.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(x.embedding[i] AS DOUBLE) *
+               CAST(x.embedding[i] AS DOUBLE)) AS na,
+             sum(CAST(y.embedding[i] AS DOUBLE) *
+               CAST(y.embedding[i] AS DOUBLE)) AS nb
+           FROM top x, top y, range(1, 65) t(i)
+           WHERE x.vec_id <> y.vec_id GROUP BY 1, 2),
+         sims AS (SELECT a, b,
+             CAST(floor(dp/(sqrt(na)*sqrt(nb)) * 10000 + 0.5) AS BIGINT)
+               AS sim
+           FROM pd),
+         s1 AS (SELECT vec_id, 1 AS rnk, rel * 2 AS m FROM top
+           ORDER BY rel DESC, vec_id LIMIT 1),
+         c2 AS (SELECT t.vec_id, t.rel, max(s.sim) AS ms
+           FROM top t JOIN sims s ON s.a = t.vec_id
+             AND s.b IN (SELECT vec_id FROM s1)
+           WHERE t.vec_id NOT IN (SELECT vec_id FROM s1) GROUP BY 1, 2),
+         s2 AS (SELECT vec_id, 2 AS rnk, rel * 2 - ms AS m FROM c2
+           ORDER BY rel * 2 - ms DESC, vec_id LIMIT 1),
+         sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+         c3 AS (SELECT t.vec_id, t.rel, max(s.sim) AS ms
+           FROM top t JOIN sims s ON s.a = t.vec_id
+             AND s.b IN (SELECT vec_id FROM sel2)
+           WHERE t.vec_id NOT IN (SELECT vec_id FROM sel2) GROUP BY 1, 2),
+         s3 AS (SELECT vec_id, 3 AS rnk, rel * 2 - ms AS m FROM c3
+           ORDER BY rel * 2 - ms DESC, vec_id LIMIT 1),
+         sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+         c4 AS (SELECT t.vec_id, t.rel, max(s.sim) AS ms
+           FROM top t JOIN sims s ON s.a = t.vec_id
+             AND s.b IN (SELECT vec_id FROM sel3)
+           WHERE t.vec_id NOT IN (SELECT vec_id FROM sel3) GROUP BY 1, 2),
+         s4 AS (SELECT vec_id, 4 AS rnk, rel * 2 - ms AS m FROM c4
+           ORDER BY rel * 2 - ms DESC, vec_id LIMIT 1),
+         sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+         c5 AS (SELECT t.vec_id, t.rel, max(s.sim) AS ms
+           FROM top t JOIN sims s ON s.a = t.vec_id
+             AND s.b IN (SELECT vec_id FROM sel4)
+           WHERE t.vec_id NOT IN (SELECT vec_id FROM sel4) GROUP BY 1, 2),
+         s5 AS (SELECT vec_id, 5 AS rnk, rel * 2 - ms AS m FROM c5
+           ORDER BY rel * 2 - ms DESC, vec_id LIMIT 1)
+         SELECT vec_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(m AS BIGINT) AS mmr_x10000
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           UNION ALL SELECT * FROM s5)
+         ORDER BY rnk""",
     "x_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
            FROM documents WHERE len(trim(text)) > 0),

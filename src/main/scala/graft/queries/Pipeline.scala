@@ -1328,6 +1328,45 @@ object Pipeline {
       pre.unionByName(post).orderBy($"qid", $"strategy", $"rnk")
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+    // recipe): for each English doc, the best other-language candidate
+    // by cosine, ACCEPTED only when it beats the mean of the top-4
+    // scores by the margin ratio (×10000 integer) — absolute-cosine
+    // thresholds are miscalibrated across languages, the margin is
+    // not. Language labels ride the doc↔vector id alignment; the
+    // query side broadcasts, candidates rank per query in one window
+    // over the scored table.
+    "x_bitext_mine" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val langs = documents(s, d).select($"doc_id", $"lang")
+      val vecs = embeddings(s, d)
+        .join(langs, $"vec_id" === $"doc_id")
+        .select($"vec_id", $"lang", $"embedding")
+      val en = vecs.filter($"lang" === "en")
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val cand = vecs.filter($"lang" =!= "en")
+        .select($"vec_id", $"lang", $"embedding".as("ce"))
+      val scored = cand.crossJoin(broadcast(en))
+        .select($"qid", $"vec_id", $"lang", cosine($"qe", $"ce").as("cos"))
+      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      val top4 = scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 4)
+      top4.groupBy($"qid")
+        .agg(max(struct($"cos", (-$"vec_id").as("negid"), $"lang"))
+            .as("best"),
+          sum($"cos").as("s4"), count(lit(1)).as("n4"))
+        .select($"qid", (-$"best.negid").as("match_id"),
+          $"best.lang".as("match_lang"),
+          floor($"best.cos" * 10000 + 0.5).cast("long").as("cos_x10000"),
+          floor($"best.cos" * $"n4" * 10000 / $"s4").cast("long")
+            .as("margin_x10000"))
+        .withColumn("accepted",
+          when($"margin_x10000" >= 10600, 1L).otherwise(0L))
+        .filter($"accepted" === 1)
+        .orderBy($"qid")
+    }),
+
     // MMR diversified re-ranking (Carbonell & Goldstein 1998): greedy
     // selection of 5 from the cosine top-15, each round's score =
     // 2·rel − max-sim-to-selected in ×10000 integers (the λ=0.5
@@ -2651,6 +2690,36 @@ object Pipeline {
              AS top1_hit
          FROM (SELECT DISTINCT qid FROM ex5) q
          LEFT JOIN h USING (qid) ORDER BY q.qid""",
+    "x_bitext_mine" ->
+      """WITH lg AS (SELECT doc_id, lang FROM documents),
+         v AS (SELECT e.vec_id, lg.lang, e.embedding
+           FROM embeddings e JOIN lg ON e.vec_id = lg.doc_id),
+         q AS (SELECT vec_id AS qid, embedding AS qe FROM v
+           WHERE lang = 'en'),
+         c AS (SELECT vec_id, lang, embedding AS ce FROM v
+           WHERE lang <> 'en'),
+         dots AS (SELECT qid, c.vec_id, c.lang,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM q, c, range(1, 65) t(i) GROUP BY 1, 2, 3),
+         s AS (SELECT qid, vec_id, lang, dp/(sqrt(nq)*sqrt(nc)) AS cos
+           FROM dots),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY cos DESC, vec_id) AS rnk FROM s),
+         t4 AS (SELECT * FROM r WHERE rnk <= 4),
+         g AS (SELECT qid, sum(cos) AS s4, count(*) AS n4 FROM t4
+           GROUP BY 1),
+         b AS (SELECT qid, vec_id AS match_id, lang AS match_lang, cos
+           FROM t4 WHERE rnk = 1)
+         SELECT b.qid, b.match_id, b.match_lang,
+           CAST(floor(b.cos * 10000 + 0.5) AS BIGINT) AS cos_x10000,
+           CAST(floor(b.cos * g.n4 * 10000 / g.s4) AS BIGINT)
+             AS margin_x10000,
+           CAST(1 AS BIGINT) AS accepted
+         FROM b JOIN g USING (qid)
+         WHERE floor(b.cos * g.n4 * 10000 / g.s4) >= 10600
+         ORDER BY qid""",
     "x_mmr_diversify" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          rd AS (SELECT c.vec_id,

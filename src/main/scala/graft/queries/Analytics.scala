@@ -2449,6 +2449,36 @@ object Analytics {
             .as("slope_x1e6"))
     }),
 
+    // Quantile normalization across sources (the microarray-style
+    // distribution alignment a mixed-corpus length/quality signal
+    // needs): each source's i-th of n values maps to the GLOBAL value
+    // at the matching quantile position ceil(i·N/n) — after it, every
+    // source has the same length distribution. Ranks are per-source
+    // windows; the global reference is one ranked table equi-joined on
+    // the computed index (never a theta join).
+    "x_quantile_norm" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).select($"doc_id", $"source", $"n_chars")
+        .localCheckpoint(false)
+      val bySrc = docs
+        .withColumn("i", row_number().over(Window.partitionBy($"source")
+          .orderBy($"n_chars", $"doc_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      val global = docs
+        .select($"n_chars".as("gv"),
+          row_number().over(Window.orderBy($"n_chars", $"doc_id")).as("gi"))
+      val total = docs.agg(count(lit(1)).as("nn"))
+      bySrc.crossJoin(broadcast(total))
+        .withColumn("gi", expr("cast(ceil(i * nn / cast(n as double)) as bigint)"))
+        .join(global, Seq("gi"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("raw_sum"), sum($"gv").as("norm_sum"),
+          max(abs($"n_chars" - $"gv")).as("max_shift"))
+        .orderBy($"source")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3690,6 +3720,24 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         b AS (SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY n_chars, doc_id) AS i,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM d),
+         g AS (SELECT n_chars AS gv, row_number() OVER
+             (ORDER BY n_chars, doc_id) AS gi FROM d),
+         t AS (SELECT count(*) AS nn FROM d),
+         j AS (SELECT b.source, b.n_chars, g.gv
+           FROM b, t JOIN g
+             ON g.gi = CAST(ceil(b.i * t.nn / CAST(b.n AS DOUBLE))
+               AS BIGINT))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS raw_sum,
+           CAST(sum(gv) AS BIGINT) AS norm_sum,
+           CAST(max(abs(n_chars - gv)) AS BIGINT) AS max_shift
+         FROM j GROUP BY 1 ORDER BY source""",
     "x_rfm_segments" ->
       """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
          rfm AS (SELECT user_id,

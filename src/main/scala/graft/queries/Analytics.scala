@@ -2479,6 +2479,38 @@ object Analytics {
         .orderBy($"source")
     }),
 
+    // Session path analysis (the product-analytics "top navigation
+    // sequences" table): events sessionize per user (the x_sessionize
+    // gap logic), each session folds to its ordered event-type path
+    // (array_sort over (ts, event_id, type) structs — deterministic
+    // under any partitioning, no ORDER BY inside the aggregate), and
+    // paths count globally. Truncated to the first 5 steps so the
+    // path vocabulary stays bounded; one per-user window pass + two
+    // hash aggregates.
+    "x_session_paths" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val gapUs = 8L * 3600 * 1000000
+      events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+        .withColumn("nf",
+          when(lag($"ts_us", 1).over(w).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("sess", sum($"nf").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(array_join(slice(transform(
+          array_sort(collect_list(struct($"ts_us", $"event_id",
+            $"event_type"))), x => x.getField("event_type")), 1, 5), ">")
+          .as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(10)
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3720,6 +3752,24 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+           FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 28800000000 THEN 1 ELSE 0 END
+               AS nf
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g),
+         p AS (SELECT user_id, sess,
+             array_to_string((string_split(string_agg(event_type, '>'
+               ORDER BY ts_us, event_id), '>'))[:5], '>') AS path
+           FROM s GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 10""",
     "x_quantile_norm" ->
       """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
          b AS (SELECT *, row_number() OVER (PARTITION BY source

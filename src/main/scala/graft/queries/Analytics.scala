@@ -2511,6 +2511,90 @@ object Analytics {
         .limit(10)
     }),
 
+    // Difference-in-differences (the causal-effect workhorse): the
+    // md5 arm assignment crossed with a pre/post cutoff into the 2×2
+    // cell means (integer cents until the final quantized divisions);
+    // DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre). One
+    // conditional-aggregate scan to four cells.
+    "x_diff_in_diff" -> ((s, d) => {
+      import s.implicits._
+      val cut = lit("2024-01-16").cast("timestamp")
+      val cells = events(s, d).filter($"event_type" === "purchase")
+        .select(
+          when(substring(md5(concat(lit("exp1:"),
+            $"user_id".cast("string")).cast("binary")), 1, 1) < "8", 1L)
+            .otherwise(0L).as("treat"),
+          when($"ts" >= cut, 1L).otherwise(0L).as("post"),
+          floor($"value" * 100 + 0.5).cast("long").as("cents"))
+        .groupBy($"treat", $"post")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+        .select($"treat", $"post", $"n",
+          floor($"sc" * 100 / $"n").cast("long").as("mean_x100"))
+        .localCheckpoint(false)
+      def cell(t: Int, p: Int) = cells
+        .filter($"treat" === t && $"post" === p)
+        .select($"mean_x100".as(s"m_$t$p"))
+      cells.orderBy($"treat", $"post")
+        .crossJoin(broadcast(cell(1, 1))).crossJoin(broadcast(cell(1, 0)))
+        .crossJoin(broadcast(cell(0, 1))).crossJoin(broadcast(cell(0, 0)))
+        .select($"treat", $"post", $"n", $"mean_x100",
+          ($"m_11" - $"m_10" - ($"m_01" - $"m_00")).as("did_x100"))
+    }),
+
+    // Degree assortativity (Newman 2002) over the link graph: the
+    // Pearson correlation of endpoint degrees across edges, from
+    // INTEGER moment sums over the symmetric edge list (each edge
+    // contributes both orientations — the standard convention); only
+    // the final correlation divides, floored once. Positive = hubs
+    // attach to hubs. One degree aggregate + one keyed join + one
+    // moment fold.
+    "v_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      val deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("dg"))
+      val dir = edges.select($"a".as("u"), $"b".as("w"))
+        .union(edges.select($"b".as("u"), $"a".as("w")))
+      dir
+        .join(deg.select($"v".as("u"), $"dg".as("du")), Seq("u"))
+        .join(deg.select($"v".as("w"), $"dg".as("dw")), Seq("w"))
+        .agg(count(lit(1)).as("m2"), sum($"du").as("sx"),
+          sum($"dw").as("sy"), sum($"du" * $"dw").as("sxy"),
+          sum($"du" * $"du").as("sxx"), sum($"dw" * $"dw").as("syy"))
+        .select($"m2",
+          floor(lit(1e6) * ($"m2" * $"sxy" - $"sx" * $"sy") /
+            (sqrt(($"m2" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"m2" * $"syy" - $"sy" * $"sy").cast("double"))))
+            .cast("long").as("assortativity_x1e6"))
+    }),
+
+    // Linear trend forecast of daily event volume: integer-moment OLS
+    // of count on day index, then the day-32 projection — the capacity
+    // planning row. Counts and moments stay integers; slope/intercept
+    // divide once, floored.
+    "x_trend_forecast" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy(datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"))
+        .select($"n", $"sy", $"sx",
+          floor(lit(1e6) * ($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")).cast("long")
+            .as("slope_x1e6"))
+        // intercept and projection reuse the FLOORED slope, so from
+        // here everything is exact integer arithmetic
+        .select($"n", $"sy", $"slope_x1e6",
+          expr("(1000000 * sy - slope_x1e6 * sx) div n")
+            .as("intercept_x1e6"))
+        .select($"n", $"sy", $"slope_x1e6", $"intercept_x1e6",
+          expr("(intercept_x1e6 + slope_x1e6 * 32) div 1000000")
+            .as("forecast_day32"))
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3752,6 +3836,75 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_diff_in_diff" ->
+      """WITH c AS (SELECT
+             CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+               1, 1) < '8' THEN 1 ELSE 0 END AS treat,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         cells AS (SELECT treat, post, count(*) AS n,
+             CAST(floor(sum(cents) * 100 / count(*)) AS BIGINT)
+               AS mean_x100
+           FROM c GROUP BY 1, 2),
+         w AS (SELECT
+             max(CASE WHEN treat=1 AND post=1 THEN mean_x100 END) AS m11,
+             max(CASE WHEN treat=1 AND post=0 THEN mean_x100 END) AS m10,
+             max(CASE WHEN treat=0 AND post=1 THEN mean_x100 END) AS m01,
+             max(CASE WHEN treat=0 AND post=0 THEN mean_x100 END) AS m00
+           FROM cells)
+         SELECT CAST(treat AS BIGINT) AS treat, CAST(post AS BIGINT)
+             AS post, n, mean_x100,
+           CAST(m11 - m10 - (m01 - m00) AS BIGINT) AS did_x100
+         FROM cells, w ORDER BY treat, post""",
+    "v_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS dg FROM
+           (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         dir AS (SELECT a AS u, b AS w FROM e
+           UNION ALL SELECT b, a FROM e),
+         j AS (SELECT du.dg AS du, dw.dg AS dw
+           FROM dir JOIN deg du ON dir.u = du.v
+           JOIN deg dw ON dir.w = dw.v),
+         m AS (SELECT count(*) AS m2, CAST(sum(du) AS BIGINT) AS sx,
+             CAST(sum(dw) AS BIGINT) AS sy,
+             CAST(sum(du * dw) AS BIGINT) AS sxy,
+             CAST(sum(du * du) AS BIGINT) AS sxx,
+             CAST(sum(dw * dw) AS BIGINT) AS syy
+           FROM j)
+         SELECT m2, CAST(floor(1e6 * (m2 * sxy - sx * sy) /
+             (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+           AS assortativity_x1e6
+         FROM m""",
+    "x_trend_forecast" ->
+      """WITH daily AS (SELECT CAST(datediff('day', DATE '2024-01-01',
+             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+             count(*) AS y
+           FROM events GROUP BY 1),
+         m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM daily),
+         s AS (SELECT n, sy, sx,
+             CAST(floor(1e6 * (n * sxy - sx * sy) /
+               (n * sxx - sx * sx)) AS BIGINT) AS slope_x1e6
+           FROM m),
+         i AS (SELECT n, sy, slope_x1e6,
+             (1000000 * sy - slope_x1e6 * sx) // n AS intercept_x1e6
+           FROM s)
+         SELECT n, sy, slope_x1e6, CAST(intercept_x1e6 AS BIGINT)
+             AS intercept_x1e6,
+           CAST((intercept_x1e6 + slope_x1e6 * 32) // 1000000 AS BIGINT)
+             AS forecast_day32
+         FROM i""",
     "x_session_paths" ->
       """WITH e AS (SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type

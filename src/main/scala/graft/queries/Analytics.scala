@@ -2595,6 +2595,46 @@ object Analytics {
             .as("forecast_day32"))
     }),
 
+    // Seasonal activity profile: the (day-of-week × hour) heat map
+    // with each weekday's peak hour flagged by a window-free
+    // max(struct) argmax — the load-shaping table behind crawl/compute
+    // scheduling. One scan, two partial-aggregable levels.
+    "x_seasonal_profile" -> ((s, d) => {
+      import s.implicits._
+      val cells = events(s, d)
+        .groupBy(dayofweek($"ts").cast("long").as("dow"),
+          hour($"ts").cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val peaks = cells.groupBy($"dow")
+        .agg(max(struct($"n", (-$"hr").as("negh"))).as("best"))
+        .select($"dow", (-$"best.negh").as("peak_hr"))
+      cells.join(broadcast(peaks), Seq("dow"))
+        .select($"dow", $"hr", $"n",
+          when($"hr" === $"peak_hr", 1L).otherwise(0L).as("is_peak"))
+        .orderBy($"dow", $"hr")
+    }),
+
+    // Gini coefficient of per-user event counts (the corpus/activity
+    // concentration index): G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over
+    // ascending-ranked counts — integer sums until ONE final floored
+    // division (×1e6). The ranking window runs over the USER table,
+    // not events.
+    "x_gini_users" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("x"))
+      per.withColumn("i", row_number().over(
+          Window.orderBy($"x", $"user_id")))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"i" * $"x").as("six"))
+        .select($"n", $"sx",
+          floor(lit(1e6) * (lit(2.0) * $"six" / ($"n" * $"sx") -
+            ($"n" + 1).cast("double") / $"n")).cast("long")
+            .as("gini_x1e6"))
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3836,6 +3876,33 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_seasonal_profile" ->
+      """WITH cells AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dw0,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         c2 AS (SELECT CAST(CASE WHEN dw0 = 0 THEN 1 ELSE dw0 + 1 END
+               AS BIGINT) AS dow, hr, n
+           FROM cells),
+         p AS (SELECT dow, hr AS peak_hr FROM (SELECT dow, hr,
+             row_number() OVER (PARTITION BY dow
+               ORDER BY n DESC, hr) AS rn FROM c2) WHERE rn = 1)
+         SELECT c2.dow, c2.hr, c2.n,
+           CAST(CASE WHEN c2.hr = p.peak_hr THEN 1 ELSE 0 END AS BIGINT)
+             AS is_peak
+         FROM c2 JOIN p USING (dow) ORDER BY dow, hr""",
+    "x_gini_users" ->
+      """WITH per AS (SELECT user_id, count(*) AS x FROM events
+           GROUP BY 1),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i
+           FROM per),
+         m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+           FROM r)
+         SELECT n, sx,
+           CAST(floor(1e6 * (2.0 * six / (n * sx) -
+             CAST(n + 1 AS DOUBLE) / n)) AS BIGINT) AS gini_x1e6
+         FROM m""",
     "x_diff_in_diff" ->
       """WITH c AS (SELECT
              CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),

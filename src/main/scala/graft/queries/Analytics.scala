@@ -2635,6 +2635,51 @@ object Analytics {
             .as("gini_x1e6"))
     }),
 
+    // Winsorized mean per language (the robust-mean companion to the
+    // MAD outlier gate): token counts clamp at the exact P10/P90 (the
+    // 0.5-interpolation grid, so the boundaries replay bit-for-bit)
+    // before averaging — one quantile pre-agg broadcast back over the
+    // corpus, integer sums to one final quantized division.
+    "x_winsorize" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"lang", size(words($"text")).cast("double").as("tokens"))
+      val bounds = docs.groupBy($"lang")
+        .agg(percentile($"tokens", lit(0.1)).as("p10"),
+          percentile($"tokens", lit(0.9)).as("p90"))
+      docs.join(broadcast(bounds), "lang")
+        .select($"lang",
+          // P10/P90 interpolate to arbitrary fractions — floor once
+          // to milli-tokens (an engine-portable quantization; a bare
+          // cast would round in DuckDB and truncate in Spark)
+          floor(greatest(least($"tokens", $"p90"), $"p10") * 1000)
+            .cast("long").as("w1000"),
+          when($"tokens" < $"p10" || $"tokens" > $"p90", 1L).otherwise(0L)
+            .as("clamped"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"clamped").as("n_clamped"),
+          expr("sum(w1000) div count(1)").as("wmean_x1000"))
+        .orderBy($"lang")
+    }),
+
+    // Schema fingerprint per table (cross-environment drift detection,
+    // the catalog twin of c26's content digest): md5 of the SORTED
+    // column-name list — metadata-only reads, catalog-bounded
+    // driver-side like the Ledger planning loop.
+    "c31_schema_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val tables = Seq("customer", "documents", "embeddings", "events",
+        "lineitem", "nation", "orders", "part", "region", "supplier")
+      val rows = tables.map { t =>
+        val cols = s.read.parquet(s"$d/$t.parquet").schema.fieldNames.sorted
+        (t, cols.length.toLong, cols.mkString(","))
+      }
+      rows.toDF("table_name", "n_cols", "cols")
+        .select($"table_name", $"n_cols",
+          md5($"cols".cast("binary")).as("schema_md5"))
+        .orderBy($"table_name")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3876,6 +3921,34 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_winsorize" ->
+      """WITH d AS (SELECT lang,
+             CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+               AS tokens
+           FROM documents WHERE len(trim(text)) > 0),
+         b AS (SELECT lang, quantile_cont(tokens, 0.1) AS p10,
+             quantile_cont(tokens, 0.9) AS p90
+           FROM d GROUP BY 1),
+         j AS (SELECT d.lang,
+             CAST(floor(greatest(least(tokens, p90), p10) * 1000)
+               AS BIGINT) AS w1000,
+             CASE WHEN tokens < p10 OR tokens > p90 THEN 1 ELSE 0 END
+               AS cl
+           FROM d JOIN b USING (lang))
+         SELECT lang, count(*) AS n, CAST(sum(cl) AS BIGINT) AS n_clamped,
+           CAST(sum(w1000) // count(*) AS BIGINT) AS wmean_x1000
+         FROM j GROUP BY 1 ORDER BY lang""",
+    "c31_schema_fingerprint" ->
+      """WITH c AS (SELECT table_name, column_name
+           FROM information_schema.columns
+           WHERE table_name IN ('customer', 'documents', 'embeddings',
+             'events', 'lineitem', 'nation', 'orders', 'part', 'region',
+             'supplier')),
+         a AS (SELECT table_name, count(*) AS n_cols,
+             string_agg(column_name, ',' ORDER BY column_name) AS cols
+           FROM c GROUP BY 1)
+         SELECT table_name, n_cols, md5(cols) AS schema_md5
+         FROM a ORDER BY table_name""",
     "x_seasonal_profile" ->
       """WITH cells AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dw0,
              CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,

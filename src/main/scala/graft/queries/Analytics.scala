@@ -2680,6 +2680,50 @@ object Analytics {
         .orderBy($"table_name")
     }),
 
+    // Trained character-bigram language classifier (naive Bayes with
+    // add-one smoothing) — the train/apply ML-pipeline shape: the
+    // model (per-lang bigram log-probs, ×1e6 floor-quantized ONCE at
+    // training so inference is pure integer sums) trains on even
+    // doc_ids and classifies the odd half; the confusion matrix is
+    // the eval. The model is vocabulary-bounded and broadcasts;
+    // scoring is one explode + one keyed join + two aggregates.
+    "x_langid_ngram" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length($"text") >= 2)
+        .select($"doc_id", $"lang",
+          explode(expr(
+            "transform(sequence(1, length(text) - 1)," +
+              " i -> substring(text, i, 2))")).as("bg"))
+        .localCheckpoint(false)
+      val train = docs.filter($"doc_id" % 2 === 0)
+      val cnts = train.groupBy($"lang".as("mlang"), $"bg")
+        .agg(count(lit(1)).as("c")).localCheckpoint(false)
+      val tots = cnts.groupBy($"mlang").agg(sum($"c").as("tot"))
+      val vocab = cnts.select($"bg").distinct()
+        .agg(count(lit(1)).as("v"))
+      val langs = tots.select($"mlang", $"tot")
+        .crossJoin(broadcast(vocab))
+      // doc-side bigram counts on the EVAL half
+      val docBg = docs.filter($"doc_id" % 2 === 1)
+        .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
+      val scored = docBg
+        .crossJoin(broadcast(langs))
+        .join(broadcast(cnts), Seq("mlang", "bg"), "left")
+        .select($"doc_id", $"lang", $"mlang",
+          ($"n" * floor(log((coalesce($"c", lit(0L)) + 1).cast("double") /
+            ($"tot" + $"v").cast("double")) * 1e6).cast("long"))
+            .as("term"))
+        .groupBy($"doc_id", $"lang", $"mlang")
+        .agg(sum($"term").as("score"))
+      scored.groupBy($"doc_id", $"lang")
+        .agg(max(struct($"score", $"mlang")).as("best"))
+        .select($"lang", $"best.mlang".as("pred_lang"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"),
+          max(when($"lang" === $"pred_lang", 1L).otherwise(0L)).as("hit"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3921,6 +3965,35 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_langid_ngram" ->
+      """WITH bg AS (SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(text)),
+               i -> text[i:i+1])) AS bg
+           FROM documents WHERE len(text) >= 2),
+         train AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+         cnts AS (SELECT lang AS mlang, bg, count(*) AS c
+           FROM train GROUP BY 1, 2),
+         tots AS (SELECT mlang, CAST(sum(c) AS BIGINT) AS tot
+           FROM cnts GROUP BY 1),
+         voc AS (SELECT count(DISTINCT bg) AS v FROM cnts),
+         docbg AS (SELECT doc_id, lang, bg, count(*) AS n FROM bg
+           WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+         sc AS (SELECT d.doc_id, d.lang, t.mlang,
+             CAST(sum(d.n * CAST(floor(ln(
+               (coalesce(c.c, 0) + 1) / CAST(t.tot + voc.v AS DOUBLE))
+               * 1e6) AS BIGINT)) AS BIGINT) AS score
+           FROM docbg d
+           CROSS JOIN tots t CROSS JOIN voc
+           LEFT JOIN cnts c ON c.mlang = t.mlang AND c.bg = d.bg
+           GROUP BY 1, 2, 3),
+         pred AS (SELECT doc_id, lang, mlang AS pred_lang FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, mlang DESC) AS rn FROM sc)
+           WHERE rn = 1)
+         SELECT lang, pred_lang, count(*) AS n,
+           CAST(max(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS hit
+         FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""",
     "x_winsorize" ->
       """WITH d AS (SELECT lang,
              CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)

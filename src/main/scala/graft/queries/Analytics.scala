@@ -2724,6 +2724,38 @@ object Analytics {
         .orderBy($"lang", $"pred_lang")
     }),
 
+    // 2-hop neighborhood features (the GraphSAGE/GNN feature-
+    // extraction shape): per node its degree, the mean neighbor
+    // degree (integer ×1000 div), and the distinct 2-hop neighbor
+    // count (self and direct neighbors excluded) — two keyed joins +
+    // partial aggregates. At 100 TB the 2-hop expansion is the known
+    // quadratic hazard; degree-bounded graphs (this one: ≤6) keep it
+    // linear, and a production run caps the expansion per node the
+    // way the LSH buckets cap theirs.
+    "v_neighbor_features" -> ((s, d) => {
+      import s.implicits._
+      val edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      val dir = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+        .localCheckpoint(false)
+      val deg = dir.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val nbrDeg = dir
+        .join(deg.select($"u".as("v"), $"deg".as("vdeg")), Seq("v"))
+        .groupBy($"u")
+        .agg(count(lit(1)).as("dg"),
+          expr("(sum(vdeg) * 1000) div count(1)").as("mean_nbr_deg_x1000"))
+      val twoHop = dir.select($"u", $"v".as("m"))
+        .join(dir.select($"u".as("m"), $"v".as("w")), Seq("m"))
+        .filter($"u" =!= $"w")
+        .select($"u", $"w").distinct()
+        .join(dir.select($"u", $"v".as("w")), Seq("u", "w"), "left_anti")
+        .groupBy($"u").agg(count(lit(1)).as("n_2hop"))
+      nbrDeg.join(twoHop, Seq("u"), "left")
+        .select($"u".as("v"), $"dg".as("deg"), $"mean_nbr_deg_x1000",
+          coalesce($"n_2hop", lit(0L)).as("n_2hop"))
+        .orderBy($"v")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3965,6 +3997,29 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "v_neighbor_features" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY 1),
+         nd AS (SELECT dir.u, count(*) AS dg,
+             (sum(d2.deg) * 1000) // count(*) AS mean_nbr_deg_x1000
+           FROM dir JOIN deg d2 ON dir.v = d2.u GROUP BY 1),
+         th AS (SELECT t.u, count(*) AS n_2hop FROM (
+           SELECT DISTINCT d1.u, d2.v AS w
+           FROM dir d1 JOIN dir d2 ON d1.v = d2.u
+           WHERE d1.u <> d2.v) t
+           WHERE NOT EXISTS (SELECT 1 FROM dir
+             WHERE dir.u = t.u AND dir.v = t.w)
+           GROUP BY 1)
+         SELECT CAST(nd.u AS BIGINT) AS v, CAST(nd.dg AS BIGINT) AS deg,
+           CAST(nd.mean_nbr_deg_x1000 AS BIGINT) AS mean_nbr_deg_x1000,
+           CAST(coalesce(th.n_2hop, 0) AS BIGINT) AS n_2hop
+         FROM nd LEFT JOIN th USING (u) ORDER BY v""",
     "x_langid_ngram" ->
       """WITH bg AS (SELECT doc_id, lang,
              unnest(list_transform(range(1, len(text)),

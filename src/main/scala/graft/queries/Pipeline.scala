@@ -2190,6 +2190,37 @@ object Pipeline {
           col("rnk"))
         .orderBy(col("qid"), col("rnk"))),
 
+    // Multi-probe LSH (Lv et al. 2007): each query probes its bucket
+    // AND the 8 one-bit-flip neighbors per table — the recall of many
+    // more hash tables at the memory cost of one, since only the
+    // QUERY side fans out (9× on 3 queries) while the corpus index
+    // stays untouched. Same exact re-score discipline as single-probe.
+    "v_ann_lsh_multiprobe" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      val bucketed = emb.select($"vec_id",
+        posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+      val flips = lit(0) +: (0 until 8).map(j => lit(1 << j))
+      val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"tbl",
+          explode(array(flips.map(f => $"bkt".bitwiseXOR(f)): _*))
+            .as("bkt"))
+      val cand = bucketed.filter(!$"vec_id".isin(0, 1, 2))
+        .join(broadcast(qb), Seq("tbl", "bkt"))
+        .select($"qid", $"vec_id").distinct()
+      val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.select($"vec_id", $"embedding".as("ce"))
+      val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+        .select($"qid", $"vec_id",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"),
+          $"rnk")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // ANN quality evaluation: recall@5 and top-1 hit of the LSH index
     // against the exact brute-force top-5, per query — the eval table a
     // production ANN deployment publishes next to its index. Both sides
@@ -3401,6 +3432,28 @@ object Pipeline {
          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
            FROM bits q JOIN bits c ON q.tbl = c.tbl AND q.bkt = c.bkt
            WHERE q.vec_id IN (0,1,2) AND c.vec_id NOT IN (0,1,2)),
+         dots AS (SELECT cand.qid, cand.vid AS vec_id,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nc
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+             JOIN embeddings b ON b.vec_id = cand.vid, range(1, 65) t(i)
+           GROUP BY 1, 2),
+         s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
+         SELECT qid, vec_id,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
+               AS rnk FROM s)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "v_ann_lsh_multiprobe" ->
+      s"""WITH $lshBucketsSql,
+         probes AS (SELECT b.vec_id AS qid, b.tbl, xor(b.bkt, f.f) AS bkt
+           FROM bits b, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f) f
+           WHERE b.vec_id IN (0,1,2)),
+         cand AS (SELECT DISTINCT p.qid, c.vec_id AS vid
+           FROM bits c JOIN probes p ON c.tbl = p.tbl AND c.bkt = p.bkt
+           WHERE c.vec_id NOT IN (0,1,2)),
          dots AS (SELECT cand.qid, cand.vid AS vec_id,
              sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
              sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,

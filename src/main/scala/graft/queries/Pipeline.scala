@@ -827,6 +827,32 @@ object Pipeline {
     scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
   }
 
+  /** Multi-probe LSH top-5 (Lv et al. 2007): the query side probes its
+    * bucket plus the 8 one-bit-flip neighbors per table; candidates
+    * re-score exactly. Returns (qid, vec_id, cos, rnk ≤ 5).
+    */
+  private def annLshMultiprobeTop5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d).select($"vec_id", $"embedding")
+    val bucketed = emb.select($"vec_id",
+      posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+    val flips = lit(0) +: (0 until 8).map(j => lit(1 << j))
+    val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("qid"), $"tbl",
+        explode(array(flips.map(f => $"bkt".bitwiseXOR(f)): _*))
+          .as("bkt"))
+    val cand = bucketed.filter(!$"vec_id".isin(0, 1, 2))
+      .join(broadcast(qb), Seq("tbl", "bkt"))
+      .select($"qid", $"vec_id").distinct()
+    val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = emb.select($"vec_id", $"embedding".as("ce"))
+    val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
+      .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+  }
+
   /** IVF coarse-quantizer ANN top-5 (the v_ann_ivf pipeline): K=8
     * deterministic integer centroids, max-inner-product assignment,
     * nprobe=2 inverted-list probe, exact cosine re-score. Returns
@@ -2190,36 +2216,39 @@ object Pipeline {
           col("rnk"))
         .orderBy(col("qid"), col("rnk"))),
 
+    // Multi-probe recall eval: recall@5 + top-1 hit of the multi-probe
+    // index vs exact top-5, beside v_recall_eval's single-probe
+    // numbers — the measured evidence that probing 1-bit-flip
+    // neighbors buys recall (the ANN eval table's fifth row).
+    "v_recall_eval_mp" -> ((s, d) => {
+      import s.implicits._
+      val mp = annLshMultiprobeTop5(s, d)
+        .select($"qid", $"vec_id", $"rnk".as("mp_rnk"))
+      val ex = annExactTop10(s, d).filter($"rnk" <= 5)
+        .select($"qid", $"vec_id", $"rnk".as("ex_rnk"))
+      val hits = mp.join(ex, Seq("qid", "vec_id"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("hits"),
+          min(when($"ex_rnk" === 1, $"mp_rnk")).as("top1_at"))
+      ex.select($"qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", coalesce($"hits", lit(0L)).as("hits"),
+          (coalesce($"hits", lit(0L)) * 20).as("recall_x100"),
+          $"top1_at".isNotNull.cast("long").as("top1_hit"))
+        .orderBy($"qid")
+    }),
+
     // Multi-probe LSH (Lv et al. 2007): each query probes its bucket
     // AND the 8 one-bit-flip neighbors per table — the recall of many
     // more hash tables at the memory cost of one, since only the
     // QUERY side fans out (9× on 3 queries) while the corpus index
     // stays untouched. Same exact re-score discipline as single-probe.
-    "v_ann_lsh_multiprobe" -> ((s, d) => {
-      import s.implicits._
-      val emb = embeddings(s, d).select($"vec_id", $"embedding")
-      val bucketed = emb.select($"vec_id",
-        posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
-      val flips = lit(0) +: (0 until 8).map(j => lit(1 << j))
-      val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
-        .select($"vec_id".as("qid"), $"tbl",
-          explode(array(flips.map(f => $"bkt".bitwiseXOR(f)): _*))
-            .as("bkt"))
-      val cand = bucketed.filter(!$"vec_id".isin(0, 1, 2))
-        .join(broadcast(qb), Seq("tbl", "bkt"))
-        .select($"qid", $"vec_id").distinct()
-      val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val c = emb.select($"vec_id", $"embedding".as("ce"))
-      val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
-        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
-        .select($"qid", $"vec_id",
-          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"),
-          $"rnk")
-        .orderBy($"qid", $"rnk")
-    }),
+    "v_ann_lsh_multiprobe" -> ((s, d) =>
+      annLshMultiprobeTop5(s, d)
+        .select(col("qid"), col("vec_id"),
+          floor(col("cos") * 10000 + 0.5).cast("long").as("score_x10000"),
+          col("rnk"))
+        .orderBy(col("qid"), col("rnk"))),
 
     // ANN quality evaluation: recall@5 and top-1 hit of the LSH index
     // against the exact brute-force top-5, per query — the eval table a
@@ -3446,6 +3475,49 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "v_recall_eval_mp" ->
+      s"""WITH $lshBucketsSql,
+         probes AS (SELECT b.vec_id AS qid, b.tbl, xor(b.bkt, f.f) AS bkt
+           FROM bits b, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f) f
+           WHERE b.vec_id IN (0,1,2)),
+         cand AS (SELECT DISTINCT p.qid, c.vec_id AS vid
+           FROM bits c JOIN probes p ON c.tbl = p.tbl AND c.bkt = p.bkt
+           WHERE c.vec_id NOT IN (0,1,2)),
+         mdots AS (SELECT cand.qid, cand.vid AS vec_id,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+             sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nq,
+             sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nc
+           FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+             JOIN embeddings b ON b.vec_id = cand.vid, range(1, 65) t(i)
+           GROUP BY 1, 2),
+         mp5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM mdots) WHERE rnk <= 5),
+         eq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0,1,2)),
+         ec AS (SELECT vec_id, embedding AS ce FROM embeddings
+           WHERE vec_id NOT IN (0,1,2)),
+         edots AS (SELECT qid, vec_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM eq, ec, range(1, 65) t(i) GROUP BY qid, vec_id),
+         ex5 AS (SELECT qid, vec_id, rnk FROM (SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS INT) AS rnk
+           FROM edots) WHERE rnk <= 5),
+         h AS (SELECT m.qid, count(*) AS hits,
+             min(CASE WHEN e.rnk = 1 THEN m.rnk END) AS top1_at
+           FROM mp5 m JOIN ex5 e
+             ON m.qid = e.qid AND m.vec_id = e.vec_id
+           GROUP BY 1)
+         SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) * 20 AS BIGINT) AS recall_x100,
+           CAST(CASE WHEN h.top1_at IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS top1_hit
+         FROM (SELECT DISTINCT qid FROM ex5) q
+         LEFT JOIN h USING (qid) ORDER BY q.qid""",
     "v_ann_lsh_multiprobe" ->
       s"""WITH $lshBucketsSql,
          probes AS (SELECT b.vec_id AS qid, b.tbl, xor(b.bkt, f.f) AS bkt

@@ -2756,6 +2756,41 @@ object Analytics {
         .orderBy($"v")
     }),
 
+    // Cohort LTV curves: users cohort by first-seen week; per
+    // (cohort, week offset) the per-user cumulative revenue in cents —
+    // the lifetime-value table under every retention-economics chart.
+    // First-seen is a partial-aggregable min; the cumulative sum runs
+    // over the tiny cohort × offset matrix, not events.
+    "x_cohort_ltv" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select($"user_id", $"ts", $"event_type", $"value")
+        .localCheckpoint(false)
+      val firstSeen = ev.groupBy($"user_id")
+        .agg(min($"ts").as("first_ts"))
+        .select($"user_id",
+          expr("datediff(to_date(first_ts), date '2024-01-01') div 7")
+            .as("cohort"))
+      val weekly = ev.filter($"event_type" === "purchase")
+        .join(firstSeen, Seq("user_id"))
+        .groupBy($"cohort",
+          expr("datediff(to_date(ts), date '2024-01-01') div 7")
+            .as("wk"))
+        .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+        .select($"cohort", ($"wk" - $"cohort").as("offset_wk"), $"cents")
+      val sizes = firstSeen.groupBy($"cohort")
+        .agg(countDistinct($"user_id").as("n_users"))
+      val w = Window.partitionBy($"cohort").orderBy($"offset_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("cum_cents", sum($"cents").over(w))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select($"cohort", $"offset_wk", $"n_users", $"cum_cents",
+          expr("cum_cents div n_users").as("ltv_per_user_cents"))
+        .orderBy($"cohort", $"offset_wk")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -3997,6 +4032,30 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "x_cohort_ltv" ->
+      """WITH fs AS (SELECT user_id,
+             datediff('day', DATE '2024-01-01',
+               CAST(min(CAST(ts AS TIMESTAMP)) AS DATE)) // 7 AS cohort
+           FROM events GROUP BY 1),
+         wk AS (SELECT fs.cohort,
+             datediff('day', DATE '2024-01-01',
+               CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) // 7 - fs.cohort
+               AS offset_wk,
+             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM events e JOIN fs USING (user_id)
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+         sz AS (SELECT cohort, count(DISTINCT user_id) AS n_users
+           FROM fs GROUP BY 1),
+         c AS (SELECT cohort, offset_wk, cents,
+             sum(cents) OVER (PARTITION BY cohort ORDER BY offset_wk
+               ROWS UNBOUNDED PRECEDING) AS cum_cents
+           FROM wk)
+         SELECT c.cohort, c.offset_wk, sz.n_users,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
+         FROM c JOIN sz USING (cohort)
+         ORDER BY cohort, offset_wk""",
     "v_neighbor_features" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          raw AS (SELECT d.doc_id AS src,

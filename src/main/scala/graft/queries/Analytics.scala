@@ -2791,6 +2791,28 @@ object Analytics {
         .orderBy($"cohort", $"offset_wk")
     }),
 
+    // Tamper-evident hash chain per user (the audit-log integrity
+    // check): events fold in (ts, event_id) order through
+    // h ← md5(h ∥ event_id) — any insertion, deletion, or reorder
+    // anywhere in the history changes the head hash. The fold is a
+    // codegen'd aggregate() HOF over the per-user sorted array
+    // (deterministic under any partitioning); verification across
+    // replicas compares one row per key.
+    "c32_hash_chain" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            transform(array_sort(collect_list(struct($"ts_us", $"event_id"))),
+              x => x.getField("event_id").cast("string")),
+            lit("seed"),
+            (acc, x) => md5(concat(acc, x).cast("binary")))
+            .as("chain_head"))
+        .orderBy($"user_id")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4032,6 +4054,18 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "c32_hash_chain" ->
+      """WITH e AS (SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+           FROM events),
+         l AS (SELECT user_id, count(*) AS n_events,
+             list(CAST(event_id AS VARCHAR)
+               ORDER BY ts_us, event_id) AS ids
+           FROM e GROUP BY 1)
+         SELECT user_id, n_events,
+           list_reduce(list_prepend('seed', ids),
+             (a, b) -> md5(a || b)) AS chain_head
+         FROM l ORDER BY user_id""",
     "x_cohort_ltv" ->
       """WITH fs AS (SELECT user_id,
              datediff('day', DATE '2024-01-01',

@@ -2813,6 +2813,79 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
+    // Low-side outage detection — the spike detector's mirror: a
+    // bucket is flagged when its count falls below 2/3 of the trailing
+    // 8-bucket average (12·cnt < trail_sum, full trail required) —
+    // the silent-pipeline-death alarm; same rows-frame shape as
+    // w_stream_anomaly, whose ring-state streaming twin carries the
+    // identical trailing window.
+    "w_stream_outage" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val buckets = events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val tw = Window.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(-8, -1)
+      buckets
+        .withColumn("trail_n", count(lit(1)).over(tw))
+        .withColumn("trail_sum_raw", coalesce(sum($"cnt").over(tw), lit(0L)))
+        .select($"event_type",
+          date_format($"hr", "yyyy-MM-dd HH:mm").as("hr"), $"cnt",
+          when($"trail_n" === 8 && $"cnt" * 12 < $"trail_sum_raw", 1L)
+            .otherwise(0L).as("outage_flag"))
+        .filter($"outage_flag" === 1)
+        .orderBy($"event_type", $"hr")
+    }),
+
+    // Week-over-week change per event type (the reporting staple):
+    // weekly counts, previous week via lag over the tiny
+    // (type × week) matrix, delta in exact per-mille integers.
+    "x_wow_change" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val weekly = events(s, d)
+        .groupBy($"event_type",
+          expr("datediff(to_date(ts), date '2024-01-01') div 7").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"wk")
+      weekly
+        .withColumn("prev", lag($"n", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"event_type", $"wk", $"n", $"prev",
+          expr("((n - prev) * 1000) div prev").as("delta_permille"))
+        .orderBy($"event_type", $"wk")
+    }),
+
+    // Population-stability-index drift monitor (the model-monitoring
+    // standard): length-bin distributions of the corpus's two halves
+    // compared as PSI = Σ (p−q)·ln(p/q), add-one smoothed, each bin's
+    // term floor-quantized ×1e6 so the sum replays exactly; PSI ≥ 0.2
+    // is the conventional "investigate" flag. Two conditional counts
+    // per bin from ONE scan.
+    "x_psi_drift" -> ((s, d) => {
+      import s.implicits._
+      val bins = documents(s, d)
+        .select(expr("n_chars div 100").as("bin"),
+          ($"doc_id" % 2 === 0).as("a"))
+        .groupBy($"bin")
+        .agg(sum(when($"a", 1L).otherwise(0L)).as("ca"),
+          sum(when(!$"a", 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint(false)
+      val tots = bins.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val terms = bins.crossJoin(broadcast(tots))
+        .select($"bin", $"ca", $"cb",
+          floor((($"ca" + 1).cast("double") / ($"na" + 1) -
+            ($"cb" + 1).cast("double") / ($"nb" + 1)) *
+            log((($"ca" + 1) * ($"nb" + 1)).cast("double") /
+              (($"cb" + 1) * ($"na" + 1)).cast("double")) * 1e6)
+            .cast("long").as("term_x1e6"))
+      terms.agg(count(lit(1)).as("n_bins"),
+          sum($"term_x1e6").as("psi_x1e6"))
+        .select($"n_bins", $"psi_x1e6",
+          when($"psi_x1e6" >= 200000L, 1L).otherwise(0L).as("drift_flag"))
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4054,6 +4127,53 @@ object Analytics {
            CAST(max(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS rewrite_needed
          FROM events""",
+    "w_stream_outage" ->
+      """WITH b AS (SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hr,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT *, count(*) OVER tw AS trail_n,
+             coalesce(sum(cnt) OVER tw, 0) AS trail_sum
+           FROM b
+           WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M') AS hr, cnt,
+           CAST(1 AS BIGINT) AS outage_flag
+         FROM w WHERE trail_n = 8 AND cnt * 12 < trail_sum
+         ORDER BY event_type, hr""",
+    "x_wow_change" ->
+      """WITH weekly AS (SELECT event_type,
+             datediff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS wk,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT *, lag(n) OVER (PARTITION BY event_type
+             ORDER BY wk) AS prev
+           FROM weekly)
+         SELECT event_type, CAST(wk AS BIGINT) AS wk, n,
+           CAST(prev AS BIGINT) AS prev,
+           CAST(((n - prev) * 1000) // prev AS BIGINT) AS delta_permille
+         FROM l WHERE prev IS NOT NULL ORDER BY event_type, wk""",
+    "x_psi_drift" ->
+      """WITH bins AS (SELECT n_chars // 100 AS bin,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS cb
+           FROM documents GROUP BY 1),
+         t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM bins),
+         terms AS (SELECT bin,
+             CAST(floor((CAST(ca + 1 AS DOUBLE) / (na + 1) -
+               CAST(cb + 1 AS DOUBLE) / (nb + 1)) *
+               ln(CAST((ca + 1) * (nb + 1) AS DOUBLE) /
+                 CAST((cb + 1) * (na + 1) AS DOUBLE)) * 1e6) AS BIGINT)
+               AS term_x1e6
+           FROM bins, t)
+         SELECT count(*) AS n_bins,
+           CAST(sum(term_x1e6) AS BIGINT) AS psi_x1e6,
+           CAST(CASE WHEN sum(term_x1e6) >= 200000 THEN 1 ELSE 0 END
+             AS BIGINT) AS drift_flag
+         FROM terms""",
     "c32_hash_chain" ->
       """WITH e AS (SELECT user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id

@@ -61,6 +61,39 @@ class CrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("operators are partitioning-invariant: 3 vs 13 partitions agree") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(99L)
+    val pts = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(80).toLong + 1, rnd.nextInt(40).toLong + 1))
+      .toDF("id", "price_x100", "p_size")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Analytics.paretoFrontier(df).select($"id").as[Long].collect().toSet
+    assert(ids(pts.repartition(3)) == ids(pts.repartition(13)),
+      "pareto frontier must not depend on physical partitioning")
+
+    val evs = Seq.tabulate(600)(i => (rnd.nextInt(9).toLong, i.toLong,
+      rnd.nextInt(30000).toLong, "view"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      Analytics.sessionize(df, 900L)
+        .select($"user_id", $"session_start_us", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(sess(evs.repartition(3)) == sess(evs.repartition(13)),
+      "sessionization must not depend on physical partitioning")
+
+    val es = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+    def core(df: org.apache.spark.sql.DataFrame) =
+      Analytics.kcore(df, 3, 3).select($"v", $"deg")
+        .as[(Long, Long)].collect().toSet
+    assert(core(es.repartition(3)) == core(es.repartition(13)),
+      "k-core must not depend on physical partitioning")
+  }
+
   test("sessionize equals a linear per-user scan on random event streams") {
     val sparkS = spark
     import sparkS.implicits._

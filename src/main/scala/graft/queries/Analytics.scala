@@ -186,6 +186,48 @@ object Analytics {
       .filter($"support" >= minSupport)
   }
 
+  /** Trained char-bigram naive-Bayes language classifier (the
+    * x_langid_ngram gate): trains on even doc_ids, classifies the odd
+    * half, returns the confusion matrix (lang, pred_lang, n, hit).
+    * The model is vocabulary-bounded and broadcasts; inference is pure
+    * integer sums of once-quantized log-probs.
+    */
+  def langidNgram(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.filter(length($"text") >= 2)
+      .select($"doc_id", $"lang",
+        explode(expr(
+          "transform(sequence(1, length(text) - 1)," +
+            " i -> substring(text, i, 2))")).as("bg"))
+      .localCheckpoint(false)
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val cnts = train.groupBy($"lang".as("mlang"), $"bg")
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val tots = cnts.groupBy($"mlang").agg(sum($"c").as("tot"))
+    val vocab = cnts.select($"bg").distinct()
+      .agg(count(lit(1)).as("v"))
+    val langs = tots.select($"mlang", $"tot")
+      .crossJoin(broadcast(vocab))
+    // doc-side bigram counts on the EVAL half
+    val docBg = docs.filter($"doc_id" % 2 === 1)
+      .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
+    val scored = docBg
+      .crossJoin(broadcast(langs))
+      .join(broadcast(cnts), Seq("mlang", "bg"), "left")
+      .select($"doc_id", $"lang", $"mlang",
+        ($"n" * floor(log((coalesce($"c", lit(0L)) + 1).cast("double") /
+          ($"tot" + $"v").cast("double")) * 1e6).cast("long"))
+          .as("term"))
+      .groupBy($"doc_id", $"lang", $"mlang")
+      .agg(sum($"term").as("score"))
+    scored.groupBy($"doc_id", $"lang")
+      .agg(max(struct($"score", $"mlang")).as("best"))
+      .select($"lang", $"best.mlang".as("pred_lang"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"),
+        max(when($"lang" === $"pred_lang", 1L).otherwise(0L)).as("hit"))
+  }
+
   /** CDC latest-state snapshot: fold an upsert/delete change stream to
     * the live state by per-key argmax over (ts, change_id) — a
     * partial-aggregable max(struct(...)), NOT a row_number window, so
@@ -2689,38 +2731,7 @@ object Analytics {
     // scoring is one explode + one keyed join + two aggregates.
     "x_langid_ngram" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d).filter(length($"text") >= 2)
-        .select($"doc_id", $"lang",
-          explode(expr(
-            "transform(sequence(1, length(text) - 1)," +
-              " i -> substring(text, i, 2))")).as("bg"))
-        .localCheckpoint(false)
-      val train = docs.filter($"doc_id" % 2 === 0)
-      val cnts = train.groupBy($"lang".as("mlang"), $"bg")
-        .agg(count(lit(1)).as("c")).localCheckpoint(false)
-      val tots = cnts.groupBy($"mlang").agg(sum($"c").as("tot"))
-      val vocab = cnts.select($"bg").distinct()
-        .agg(count(lit(1)).as("v"))
-      val langs = tots.select($"mlang", $"tot")
-        .crossJoin(broadcast(vocab))
-      // doc-side bigram counts on the EVAL half
-      val docBg = docs.filter($"doc_id" % 2 === 1)
-        .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
-      val scored = docBg
-        .crossJoin(broadcast(langs))
-        .join(broadcast(cnts), Seq("mlang", "bg"), "left")
-        .select($"doc_id", $"lang", $"mlang",
-          ($"n" * floor(log((coalesce($"c", lit(0L)) + 1).cast("double") /
-            ($"tot" + $"v").cast("double")) * 1e6).cast("long"))
-            .as("term"))
-        .groupBy($"doc_id", $"lang", $"mlang")
-        .agg(sum($"term").as("score"))
-      scored.groupBy($"doc_id", $"lang")
-        .agg(max(struct($"score", $"mlang")).as("best"))
-        .select($"lang", $"best.mlang".as("pred_lang"))
-        .groupBy($"lang", $"pred_lang")
-        .agg(count(lit(1)).as("n"),
-          max(when($"lang" === $"pred_lang", 1L).otherwise(0L)).as("hit"))
+      langidNgram(documents(s, d).select($"doc_id", $"lang", $"text"))
         .orderBy($"lang", $"pred_lang")
     }),
 

@@ -505,6 +505,60 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  final case class KeyVal(user_id: Long, event_type: String)
+  final case class DistinctOut(user_id: Long, n_distinct: Long,
+                               new_this_batch: Long)
+
+  /** Streaming exact distinct-count per key on `transformWithState`
+    * MAP state: the seen-set lives in RocksDB as per-element map
+    * entries — membership probes and inserts touch ONLY the probed
+    * element (a ValueState holding a Set would deserialize the whole
+    * set per batch; the map scales to large cardinalities because the
+    * store, not the JVM heap, owns it). Emits the running distinct
+    * count + this batch's novelty per key per batch.
+    */
+  final class DistinctCountProcessor
+      extends StatefulProcessor[Long, KeyVal, DistinctOut] {
+    @transient private var seen: org.apache.spark.sql.streaming.MapState[String, Boolean] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getMapState[String, Boolean]("seen",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[KeyVal],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DistinctOut] = {
+      var total = if (cnt.exists()) cnt.get() else 0L
+      var fresh = 0L
+      for (r <- rows) {
+        if (!seen.containsKey(r.event_type)) {
+          seen.updateValue(r.event_type, true)
+          total += 1
+          fresh += 1
+        }
+      }
+      cnt.update(total)
+      Iterator.single(DistinctOut(user, total, fresh))
+    }
+  }
+
+  /** [[DistinctCountProcessor]] wired over a keyed stream. */
+  def distinctCountStream(events: Dataset[KeyVal]): Dataset[DistinctOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new DistinctCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

@@ -557,6 +557,22 @@ class ScaleSpec extends SparkSpec {
     assert(ratio < 25, s"basket pair space grew superlinearly: $ratio")
   }
 
+  test("soak: trained langid shuffle ~linear at 10x corpus (model vocab-bound)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the model side (bigram counts, totals, vocab) is bounded by the
+    // character-bigram vocabulary and broadcasts; only the doc-side
+    // explode and per-doc score aggregation scale with the corpus
+    def docsAt(n: Long) = syntheticDocs(n).select($"doc_id",
+      concat(lit("l"), pmod($"doc_id", lit(5))).as("lang"), $"text")
+    val l1 = measure(graft.queries.Analytics.langidNgram(docsAt(3000L)))
+    val l10 = measure(graft.queries.Analytics.langidNgram(docsAt(30000L)))
+    assert(l1._1 > 0, "langid: no shuffle measured at base size")
+    val ratio = l10._1.toDouble / l1._1
+    info(f"langid: shuffle ${l1._1}B -> ${l10._1}B ($ratio%.1fx)")
+    assert(ratio < 25, s"langid shuffle grew superlinearly: $ratio")
+  }
+
   private final class TaskMetricsProbe
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong

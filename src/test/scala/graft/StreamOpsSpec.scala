@@ -838,6 +838,48 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("MapState distinct count: membership survives batches, novelty per batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.{DistinctOut, KeyVal}
+    implicit val sc = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[KeyVal]
+    val q = StreamOps.distinctCountStream(input.toDS())
+      .writeStream.format("memory").queryName("dcount")
+      .outputMode("update").start()
+    try {
+      def latest(): Map[Long, (Long, Long)] =
+        spark.table("dcount").as[DistinctOut].collect()
+          .groupBy(_.user_id).view
+          .mapValues(rs => (rs.last.n_distinct, rs.last.new_this_batch))
+          .toMap
+      // batch 1: u1 sees two types (one duplicated); u2 one
+      input.addData(KeyVal(1L, "view"), KeyVal(1L, "click"),
+        KeyVal(1L, "view"), KeyVal(2L, "view"))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> (2L, 2L), 2L -> (1L, 1L)))
+      // batch 2: u1 repeats across the BATCH BOUNDARY (no growth) and
+      // adds one new; u2 silent (no row emitted for silent keys)
+      input.addData(KeyVal(1L, "view"), KeyVal(1L, "purchase"))
+      q.processAllAvailable()
+      assert(latest()(1L) == (3L, 1L),
+        s"cross-batch membership must hold, got ${latest()}")
+      assert(latest()(2L) == (1L, 1L), "silent keys emit nothing new")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("interval join takes key/ts column names; missing columns fail typed") {
     val sparkS = spark
     import sparkS.implicits._

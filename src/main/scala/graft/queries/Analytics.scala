@@ -2897,6 +2897,31 @@ object Analytics {
           when($"psi_x1e6" >= 200000L, 1L).otherwise(0L).as("drift_flag"))
     }),
 
+    // Edge embeddedness / weak-tie profile (Granovetter): per edge its
+    // triangle support (how many triangles contain it), folded to the
+    // support histogram — support-0 edges are the weak ties a
+    // community-aware sampler treats differently. Triangles come from
+    // the degree-ordered enumerator; each triangle charges its three
+    // canonical edges through one explode + keyed aggregates, and the
+    // histogram left-joins back to count the zero-support tail.
+    "v_edge_support" -> ((s, d) => {
+      import s.implicits._
+      val edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      val tris = triangleCorners(edges)
+      val triEdges = tris.select(explode(array(
+          struct(least($"x", $"y").as("a"), greatest($"x", $"y").as("b")),
+          struct(least($"x", $"z").as("a"), greatest($"x", $"z").as("b")),
+          struct(least($"y", $"z").as("a"), greatest($"y", $"z").as("b"))))
+          .as("e"))
+        .select($"e.a", $"e.b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
+      edges.join(triEdges, Seq("a", "b"), "left")
+        .select(coalesce($"support", lit(0L)).as("support"))
+        .groupBy($"support")
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy($"support")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4221,6 +4246,33 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "v_edge_support" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS dg FROM
+           (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+         o AS (SELECT
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS lo,
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS hi,
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dh
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         w AS (SELECT o1.lo AS x, o1.hi AS y, o2.hi AS z
+           FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+           WHERE (o1.dh, o1.hi) < (o2.dh, o2.hi)),
+         tris AS (SELECT w.x, w.y, w.z
+           FROM w JOIN o ON o.lo = w.y AND o.hi = w.z),
+         te AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM tris
+           UNION ALL SELECT least(x, z), greatest(x, z) FROM tris
+           UNION ALL SELECT least(y, z), greatest(y, z) FROM tris),
+         sup AS (SELECT a, b, count(*) AS support FROM te GROUP BY 1, 2)
+         SELECT CAST(coalesce(sup.support, 0) AS BIGINT) AS support,
+           count(*) AS n_edges
+         FROM e LEFT JOIN sup USING (a, b)
+         GROUP BY 1 ORDER BY support""",
     "v_neighbor_features" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          raw AS (SELECT d.doc_id AS src,

@@ -2922,6 +2922,29 @@ object Analytics {
         .orderBy($"support")
     }),
 
+    // Local clustering coefficient (Watts–Strogatz): per node with
+    // degree ≥ 2, triangles-at-node / (deg choose 2) ×1e6 — the
+    // community-density score under every "how clumpy is this graph"
+    // question. Triangle counts and degrees both come from
+    // partial-aggregable folds over the same enumerator; one keyed
+    // join marries them.
+    "v_clustering_coeff" -> ((s, d) => {
+      import s.implicits._
+      val edges = linkGraphEdges(documents(s, d)).localCheckpoint(false)
+      val tris = triangleCorners(edges)
+      val triAt = tris.select(explode(array($"x", $"y", $"z")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("t"))
+      val deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("dg"))
+      deg.filter($"dg" >= 2)
+        .join(triAt, Seq("v"), "left")
+        .select($"v", $"dg",
+          coalesce($"t", lit(0L)).as("triangles"),
+          expr("(coalesce(t, 0) * 2000000) div (dg * (dg - 1))")
+            .as("coeff_x1e6"))
+        .orderBy($"v")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4246,6 +4269,34 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "v_clustering_coeff" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         raw AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS dg FROM
+           (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+         o AS (SELECT
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS lo,
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS hi,
+             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dh
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         w AS (SELECT o1.lo AS x, o1.hi AS y, o2.hi AS z
+           FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+           WHERE (o1.dh, o1.hi) < (o2.dh, o2.hi)),
+         tris AS (SELECT w.x, w.y, w.z
+           FROM w JOIN o ON o.lo = w.y AND o.hi = w.z),
+         ta AS (SELECT v, count(*) AS t FROM
+           (SELECT x AS v FROM tris UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris) GROUP BY 1)
+         SELECT CAST(deg.v AS BIGINT) AS v, CAST(deg.dg AS BIGINT) AS dg,
+           CAST(coalesce(ta.t, 0) AS BIGINT) AS triangles,
+           CAST((coalesce(ta.t, 0) * 2000000) // (deg.dg * (deg.dg - 1))
+             AS BIGINT) AS coeff_x1e6
+         FROM deg LEFT JOIN ta USING (v)
+         WHERE deg.dg >= 2 ORDER BY v""",
     "v_edge_support" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          raw AS (SELECT d.doc_id AS src,

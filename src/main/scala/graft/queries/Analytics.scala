@@ -2945,6 +2945,29 @@ object Analytics {
         .orderBy($"v")
     }),
 
+    // Corpus-driven stopword discovery: tokens present in over 60% of
+    // documents, with the language spread that separates true
+    // function words (everywhere) from topical ones — the list the
+    // stopword-ratio quality signals and BM25 pruning consume.
+    // Document frequency via one distinct + partial-agg count; the
+    // threshold is a cross-multiplied integer against a 1-row total.
+    "x_stopword_discovery" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      val df = docs
+        .select($"doc_id", $"lang", explode(words($"text")).as("tk"))
+        .filter($"tk" =!= "")
+        .groupBy($"tk")
+        .agg(countDistinct($"doc_id").as("df"),
+          countDistinct($"lang").as("n_langs"))
+      df.crossJoin(broadcast(tot))
+        .filter($"df" * 10 > $"n_docs" * 6)
+        .select($"tk", $"df", $"n_langs",
+          floor($"df" * 10000 / $"n_docs").cast("long").as("df_x10000"))
+        .orderBy($"df".desc, $"tk")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4269,6 +4292,20 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "x_stopword_discovery" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+           WHERE len(trim(text)) > 0),
+         t AS (SELECT count(*) AS n_docs FROM d),
+         tok AS (SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), ' +')) AS tk
+           FROM d),
+         df AS (SELECT tk, count(DISTINCT doc_id) AS df,
+             count(DISTINCT lang) AS n_langs
+           FROM tok WHERE tk <> '' GROUP BY 1)
+         SELECT tk, df, n_langs,
+           CAST(floor(df * 10000 / t.n_docs) AS BIGINT) AS df_x10000
+         FROM df, t WHERE df * 10 > t.n_docs * 6
+         ORDER BY df DESC, tk""",
     "v_clustering_coeff" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          raw AS (SELECT d.doc_id AS src,

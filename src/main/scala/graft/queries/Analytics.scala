@@ -2968,6 +2968,45 @@ object Analytics {
         .orderBy($"df".desc, $"tk")
     }),
 
+    // SQL join-hint surface: a literal spark.sql query carrying a
+    // /*+ BROADCAST */ hint — the escape hatch when statistics
+    // mislead the planner; PlanQualitySpec pins that the hint actually
+    // produced a broadcast join. Results are the plain join semantics
+    // (hints must never change answers).
+    "q_sql_hint" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_h")
+      customer(s, d).createOrReplaceTempView("customer_h")
+      s.sql(
+        """SELECT /*+ BROADCAST(customer_h) */
+             c.c_mktsegment, count(*) AS n,
+             CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT)
+               AS total_x100
+           FROM orders_h o JOIN customer_h c
+             ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment
+           ORDER BY c.c_mktsegment""")
+    }),
+
+    // Dormancy / reactivation (the win-back metric): per user, gaps
+    // over 7 days between consecutive events counted as dormancy
+    // episodes, with the longest gap — one lag window over per-user
+    // events + one aggregate.
+    "x_reactivation" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"gap_us" > 7L * 86400 * 1000000, 1L).otherwise(0L))
+            .as("reactivations"),
+          expr("coalesce(max(gap_us), 0) div 1000000")
+            .as("longest_gap_secs"))
+        .orderBy($"user_id")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4292,6 +4331,26 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "q_sql_hint" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+           CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS total_x100
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    "x_reactivation" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events),
+         g AS (SELECT user_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS gap_us
+           FROM e)
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN gap_us > 604800000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS reactivations,
+           CAST(coalesce(max(gap_us), 0) // 1000000 AS BIGINT)
+             AS longest_gap_secs
+         FROM g GROUP BY 1 ORDER BY user_id""",
     "x_stopword_discovery" ->
       """WITH d AS (SELECT doc_id, lang, text FROM documents
            WHERE len(trim(text)) > 0),

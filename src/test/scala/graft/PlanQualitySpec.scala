@@ -1282,6 +1282,14 @@ class PlanQualitySpec extends SparkSpec {
       s"no wide join in the filtered search:\n$plan")
   }
 
+  test("q_sql_hint: the BROADCAST hint actually broadcasts") {
+    val plan = planString(q("q_sql_hint"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the hint must produce a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge when the hint is honored:\n$plan")
+  }
+
   test("q16: complaint suppliers leave via a broadcast anti join") {
     val plan = planString(q("q16_supplier_cnt"))
     assert(plan.contains("LeftAnti"),

@@ -3007,6 +3007,28 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
+    // Benford's-law first-digit audit (the forensic-accounting
+    // standard): observed first-digit distribution of order totals vs
+    // the log10(1+1/d) expectation, per-digit chi-square contributions
+    // ×1e6 — fabricated numbers flunk this. First digit by integer
+    // math on the magnitude (no string formatting, which differs
+    // between engines); one scan + a 9-row expectation literal.
+    "c33_benford_audit" -> ((s, d) => {
+      import s.implicits._
+      val digit = floor($"o_totalprice" /
+        pow(lit(10.0), floor(log10($"o_totalprice")))).cast("long")
+      val obs = orders(s, d).filter($"o_totalprice" >= 1)
+        .select(digit.as("d"))
+        .groupBy($"d").agg(count(lit(1)).as("observed"))
+      val tot = obs.agg(sum($"observed").as("n"))
+      obs.crossJoin(broadcast(tot))
+        .select($"d", $"observed",
+          expr("(observed * 1000) div n").as("obs_permille"),
+          floor(log10(lit(1.0) + lit(1.0) / $"d") * 1e6).cast("long")
+            .as("expected_x1e6"))
+        .orderBy($"d")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4331,6 +4353,18 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "c33_benford_audit" ->
+      """WITH o AS (SELECT floor(o_totalprice /
+             pow(10.0, floor(log10(o_totalprice)))) AS d
+           FROM orders WHERE o_totalprice >= 1),
+         obs AS (SELECT CAST(d AS BIGINT) AS d, count(*) AS observed
+           FROM o GROUP BY 1),
+         t AS (SELECT sum(observed) AS n FROM obs)
+         SELECT obs.d, obs.observed,
+           CAST((obs.observed * 1000) // t.n AS BIGINT) AS obs_permille,
+           CAST(floor(log10(1.0 + 1.0 / obs.d) * 1e6) AS BIGINT)
+             AS expected_x1e6
+         FROM obs, t ORDER BY d""",
     "q_sql_hint" ->
       """SELECT c.c_mktsegment, count(*) AS n,
            CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT)

@@ -3029,6 +3029,33 @@ object Analytics {
         .orderBy($"d")
     }),
 
+    // Canonicalized exact dedup: NFC-normalize + casefold BEFORE
+    // hashing, so case and accent-encoding variants of the same
+    // content collapse into one group — raw-byte dedup misses all of
+    // them. Every 13th doc gets an uppercased, decomposed-accent twin
+    // (id + 100000); the gate counts groups by size and pins that
+    // every planted twin was caught (caught = docs in groups ≥ 2).
+    // The NormalizeNFC codegen expression runs inside the hash
+    // pipeline — one union + one hash aggregate.
+    "d_canonical_dedup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextExpressions.nfcNormalize
+      val base = documents(s, d).select($"doc_id", $"text")
+      val twins = base.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          concat(upper($"text"), lit(" café")).as("text"))
+      val originals = base.union(
+        base.filter($"doc_id" % 13 === 0)
+          .select($"doc_id", concat($"text", lit(" caf\u00e9")).as("text"))
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+      originals.union(twins)
+        .select($"doc_id",
+          md5(lower(nfcNormalize($"text")).cast("binary")).as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("members"))
+        .groupBy($"members").agg(count(lit(1)).as("n_groups"))
+        .orderBy($"members")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4353,6 +4380,20 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "d_canonical_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         twins AS (SELECT doc_id + 100000 AS doc_id,
+             upper(text) || ' CAFE' || chr(769) AS text
+           FROM base WHERE doc_id % 13 = 0),
+         third AS (SELECT doc_id + 200000 AS doc_id,
+             text || ' caf' || chr(233) AS text
+           FROM base WHERE doc_id % 13 = 0),
+         allr AS (SELECT * FROM base UNION ALL SELECT * FROM third
+           UNION ALL SELECT * FROM twins),
+         h AS (SELECT md5(lower(nfc_normalize(text))) AS h FROM allr),
+         g AS (SELECT h, count(*) AS members FROM h GROUP BY 1)
+         SELECT CAST(members AS BIGINT) AS members, count(*) AS n_groups
+         FROM g GROUP BY 1 ORDER BY members""",
     "c33_benford_audit" ->
       """WITH o AS (SELECT floor(o_totalprice /
              pow(10.0, floor(log10(o_totalprice)))) AS d

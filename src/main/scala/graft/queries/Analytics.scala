@@ -3056,6 +3056,48 @@ object Analytics {
         .orderBy($"members")
     }),
 
+    // Lorenz curve (the Gini index's picture): user deciles by
+    // ascending activity vs their cumulative share of all events —
+    // "the bottom 50% of users produce X% of traffic". Decile
+    // assignment and the cumulative sum both run over the small user
+    // table; shares in exact basis points.
+    "x_lorenz_curve" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("x"))
+      val dec = per.withColumn("decile",
+        ntile(10).over(Window.orderBy($"x", $"user_id")))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_users"), sum($"x").as("events"))
+      val tot = dec.agg(sum($"events").as("te"))
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum_events", sum($"events").over(
+          Window.orderBy($"decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"decile".cast("long").as("decile"), $"n_users", $"events",
+          expr("(cum_events * 10000) div te").as("cum_share_x1e4"))
+        .orderBy($"decile")
+    }),
+
+    // Type-token ratio per language (lexical diversity, the
+    // repetitiveness quality signal at the vocabulary level): per doc
+    // distinct/total tokens, folded to per-lang mean in exact basis
+    // points — one explode + two partial-aggregable levels.
+    "x_type_token_ratio" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", explode(words($"text")).as("tk"))
+        .filter($"tk" =!= "")
+        .groupBy($"doc_id", $"lang")
+        .agg(countDistinct($"tk").as("types"), count(lit(1)).as("tokens"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum((types * 10000) div tokens) div count(1)")
+            .as("mean_ttr_x1e4"))
+        .orderBy($"lang")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4380,6 +4422,32 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "x_lorenz_curve" ->
+      """WITH per AS (SELECT user_id, count(*) AS x FROM events
+           GROUP BY 1),
+         dec AS (SELECT ntile(10) OVER (ORDER BY x, user_id) AS decile, x
+           FROM per),
+         g AS (SELECT decile, count(*) AS n_users,
+             CAST(sum(x) AS BIGINT) AS events
+           FROM dec GROUP BY 1),
+         t AS (SELECT sum(events) AS te FROM g),
+         c AS (SELECT *, sum(events) OVER (ORDER BY decile
+             ROWS UNBOUNDED PRECEDING) AS cum_events
+           FROM g)
+         SELECT CAST(c.decile AS BIGINT) AS decile, c.n_users, c.events,
+           CAST((c.cum_events * 10000) // t.te AS BIGINT) AS cum_share_x1e4
+         FROM c, t ORDER BY decile""",
+    "x_type_token_ratio" ->
+      """WITH tok AS (SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), ' +')) AS tk
+           FROM documents WHERE len(trim(text)) > 0),
+         p AS (SELECT doc_id, lang, count(DISTINCT tk) AS types,
+             count(*) AS tokens
+           FROM tok WHERE tk <> '' GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum((types * 10000) // tokens) // count(*) AS BIGINT)
+             AS mean_ttr_x1e4
+         FROM p GROUP BY 1 ORDER BY lang""",
     "d_canonical_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
          twins AS (SELECT doc_id + 100000 AS doc_id,

@@ -3098,6 +3098,32 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Dedup savings headline ("how many tokens does dedup buy back"):
+    // corpus characters before vs after exact text dedup, per source
+    // and overall inflation in basis points — the one number a
+    // pretraining-budget meeting asks for. One hash aggregate elects a
+    // keeper per distinct text; everything else is partial-aggregable
+    // sums.
+    "x_dup_inflation" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .select($"source", $"n_chars", md5($"text".cast("binary")).as("h"))
+        .localCheckpoint(false)
+      val kept = docs.groupBy($"h")
+        .agg(first($"n_chars").as("n_chars"), count(lit(1)).as("copies"))
+      val raw = docs.groupBy($"source")
+        .agg(count(lit(1)).as("docs_raw"), sum($"n_chars").as("chars_raw"))
+      val global = kept
+        .agg(count(lit(1)).as("docs_kept"), sum($"n_chars").as("chars_kept"),
+          sum($"n_chars" * ($"copies" - 1)).as("chars_saved"))
+      raw.crossJoin(broadcast(global))
+        .select($"source", $"docs_raw", $"chars_raw", $"docs_kept",
+          $"chars_saved",
+          expr("(chars_saved * 10000) div chars_kept")
+            .as("inflation_x1e4"))
+        .orderBy($"source")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4422,6 +4448,23 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "x_dup_inflation" ->
+      """WITH d AS (SELECT source, n_chars, md5(text) AS h
+           FROM documents),
+         kept AS (SELECT h, min(n_chars) AS n_chars, count(*) AS copies
+           FROM d GROUP BY 1),
+         raw AS (SELECT source, count(*) AS docs_raw,
+             CAST(sum(n_chars) AS BIGINT) AS chars_raw
+           FROM d GROUP BY 1),
+         g AS (SELECT count(*) AS docs_kept,
+             CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+             CAST(sum(n_chars * (copies - 1)) AS BIGINT) AS chars_saved
+           FROM kept)
+         SELECT raw.source, raw.docs_raw, raw.chars_raw, g.docs_kept,
+           g.chars_saved,
+           CAST((g.chars_saved * 10000) // g.chars_kept AS BIGINT)
+             AS inflation_x1e4
+         FROM raw, g ORDER BY source""",
     "x_lorenz_curve" ->
       """WITH per AS (SELECT user_id, count(*) AS x FROM events
            GROUP BY 1),

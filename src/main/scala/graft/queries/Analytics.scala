@@ -3124,6 +3124,29 @@ object Analytics {
         .orderBy($"source")
     }),
 
+    // Heaps'-law vocabulary growth: distinct-token count as the corpus
+    // grows — computed WITHOUT re-scanning any prefix: each token's
+    // FIRST-occurrence doc (a partial-aggregable min) buckets it where
+    // it entered the vocabulary, one cumulative sum finishes the
+    // curve. The synthetic corpus's closed vocabulary saturates within
+    // the first few documents, so the buckets are the first 10 docs +
+    // the tail — the curve SHOWS the saturation (Heaps' exponent ~0).
+    "x_vocab_growth" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(words($"text")).as("tk"))
+        .filter($"tk" =!= "")
+        .groupBy($"tk").agg(min($"doc_id").as("first_doc"))
+      firstSeen
+        .select(least($"first_doc", lit(10L)).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("new_types"))
+        .withColumn("vocab_size", sum($"new_types").over(
+          Window.orderBy($"bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy($"bucket")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4448,6 +4471,19 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "x_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS tk
+           FROM documents WHERE len(trim(text)) > 0),
+         fs AS (SELECT tk, min(doc_id) AS first_doc FROM tok
+           WHERE tk <> '' GROUP BY 1),
+         g AS (SELECT CAST(least(first_doc, 10) AS BIGINT) AS bucket,
+             count(*) AS new_types
+           FROM fs GROUP BY 1)
+         SELECT bucket, new_types,
+           CAST(sum(new_types) OVER (ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+         FROM g ORDER BY bucket""",
     "x_dup_inflation" ->
       """WITH d AS (SELECT source, n_chars, md5(text) AS h
            FROM documents),

@@ -3147,6 +3147,42 @@ object Analytics {
         .orderBy($"bucket")
     }),
 
+    // Exact two-sample Kolmogorov–Smirnov statistic (the unbinned
+    // complement to the PSI monitor): D = max |F_a(x) − F_b(x)| over
+    // src0 vs src1 length distributions — per-source running counts
+    // from ONE ordered window pass over the merged values, each row's
+    // CDF gap floor-quantized ×1e6, folded by max. The critical value
+    // at α=0.05 (1.358·√((na+nb)/(na·nb))) rides along, same
+    // quantization.
+    "x_ks_test" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val vals = documents(s, d)
+        .filter($"source".isin("src0", "src1"))
+        .select($"n_chars", ($"source" === "src0").as("isa"),
+          $"doc_id")
+        .localCheckpoint(false)
+      val tot = vals.agg(sum(when($"isa", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"isa", 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy($"n_chars", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals.crossJoin(broadcast(tot))
+        .withColumn("ca", sum(when($"isa", 1L).otherwise(0L)).over(w))
+        .withColumn("cb", sum(when(!$"isa", 1L).otherwise(0L)).over(w))
+        .select(floor(abs($"ca".cast("double") / $"na" -
+          $"cb".cast("double") / $"nb") * 1e6).cast("long").as("gap"),
+          $"na", $"nb")
+        .groupBy($"na", $"nb")
+        .agg(max($"gap").as("d_x1e6"))
+        .select($"na", $"nb", $"d_x1e6",
+          floor(lit(1.358) * sqrt(($"na" + $"nb").cast("double") /
+            ($"na" * $"nb").cast("double")) * 1e6).cast("long")
+            .as("crit05_x1e6"))
+        .select($"na", $"nb", $"d_x1e6", $"crit05_x1e6",
+          when($"d_x1e6" > $"crit05_x1e6", 1L).otherwise(0L)
+            .as("reject_flag"))
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4471,6 +4507,31 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "x_ks_test" ->
+      """WITH v AS (SELECT n_chars, source = 'src0' AS isa, doc_id
+           FROM documents WHERE source IN ('src0', 'src1')),
+         t AS (SELECT sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb
+           FROM v),
+         c AS (SELECT
+             sum(CASE WHEN isa THEN 1 ELSE 0 END) OVER w AS ca,
+             sum(CASE WHEN isa THEN 0 ELSE 1 END) OVER w AS cb
+           FROM v
+           WINDOW w AS (ORDER BY n_chars, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         g AS (SELECT CAST(max(floor(abs(
+             CAST(c.ca AS DOUBLE) / t.na - CAST(c.cb AS DOUBLE) / t.nb)
+             * 1e6)) AS BIGINT) AS d_x1e6,
+             CAST(min(t.na) AS BIGINT) AS na, CAST(min(t.nb) AS BIGINT)
+               AS nb
+           FROM c, t)
+         SELECT na, nb, d_x1e6,
+           CAST(floor(1.358 * sqrt(CAST(na + nb AS DOUBLE) /
+             CAST(na * nb AS DOUBLE)) * 1e6) AS BIGINT) AS crit05_x1e6,
+           CAST(CASE WHEN d_x1e6 > floor(1.358 *
+             sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))
+             * 1e6) THEN 1 ELSE 0 END AS BIGINT) AS reject_flag
+         FROM g""",
     "x_vocab_growth" ->
       """WITH tok AS (SELECT doc_id,
              unnest(string_split_regex(trim(text), ' +')) AS tk

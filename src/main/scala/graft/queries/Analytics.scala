@@ -3183,6 +3183,41 @@ object Analytics {
             .as("reject_flag"))
     }),
 
+    // Weekly churn: of the users active in week w, the fraction gone
+    // in week w+1 — the retention board's headline. Distinct
+    // (user, week) pairs once, then a self-join on the tiny pair
+    // table shifted by one week; rates in basis points.
+    "x_churn_weekly" -> ((s, d) => {
+      import s.implicits._
+      val uw = events(s, d)
+        .select($"user_id",
+          expr("datediff(to_date(ts), date '2024-01-01') div 7").as("wk"))
+        .distinct().localCheckpoint(false)
+      val nxt = uw.select($"user_id", ($"wk" - 1).as("wk"))
+      uw.join(nxt, Seq("user_id", "wk"), "left_semi")
+        .groupBy($"wk").agg(count(lit(1)).as("retained"))
+        .join(uw.groupBy($"wk").agg(count(lit(1)).as("active")), Seq("wk"))
+        .select($"wk", $"active", $"retained",
+          expr("((active - retained) * 10000) div active")
+            .as("churn_x1e4"))
+        .orderBy($"wk")
+    }),
+
+    // Shannon entropy of the source mix (the corpus-balance index a
+    // mixture designer tracks): H = ln N − (Σ c·ln c)/N over source
+    // counts, the charEntropy quantization recipe on the 20-row
+    // source distribution — one aggregate pass.
+    "x_source_entropy" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).groupBy($"source").agg(count(lit(1)).as("c"))
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_sources"),
+          sum($"c" * floor(log($"c".cast("double")) * 1e6).cast("long"))
+            .as("clnc"))
+        .select($"n_sources", $"n",
+          (floor(log($"n".cast("double")) * 1e6).cast("long") -
+            expr("clnc div n")).as("entropy_x1e6"))
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4507,6 +4542,32 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "x_churn_weekly" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS wk
+           FROM events),
+         ret AS (SELECT a.wk, count(*) AS retained
+           FROM uw a WHERE EXISTS (SELECT 1 FROM uw b
+             WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+           GROUP BY 1),
+         act AS (SELECT wk, count(*) AS active FROM uw GROUP BY 1)
+         SELECT CAST(act.wk AS BIGINT) AS wk, act.active,
+           CAST(ret.retained AS BIGINT) AS retained,
+           CAST(((act.active - ret.retained) * 10000) // act.active
+             AS BIGINT) AS churn_x1e4
+         FROM act JOIN ret USING (wk) ORDER BY wk""",
+    "x_source_entropy" ->
+      """WITH s AS (SELECT source, count(*) AS c FROM documents
+           GROUP BY 1),
+         m AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_sources,
+             CAST(sum(c * CAST(floor(ln(c) * 1e6) AS BIGINT)) AS BIGINT)
+               AS clnc
+           FROM s)
+         SELECT n_sources, n,
+           CAST(CAST(floor(ln(n) * 1e6) AS BIGINT) - clnc // n AS BIGINT)
+             AS entropy_x1e6
+         FROM m""",
     "x_ks_test" ->
       """WITH v AS (SELECT n_chars, source = 'src0' AS isa, doc_id
            FROM documents WHERE source IN ('src0', 'src1')),

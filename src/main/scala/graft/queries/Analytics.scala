@@ -3218,6 +3218,29 @@ object Analytics {
             expr("clnc div n")).as("entropy_x1e6"))
     }),
 
+    // Out-of-vocabulary rate (the coverage check before freezing a
+    // tokenizer or embedding table): the even-doc half defines the
+    // vocabulary; the odd half's token stream measures what falls
+    // outside it, per lang in basis points. The vocabulary is
+    // vocab-bounded and the membership test a broadcast anti-ish
+    // left join — one explode feeds both halves.
+    "x_oov_rate" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"lang", explode(words($"text")).as("tk"))
+        .filter($"tk" =!= "").localCheckpoint(false)
+      val vocab = toks.filter($"doc_id" % 2 === 0)
+        .select($"tk").distinct().withColumn("known", lit(1L))
+      toks.filter($"doc_id" % 2 === 1)
+        .join(broadcast(vocab), Seq("tk"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("tokens"),
+          sum(when($"known".isNull, 1L).otherwise(0L)).as("oov"))
+        .select($"lang", $"tokens", $"oov",
+          expr("(oov * 10000) div tokens").as("oov_x1e4"))
+        .orderBy($"lang")
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4542,6 +4565,20 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "x_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), ' +')) AS tk
+           FROM documents WHERE len(trim(text)) > 0),
+         t2 AS (SELECT * FROM tok WHERE tk <> ''),
+         voc AS (SELECT DISTINCT tk FROM t2 WHERE doc_id % 2 = 0),
+         ev AS (SELECT t2.lang, t2.tk,
+             CASE WHEN voc.tk IS NULL THEN 1 ELSE 0 END AS oov
+           FROM t2 LEFT JOIN voc ON t2.tk = voc.tk
+           WHERE t2.doc_id % 2 = 1)
+         SELECT lang, count(*) AS tokens,
+           CAST(sum(oov) AS BIGINT) AS oov,
+           CAST((sum(oov) * 10000) // count(*) AS BIGINT) AS oov_x1e4
+         FROM ev GROUP BY 1 ORDER BY lang""",
     "x_churn_weekly" ->
       """WITH uw AS (SELECT DISTINCT user_id,
              datediff('day', DATE '2024-01-01',

@@ -3241,6 +3241,28 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Embedding↔document alignment audit (the multimodal referential
+    // check): vectors without a document, documents without a vector,
+    // and the aligned count — the c24 FK-audit shape applied to the
+    // modality join every embedding-based operator here assumes. Two
+    // anti joins + one semi join, all keyed.
+    "c34_embedding_alignment" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id")
+      val vecs = embeddings(s, d).select($"vec_id")
+      val orphanVecs = vecs.join(docs, $"vec_id" === $"doc_id",
+        "left_anti").agg(count(lit(1)).as("orphan_vectors"))
+      val docsNoVec = docs.join(vecs, $"doc_id" === $"vec_id",
+        "left_anti").agg(count(lit(1)).as("docs_without_vector"))
+      val aligned = docs.join(vecs, $"doc_id" === $"vec_id", "left_semi")
+        .agg(count(lit(1)).as("aligned"))
+      aligned.crossJoin(broadcast(orphanVecs))
+        .crossJoin(broadcast(docsNoVec))
+        .select($"aligned", $"orphan_vectors", $"docs_without_vector",
+          when($"orphan_vectors" === 0 && $"docs_without_vector" === 0, 1L)
+            .otherwise(0L).as("fully_aligned"))
+    }),
+
     // ANALYZE-style column statistics (the optimizer's planning input:
     // NDV, null rate, bounds): exact distinct counts for three columns
     // plus min/max/nulls in ONE logical pass — Spark expands multiple
@@ -4565,6 +4587,23 @@ object Analytics {
            CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_per_user_cents
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, offset_wk""",
+    "c34_embedding_alignment" ->
+      """SELECT
+           (SELECT count(*) FROM documents d WHERE EXISTS
+             (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+             AS aligned,
+           (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+             (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+             AS orphan_vectors,
+           (SELECT count(*) FROM documents d WHERE NOT EXISTS
+             (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+             AS docs_without_vector,
+           CAST(CASE WHEN
+             (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+               (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) = 0
+             AND (SELECT count(*) FROM documents d WHERE NOT EXISTS
+               (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) = 0
+             THEN 1 ELSE 0 END AS BIGINT) AS fully_aligned""",
     "x_oov_rate" ->
       """WITH tok AS (SELECT doc_id, lang,
              unnest(string_split_regex(trim(text), ' +')) AS tk

@@ -72,20 +72,41 @@ object Ledger {
           Files.readAllLines(appliedPath)).asScala.toSet
       else Set.empty
     if (applied.contains(batchId.toString)) return
+    val nextV = s"ledger_v$batchId"
     val current = currentVersion(dir)
+    // Crash window: died after flipping `_current` to this batch's version
+    // but before recording it in `_applied`. The version on disk is
+    // complete (the flip happens only after a full parquet write), so the
+    // replay must NOT re-run the upsert — reading ledger_v$batchId and
+    // overwriting the same path would have Spark read from the directory
+    // it is deleting. Just backfill the `_applied` fence and return.
+    if (current.contains(nextV)) {
+      writeApplied(dir, applied + batchId.toString)
+      return
+    }
     val cur = current match {
       case Some(v) => spark.read.parquet(s"$dir/$v")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     }
-    val nextV = s"ledger_v$batchId"
     upsert(cur, batch).write.mode("overwrite").parquet(s"$dir/$nextV")
     val tmp = Paths.get(dir, "_current.tmp")
     Files.write(tmp, nextV.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(dir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    Files.write(appliedPath,
-      (applied + batchId.toString).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    writeApplied(dir, applied + batchId.toString)
+  }
+
+  /** Atomic `_applied` update: temp-file + rename, so a crash mid-write
+    * can never leave a torn fence file (a torn file would silently drop
+    * earlier batch ids and re-admit their replays).
+    */
+  private def writeApplied(dir: String, ids: Set[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(dir, "_applied.tmp")
+    Files.write(tmp, ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "_applied"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The ledger version the `_current` pointer names, if any. */

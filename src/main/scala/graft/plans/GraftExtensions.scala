@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, ExpressionInfo, Length, LessThanOrEqual, Levenshtein, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.{ArraySumLong, DotProduct, NormalizeNFC, ValueHistogram}
 
@@ -92,13 +93,31 @@ object GraftFunctions {
   * most candidate pairs short-circuit before the DP runs. The guard is
   * added once per conjunct (`semanticEquals` dedup), so the rule is a
   * fixpoint after one application.
+  *
+  * Guard-safety: the implication only holds for the two-argument form.
+  * Spark 4's `levenshtein(a, b, threshold)` returns -1 when the distance
+  * exceeds the threshold, so `levenshtein(a, b, 3) <= 4` can be TRUE
+  * (via -1) for a pair whose length gap is > 4 — injecting the length
+  * guard there would drop rows. The rule therefore requires
+  * `threshold.isEmpty`, and only fires for a non-negative integer bound
+  * (a negative bound is always-false anyway; a non-integral literal
+  * would change the comparison's type coercion).
   */
 object LevenshteinGuard extends Rule[LogicalPlan] with PredicateHelper {
+  private def nonNegativeInt(k: Literal): Boolean = k match {
+    case Literal(v: Int, IntegerType)  => v >= 0
+    case Literal(v: Long, LongType)    => v >= 0L
+    case Literal(v: Short, ShortType)  => v >= 0
+    case Literal(v: Byte, ByteType)    => v >= 0
+    case _                             => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val guards = conjuncts.collect {
-        case LessThanOrEqual(lev: Levenshtein, k: Literal) =>
+        case LessThanOrEqual(lev: Levenshtein, k: Literal)
+            if lev.threshold.isEmpty && nonNegativeInt(k) =>
           LessThanOrEqual(
             Abs(Subtract(Length(lev.left), Length(lev.right))), k)
       }.filterNot(g => conjuncts.exists(_.semanticEquals(g)))

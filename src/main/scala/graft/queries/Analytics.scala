@@ -165,7 +165,10 @@ object Analytics {
       edges = edges
         .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
         .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
-      if (i < rounds - 1) edges = edges.localCheckpoint(false)
+      // checkpoint EVERY closed round (matching v_sssp/v_label_prop):
+      // the final round's edges feed the next degree count + two
+      // semi-joins, so leaving it lazy replays that join subtree
+      if (i < rounds) edges = edges.localCheckpoint(false)
     }
     deg.filter($"deg" >= k)
   }
@@ -3109,8 +3112,10 @@ object Analytics {
       val docs = documents(s, d)
         .select($"source", $"n_chars", md5($"text".cast("binary")).as("h"))
         .localCheckpoint(false)
+      // min(n_chars), not first(): deterministic election that matches
+      // the DuckDB oracle even if same-text rows ever diverge in n_chars
       val kept = docs.groupBy($"h")
-        .agg(first($"n_chars").as("n_chars"), count(lit(1)).as("copies"))
+        .agg(min($"n_chars").as("n_chars"), count(lit(1)).as("copies"))
       val raw = docs.groupBy($"source")
         .agg(count(lit(1)).as("docs_raw"), sum($"n_chars").as("chars_raw"))
       val global = kept

@@ -81,6 +81,38 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("levenshtein guard skips the 3-arg thresholded form and " +
+       "negative bounds") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ LevenshteinGuard
+    try {
+      // Spark 4's levenshtein(a, b, t) returns -1 past the threshold, so
+      // lev(a,b,3) <= 4 is TRUE for arbitrarily distant pairs; a length
+      // guard there would drop rows. The rule must not fire.
+      val threeArg = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(expr("levenshtein(lang, source, 3) <= 4"))
+        .select($"doc_id")
+      assert(!threeArg.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("abs("), "guard must not fire on the thresholded form")
+      // semantic check: every -1 (over-threshold) row passes `<= 4` and
+      // must survive — compare against the unguarded 2-arg truth
+      val kept = threeArg.count()
+      val truth = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(expr("levenshtein(lang, source) > 3 " +
+                     "or levenshtein(lang, source) <= 4")).count()
+      assert(kept == truth, s"thresholded form kept $kept of $truth rows")
+      // a negative bound is always-false; the guard must not fire either
+      val neg = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(levenshtein($"lang", $"source") <= -1)
+      assert(!neg.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("abs("), "guard must not fire on a negative bound")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("withExtensions wires functions + rule at session build") {
     // a FRESH session on the shared context built through the public
     // extensions hook — the same injection spark.sql.extensions performs

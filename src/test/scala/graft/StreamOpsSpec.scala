@@ -755,6 +755,33 @@ class StreamOpsSpec extends SparkSpec {
     // an unseen batchId still applies
     Ledger.idempotentBatchUpsert(spark, dir)(replay, 99L)
     assert(snapshot() == Set("t1" -> "CREATED", "t2" -> "SUCCESS"))
+
+    // CRASH-WINDOW replay: the sink died after flipping `_current` to
+    // ledger_v99 but before fencing 99 in `_applied`. Simulate by
+    // erasing 99 from the fence, then replay batch 99 — the sink must
+    // notice `_current` already names this batch's version and back-
+    // fill the fence WITHOUT re-running the upsert (re-running would
+    // overwrite the parquet directory it is reading from).
+    val appliedPath = java.nio.file.Paths.get(dir, "_applied")
+    val fence = new String(
+      java.nio.file.Files.readAllBytes(appliedPath), "UTF-8")
+      .split("\n").toSet
+    assert(fence.contains("99"))
+    java.nio.file.Files.write(appliedPath,
+      (fence - "99").toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    val poison = Seq(("c", "t2", "2024-01-01", "2024-01-16", "B04",
+      "ERROR")).toDF("cube", "tile_id", "p_start", "p_end", "band",
+      "status")
+    Ledger.idempotentBatchUpsert(spark, dir)(poison, 99L)
+    assert(snapshot() == Set("t1" -> "CREATED", "t2" -> "SUCCESS"),
+      "crash-window replay must not re-apply (or corrupt) the version")
+    val refenced = new String(
+      java.nio.file.Files.readAllBytes(appliedPath), "UTF-8")
+      .split("\n").toSet
+    assert(refenced.contains("99"), "replay must backfill the fence")
+    // and a SECOND replay takes the ordinary fast-path no-op
+    Ledger.idempotentBatchUpsert(spark, dir)(poison, 99L)
+    assert(snapshot() == Set("t1" -> "CREATED", "t2" -> "SUCCESS"))
   }
 
   test("watermark drops the too-late row and reports it in progress metrics") {

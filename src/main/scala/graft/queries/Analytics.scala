@@ -173,6 +173,51 @@ object Analytics {
     deg.filter($"deg" >= k)
   }
 
+  /** Distributed global row_number — the shard-prefix-sum rank (the
+    * packBins pattern, factored): ranks every row exactly as
+    * `row_number().over(Window.orderBy(order))` would, WITHOUT funneling
+    * the table through one partition. `shard` must be a non-decreasing
+    * function of the leading order key (e.g. `floor(col / 64)` for an
+    * ascending sort, `floor(-col / 64)` for a descending one); then
+    * per-shard row_numbers plus the cumulative count of earlier shards
+    * compose to the exact global rank. The only serial window runs on
+    * the shard-count-sized subtotal table, which broadcasts back.
+    * `part` (optional) scopes the ranking per partition value — the
+    * serial step then runs per part on shard-count rows.
+    */
+  def shardedRank(df0: DataFrame, shard: Column, order: Seq[Column],
+                  out: String, part: Seq[String] = Nil): DataFrame = {
+    import df0.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.withColumn("__shard", shard.cast("long"))
+    val partCols = part.map(col)
+    val w = Window.partitionBy((partCols :+ $"__shard"): _*)
+      .orderBy(order: _*)
+    val ranked = df.withColumn("__ri", row_number().over(w).cast("long"))
+    val cnt = ranked.groupBy((partCols :+ $"__shard"): _*)
+      .agg(max($"__ri").as("__cnt"))
+    val offW = (if (part.isEmpty) Window.partitionBy()
+                else Window.partitionBy(partCols: _*))
+      .orderBy($"__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnt.select((partCols :+ $"__shard" :+
+      coalesce(sum($"__cnt").over(offW), lit(0L)).as("__off")): _*)
+    ranked.join(broadcast(offs), part :+ "__shard")
+      .withColumn(out, $"__off" + $"__ri")
+      .drop("__shard", "__ri", "__off")
+  }
+
+  /** SQL-standard `ntile(k)` computed arithmetically from a global rank
+    * `i` of `n` (1-based): the first `n mod k` buckets take `n div k + 1`
+    * rows, the rest `n div k` — exactly the window ntile's distribution,
+    * but composable with [[shardedRank]] so no unpartitioned window is
+    * needed. `i` and `n` must be column NAMES in scope.
+    */
+  def ntileOf(k: Int, i: String, n: String): Column = expr(
+    s"case when $i <= ($n % $k) * ($n div $k + 1) " +
+    s"then ($i + ($n div $k)) div (($n div $k) + 1) " +
+    s"else ($n % $k) + ($i - ($n % $k) * (($n div $k) + 1) + ($n div $k) - 1) " +
+    s"div greatest($n div $k, 1) end")
+
   /** Market-basket pair mining (the x_itemsets_pairs gate): distinct
     * (basket, item) rows in, co-occurrence pairs with support ≥
     * `minSupport` out — the self-join keys on the basket, so fan-out
@@ -2420,13 +2465,14 @@ object Analytics {
     }),
 
     // RFM segmentation (recency / frequency / monetary): per-user
-    // purchase stats quantiled into terciles per dimension (ntile over
-    // the user table — small relative to events), concatenated into
-    // the classic segment code. One event scan, one user-level window
-    // pass; the heavy table never sorts globally.
+    // purchase stats quantiled into terciles per dimension,
+    // concatenated into the classic segment code. Each tercile is the
+    // shardedRank prefix sum + arithmetic ntile — three shard-
+    // partitioned rank passes over the user table, never a global
+    // sort; descending dimensions shard on the NEGATED key so the
+    // shard stays monotone along the sort. One event scan in front.
     "x_rfm_segments" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val mx = events(s, d).agg(max($"ts").as("m"))
       val rfm = events(s, d).filter($"event_type" === "purchase")
         .crossJoin(broadcast(mx))
@@ -2434,14 +2480,22 @@ object Analytics {
         .agg(min(datediff($"m", $"ts")).as("recency_days"),
           count(lit(1)).as("frequency"),
           floor(sum($"value") * 100 + 0.5).cast("long").as("monetary_x100"))
-      val r = ntile(3).over(Window.orderBy($"recency_days", $"user_id"))
-      val f = ntile(3).over(Window.orderBy($"frequency".desc, $"user_id"))
-      val m = ntile(3).over(Window.orderBy($"monetary_x100".desc,
-        $"user_id"))
-      rfm.select($"user_id", $"recency_days".cast("long").as("recency_days"),
+        .localCheckpoint(false)
+      val n1 = rfm.agg(count(lit(1)).as("n"))
+      val ranked = {
+        val r1 = shardedRank(rfm, floor($"recency_days" / 8),
+          Seq($"recency_days", $"user_id"), "ir")
+        val r2 = shardedRank(r1, floor(-$"frequency" / 8),
+          Seq($"frequency".desc, $"user_id"), "if_")
+        shardedRank(r2, floor(-$"monetary_x100" / 100000),
+          Seq($"monetary_x100".desc, $"user_id"), "im")
+      }
+      ranked.crossJoin(broadcast(n1))
+        .select($"user_id", $"recency_days".cast("long").as("recency_days"),
           $"frequency", $"monetary_x100",
-          concat(r.cast("string"), f.cast("string"), m.cast("string"))
-            .as("segment"))
+          concat(ntileOf(3, "ir", "n").cast("string"),
+            ntileOf(3, "if_", "n").cast("string"),
+            ntileOf(3, "im", "n").cast("string")).as("segment"))
         .orderBy($"user_id")
     }),
 
@@ -2498,21 +2552,47 @@ object Analytics {
     // distribution alignment a mixed-corpus length/quality signal
     // needs): each source's i-th of n values maps to the GLOBAL value
     // at the matching quantile position ceil(i·N/n) — after it, every
-    // source has the same length distribution. Ranks are per-source
-    // windows; the global reference is one ranked table equi-joined on
+    // source has the same length distribution. NO corpus-sized rank
+    // runs unpartitioned: both the per-source and the global rank use
+    // the packBins shard-prefix-sum — shard = n_chars div 64 (monotone
+    // in the leading sort key, so per-shard row_numbers + cumulative
+    // earlier-shard counts compose to the exact global rank); the only
+    // serial window runs on the shard-count-sized offset table before
+    // broadcasting back. The reference lookup stays an equi-join on
     // the computed index (never a theta join).
     "x_quantile_norm" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).select($"doc_id", $"source", $"n_chars")
+        .withColumn("shard", floor($"n_chars" / 64).cast("long"))
         .localCheckpoint(false)
-      val bySrc = docs
-        .withColumn("i", row_number().over(Window.partitionBy($"source")
-          .orderBy($"n_chars", $"doc_id")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
-      val global = docs
-        .select($"n_chars".as("gv"),
-          row_number().over(Window.orderBy($"n_chars", $"doc_id")).as("gi"))
+      // per-source rank i of n: (source, shard)-partitioned windows +
+      // a (sources × shards)-row serial offset cumsum
+      val sw = Window.partitionBy($"source", $"shard")
+        .orderBy($"n_chars", $"doc_id")
+      val sRank = docs.withColumn("si", row_number().over(sw))
+      val sCnt = sRank.groupBy($"source", $"shard")
+        .agg(max($"si").as("cnt"))
+      val sOffW = Window.partitionBy($"source").orderBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sOffsets = sCnt.select($"source", $"shard",
+        coalesce(sum($"cnt").over(sOffW), lit(0L)).as("soff"))
+      val sTotals = sCnt.groupBy($"source").agg(sum($"cnt").as("n"))
+      val bySrc = sRank
+        .join(broadcast(sOffsets), Seq("source", "shard"))
+        .join(broadcast(sTotals), Seq("source"))
+        .select($"doc_id", $"source", $"n_chars",
+          ($"soff" + $"si").as("i"), $"n")
+      // global rank: shard-partitioned windows + shard-sized offsets
+      val gw = Window.partitionBy($"shard").orderBy($"n_chars", $"doc_id")
+      val gRank = docs.withColumn("ri", row_number().over(gw))
+      val gCnt = gRank.groupBy($"shard").agg(max($"ri").as("cnt"))
+      val gOffW = Window.orderBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val gOffsets = gCnt.select($"shard",
+        coalesce(sum($"cnt").over(gOffW), lit(0L)).as("goff"))
+      val global = gRank.join(broadcast(gOffsets), Seq("shard"))
+        .select($"n_chars".as("gv"), ($"goff" + $"ri").as("gi"))
       val total = docs.agg(count(lit(1)).as("nn"))
       bySrc.crossJoin(broadcast(total))
         .withColumn("gi", expr("cast(ceil(i * nn / cast(n as double)) as bigint)"))
@@ -2663,15 +2743,14 @@ object Analytics {
     // Gini coefficient of per-user event counts (the corpus/activity
     // concentration index): G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over
     // ascending-ranked counts — integer sums until ONE final floored
-    // division (×1e6). The ranking window runs over the USER table,
-    // not events.
+    // division (×1e6). The rank is the shardedRank prefix sum (shard =
+    // x div 16, monotone in the sort key), so even a billion-user table
+    // never funnels through one partition.
     "x_gini_users" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val per = events(s, d).groupBy($"user_id")
         .agg(count(lit(1)).as("x"))
-      per.withColumn("i", row_number().over(
-          Window.orderBy($"x", $"user_id")))
+      shardedRank(per, floor($"x" / 16), Seq($"x", $"user_id"), "i")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
           sum($"i" * $"x").as("six"))
         .select($"n", $"sx",
@@ -3061,16 +3140,20 @@ object Analytics {
 
     // Lorenz curve (the Gini index's picture): user deciles by
     // ascending activity vs their cumulative share of all events —
-    // "the bottom 50% of users produce X% of traffic". Decile
-    // assignment and the cumulative sum both run over the small user
-    // table; shares in exact basis points.
+    // "the bottom 50% of users produce X% of traffic". Deciles come
+    // from the shardedRank prefix sum + the arithmetic ntile (no
+    // unpartitioned window over the user table); the cumulative sum
+    // runs over the 10-row decile table only. Shares in exact basis
+    // points.
     "x_lorenz_curve" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val per = events(s, d).groupBy($"user_id")
         .agg(count(lit(1)).as("x"))
-      val dec = per.withColumn("decile",
-        ntile(10).over(Window.orderBy($"x", $"user_id")))
+      val n1 = per.agg(count(lit(1)).as("n"))
+      val dec = shardedRank(per, floor($"x" / 16), Seq($"x", $"user_id"), "i")
+        .crossJoin(broadcast(n1))
+        .withColumn("decile", ntileOf(10, "i", "n"))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_users"), sum($"x").as("events"))
       val tot = dec.agg(sum($"events").as("te"))
@@ -3154,11 +3237,15 @@ object Analytics {
 
     // Exact two-sample Kolmogorov–Smirnov statistic (the unbinned
     // complement to the PSI monitor): D = max |F_a(x) − F_b(x)| over
-    // src0 vs src1 length distributions — per-source running counts
-    // from ONE ordered window pass over the merged values, each row's
-    // CDF gap floor-quantized ×1e6, folded by max. The critical value
-    // at α=0.05 (1.358·√((na+nb)/(na·nb))) rides along, same
-    // quantization.
+    // src0 vs src1 length distributions, each row's CDF gap floor-
+    // quantized ×1e6, folded by max. The running per-source counts are
+    // computed with the shard-prefix-sum (shard = n_chars div 64, a
+    // monotone function of the leading sort key): shard-partitioned
+    // running sums + a shard-count-sized serial cumsum of per-shard
+    // subtotals broadcast back — running counts compose across shards
+    // by adding the earlier-shard offsets, so nothing corpus-sized
+    // funnels through one partition. The critical value at α=0.05
+    // (1.358·√((na+nb)/(na·nb))) rides along, same quantization.
     "x_ks_test" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -3166,16 +3253,30 @@ object Analytics {
         .filter($"source".isin("src0", "src1"))
         .select($"n_chars", ($"source" === "src0").as("isa"),
           $"doc_id")
+        .withColumn("shard", floor($"n_chars" / 64).cast("long"))
         .localCheckpoint(false)
       val tot = vals.agg(sum(when($"isa", 1L).otherwise(0L)).as("na"),
         sum(when(!$"isa", 1L).otherwise(0L)).as("nb"))
-      val w = Window.orderBy($"n_chars", $"doc_id")
+      val w = Window.partitionBy($"shard").orderBy($"n_chars", $"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      vals.crossJoin(broadcast(tot))
-        .withColumn("ca", sum(when($"isa", 1L).otherwise(0L)).over(w))
-        .withColumn("cb", sum(when(!$"isa", 1L).otherwise(0L)).over(w))
-        .select(floor(abs($"ca".cast("double") / $"na" -
-          $"cb".cast("double") / $"nb") * 1e6).cast("long").as("gap"),
+      val inShard = vals
+        .withColumn("ca0", sum(when($"isa", 1L).otherwise(0L)).over(w))
+        .withColumn("cb0", sum(when(!$"isa", 1L).otherwise(0L)).over(w))
+      // shard subtotal = the last running count in the shard (running
+      // sums are non-decreasing, so max = final); the serial cumsum
+      // below runs on shard-count rows only
+      val sub = inShard.groupBy($"shard")
+        .agg(max($"ca0").as("sa"), max($"cb0").as("sb"))
+      val offW = Window.orderBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sub.select($"shard",
+        coalesce(sum($"sa").over(offW), lit(0L)).as("oa"),
+        coalesce(sum($"sb").over(offW), lit(0L)).as("ob"))
+      inShard.join(broadcast(offs), Seq("shard"))
+        .crossJoin(broadcast(tot))
+        .select(floor(abs(($"oa" + $"ca0").cast("double") / $"na" -
+          ($"ob" + $"cb0").cast("double") / $"nb") * 1e6).cast("long")
+          .as("gap"),
           $"na", $"nb")
         .groupBy($"na", $"nb")
         .agg(max($"gap").as("d_x1e6"))

@@ -580,6 +580,68 @@ class PlanQualitySpec extends SparkSpec {
     assert(single <= 1, s"only the stats cumsum may serialize:\n$plan")
   }
 
+  test("x_quantile_norm: both ranks shard-partition; serial steps shard-sized") {
+    val plan = planString(q("x_quantile_norm"))
+    // the per-source rank must partition by (source, shard), the global
+    // rank by shard — never an unpartitioned corpus-sized window
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(source[^)]*shard.*"),
+      s"per-source rank must partition by (source, shard):\n$plan")
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(shard.*"),
+      s"global rank must partition by shard:\n$plan")
+    // allowed serial steps: the shard-count-sized offset cumsum and the
+    // 1-row corpus total — nothing doc-sized
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 2,
+      s"only shard-offset cumsum + 1-row total may serialize ($single):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back:\n$plan")
+  }
+
+  test("x_ks_test: running CDF is shard-partitioned; serial step shard-sized") {
+    val plan = planString(q("x_ks_test"))
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(shard.*"),
+      s"running counts must partition by shard:\n$plan")
+    // allowed: the shard-subtotal cumsum + the 1-row (na, nb) total
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 2,
+      s"only shard-offset cumsum + 1-row totals may serialize ($single):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back:\n$plan")
+  }
+
+  test("x_gini_users: user rank is shard-partitioned, not a global sort") {
+    val plan = planString(q("x_gini_users"))
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(__shard.*"),
+      s"rank window must partition by the value shard:\n$plan")
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 2,
+      s"only shard-offset cumsum + final 1-row fold may serialize ($single):\n$plan")
+  }
+
+  test("x_rfm_segments: all three tercile ranks shard-partition") {
+    val plan = planString(q("x_rfm_segments"))
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(__shard.*"),
+      s"tercile ranks must partition by their value shard:\n$plan")
+    // three shard-offset cumsums + the 1-row user count; the user table
+    // itself must never funnel through a single-partition window
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 4,
+      s"only the 3 offset cumsums + 1-row count may serialize ($single):\n$plan")
+  }
+
+  test("x_lorenz_curve: decile rank shard-partitions; cumsum is 10 rows") {
+    val plan = planString(q("x_lorenz_curve"))
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(__shard.*"),
+      s"decile rank must partition by the value shard:\n$plan")
+    // every SinglePartition input here is tiny: the shard-offset
+    // cumsum (shard-count rows), the 1-row n / te totals and their
+    // broadcast staging, and the 10-row decile cumsum — the user-sized
+    // window is pinned shard-partitioned above
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 6,
+      s"serial steps must all be shard- or decile-sized ($single):\n$plan")
+  }
+
   test("c20_incremental_view: delta merge is partial-agg + key equi-joins only") {
     val plan = planString(q("c20_incremental_view"))
     assert(plan.contains("partial_"),
@@ -1162,10 +1224,16 @@ class PlanQualitySpec extends SparkSpec {
       s"the horizon filter must reach the scan:\n$plan")
   }
 
-  test("v_kcore: peel rounds are semi joins + partial degree counts") {
+  test("v_kcore: final round reads checkpointed edges; degree count partial") {
     val plan = planString(q("v_kcore"))
-    assert(plan.contains("LeftSemi"),
-      s"survivor restriction must be a semi join:\n$plan")
+    // every closed round's edge set is localCheckpointed, so the final
+    // degree count must read the materialized RDD — a LeftSemi in this
+    // lineage would mean the last round's join subtree replays (the
+    // off-by-one this pin regressed from)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"final round must read the checkpointed edge set:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"no peel join may replay past the checkpoint:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"peel joins stay keyed:\n$plan")

@@ -364,6 +364,57 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), s"expected a hash join on __cell:\n$plan")
   }
 
+  test("composite over a block-bucketed raster table plans ZERO exchanges") {
+    // SURVEY §7.4's warning made concrete: if the chunked-raster table
+    // is persisted bucketed by its block key, the T2/T3 composites must
+    // aggregate IN PLACE — a full pixel-array shuffle per composite run
+    // is the difference between reading 100 TB once and moving it once
+    // per period. Bucket col ⊆ group keys, so the scan's
+    // HashPartitioning satisfies the aggregate's distribution.
+    import graft.operators.{Composite, Scale}
+    import graft.model.MaskDef
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val mask = MaskDef(clearData = Seq(0L), notClearData = Seq(2L, 4L),
+      nodata = 255L)
+    val raster = spark.range(2L * 8 * 4).select(
+      ($"id" % 2).as("tile_id"),
+      expr("(id div 2) % 8").as("block"),
+      expr("id div 16").cast("int").as("rn"),
+      ($"id" % 3).cast("int").as("src"),
+      array_repeat(($"id" % 100).cast("int"), 16).as("val"),
+      array_repeat((pmod($"id", lit(3)) * 2).cast("int"), 16).as("qa"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-raster-b")
+    val table =
+      s"g_raster_b_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
+    raster.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "block").sortBy("block")
+      .option("path", s"$tmp/r").saveAsTable(table)
+    try {
+      val c = Composite.compositeAgg(mask)(
+        (lit(1000) - $"rn").cast("double"), $"rn", $"src",
+        $"val", $"qa", lit(-9999))
+      val composed = spark.table(table)
+        .groupBy($"tile_id", $"block").agg(c.as("c"))
+        .select($"tile_id", $"block",
+          element_at($"c.value", 1).as("v"),
+          element_at($"c.median", 1).as("med"))
+      val n = Scale.shuffleExchangeCount(composed)
+      assert(n == 0,
+        s"bucketed composite must aggregate in place, planned $n " +
+          s"exchange(s):\n${composed.queryExecution.executedPlan}")
+      // and it actually computes: 2 tiles × 8 blocks
+      assert(composed.collect().length == 16)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(tmp.toFile)
+    }
+  }
+
   test("single-shuffle pins: rolling window, rollup, pivot group once") {
     // w_rolling_1h: one exchange for the user_id window + one output sort
     val rolling = planString(q("w_rolling_1h"))

@@ -234,6 +234,90 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: composite/mosaic at the reference block envelope " +
+       "(512x512 arrays) — linear shuffle, flat per-task load") {
+    // BASELINE.md's real workload envelope (reference forms.py:239 +
+    // grid-bdc-md.json): 10560×10560-px tiles chunked into 512×512
+    // blocks (21×21 = 441/tile). The earlier soaks used small synthetic
+    // arrays; this one drives CompositeAgg and MosaicAgg over FULL-SIZE
+    // 262144-element pixel arrays (int16 value range in the engine's
+    // Int-array block model) and scales the 100 TB axis — the number of
+    // (block, period) groups at CONSTANT scenes-per-period — by 10×.
+    // The input repartitions BY THE GROUP KEY into a task count that
+    // grows with the data (what a real cluster does), so the required
+    // properties are: total shuffle ~linear, while each task's shuffle
+    // READ volume and peak memory stay FLAT (per-group state is its own
+    // ≤3-scene stack, independent of scale).
+    import graft.operators.Composite
+    import graft.model.MaskDef
+    val sparkS = spark
+    import sparkS.implicits._
+    val px = 512 * 512
+    val blocks = 21 // one tile row of a 10560-px tile
+    val scenes = 3  // scenes per period — constant along the scale axis
+
+    def compositeAt(periods: Int): org.apache.spark.sql.DataFrame = {
+      val mask = MaskDef(clearData = Seq(0L), notClearData = Seq(2L, 4L),
+        nodata = 255L)
+      val obs = spark.range(blocks.toLong * periods * scenes).select(
+        ($"id" % blocks).as("block"),
+        expr(s"(id div $blocks) % $periods").as("period"),
+        expr(s"id div ${blocks * periods}").cast("int").as("rn"),
+        ($"id" % 4).cast("int").as("src"),
+        array_repeat((pmod($"id" * 131, lit(8192)) + 1).cast("int"), px).as("val"),
+        array_repeat((pmod($"id", lit(3)) * 2).cast("int"), px).as("qa"))
+        // key-partitioned with data-proportional task count: the agg
+        // then runs in place (no second exchange), groups/task constant
+        .repartition(4 * periods, $"block", $"period")
+      val c = Composite.compositeAgg(mask)(
+        (lit(100000) - $"rn").cast("double"), $"rn", $"src",
+        $"val", $"qa", lit(-9999))
+      obs.groupBy($"block", $"period").agg(c.as("c"))
+        .select($"block", $"period", element_at($"c.value", 1),
+          element_at($"c.median", px), element_at($"c.average", 1))
+    }
+
+    def mosaicAt(nBlocks: Int, parts: Int): org.apache.spark.sql.DataFrame = {
+      val obs = spark.range(nBlocks.toLong * 4).select(
+        ($"id" % nBlocks).as("block"),
+        expr(s"id div $nBlocks").cast("int").as("rn"),
+        ($"id" % 3).cast("int").as("src"),
+        array_repeat(when(pmod($"id", lit(7)) === 0, -9999)
+          .otherwise(pmod($"id" * 131, lit(8192)) + 1).cast("int"), px).as("val"))
+        .repartition(parts, $"block")
+      val m = Composite.mosaicAgg(-9999, combined = true)(
+        $"rn", $"src", $"val")
+      obs.groupBy($"block").agg(m.as("m"))
+        .select($"block", element_at($"m.value", 1),
+          element_at($"m.datasource", px))
+    }
+
+    for ((name, r1, r10) <- Seq(
+        ("composite-512", () => compositeAt(1), () => compositeAt(10)),
+        ("mosaic-512", () => mosaicAt(blocks, 4),
+          () => mosaicAt(blocks * 10, 40)))) {
+      val (b1, peak1, read1) = measure3(r1())
+      val (b10, peak10, read10) = measure3(r10())
+      assert(b1 > 0, s"$name: no shuffle measured at base scale")
+      val bytesRatio = b10.toDouble / b1
+      val readRatio = read10.toDouble / math.max(read1, 1)
+      val peakRatio = peak10.toDouble / math.max(peak1, 1)
+      info(f"$name: shuffle ${b1}B -> ${b10}B (${bytesRatio}%.1fx), " +
+        f"max task read ${read1}B -> ${read10}B (${readRatio}%.1fx), " +
+        f"max task peak-mem ${peak1}B -> ${peak10}B (${peakRatio}%.1fx)")
+      assert(bytesRatio < 25,
+        s"$name shuffle grew superlinearly at 10x groups: $bytesRatio")
+      assert(bytesRatio > 3,
+        s"$name shuffle growth suspiciously flat: $bytesRatio")
+      // the flat-at-scale pins: a task's slice must not grow with the
+      // corpus when the task count scales with it
+      assert(readRatio < 3,
+        s"$name per-task shuffle read must stay flat at 10x: $readRatio")
+      assert(peakRatio < 3,
+        s"$name per-task peak memory must stay flat at 10x: $peakRatio")
+    }
+  }
+
   /** Shuffle-write bytes + summed task peak-execution-memory for one
     * materialization of `df` (noop sink), via a task-metrics listener.
     */
@@ -577,14 +661,38 @@ class ScaleSpec extends SparkSpec {
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val peakMem = new java.util.concurrent.atomic.AtomicLong
+    // per-TASK maxima — the "flat at scale" signals: a well-partitioned
+    // job grows its task COUNT with the data while each task's read
+    // volume and memory stay constant
+    val maxTaskPeakMem = new java.util.concurrent.atomic.AtomicLong
+    val maxTaskShuffleRead = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         peakMem.addAndGet(m.peakExecutionMemory)
+        maxTaskPeakMem.accumulateAndGet(m.peakExecutionMemory, Math.max)
+        maxTaskShuffleRead.accumulateAndGet(
+          m.shuffleReadMetrics.totalBytesRead, Math.max)
       }
     }
+  }
+
+  /** Like [[measure]] but also returns the per-task maxima:
+    * (total shuffle-write bytes, max task peak-exec memory,
+    * max task shuffle-read bytes).
+    */
+  private def measure3(
+      df: => org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val probe = new TaskMetricsProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(probe)
+    (probe.shuffleBytes.get, probe.maxTaskPeakMem.get,
+      probe.maxTaskShuffleRead.get)
   }
 
   private def collectQs(df: org.apache.spark.sql.DataFrame) = {

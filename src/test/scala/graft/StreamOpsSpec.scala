@@ -865,6 +865,59 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer: a pre-restart timer fires after " +
+       "checkpoint recovery") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.{SessEvent, SessRow}
+    implicit val sc = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // durable checkpoint + file sink: the restartable production shape
+    // (the memory sink refuses checkpoint recovery)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+    val input = MemoryStream[SessEvent]
+    val h = 3600L * 1000000
+    def start() = StreamOps.sessionizeTws(input.toDS(), gapUs = h)
+      .writeStream.format("parquet").outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    try {
+      // run 1: u1's session stays OPEN — its close timer (last + gap =
+      // 11.5h) is registered in the state store but the watermark only
+      // reaches 10.5h. Then the query dies.
+      val q1 = start()
+      input.addData(SessEvent(1L, 10 * h, "view"),
+        SessEvent(1L, 10 * h + h / 2, "purchase"))
+      q1.processAllAvailable()
+      q1.stop()
+      val afterRun1 = spark.read.parquet(out).as[SessRow].collect()
+      assert(afterRun1.isEmpty,
+        s"u1 must still be open when run 1 dies, got ${afterRun1.toSeq}")
+
+      // run 2 resumes from the checkpoint: an unrelated key's far-future
+      // event pushes the watermark past 11.5h, and the timer registered
+      // BEFORE the restart must fire from recovered state — no u1 event
+      // ever arrives in run 2
+      val q2 = start()
+      input.addData(SessEvent(9L, 40 * h, "view"))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out).as[SessRow].collect().toSeq
+      assert(rows == Seq(SessRow(1L, 10 * h, 2L, h / 2, 1L)),
+        s"pre-restart timer must close u1's session exactly once, got $rows")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState distinct count: membership survives batches, novelty per batch") {
     val sparkS = spark
     import sparkS.implicits._

@@ -3184,6 +3184,69 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Gopher quality-rule bundle (Rae et al. 2021, §A1.1 table A1 — the
+    // published pretraining filter set, doc-level subset): word count in
+    // [50, 10⁵], mean word length in [3, 10], symbol-word ratio < 10%,
+    // ≥80% of words with an alphabetic character, ≥2 distinct English
+    // stopwords present. All ratios compare as cross-multiplied integers
+    // (no division), every predicate is a codegen'd higher-order array
+    // function over the split-once word array — no explode, no shuffle
+    // before the per-source fold.
+    "x_gopher_rules" -> ((s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val m = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"source", words(lower($"text")).as("w"))
+        .select($"source",
+          size($"w").cast("long").as("nw"),
+          expr("aggregate(w, cast(0 as bigint), (acc, x) -> acc + length(x))")
+            .as("chars"),
+          expr("size(filter(w, x -> x rlike '[a-z]'))").cast("long")
+            .as("alpha_w"),
+          expr("size(filter(w, x -> x like '%#%' or x like '%...%'))")
+            .cast("long").as("sym_w"),
+          expr(s"size(filter(array(${stop.map("'" + _ + "'").mkString(",")})," +
+            " s -> array_contains(w, s)))").cast("long").as("n_stop"))
+      m.select($"source",
+          ($"nw" >= 50 && $"nw" <= 100000).cast("long").as("r_count"),
+          ($"chars" >= $"nw" * 3 && $"chars" <= $"nw" * 10).cast("long")
+            .as("r_wordlen"),
+          ($"sym_w" * 10 < $"nw").cast("long").as("r_symbol"),
+          ($"alpha_w" * 10 >= $"nw" * 8).cast("long").as("r_alpha"),
+          ($"n_stop" >= 2).cast("long").as("r_stop"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"r_count").as("pass_count"),
+          sum($"r_wordlen").as("pass_wordlen"),
+          sum($"r_symbol").as("pass_symbol"),
+          sum($"r_alpha").as("pass_alpha"),
+          sum($"r_stop").as("pass_stop"),
+          sum($"r_count" * $"r_wordlen" * $"r_symbol" * $"r_alpha" *
+            $"r_stop").as("kept"))
+        .orderBy($"source")
+    }),
+
+    // Cross-source contamination matrix: for every source pair, the
+    // number of distinct 8-word-prefix fingerprints present in BOTH —
+    // the train/test-leakage view a mixture designer checks before
+    // trusting held-out sources. The fingerprint table is distinct
+    // (source, fp), so per fingerprint the join fan-out is bounded by
+    // the source count (≤20²), never by corpus size.
+    "x_cross_source_dup" -> ((s, d) => {
+      import s.implicits._
+      val sh = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"source",
+          md5(concat_ws(" ", slice(words(lower($"text")), 1, 8))
+            .cast("binary")).as("h"))
+        .distinct().localCheckpoint(false)
+      sh.select($"source".as("src_a"), $"h")
+        .join(sh.select($"source".as("src_b"), $"h"), Seq("h"))
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("shared_fps"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Dedup savings headline ("how many tokens does dedup buy back"):
     // corpus characters before vs after exact text dedup, per source
     // and overall inflation in basis points — the one number a
@@ -4788,6 +4851,48 @@ object Analytics {
            CAST(sum(new_types) OVER (ORDER BY bucket
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
          FROM g ORDER BY bucket""",
+    "x_gopher_rules" ->
+      """WITH d AS (SELECT source,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         m AS (SELECT source, len(w) AS nw,
+             list_sum(list_transform(w, x -> len(x))) AS chars,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_w,
+             len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
+               AS sym_w,
+             len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               s -> list_contains(w, s))) AS n_stop
+           FROM d),
+         f AS (SELECT source,
+             CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END
+               AS r_count,
+             CASE WHEN chars >= nw * 3 AND chars <= nw * 10 THEN 1 ELSE 0
+               END AS r_wordlen,
+             CASE WHEN sym_w * 10 < nw THEN 1 ELSE 0 END AS r_symbol,
+             CASE WHEN alpha_w * 10 >= nw * 8 THEN 1 ELSE 0 END AS r_alpha,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+           FROM m)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(r_count) AS BIGINT) AS pass_count,
+           CAST(sum(r_wordlen) AS BIGINT) AS pass_wordlen,
+           CAST(sum(r_symbol) AS BIGINT) AS pass_symbol,
+           CAST(sum(r_alpha) AS BIGINT) AS pass_alpha,
+           CAST(sum(r_stop) AS BIGINT) AS pass_stop,
+           CAST(sum(r_count * r_wordlen * r_symbol * r_alpha * r_stop)
+             AS BIGINT) AS kept
+         FROM f GROUP BY 1 ORDER BY 1""",
+    "x_cross_source_dup" ->
+      """WITH sh AS (SELECT DISTINCT source,
+             md5(array_to_string(list_slice(
+               string_split_regex(trim(lower(text)), ' +'), 1, 8), ' '))
+               AS h
+           FROM documents WHERE len(trim(text)) > 0)
+         SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS shared_fps
+         FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "x_dup_inflation" ->
       """WITH d AS (SELECT source, n_chars, md5(text) AS h
            FROM documents),

@@ -71,6 +71,49 @@ object Curation {
     ranks.select($"doc_id", $"r".as("rank_x1e6"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) over the same directed
+    * synthetic link graph as [[pagerank]], `iters` full a←h, h←a rounds.
+    * Integer arithmetic throughout: scores start at 1e6 and renormalize
+    * each half-step by the 1-row broadcast max (score·1e6 div max), so
+    * both engines replay bit-for-bit and values never exceed 3e12. Every
+    * half-step is one equi-join + partial-aggregable sum — the same
+    * scale shape as the pagerank rounds; intermediate frames checkpoint
+    * lazily so closed rounds never replay.
+    */
+  def hits(docs0: DataFrame, iters: Int): DataFrame = {
+    import docs0.sparkSession.implicits._
+    val docs = docs0.select($"doc_id")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(nRow))
+      .select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * $"doc_id" + 37) % $"n",
+        ($"doc_id" * $"doc_id" + 74) % $"n",
+        ($"doc_id" * $"doc_id" + 111) % $"n")).as("dst"))
+      .localCheckpoint(false)
+    var hub = docs.select($"doc_id", lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aSum = edges.join(hub, edges("src") === hub("doc_id"))
+        .groupBy($"dst").agg(sum($"h").as("a0"))
+      val aMax = aSum.agg(max($"a0").as("am"))
+      auth = docs.join(aSum, docs("doc_id") === aSum("dst"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(docs("doc_id"),
+          expr("coalesce(a0, cast(0 as bigint)) * 1000000 div am").as("a"))
+        .localCheckpoint(false)
+      val hSum = edges.join(auth, edges("dst") === auth("doc_id"))
+        .groupBy($"src").agg(sum($"a").as("h0"))
+      val hMax = hSum.agg(max($"h0").as("hm"))
+      hub = docs.join(hSum, docs("doc_id") === hSum("src"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(docs("doc_id"),
+          expr("coalesce(h0, cast(0 as bigint)) * 1000000 div hm").as("h"))
+        .localCheckpoint(false)
+    }
+    auth.join(hub, "doc_id")
+      .select($"doc_id", $"a".as("auth_x1e6"), $"h".as("hub_x1e6"))
+  }
+
   /** 16-bit Hilbert-curve index of the low 8 bits of two long columns —
     * the second space-filling curve (better locality than Morton: every
     * unit step on the curve is a unit step in (x, y), so bucket ranges
@@ -179,6 +222,15 @@ object Curation {
     "v_pagerank" -> ((s, d) => {
       import s.implicits._
       pagerank(documents(s, d), iters = 3).orderBy($"doc_id")
+    }),
+
+    // HITS hubs & authorities, 2 full rounds — see [[hits]]. PageRank's
+    // eigenvector twin for the link-graph suite: authority mass flows
+    // along in-links, hub mass along out-links, renormalized by the
+    // broadcast max each half-step.
+    "v_hits" -> ((s, d) => {
+      import s.implicits._
+      hits(documents(s, d), iters = 2).orderBy($"doc_id")
     }),
 
     // Heavy hitters with a count-min sketch check: the CMS (4 hash rows ×
@@ -466,6 +518,33 @@ object Curation {
         .agg(count(lit(1)).as("n_files"), sum($"rows_n").as("bin_rows"),
           min($"file_id").as("first_file"), max($"file_id").as("last_file"))
         .orderBy($"bin_id")
+    }),
+
+    // Retention / VACUUM planner (the deletion twin of c19's OPTIMIZE and
+    // c27's rollback plan): from a versioned file ledger, a file is safe
+    // to delete when the live manifest has superseded it (version < the
+    // dir's live version) AND it has aged past the retention horizon —
+    // the Delta-style VACUUM invariant that a concurrent time-travel
+    // reader inside the horizon never loses a referenced file. Planning
+    // runs entirely on the file-count-sized ledger (per-dir live
+    // versions broadcast back); the data itself is never touched.
+    "c35_vacuum_plan" -> ((s, d) => {
+      import s.implicits._
+      val files = lineitem(s, d)
+        .groupBy($"l_suppkey".as("dir_id"), ($"l_partkey" % 5).as("version"))
+        .agg(count(lit(1)).as("rows_n"))
+        .withColumn("age_days", ($"dir_id" * 7 + $"version" * 13) % 120)
+      val live = files.groupBy($"dir_id")
+        .agg(max($"version").as("live_version"))
+      files.join(broadcast(live), "dir_id")
+        .select($"dir_id", $"rows_n",
+          ($"version" < $"live_version" && $"age_days" > 30)
+            .cast("long").as("del"))
+        .groupBy(expr("dir_id div 10").as("bucket"))
+        .agg(count(lit(1)).as("n_files"), sum($"del").as("n_delete"),
+          sum(when($"del" === 1, $"rows_n").otherwise(0L))
+            .as("reclaim_rows"))
+        .orderBy($"bucket")
     }),
 
     // Incremental view maintenance (the 100 TB cost saver: merge a delta
@@ -959,6 +1038,34 @@ object Curation {
            FROM documents d LEFT JOIN s3 USING (doc_id))
          SELECT doc_id, CAST(r AS BIGINT) AS rank_x1e6
          FROM r3 ORDER BY doc_id""",
+    "v_hits" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         a1p AS (SELECT dst AS doc_id, CAST(sum(1000000) AS BIGINT) AS a0
+           FROM e GROUP BY 1),
+         a1m AS (SELECT max(a0) AS am FROM a1p),
+         a1 AS (SELECT d.doc_id, coalesce(p.a0, 0) * 1000000 // m.am AS a
+           FROM documents d LEFT JOIN a1p p USING (doc_id), a1m m),
+         h1p AS (SELECT e.src AS doc_id, CAST(sum(a1.a) AS BIGINT) AS h0
+           FROM e JOIN a1 ON e.dst = a1.doc_id GROUP BY 1),
+         h1m AS (SELECT max(h0) AS hm FROM h1p),
+         h1 AS (SELECT d.doc_id, coalesce(p.h0, 0) * 1000000 // m.hm AS h
+           FROM documents d LEFT JOIN h1p p USING (doc_id), h1m m),
+         a2p AS (SELECT e.dst AS doc_id, CAST(sum(h1.h) AS BIGINT) AS a0
+           FROM e JOIN h1 ON e.src = h1.doc_id GROUP BY 1),
+         a2m AS (SELECT max(a0) AS am FROM a2p),
+         a2 AS (SELECT d.doc_id, coalesce(p.a0, 0) * 1000000 // m.am AS a
+           FROM documents d LEFT JOIN a2p p USING (doc_id), a2m m),
+         h2p AS (SELECT e.src AS doc_id, CAST(sum(a2.a) AS BIGINT) AS h0
+           FROM e JOIN a2 ON e.dst = a2.doc_id GROUP BY 1),
+         h2m AS (SELECT max(h0) AS hm FROM h2p),
+         h2 AS (SELECT d.doc_id, coalesce(p.h0, 0) * 1000000 // m.hm AS h
+           FROM documents d LEFT JOIN h2p p USING (doc_id), h2m m)
+         SELECT a2.doc_id, CAST(a2.a AS BIGINT) AS auth_x1e6,
+           CAST(h2.h AS BIGINT) AS hub_x1e6
+         FROM a2 JOIN h2 USING (doc_id) ORDER BY a2.doc_id""",
     "x_heavy_hitters" ->
       """WITH d AS (SELECT string_split_regex(trim(text), ' +') AS w
            FROM documents WHERE len(trim(text)) > 0),
@@ -1443,6 +1550,23 @@ object Curation {
          SELECT user_id, event_id, rk,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_x100
          FROM r WHERE rk <= 3 ORDER BY user_id, rk""",
+    "c35_vacuum_plan" ->
+      """WITH f AS (SELECT l_suppkey AS dir_id, l_partkey % 5 AS version,
+             count(*) AS rows_n
+           FROM lineitem GROUP BY 1, 2),
+         fa AS (SELECT dir_id, version, rows_n,
+             (dir_id * 7 + version * 13) % 120 AS age_days FROM f),
+         lv AS (SELECT dir_id, max(version) AS live_version
+           FROM fa GROUP BY 1),
+         dl AS (SELECT fa.dir_id, fa.rows_n,
+             CASE WHEN fa.version < lv.live_version AND fa.age_days > 30
+               THEN 1 ELSE 0 END AS del
+           FROM fa JOIN lv USING (dir_id))
+         SELECT dir_id // 10 AS bucket, count(*) AS n_files,
+           CAST(sum(del) AS BIGINT) AS n_delete,
+           CAST(sum(CASE WHEN del = 1 THEN rows_n ELSE 0 END) AS BIGINT)
+             AS reclaim_rows
+         FROM dl GROUP BY 1 ORDER BY 1""",
     "c19_compaction_plan" ->
       """WITH f AS (SELECT l_suppkey AS file_id, count(*) AS rows_n
            FROM lineitem GROUP BY 1),

@@ -1251,6 +1251,34 @@ object Pipeline {
           col("rnk"))
         .orderBy(col("qid"), col("rnk"))),
 
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-5 most similar vectors with a DIFFERENT class label — the
+    // nearest wrong-class examples a triplet/InfoNCE trainer wants. Same
+    // broadcast-query scan shape as the exact ANN baseline, with the
+    // label inequality pushed into the scoring filter so same-class
+    // candidates never score. At corpus scale the label lives on the
+    // candidate row — no second join.
+    "x_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, d)
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"label".as("qlabel"))
+      val c = emb.filter(!$"vec_id".isin(0, 1, 2))
+        .select($"vec_id", $"embedding".as("ce"), $"label")
+      val scored = c.crossJoin(broadcast(q))
+        .filter($"label" =!= $"qlabel")
+        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
+      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"vec_id",
+          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"),
+          $"rnk")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // Brute-force cosine top-k again, but through the bounded-heap
     // TopKAgg instead of a window sort: map-side partials trim every
     // partition to k rows before the shuffle, so the exchange carries
@@ -2667,6 +2695,24 @@ object Pipeline {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
                AS rnk FROM s)
          WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "x_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+           FROM embeddings WHERE vec_id IN (0,1,2)),
+         c AS (SELECT vec_id, embedding AS ce, label
+           FROM embeddings WHERE vec_id NOT IN (0,1,2)),
+         dots AS (SELECT qid, vec_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM q, c, range(1, 65) t(i)
+           WHERE c.label <> q.qlabel GROUP BY qid, vec_id),
+         s AS (SELECT qid, vec_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots)
+         SELECT qid, vec_id,
+           CAST(floor(cos*10000 + 0.5) AS BIGINT) AS score_x10000, rnk
+         FROM (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT)
+               AS rnk FROM s)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
     "v_ann_ivf" ->
       """WITH dims AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS grp, k,
              CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv

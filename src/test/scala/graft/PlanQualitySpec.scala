@@ -536,6 +536,50 @@ class PlanQualitySpec extends SparkSpec {
       s"keeper must be max(struct), not a row_number window:\n$plan")
   }
 
+  test("v_hits: final join reads checkpointed score frames, keyed only") {
+    val plan = planString(q("v_hits"))
+    // closed half-steps checkpoint (the kcore discipline): the final
+    // lineage is just auth ⋈ hub on doc_id over materialized frames —
+    // the per-round aggregation towers must never replay here
+    assert(plan.contains("Scan ExistingRDD"),
+      s"closed rounds must be checkpointed:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"hits output join must stay keyed on doc_id:\n$plan")
+  }
+
+  test("x_gopher_rules: array HOFs, no explode, partial per-source fold") {
+    val plan = planString(q("x_gopher_rules"))
+    assert(!plan.contains("Generate"),
+      s"rule predicates must stay array HOFs — no token explode:\n$plan")
+    assert(plan.contains("partial_"),
+      s"per-source rule counts must combine map-side:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning") ||
+      plan.indexOf("Exchange rangepartitioning") <
+        plan.indexOf("HashAggregate"),
+      s"only the output sort may range-shuffle:\n$plan")
+  }
+
+  test("x_cross_source_dup: fingerprint join is keyed, never all-pairs") {
+    val plan = planString(q("x_cross_source_dup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"source-pair matrix must join on the fingerprint only:\n$plan")
+    assert(plan.contains("partial_"),
+      s"pair counts must combine map-side:\n$plan")
+  }
+
+  test("x_hard_negatives: broadcast 3-row query side, no corpus self-join") {
+    val plan = planString(q("x_hard_negatives"))
+    // same fenced shape as v_ann_cosine: ONE nested-loop against the
+    // broadcast 3-row query table; the corpus appears once
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnlj <= 1,
+      s"only the 3-row query broadcast may nested-loop, got $bnlj:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-vs-corpus join in hard-negative mining:\n$plan")
+  }
+
   test("v_pagerank: rank iterations are hash equi-joins, never all-pairs") {
     val plan = planString(q("v_pagerank"))
     assert(!plan.contains("CartesianProduct"),

@@ -3184,6 +3184,59 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Curriculum ordering (easy→hard scheduling for staged pretraining):
+    // an integer quality score (alpha-word rate + stopword bonus) ranks
+    // the corpus via the shard-prefix-sum (shard = score div 64 — no
+    // unpartitioned window, the same machinery as x_quantile_norm) and
+    // the arithmetic ntile cuts it into 4 curriculum phases; per-phase
+    // doc counts, score range, and character budget come out as the
+    // schedule table a trainer consumes.
+    "x_curriculum_order" -> ((s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val scored = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", $"n_chars", words(lower($"text")).as("w"))
+        .select($"doc_id", $"n_chars",
+          size($"w").cast("long").as("nw"),
+          expr("size(filter(w, x -> x rlike '[a-z]'))").cast("long")
+            .as("alpha_w"),
+          expr(s"size(filter(array(${stop.map("'" + _ + "'").mkString(",")})," +
+            " s -> array_contains(w, s)))").cast("long").as("n_stop"))
+        .select($"doc_id", $"n_chars",
+          (expr("(alpha_w * 1000) div nw") + $"n_stop" * 100).as("score"))
+      val n1 = scored.agg(count(lit(1)).as("n"))
+      shardedRank(scored, floor($"score" / 64), Seq($"score", $"doc_id"), "i")
+        .crossJoin(broadcast(n1))
+        .withColumn("phase", ntileOf(4, "i", "n"))
+        .groupBy($"phase")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"score").as("min_score"), max($"score").as("max_score"),
+          sum($"n_chars").as("phase_chars"))
+        .orderBy($"phase")
+    }),
+
+    // Differentially-private count release (the privacy-budgeted stats
+    // a data-access boundary publishes): per-source counts + Laplace(1)
+    // noise at ε=1, with the noise DETERMINISTIC — the uniform draw is
+    // the first 12 md5 hex digits of the source name over 2⁴⁸, pushed
+    // through the exact Laplace inverse CDF — so both engines replay
+    // the same "randomness" bit-for-bit (the x_hash_sample recipe
+    // applied to noise). Floor-quantized to whole counts; true counts
+    // ride along for the utility-loss audit.
+    "x_dp_counts" -> ((s, d) => {
+      import s.implicits._
+      val u = (conv(substring(md5(concat(lit("dp:"), $"source")
+          .cast("binary")), 1, 12), 16, 10).cast("long").cast("double") /
+        lit(281474976710656.0)).as("u")
+      documents(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n"))
+        .select($"source", $"n", u)
+        .select($"source", $"n",
+          ($"n" + floor(when($"u" >= 0.5, -log(lit(2.0) * (lit(1.0) - $"u")))
+            .otherwise(log(lit(2.0) * $"u"))).cast("long")).as("noisy_n"))
+        .orderBy($"source")
+    }),
+
     // Gopher quality-rule bundle (Rae et al. 2021, §A1.1 table A1 — the
     // published pretraining filter set, doc-level subset): word count in
     // [50, 10⁵], mean word length in [3, 10], symbol-word ratio < 10%,
@@ -4851,6 +4904,36 @@ object Analytics {
            CAST(sum(new_types) OVER (ORDER BY bucket
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
          FROM g ORDER BY bucket""",
+    "x_curriculum_order" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         sc AS (SELECT doc_id, n_chars,
+             (len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000)
+               // len(w)
+             + 100 * len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(w, s))) AS score
+           FROM d),
+         r AS (SELECT doc_id, n_chars, score,
+             ntile(4) OVER (ORDER BY score, doc_id) AS phase
+           FROM sc)
+         SELECT CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score,
+           CAST(sum(n_chars) AS BIGINT) AS phase_chars
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "x_dp_counts" ->
+      """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         un AS (SELECT source, n,
+             CAST(('0x' || substr(md5('dp:' || source), 1, 12))::BIGINT
+               AS DOUBLE) / 281474976710656.0 AS u
+           FROM g)
+         SELECT source, n,
+           CAST(n + CAST(floor(CASE WHEN u >= 0.5
+             THEN -ln(2.0 * (1.0 - u)) ELSE ln(2.0 * u) END) AS BIGINT)
+             AS BIGINT) AS noisy_n
+         FROM un ORDER BY source""",
     "x_gopher_rules" ->
       """WITH d AS (SELECT source,
              string_split_regex(trim(lower(text)), ' +') AS w

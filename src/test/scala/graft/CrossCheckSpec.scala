@@ -33,6 +33,57 @@ class CrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("shardedRank equals the unpartitioned row_number on random data") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      // heavy ties in the order key AND the shard key: the composition
+      // must still reproduce the exact total order (v, id)
+      val rows = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(40).toLong))
+      val df = rows.toDF("id", "v").repartition(7)
+      val got = Analytics
+        .shardedRank(df, floor($"v" / 4), Seq($"v", $"id"), "rk")
+        .select($"id", $"rk").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rk",
+          row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+        .select($"id", $"rk").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seed: sharded rank diverged")
+      // per-partition scoping: ranks restart per group
+      val grouped = rows.map { case (id, v) => (id, v, (id % 3).toString) }
+        .toDF("id", "v", "g").repartition(5)
+      val gotG = Analytics.shardedRank(grouped, floor($"v" / 4),
+          Seq($"v", $"id"), "rk", part = Seq("g"))
+        .select($"id", $"rk").as[(Long, Long)].collect().toMap
+      val wantG = grouped.withColumn("rk", row_number()
+          .over(Window.partitionBy($"g").orderBy($"v", $"id")).cast("long"))
+        .select($"id", $"rk").as[(Long, Long)].collect().toMap
+      assert(gotG == wantG, s"seed $seed: partitioned sharded rank diverged")
+    }
+  }
+
+  test("ntileOf matches the window ntile for every rank, n <= 40") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // exhaustive over all (n, i <= n) — the boundary cases (n < k,
+    // n % k = 0, the remainder cutover row) are all in range
+    val rows = for { n <- 1 to 40; i <- 1 to n } yield (n.toLong, i.toLong)
+    val df = rows.toDF("n", "i")
+    for (k <- Seq(2, 3, 4, 7, 10)) {
+      val arith = df.withColumn("b", Analytics.ntileOf(k, "i", "n"))
+        .select($"n", $"i", $"b".cast("long"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (n, i, b) => (n, i) -> b }.toMap
+      val ref = df.withColumn("b",
+          ntile(k).over(Window.partitionBy($"n").orderBy($"i")).cast("long"))
+        .select($"n", $"i", $"b").as[(Long, Long, Long)].collect()
+        .map { case (n, i, b) => (n, i) -> b }.toMap
+      assert(arith == ref, s"k=$k: arithmetic ntile diverged from window")
+    }
+  }
+
   test("k-core equals the naive peel loop on random graphs") {
     val sparkS = spark
     import sparkS.implicits._

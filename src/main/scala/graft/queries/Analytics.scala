@@ -3300,6 +3300,62 @@ object Analytics {
         .orderBy($"src_a", $"src_b")
     }),
 
+    // Dedup length-bias audit (the distribution-shift check the dedup
+    // literature warns about: removing boilerplate copies shifts the
+    // survivor length profile): per source, mean length before vs after
+    // exact dedup (keeper = min-doc_id argmin via one partial-aggregable
+    // max(struct) election) and the shift in basis points. A biased
+    // shift flags that dedup is eating one register of the corpus.
+    "x_dedup_length_bias" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .select($"doc_id", $"source", $"n_chars",
+          md5($"text".cast("binary")).as("h"))
+        .localCheckpoint(false)
+      val pre = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_pre"), sum($"n_chars").as("c_pre"))
+      val kept = docs.groupBy($"h")
+        .agg(max(struct((-$"doc_id").as("nid"), $"source", $"n_chars"))
+          .as("k"))
+        .select($"k.source".as("source"), $"k.n_chars".as("n_chars"))
+      val post = kept.groupBy($"source")
+        .agg(count(lit(1)).as("n_post"), sum($"n_chars").as("c_post"))
+      pre.join(post, "source")
+        .select($"source", $"n_pre", $"n_post",
+          expr("(c_pre * 100) div n_pre").as("mean_pre_x100"),
+          expr("(c_post * 100) div n_post").as("mean_post_x100"))
+        .select($"source", $"n_pre", $"n_post", $"mean_pre_x100",
+          $"mean_post_x100",
+          expr("((mean_post_x100 - mean_pre_x100) * 10000)" +
+            " div mean_pre_x100").as("shift_bp"))
+        .orderBy($"source")
+    }),
+
+    // Token-budget / epoch planner (data-constrained scaling: past ~4
+    // epochs, repeating a source stops buying loss): given each
+    // source's available whitespace-token supply and an equal-share
+    // target of 2× the corpus total, the passes each source must
+    // repeat (×100) and the >4-epoch repetition flag. One scan to a
+    // source-count-sized plan table.
+    "x_token_budget" -> ((s, d) => {
+      import s.implicits._
+      val avail = documents(s, d).filter(length(trim($"text")) > 0)
+        .groupBy($"source")
+        .agg(sum(size(words($"text")).cast("long")).as("avail_tokens"))
+        .localCheckpoint(false)
+      val tot = avail.agg(sum($"avail_tokens").as("t"),
+        count(lit(1)).as("k"))
+      avail.crossJoin(broadcast(tot))
+        .select($"source", $"avail_tokens",
+          expr("(2 * t) div k").as("target_tokens"))
+        .select($"source", $"avail_tokens", $"target_tokens",
+          expr("(target_tokens * 100) div avail_tokens").as("epochs_x100"))
+        .select($"source", $"avail_tokens", $"target_tokens",
+          $"epochs_x100",
+          ($"epochs_x100" > 400).cast("long").as("over_repeat"))
+        .orderBy($"source")
+    }),
+
     // Dedup savings headline ("how many tokens does dedup buy back"):
     // corpus characters before vs after exact text dedup, per source
     // and overall inflation in basis points — the one number a
@@ -4976,6 +5032,44 @@ object Analytics {
            count(*) AS shared_fps
          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x_dedup_length_bias" ->
+      """WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS h
+           FROM documents),
+         pre AS (SELECT source, count(*) AS n_pre,
+             CAST(sum(n_chars) AS BIGINT) AS c_pre
+           FROM d GROUP BY 1),
+         kmin AS (SELECT h, min(doc_id) AS kid FROM d GROUP BY 1),
+         kept AS (SELECT d.source, d.n_chars
+           FROM d JOIN kmin ON d.h = kmin.h AND d.doc_id = kmin.kid),
+         post AS (SELECT source, count(*) AS n_post,
+             CAST(sum(n_chars) AS BIGINT) AS c_post
+           FROM kept GROUP BY 1),
+         j AS (SELECT pre.source, n_pre, n_post,
+             (c_pre * 100) // n_pre AS mean_pre_x100,
+             (c_post * 100) // n_post AS mean_post_x100
+           FROM pre JOIN post USING (source))
+         SELECT source, n_pre, n_post,
+           CAST(mean_pre_x100 AS BIGINT) AS mean_pre_x100,
+           CAST(mean_post_x100 AS BIGINT) AS mean_post_x100,
+           CAST(((mean_post_x100 - mean_pre_x100) * 10000)
+             // mean_pre_x100 AS BIGINT) AS shift_bp
+         FROM j ORDER BY source""",
+    "x_token_budget" ->
+      """WITH a AS (SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), ' +')))
+               AS BIGINT) AS avail_tokens
+           FROM documents WHERE len(trim(text)) > 0 GROUP BY 1),
+         t AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS t,
+             count(*) AS k FROM a),
+         p AS (SELECT source, avail_tokens, (2 * t.t) // t.k
+             AS target_tokens
+           FROM a, t)
+         SELECT source, avail_tokens, target_tokens,
+           CAST((target_tokens * 100) // avail_tokens AS BIGINT)
+             AS epochs_x100,
+           CAST(CASE WHEN (target_tokens * 100) // avail_tokens > 400
+             THEN 1 ELSE 0 END AS BIGINT) AS over_repeat
+         FROM p ORDER BY source""",
     "x_dup_inflation" ->
       """WITH d AS (SELECT source, n_chars, md5(text) AS h
            FROM documents),

@@ -1739,6 +1739,52 @@ object Pipeline {
         .orderBy($"cid", $"id1", $"id2")
     }),
 
+    // Threshold-tuning sweep for semantic dedup (how aggressive can the
+    // cosine cut be before recall collapses): the within-cluster pair
+    // counts surviving each candidate threshold, from ONE scored-pair
+    // pass — the curve a dedup owner reads before picking the knob.
+    // Thresholds explode from a 4-element literal array, so the pair
+    // table is scanned once and the counts are partial-aggregable.
+    "d_semantic_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val counts = semanticPairsScored(embeddings(s, d),
+          Seq(1L, 5L, 9L, 13L), iters = 2)
+        .select($"cos", explode(array(lit(45), lit(80), lit(90), lit(95)))
+          .as("thr_x100"))
+        .filter($"cos" >= $"thr_x100" / 100.0)
+        .groupBy($"thr_x100")
+        .agg(count(lit(1)).as("n"))
+      // zero-filled curve: a threshold that kills every pair still gets
+      // its row — that cliff is exactly what the sweep exists to show
+      Seq(45, 80, 90, 95).toDF("thr_x100")
+        .join(broadcast(counts), Seq("thr_x100"), "left")
+        .select($"thr_x100", coalesce($"n", lit(0L)).as("pairs"))
+        .orderBy($"thr_x100")
+    }),
+
+    // Language-ID confusion matrix (the eval for the x_langid
+    // stopword classifier): ground-truth lang × predicted lang counts —
+    // one scan, one hash aggregate; per-class precision/recall read
+    // straight off the matrix.
+    "x_langid_confusion" -> ((s, d) => {
+      import s.implicits._
+      def hits(w: Column, xs: Seq[String]): Column =
+        size(filter(w, x => x.isin(xs: _*)))
+      documents(s, d)
+        .select($"lang", words($"text").as("w"))
+        .select($"lang",
+          hits($"w", Seq("the", "a", "of", "and")).as("s_en"),
+          hits($"w", Seq("el", "la", "de", "y")).as("s_es"),
+          hits($"w", Seq("der", "die", "das", "und")).as("s_de"))
+        .select($"lang",
+          when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
+            .when($"s_es" >= $"s_de", "es")
+            .otherwise("de").as("pred_lang"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
     // Embedding outlier filter: per-label integer-quantized centroid
     // (order-free dim sums, same scheme as v_ann_ivf) and the 5 vectors
     // least aligned with their label centroid by exact integer inner
@@ -3084,6 +3130,37 @@ object Pipeline {
     "v_kmeans" ->
       s"""WITH $kmeansCtesSql
          SELECT vec_id, cid, d2 FROM as2 ORDER BY vec_id""",
+    "d_semantic_threshold_sweep" ->
+      s"""WITH $kmeansCtesSql,
+         emb AS (SELECT e.vec_id, e.embedding, a.cid
+           FROM embeddings e JOIN as2 a USING (vec_id)),
+         dots AS (SELECT a.cid, a.vec_id AS id1, b.vec_id AS id2,
+           sum(CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS dp,
+           sum(CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)) AS na,
+           sum(CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)) AS nb
+           FROM emb a JOIN emb b ON a.cid = b.cid AND a.vec_id < b.vec_id,
+             range(1, 65) t(k)
+           GROUP BY 1, 2, 3),
+         s AS (SELECT dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots),
+         thr AS (SELECT unnest([45, 80, 90, 95]) AS thr_x100),
+         cnt AS (SELECT thr.thr_x100, count(*) AS n
+           FROM s, thr WHERE s.cos >= thr.thr_x100 / 100.0 GROUP BY 1)
+         SELECT thr.thr_x100, CAST(coalesce(cnt.n, 0) AS BIGINT) AS pairs
+         FROM thr LEFT JOIN cnt USING (thr_x100) ORDER BY thr_x100""",
+    "x_langid_confusion" ->
+      """WITH sc AS (SELECT lang,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS s_en,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('el', 'la', 'de', 'y'))) AS INT) AS s_es,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('der', 'die', 'das', 'und'))) AS INT) AS s_de
+           FROM documents)
+         SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+           count(*) AS n
+         FROM sc GROUP BY 1, 2 ORDER BY lang, pred_lang""",
     "d_semantic_dedup" ->
       s"""WITH $kmeansCtesSql,
          emb AS (SELECT e.vec_id, e.embedding, a.cid

@@ -318,6 +318,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: shardedRank shuffle scales ~linearly, serial step stays flat") {
+    // the round's headline rewrite (x_quantile_norm / x_ks_test /
+    // x_rfm_segments all route global ranks through shardedRank): at
+    // 10x rows the shard-partitioned rank must shuffle ~linearly while
+    // the single-partition serial step stays SHARD-count-sized — its
+    // max task read must not grow with the corpus (the shard count is
+    // value-range-bound, not row-bound)
+    val sparkS = spark
+    import sparkS.implicits._
+    def rankAt(n: Long): org.apache.spark.sql.DataFrame = {
+      val df = spark.range(n).select($"id",
+        pmod($"id" * 2654435761L, lit(4096)).as("v")).repartition(8)
+      graft.queries.Analytics
+        .shardedRank(df, floor($"v" / 64), Seq($"v", $"id"), "rk")
+        .select(sum($"rk").as("s"), max($"rk").as("m"))
+    }
+    val (b1, _, _) = measure3(rankAt(100000L))
+    val (b10, _, _) = measure3(rankAt(1000000L))
+    assert(b1 > 0, "no shuffle measured at base size")
+    val ratio = b10.toDouble / b1
+    info(f"shardedRank: shuffle ${b1}B -> ${b10}B (${ratio}%.1fx)")
+    assert(ratio < 25, s"shardedRank shuffle grew superlinearly: $ratio")
+    assert(ratio > 3, s"shardedRank shuffle growth suspiciously flat: $ratio")
+    // correctness at volume: ranks are a permutation of 1..n
+    val r = rankAt(1000000L).collect().head
+    assert(r.getLong(0) == 1000000L * 1000001L / 2 && r.getLong(1) == 1000000L,
+      s"rank must be a permutation of 1..n: ${r.toSeq}")
+  }
+
   /** Shuffle-write bytes + summed task peak-execution-memory for one
     * materialization of `df` (noop sink), via a task-metrics listener.
     */

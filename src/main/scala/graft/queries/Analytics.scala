@@ -3184,6 +3184,29 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Sequential pattern detection (the funnel's strict-adjacency
+    // sibling): per user, occurrences of the exact view→view→purchase
+    // trigram over the time-ordered event stream — one user-partitioned
+    // window pass (two lags), then a hash aggregate. The streaming twin
+    // (StreamOps.patternStream, ListState) is asserted equal to this
+    // shape in StreamOpsSpec.
+    "x_event_pattern" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+        .select($"user_id", $"event_type",
+          lag($"event_type", 2).over(w).as("p2"),
+          lag($"event_type", 1).over(w).as("p1"))
+        .filter($"p2" === "view" && $"p1" === "view" &&
+          $"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("matches"))
+        .orderBy($"user_id")
+    }),
+
     // Curriculum ordering (easy→hard scheduling for staged pretraining):
     // an integer quality score (alpha-word rate + stopword bonus) ranks
     // the corpus via the shard-prefix-sum (shard = score div 64 — no
@@ -5404,6 +5427,19 @@ object Analytics {
            CAST((intercept_x1e6 + slope_x1e6 * 32) // 1000000 AS BIGINT)
              AS forecast_day32
          FROM i""",
+    "x_event_pattern" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+           FROM events),
+         l AS (SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS p2,
+             lag(event_type, 1) OVER w AS p1
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         SELECT user_id, count(*) AS matches
+         FROM l WHERE p2 = 'view' AND p1 = 'view'
+           AND event_type = 'purchase'
+         GROUP BY 1 ORDER BY user_id""",
     "x_session_paths" ->
       """WITH e AS (SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type

@@ -559,6 +559,60 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  final case class PatternHit(user_id: Long, ts_us: Long)
+
+  /** Strict-adjacency sequential pattern detection on `transformWithState`
+    * LIST state (the third state primitive, after Value and Map): per
+    * user a ListState ring holds the last `pattern.length - 1` event
+    * types — O(pattern) state per key, owned by RocksDB — and each
+    * arriving event that completes the exact trigram emits a hit. The
+    * batch twin is the x_event_pattern gate (two lags over a
+    * user-partitioned window); StreamOpsSpec pins the two equal across
+    * batch boundaries. In-batch rows sort by event time, so a pattern
+    * split across micro-batches still matches through the carried tail.
+    */
+  final class PatternProcessor(pattern: Seq[String])
+      extends StatefulProcessor[Long, SessEvent, PatternHit] {
+    @transient private var tail: org.apache.spark.sql.streaming.ListState[String] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tail = getHandle.getListState[String]("tail",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternHit] = {
+      val keep = pattern.length - 1
+      var recent: List[String] = {
+        val it = tail.get()
+        val b = List.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      var out: List[PatternHit] = Nil
+      for (e <- rows.toSeq.sortBy(r => (r.ts_us, r.event_type))) {
+        if (recent.length == keep &&
+            (recent :+ e.event_type) == pattern.toList)
+          out ::= PatternHit(user, e.ts_us)
+        recent = (recent :+ e.event_type).takeRight(keep)
+      }
+      tail.put(recent.toArray)
+      out.reverseIterator
+    }
+  }
+
+  /** [[PatternProcessor]] wired for the view→view→purchase trigram. */
+  def patternStream(events: Dataset[SessEvent]): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new PatternProcessor(Seq("view", "view", "purchase")),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The streaming form [[dedupEventTimeTtl]] replays: built-in
     * watermark-bounded dedup — state for a kept key is dropped once the
     * watermark passes its event time plus the delay, so a late duplicate

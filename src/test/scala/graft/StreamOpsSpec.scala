@@ -918,6 +918,71 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("ListState pattern detector: trigram matches across batch " +
+       "boundaries, equals the batch lag shape") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.{PatternHit, SessEvent}
+    implicit val sc = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[SessEvent]
+    val q = StreamOps.patternStream(input.toDS())
+      .writeStream.format("memory").queryName("pattern_hits")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 ends on [view, view] — the pattern tail must carry;
+      // u2 completes a full trigram in-batch; u3 is a near-miss
+      input.addData(
+        SessEvent(1L, 10L, "view"), SessEvent(1L, 20L, "view"),
+        SessEvent(2L, 10L, "view"), SessEvent(2L, 20L, "view"),
+        SessEvent(2L, 30L, "purchase"),
+        SessEvent(3L, 10L, "view"), SessEvent(3L, 20L, "click"),
+        SessEvent(3L, 30L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: u1's purchase completes the CROSS-BATCH trigram; a
+      // second purchase must NOT match (the tail is now [view, purchase])
+      input.addData(SessEvent(1L, 30L, "purchase"),
+        SessEvent(1L, 40L, "purchase"))
+      q.processAllAvailable()
+      val hits = spark.table("pattern_hits").as[PatternHit]
+        .collect().toSeq.sortBy(h => (h.user_id, h.ts_us))
+      assert(hits == Seq(PatternHit(1L, 30L), PatternHit(2L, 30L)),
+        s"expected u1 cross-batch + u2 in-batch only, got $hits")
+
+      // the batch twin (two lags over the user window) agrees on the
+      // same event set — the x_event_pattern gate shape
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.lag
+      val all = Seq((1L, 10L, "view"), (1L, 20L, "view"),
+        (1L, 30L, "purchase"), (1L, 40L, "purchase"),
+        (2L, 10L, "view"), (2L, 20L, "view"), (2L, 30L, "purchase"),
+        (3L, 10L, "view"), (3L, 20L, "click"), (3L, 30L, "purchase"))
+        .toDF("user_id", "ts_us", "event_type")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      val batchHits = all
+        .select($"user_id", $"ts_us", $"event_type",
+          lag($"event_type", 2).over(w).as("p2"),
+          lag($"event_type", 1).over(w).as("p1"))
+        .filter($"p2" === "view" && $"p1" === "view" &&
+          $"event_type" === "purchase")
+        .select($"user_id", $"ts_us").as[(Long, Long)]
+        .collect().toSeq.sorted
+      assert(batchHits == hits.map(h => (h.user_id, h.ts_us)),
+        s"streaming must equal the batch lag shape, got $batchHits")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState distinct count: membership survives batches, novelty per batch") {
     val sparkS = spark
     import sparkS.implicits._

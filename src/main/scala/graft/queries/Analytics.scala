@@ -3184,6 +3184,31 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // per source, the 5 docs with the largest u^(1/w) key — here the
+    // equivalent ln(u)/w ordering — with w = n_chars and u the
+    // md5-derived uniform (the x_dp_counts recipe per doc), so longer
+    // docs are proportionally likelier but the draw replays
+    // deterministically in both engines. One scan, one per-source top-k
+    // window over the scored projection; keys quantized ×1e9 only for
+    // display (ordering uses the raw double).
+    "x_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = conv(substring(md5(concat(lit("ws:"),
+          $"doc_id".cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long").cast("double") / lit(281474976710656.0)
+      val scored = documents(s, d).filter($"n_chars" > 0)
+        .select($"source", $"doc_id", $"n_chars",
+          (log(u) / $"n_chars".cast("double")).as("key"))
+      val w = Window.partitionBy($"source").orderBy($"key".desc, $"doc_id")
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter($"rnk" <= 5)
+        .select($"source", $"rnk", $"doc_id", $"n_chars",
+          floor($"key" * 1e9).cast("long").as("key_x1e9"))
+        .orderBy($"source", $"rnk")
+    }),
+
     // Sequential pattern detection (the funnel's strict-adjacency
     // sibling): per user, occurrences of the exact view→view→purchase
     // trigram over the time-ordered event stream — one user-partitioned
@@ -5427,6 +5452,19 @@ object Analytics {
            CAST((intercept_x1e6 + slope_x1e6 * 32) // 1000000 AS BIGINT)
              AS forecast_day32
          FROM i""",
+    "x_weighted_sample" ->
+      """WITH sc AS (SELECT source, doc_id, n_chars,
+             ln(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+               1, 12))::BIGINT AS DOUBLE) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE) AS key
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT source, doc_id, n_chars, key,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY key DESC, doc_id) AS INT) AS rnk
+           FROM sc)
+         SELECT source, rnk, doc_id, n_chars,
+           CAST(floor(key * 1e9) AS BIGINT) AS key_x1e9
+         FROM r WHERE rnk <= 5 ORDER BY source, rnk""",
     "x_event_pattern" ->
       """WITH e AS (SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type

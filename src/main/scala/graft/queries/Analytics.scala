@@ -3184,6 +3184,60 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Community conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S))
+    // over the synthetic link graph with doc_id%4 communities — the
+    // partition-quality metric that complements v_modularity (low φ =
+    // well-separated). Cut and volume are both one explode + hash
+    // aggregate over the edge table; integer ×1e6 quantization.
+    "v_conductance" -> ((s, d) => {
+      import s.implicits._
+      val e = linkGraphEdges(documents(s, d))
+        .select(($"a" % 4).as("ca"), ($"b" % 4).as("cb"))
+        .localCheckpoint(false)
+      val vol = e.select(explode(array($"ca", $"cb")).as("c"))
+        .groupBy($"c").agg(count(lit(1)).as("vol"))
+      val cut = e.filter($"ca" =!= $"cb")
+        .select(explode(array($"ca", $"cb")).as("c"))
+        .groupBy($"c").agg(count(lit(1)).as("cut"))
+      val tot = vol.agg(sum($"vol").as("tv"))
+      vol.join(cut, Seq("c"), "left").crossJoin(broadcast(tot))
+        .select($"c".as("community"), $"vol",
+          coalesce($"cut", lit(0L)).as("cut_edges"), $"tv")
+        .select($"community", $"vol", $"cut_edges",
+          expr("(cut_edges * 1000000) div least(vol, tv - vol)")
+            .as("phi_x1e6"))
+        .orderBy($"community")
+    }),
+
+    // Cross-validation fold leakage (the eval-integrity audit k-fold
+    // setups skip at their peril): deterministic md5 5-fold assignment,
+    // then every NEAR-DUPLICATE pair (shared 8-word-prefix fingerprint,
+    // the x_cross_source_dup key) that straddles two folds is a
+    // train→test leak. Pairs come from the per-fingerprint fold set
+    // (≤5² per fingerprint, never corpus-sized); output is the leak
+    // count per fold pair plus the duplicate groups affected.
+    "x_fold_leakage" -> ((s, d) => {
+      import s.implicits._
+      val folded = documents(s, d).filter(length(trim($"text")) > 0)
+        .select(md5(concat_ws(" ", slice(words(lower($"text")), 1, 8))
+            .cast("binary")).as("h"),
+          (conv(substring(md5(concat(lit("fold:"),
+            $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+            .cast("long") % 5).as("fold"))
+      // distinct (h, fold): a hash's fold set is ≤5 rows, so the pair
+      // join below is bounded by 25 per duplicate group
+      val hf = folded.groupBy($"h", $"fold")
+        .agg(count(lit(1)).as("n")).localCheckpoint(false)
+      hf.select($"h", $"fold".as("fold_a"), $"n".as("na"))
+        .join(hf.select($"h", $"fold".as("fold_b"), $"n".as("nb")),
+          Seq("h"))
+        .filter($"fold_a" < $"fold_b")
+        .groupBy($"fold_a", $"fold_b")
+        .agg(count(lit(1)).as("dup_groups"),
+          sum($"na" * $"nb").as("leaked_pairs"))
+        .orderBy($"fold_a", $"fold_b")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // per source, the 5 docs with the largest u^(1/w) key — here the
     // equivalent ln(u)/w ordering — with w = n_chars and u the
@@ -5452,6 +5506,43 @@ object Analytics {
            CAST((intercept_x1e6 + slope_x1e6 * 32) // 1000000 AS BIGINT)
              AS forecast_day32
          FROM i""",
+    "v_conductance" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e1 AS (SELECT DISTINCT least(src, dst) AS a,
+             greatest(src, dst) AS b
+           FROM e0 WHERE src <> dst),
+         e AS (SELECT a % 4 AS ca, b % 4 AS cb FROM e1),
+         v AS (SELECT c, count(*) AS vol FROM
+             (SELECT ca AS c FROM e UNION ALL SELECT cb FROM e)
+           GROUP BY 1),
+         cu AS (SELECT c, count(*) AS cut FROM
+             (SELECT ca AS c FROM e WHERE ca <> cb
+              UNION ALL SELECT cb FROM e WHERE ca <> cb)
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(vol) AS BIGINT) AS tv FROM v)
+         SELECT v.c AS community, CAST(v.vol AS BIGINT) AS vol,
+           CAST(coalesce(cu.cut, 0) AS BIGINT) AS cut_edges,
+           CAST((coalesce(cu.cut, 0) * 1000000)
+             // least(v.vol, t.tv - v.vol) AS BIGINT) AS phi_x1e6
+         FROM v LEFT JOIN cu ON v.c = cu.c, t
+         ORDER BY community""",
+    "x_fold_leakage" ->
+      """WITH f AS (SELECT
+             md5(array_to_string(list_slice(
+               string_split_regex(trim(lower(text)), ' +'), 1, 8), ' '))
+               AS h,
+             ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+               1, 4))::BIGINT % 5 AS fold
+           FROM documents WHERE len(trim(text)) > 0),
+         hf AS (SELECT h, fold, count(*) AS n FROM f GROUP BY 1, 2)
+         SELECT a.fold AS fold_a, b.fold AS fold_b,
+           count(*) AS dup_groups,
+           CAST(sum(a.n * b.n) AS BIGINT) AS leaked_pairs
+         FROM hf a JOIN hf b ON a.h = b.h AND a.fold < b.fold
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "x_weighted_sample" ->
       """WITH sc AS (SELECT source, doc_id, n_chars,
              ln(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),

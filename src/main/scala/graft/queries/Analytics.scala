@@ -3184,6 +3184,32 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Exact quantiles WITHOUT per-group buffers (the 100 TB path for
+    // exact percentiles on a bounded integer domain, complementing the
+    // in-memory `percentile` the winsorize gate uses): fold to a
+    // (lang, value) histogram first — the only window then runs over
+    // histogram rows (bounded by the distinct-value count, not the
+    // corpus) — and the type-1 quantile is the smallest value whose
+    // cumulative count crosses ceil(p·n), found by cross-multiplied
+    // integer comparison. Same discipline as T10's value-histogram.
+    "x_exact_quantile_hist" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val h = documents(s, d).groupBy($"lang", $"n_chars")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"lang").orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum($"c").over(w))
+      val tot = h.groupBy($"lang").agg(sum($"c").as("n"))
+      cum.join(broadcast(tot), "lang")
+        .groupBy($"lang")
+        .agg(max($"n").as("n"),
+          min(when($"cum" * 100 >= $"n" * 50, $"n_chars")).as("p50"),
+          min(when($"cum" * 100 >= $"n" * 90, $"n_chars")).as("p90"),
+          min(when($"cum" * 100 >= $"n" * 99, $"n_chars")).as("p99"))
+        .orderBy($"lang")
+    }),
+
     // Community conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S))
     // over the synthetic link graph with doc_id%4 communities — the
     // partition-quality metric that complements v_modularity (low φ =
@@ -5506,6 +5532,24 @@ object Analytics {
            CAST((intercept_x1e6 + slope_x1e6 * 32) // 1000000 AS BIGINT)
              AS forecast_day32
          FROM i""",
+    "x_exact_quantile_hist" ->
+      """WITH h AS (SELECT lang, n_chars, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (SELECT lang, n_chars,
+             sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h),
+         tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+           FROM h GROUP BY 1)
+         SELECT cum.lang, max(tot.n) AS n,
+           CAST(min(CASE WHEN cum.cum * 100 >= tot.n * 50
+             THEN cum.n_chars END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum.cum * 100 >= tot.n * 90
+             THEN cum.n_chars END) AS BIGINT) AS p90,
+           CAST(min(CASE WHEN cum.cum * 100 >= tot.n * 99
+             THEN cum.n_chars END) AS BIGINT) AS p99
+         FROM cum JOIN tot USING (lang)
+         GROUP BY 1 ORDER BY cum.lang""",
     "v_conductance" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          e0 AS (SELECT d.doc_id AS src,

@@ -580,6 +580,20 @@ class PlanQualitySpec extends SparkSpec {
       s"no corpus-vs-corpus join in hard-negative mining:\n$plan")
   }
 
+  test("x_exact_quantile_hist: cumsum runs on the value histogram only") {
+    val plan = planString(q("x_exact_quantile_hist"))
+    // corpus folds to a (lang, value) histogram map-side first; the
+    // running-count window then touches histogram rows only, and no
+    // single-partition step exists anywhere
+    assert(plan.contains("partial_count"),
+      s"value histogram must combine map-side:\n$plan")
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(lang.*"),
+      s"quantile window must partition by lang:\n$plan")
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single == 0,
+      s"exact quantiles need no serial step at all, got $single:\n$plan")
+  }
+
   test("v_pagerank: rank iterations are hash equi-joins, never all-pairs") {
     val plan = planString(q("v_pagerank"))
     assert(!plan.contains("CartesianProduct"),

@@ -3184,6 +3184,41 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Jensen–Shannon divergence between two sources' token
+    // distributions (the symmetric, bounded drift metric the PSI/KS
+    // monitors lack): per-token contribution (p·ln(p/m) + q·ln(q/m))/2
+    // with m = (p+q)/2, FLOOR-QUANTIZED ×1e9 PER TOKEN before the sum —
+    // the x_unigram_nll discipline that makes a float reduction
+    // order-free (each term is one deterministic double expression;
+    // the cross-engine sum is then integer). Vocab-sized aggregation
+    // only; at 1e8-token vocabularies the ×1e9 quantized terms still
+    // sum under 2⁶².
+    "x_js_divergence" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .filter($"source".isin("src0", "src1"))
+        .filter(length(trim($"text")) > 0)
+        .select($"source", explode(words(lower($"text"))).as("t"))
+        .filter($"t" =!= "")
+      val cnt = toks.groupBy($"t")
+        .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("ca"),
+          sum(when($"source" === "src1", 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint(false)
+      val tot = cnt.agg(sum($"ca").as("ta"), sum($"cb").as("tb"))
+      cnt.crossJoin(broadcast(tot))
+        .select(expr(
+          """floor(1e9 * (
+               (case when ca > 0 then (cast(ca as double) / ta) *
+                 ln((cast(ca as double) / ta) /
+                    ((cast(ca as double) / ta + cast(cb as double) / tb) / 2))
+                else 0.0 end)
+             + (case when cb > 0 then (cast(cb as double) / tb) *
+                 ln((cast(cb as double) / tb) /
+                    ((cast(ca as double) / ta + cast(cb as double) / tb) / 2))
+                else 0.0 end)) / 2)""").cast("long").as("j"))
+        .agg(count(lit(1)).as("vocab"), sum($"j").as("js_x1e9"))
+    }),
+
     // Exact quantiles WITHOUT per-group buffers (the 100 TB path for
     // exact percentiles on a bounded integer domain, complementing the
     // in-memory `percentile` the winsorize gate uses): fold to a
@@ -5532,6 +5567,32 @@ object Analytics {
            CAST((intercept_x1e6 + slope_x1e6 * 32) // 1000000 AS BIGINT)
              AS forecast_day32
          FROM i""",
+    "x_js_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split_regex(
+             trim(lower(text)), ' +')) AS t
+           FROM documents
+           WHERE source IN ('src0', 'src1') AND len(trim(text)) > 0),
+         tk2 AS (SELECT source, t FROM tk WHERE t <> ''),
+         cnt AS (SELECT t,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM tk2 GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+             CAST(sum(cb) AS BIGINT) AS tb FROM cnt),
+         terms AS (SELECT CAST(floor(1e9 * (
+               (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta) *
+                 ln((CAST(ca AS DOUBLE) / ta) /
+                    ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))
+                ELSE 0.0 END)
+             + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb) *
+                 ln((CAST(cb AS DOUBLE) / tb) /
+                    ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))
+                ELSE 0.0 END)) / 2) AS BIGINT) AS j
+           FROM cnt, tot)
+         SELECT count(*) AS vocab, CAST(sum(j) AS BIGINT) AS js_x1e9
+         FROM terms""",
     "x_exact_quantile_hist" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS c
            FROM documents GROUP BY 1, 2),

@@ -63,6 +63,24 @@ class CrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("shardedRank edge cases: empty input; constant-key degenerate") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Analytics.shardedRank(empty, floor($"v" / 4),
+      Seq($"v", $"id"), "rk").count() == 0L)
+    // every row in ONE shard (constant order key): results stay exact —
+    // the helper degrades to a single partitioned window, which is the
+    // caller's cue that the shard function must split the key domain
+    val const = Seq.tabulate(100)(i => (i.toLong, 7L)).toDF("id", "v")
+      .repartition(5)
+    val got = Analytics.shardedRank(const, floor($"v" / 4),
+        Seq($"v", $"id"), "rk")
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert((0L until 100L).forall(i => got(i) == i + 1),
+      s"constant-key ranks must still be 1..n: ${got.toSeq.sorted.take(5)}")
+  }
+
   test("ntileOf matches the window ntile for every rank, n <= 40") {
     val sparkS = spark
     import sparkS.implicits._

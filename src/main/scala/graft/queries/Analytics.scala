@@ -184,12 +184,23 @@ object Analytics {
     * the shard-count-sized subtotal table, which broadcasts back.
     * `part` (optional) scopes the ranking per partition value — the
     * serial step then runs per part on shard-count rows.
+    *
+    * Skew escape hatch: a value-bucketed shard concentrates a dominant
+    * value in one task. Because the shard only needs to be
+    * non-decreasing along the FULL order (leading key, then
+    * tiebreaks), a composite STRUCT shard whose leading field is the
+    * EXACT leading key and whose second field buckets the tiebreak —
+    * `struct(v, floor(id / 4096))` for order `(v, id)` — splits a hot
+    * value across tasks and stays exact (struct ordering is
+    * lexicographic; a BUCKETED leading field with a tiebreak suffix
+    * would NOT be monotone across values inside one bucket).
+    * CrossCheckSpec pins the composite form.
     */
   def shardedRank(df0: DataFrame, shard: Column, order: Seq[Column],
                   out: String, part: Seq[String] = Nil): DataFrame = {
     import df0.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val df = df0.withColumn("__shard", shard.cast("long"))
+    val df = df0.withColumn("__shard", shard)
     val partCols = part.map(col)
     val w = Window.partitionBy((partCols :+ $"__shard"): _*)
       .orderBy(order: _*)

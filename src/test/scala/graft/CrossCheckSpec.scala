@@ -63,6 +63,25 @@ class CrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("shardedRank composite struct shard splits a hot value exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 80% of rows share one hot value: a value-bucketed shard would
+    // single-task them; the composite (exact v, id-bucket) shard splits
+    // the hot value while staying monotone along (v, id)
+    val rows = Seq.tabulate(1000)(i =>
+      (i.toLong, if (i % 5 != 0) 7L else (i % 40).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = Analytics.shardedRank(df,
+        struct($"v", floor($"id" / 64)), Seq($"v", $"id"), "rk")
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert(got == want, "composite-shard rank diverged from row_number")
+  }
+
   test("shardedRank edge cases: empty input; constant-key degenerate") {
     val sparkS = spark
     import sparkS.implicits._

@@ -2535,8 +2535,9 @@ object Analytics {
     // log-freq on log-rank (both floor-quantized ×1e6 integers so the
     // regression inputs replay exactly; only the final slope division
     // is FP, floored once). The corpus-science sanity check — a
-    // healthy natural corpus fits slope ≈ −1; the window ranks only
-    // the VOCABULARY table.
+    // healthy natural corpus fits slope ≈ −1. The top-200 cut is a
+    // TakeOrdered (bounded heap, no vocab-sized sort); the rank window
+    // then runs on the 200-row result only.
     "x_zipf_fit" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -2545,9 +2546,9 @@ object Analytics {
         .filter($"tk" =!= "")
         .groupBy($"tk").agg(count(lit(1)).as("f"))
       val ranked = freq
+        .orderBy($"f".desc, $"tk").limit(200)
         .withColumn("r", row_number().over(
           Window.orderBy($"f".desc, $"tk")))
-        .filter($"r" <= 200)
         .select(floor(log($"r".cast("double")) * 1e6).cast("long").as("x"),
           floor(log($"f".cast("double")) * 1e6).cast("long").as("y"))
       ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"),

@@ -580,11 +580,14 @@ object Curation {
     }),
 
     // Vocabulary coverage curve: share of all token occurrences covered
-    // by the top-N vocabulary entries, at N = 5/10/20 (the synthetic corpus draws from a ~31-token vocabulary) — the table
-    // that sizes a tokenizer's vocab budget. The rank/cumsum window runs
-    // over the AGGREGATED vocabulary (vocab-sized, not corpus-sized);
-    // at open-web vocab scale the cumsum upgrades to the distributed
-    // shard prefix sum exactly as x_seq_pack demonstrates.
+    // by the top-N vocabulary entries, at N = 5/10/20 (the synthetic
+    // corpus draws from a ~31-token vocabulary) — the table that sizes
+    // a tokenizer's vocab budget. The rank AND the running sum use the
+    // shard prefix sum (the upgrade path r7–r10 only documented):
+    // shard = −cnt, the EXACT negated leading key, so within a shard
+    // every row carries the same cnt and the running coverage composes
+    // as earlier-shard totals (cnt_rows·cnt each) + in-shard-rank·cnt.
+    // Only the distinct-frequency-sized subtotal table ever serializes.
     "x_ngram_coverage" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -593,11 +596,19 @@ object Curation {
         .filter($"token" =!= "")
       val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
       val tot = toks.agg(count(lit(1)).as("total"))
-      val w = Window.orderBy($"cnt".desc, $"token")
-      vocab
-        .withColumn("rnk", row_number().over(w))
-        .withColumn("cum", sum($"cnt").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val ranked = vocab.withColumn("shard", -$"cnt")
+        .withColumn("ri", row_number().over(
+          Window.partitionBy($"shard").orderBy($"token")).cast("long"))
+      val sub = ranked.groupBy($"shard")
+        .agg(max($"ri").as("cnt_rows"), min($"cnt").as("scnt"))
+      val offW = Window.orderBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sub.select($"shard",
+        coalesce(sum($"cnt_rows").over(offW), lit(0L)).as("roff"),
+        coalesce(sum($"cnt_rows" * $"scnt").over(offW), lit(0L)).as("coff"))
+      ranked.join(broadcast(offs), Seq("shard"))
+        .select(($"roff" + $"ri").cast("int").as("rnk"), $"cnt",
+          ($"coff" + $"ri" * $"cnt").as("cum"))
         .filter($"rnk".isin(5, 10, 20))
         .crossJoin(broadcast(tot))
         .select($"rnk", $"cnt", $"cum",

@@ -580,6 +580,25 @@ class PlanQualitySpec extends SparkSpec {
       s"no corpus-vs-corpus join in hard-negative mining:\n$plan")
   }
 
+  test("x_ngram_coverage: coverage cumsum is shard-partitioned") {
+    val plan = planString(q("x_ngram_coverage"))
+    assert(plan.matches("(?s).*Exchange hashpartitioning\\(shard.*"),
+      s"vocab rank must partition by the -cnt shard:\n$plan")
+    // allowed serial inputs: the distinct-frequency subtotal cumsum and
+    // the 1-row corpus total
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 2,
+      s"only frequency-subtotals + 1-row total may serialize ($single):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back:\n$plan")
+  }
+
+  test("x_zipf_fit: top-200 cut is a bounded TakeOrdered, no vocab sort") {
+    val plan = planString(q("x_zipf_fit"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-200 must plan as a bounded heap:\n$plan")
+  }
+
   test("x_exact_quantile_hist: cumsum runs on the value histogram only") {
     val plan = planString(q("x_exact_quantile_hist"))
     // corpus folds to a (lang, value) histogram map-side first; the

@@ -3257,6 +3257,67 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Sample-ratio mismatch (the A/B guardrail run BEFORE reading any
+    // effect): md5 arm assignment per user (the x_diff_in_diff idiom),
+    // then the 1-df chi-square of arm counts against the designed
+    // 50/50 split — entirely in cross-multiplied integers
+    // ((na−nb)²·1000 vs 3841·n is the α=0.05 critical test). An SRM
+    // flag means the assignment or logging pipeline is broken and the
+    // experiment is unreadable.
+    "x_ab_srm" -> ((s, d) => {
+      import s.implicits._
+      val users = events(s, d).select($"user_id").distinct()
+        .select(when(substring(md5(concat(lit("exp1:"),
+          $"user_id".cast("string")).cast("binary")), 1, 1) < "8", 1L)
+          .otherwise(0L).as("arm"))
+      users.agg(sum(when($"arm" === 1, 1L).otherwise(0L)).as("na"),
+          sum(when($"arm" === 0, 1L).otherwise(0L)).as("nb"))
+        .select($"na", $"nb",
+          expr("((na - nb) * (na - nb) * 1000) div (na + nb)")
+            .as("chi2_x1000"),
+          (expr("(na - nb) * (na - nb) * 1000") >
+            expr("3841 * (na + nb)")).cast("long").as("srm_flag"))
+    }),
+
+    // Day-of-week seasonality index (the ops-dashboard shape): each
+    // weekday's event rate vs the uniform expectation, in basis points
+    // — one scan, a 7-row aggregate, integer arithmetic.
+    "x_seasonality_dow" -> ((s, d) => {
+      import s.implicits._
+      val byDow = events(s, d)
+        .select(dayofweek($"ts").cast("long").as("dow"))
+        .groupBy($"dow").agg(count(lit(1)).as("n"))
+      val tot = byDow.agg(sum($"n").as("t"))
+      byDow.crossJoin(broadcast(tot))
+        .select($"dow", $"n",
+          expr("(n * 7 * 10000) div t").as("index_x1e4"))
+        .orderBy($"dow")
+    }),
+
+    // Directed-edge reciprocity (how mutual is the link graph): the
+    // share of directed edges whose reverse also exists — one
+    // self-equi-join on the deduped directed edge set, counted in
+    // basis points. High reciprocity changes how a crawler dedups
+    // link-derived features.
+    "v_graph_reciprocity" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val e = docs.crossJoin(broadcast(nRow))
+        .select($"doc_id".as("src"), explode(array(
+          ($"doc_id" * $"doc_id" + 37) % $"n",
+          ($"doc_id" * $"doc_id" + 74) % $"n",
+          ($"doc_id" * $"doc_id" + 111) % $"n")).as("dst"))
+        .filter($"src" =!= $"dst").distinct()
+        .localCheckpoint(false)
+      val rec = e.join(e.select($"dst".as("src"), $"src".as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(
+          broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+        .select($"n_edges", $"n_reciprocal",
+          expr("(n_reciprocal * 10000) div n_edges").as("recip_x1e4"))
+    }),
+
     // Community conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S))
     // over the synthetic link graph with doc_id%4 communities — the
     // partition-quality metric that complements v_modularity (low φ =
@@ -5623,6 +5684,44 @@ object Analytics {
              THEN cum.n_chars END) AS BIGINT) AS p99
          FROM cum JOIN tot USING (lang)
          GROUP BY 1 ORDER BY cum.lang""",
+    "x_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         arm AS (SELECT CASE WHEN substr(md5('exp1:' ||
+             CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END
+             AS arm FROM u),
+         c AS (SELECT
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM arm)
+         SELECT na, nb,
+           CAST(((na - nb) * (na - nb) * 1000) // (na + nb) AS BIGINT)
+             AS chi2_x1000,
+           CAST(CASE WHEN (na - nb) * (na - nb) * 1000 > 3841 * (na + nb)
+             THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+         FROM c""",
+    "x_seasonality_dow" ->
+      """WITH e AS (SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1
+             AS BIGINT) AS dow FROM events),
+         g AS (SELECT dow, count(*) AS n FROM e GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
+         SELECT dow, n, CAST((n * 7 * 10000) // t.t AS BIGINT)
+           AS index_x1e4
+         FROM g, t ORDER BY dow""",
+    "v_graph_reciprocity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         r AS (SELECT count(*) AS n_reciprocal FROM e a
+           WHERE EXISTS (SELECT 1 FROM e b
+             WHERE b.src = a.dst AND b.dst = a.src)),
+         c AS (SELECT count(*) AS n_edges FROM e)
+         SELECT CAST(c.n_edges AS BIGINT) AS n_edges,
+           CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+           CAST((r.n_reciprocal * 10000) // c.n_edges AS BIGINT)
+             AS recip_x1e4
+         FROM c, r""",
     "v_conductance" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
          e0 AS (SELECT d.doc_id AS src,

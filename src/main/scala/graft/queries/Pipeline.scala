@@ -1762,6 +1762,33 @@ object Pipeline {
         .orderBy($"thr_x100")
     }),
 
+    // NDCG@10 for the BM25 ranker (the graded companion to the recall
+    // evals): relevance = doc_id % 4 (a deterministic 4-level label),
+    // DCG discount terms floor-quantized ×1e9 PER RANK before the sum
+    // (order-free), ideal DCG = ten rel-3 slots (the corpus has plenty)
+    // so NDCG is an honest corpus-wide ratio in basis points. Runs on
+    // the 15-row BM25 result only.
+    "x_dcg_eval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val top = bm25Search(documents(s, d), Seq("hash", "join", "batch"),
+        k = 15)
+      val terms = top.withColumn("rnk", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")).cast("int"))
+        .filter($"rnk" <= 10)
+        .select(floor(lit(1e9) *
+          (pow(lit(2.0), ($"doc_id" % 4).cast("double")) - 1) /
+          (log($"rnk" + lit(1.0)) / log(lit(2.0)))).cast("long").as("g"))
+      val ideal = s.range(1, 11)
+        .select(floor(lit(1e9) * 7.0 /
+          (log($"id" + lit(1.0)) / log(lit(2.0)))).cast("long").as("gi"))
+        .agg(sum($"gi").as("idcg_x1e9"))
+      terms.agg(sum($"g").as("dcg_x1e9"))
+        .crossJoin(broadcast(ideal))
+        .select($"dcg_x1e9", $"idcg_x1e9",
+          expr("(dcg_x1e9 * 10000) div idcg_x1e9").as("ndcg_x1e4"))
+    }),
+
     // Language-ID confusion matrix (the eval for the x_langid
     // stopword classifier): ground-truth lang × predicted lang counts —
     // one scan, one hash aggregate; per-class precision/recall read
@@ -3147,6 +3174,37 @@ object Pipeline {
            FROM s, thr WHERE s.cos >= thr.thr_x100 / 100.0 GROUP BY 1)
          SELECT thr.thr_x100, CAST(coalesce(cnt.n, 0) AS BIGINT) AS pairs
          FROM thr LEFT JOIN cnt USING (thr_x100) ORDER BY thr_x100""",
+    "x_dcg_eval" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS a FROM d),
+         t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             unnest(w) AS term FROM d),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term IN ('hash', 'join', 'batch') GROUP BY 1, 2, 3),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id, count(*) AS nterms, CAST(sum(
+             (((1000 * n_docs) // df) * (44 * a * tf))
+               // (20 * a * tf + 6 * a + 18 * dl * n_docs)
+           ) AS BIGINT) AS score
+           FROM tf JOIN dfq USING (term), st GROUP BY 1),
+         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 15),
+         r AS (SELECT doc_id, score, CAST(row_number() OVER
+             (ORDER BY score DESC, doc_id) AS INT) AS rnk FROM top),
+         terms AS (SELECT CAST(floor(1e9 *
+             (pow(2.0, CAST(doc_id % 4 AS DOUBLE)) - 1) /
+             (ln(rnk + 1.0) / ln(2.0))) AS BIGINT) AS g
+           FROM r WHERE rnk <= 10),
+         ideal AS (SELECT CAST(sum(CAST(floor(1e9 * 7.0 /
+             (ln(t.r + 1.0) / ln(2.0))) AS BIGINT)) AS BIGINT)
+             AS idcg_x1e9
+           FROM range(1, 11) t(r))
+         SELECT CAST(sum(g) AS BIGINT) AS dcg_x1e9, ideal.idcg_x1e9,
+           CAST((sum(g) * 10000) // ideal.idcg_x1e9 AS BIGINT)
+             AS ndcg_x1e4
+         FROM terms, ideal GROUP BY ideal.idcg_x1e9""",
     "x_langid_confusion" ->
       """WITH sc AS (SELECT lang,
            CAST(len(list_filter(string_split_regex(trim(text), ' +'),

@@ -3257,26 +3257,47 @@ object Analytics {
         .orderBy($"lang")
     }),
 
-    // Sample-ratio mismatch (the A/B guardrail run BEFORE reading any
-    // effect): md5 arm assignment per user (the x_diff_in_diff idiom),
-    // then the 1-df chi-square of arm counts against the designed
-    // 50/50 split — entirely in cross-multiplied integers
-    // ((na−nb)²·1000 vs 3841·n is the α=0.05 critical test). An SRM
-    // flag means the assignment or logging pipeline is broken and the
-    // experiment is unreadable.
-    "x_ab_srm" -> ((s, d) => {
+    // CUPED variance reduction (Deng et al., WSDM'13 — the industry
+    // A/B precision lever): adjust each user's post-period purchase
+    // total by θ× their PRE-period total, θ = cov(pre, post)/var(pre)
+    // pooled across arms. All moments are exact integer cents sums;
+    // θ and the adjusted lift divide in doubles once, floor-quantized.
+    // Reports the raw and adjusted treatment deltas side by side —
+    // the adjusted one is what the experiment reads.
+    "x_cuped" -> ((s, d) => {
       import s.implicits._
-      val users = events(s, d).select($"user_id").distinct()
-        .select(when(substring(md5(concat(lit("exp1:"),
-          $"user_id".cast("string")).cast("binary")), 1, 1) < "8", 1L)
-          .otherwise(0L).as("arm"))
-      users.agg(sum(when($"arm" === 1, 1L).otherwise(0L)).as("na"),
-          sum(when($"arm" === 0, 1L).otherwise(0L)).as("nb"))
-        .select($"na", $"nb",
-          expr("((na - nb) * (na - nb) * 1000) div (na + nb)")
-            .as("chi2_x1000"),
-          (expr("(na - nb) * (na - nb) * 1000") >
-            expr("3841 * (na + nb)")).cast("long").as("srm_flag"))
+      val cut = lit("2024-01-16").cast("timestamp")
+      val per = events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id",
+          when(substring(md5(concat(lit("exp1:"),
+            $"user_id".cast("string")).cast("binary")), 1, 1) < "8", 1L)
+            .otherwise(0L).as("arm"),
+          when($"ts" < cut, floor($"value" * 100 + 0.5).cast("long"))
+            .otherwise(0L).as("pre"),
+          when($"ts" >= cut, floor($"value" * 100 + 0.5).cast("long"))
+            .otherwise(0L).as("post"))
+        .groupBy($"user_id", $"arm")
+        .agg(sum($"pre").as("x"), sum($"post").as("y"))
+      per.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when($"arm" === 1, $"x").otherwise(0L)).as("sxt"),
+          sum(when($"arm" === 1, $"y").otherwise(0L)).as("syt"))
+        .select($"n", $"nt", ($"n" - $"nt").as("nc"),
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("theta"),
+          ($"syt".cast("double") / $"nt" -
+            ($"sy" - $"syt").cast("double") / ($"n" - $"nt"))
+            .as("raw_delta"),
+          ($"sxt".cast("double") / $"nt" -
+            ($"sx" - $"sxt").cast("double") / ($"n" - $"nt"))
+            .as("pre_delta"))
+        .select($"n", $"nt", $"nc",
+          floor($"theta" * 1e6).cast("long").as("theta_x1e6"),
+          floor($"raw_delta").cast("long").as("raw_delta_cents"),
+          floor($"raw_delta" - $"theta" * $"pre_delta").cast("long")
+            .as("adj_delta_cents"))
     }),
 
     // Day-of-week seasonality index (the ops-dashboard shape): each
@@ -4948,6 +4969,45 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_cuped" ->
+      """WITH p AS (SELECT user_id,
+             CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+               1, 1) < '8' THEN 1 ELSE 0 END AS arm,
+             CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) <
+                 TIMESTAMP '2024-01-16'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >=
+                 TIMESTAMP '2024-01-16'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS y
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY 1, 2),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+             CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS sxt,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS syt
+           FROM p),
+         c AS (SELECT n, nt, n - nt AS nc,
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(syt AS DOUBLE) / nt -
+               CAST(sy - syt AS DOUBLE) / (n - nt) AS raw_delta,
+             CAST(sxt AS DOUBLE) / nt -
+               CAST(sx - sxt AS DOUBLE) / (n - nt) AS pre_delta
+           FROM m)
+         SELECT n, nt, nc,
+           CAST(floor(theta * 1e6) AS BIGINT) AS theta_x1e6,
+           CAST(floor(raw_delta) AS BIGINT) AS raw_delta_cents,
+           CAST(floor(raw_delta - theta * pre_delta) AS BIGINT)
+             AS adj_delta_cents
+         FROM c""",
     "x_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
          a AS (SELECT user_id % 5 AS cohort,
@@ -5684,21 +5744,6 @@ object Analytics {
              THEN cum.n_chars END) AS BIGINT) AS p99
          FROM cum JOIN tot USING (lang)
          GROUP BY 1 ORDER BY cum.lang""",
-    "x_ab_srm" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-         arm AS (SELECT CASE WHEN substr(md5('exp1:' ||
-             CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END
-             AS arm FROM u),
-         c AS (SELECT
-             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
-           FROM arm)
-         SELECT na, nb,
-           CAST(((na - nb) * (na - nb) * 1000) // (na + nb) AS BIGINT)
-             AS chi2_x1000,
-           CAST(CASE WHEN (na - nb) * (na - nb) * 1000 > 3841 * (na + nb)
-             THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
-         FROM c""",
     "x_seasonality_dow" ->
       """WITH e AS (SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1
              AS BIGINT) AS dow FROM events),

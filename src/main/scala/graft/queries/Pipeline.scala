@@ -1789,28 +1789,6 @@ object Pipeline {
           expr("(dcg_x1e9 * 10000) div idcg_x1e9").as("ndcg_x1e4"))
     }),
 
-    // Language-ID confusion matrix (the eval for the x_langid
-    // stopword classifier): ground-truth lang × predicted lang counts —
-    // one scan, one hash aggregate; per-class precision/recall read
-    // straight off the matrix.
-    "x_langid_confusion" -> ((s, d) => {
-      import s.implicits._
-      def hits(w: Column, xs: Seq[String]): Column =
-        size(filter(w, x => x.isin(xs: _*)))
-      documents(s, d)
-        .select($"lang", words($"text").as("w"))
-        .select($"lang",
-          hits($"w", Seq("the", "a", "of", "and")).as("s_en"),
-          hits($"w", Seq("el", "la", "de", "y")).as("s_es"),
-          hits($"w", Seq("der", "die", "das", "und")).as("s_de"))
-        .select($"lang",
-          when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
-            .when($"s_es" >= $"s_de", "es")
-            .otherwise("de").as("pred_lang"))
-        .groupBy($"lang", $"pred_lang")
-        .agg(count(lit(1)).as("n"))
-        .orderBy($"lang", $"pred_lang")
-    }),
 
     // Embedding outlier filter: per-label integer-quantized centroid
     // (order-free dim sums, same scheme as v_ann_ivf) and the 5 vectors
@@ -3205,20 +3183,6 @@ object Pipeline {
            CAST((sum(g) * 10000) // ideal.idcg_x1e9 AS BIGINT)
              AS ndcg_x1e4
          FROM terms, ideal GROUP BY ideal.idcg_x1e9""",
-    "x_langid_confusion" ->
-      """WITH sc AS (SELECT lang,
-           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-             x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS s_en,
-           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-             x -> x IN ('el', 'la', 'de', 'y'))) AS INT) AS s_es,
-           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-             x -> x IN ('der', 'die', 'das', 'und'))) AS INT) AS s_de
-           FROM documents)
-         SELECT lang,
-           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
-           count(*) AS n
-         FROM sc GROUP BY 1, 2 ORDER BY lang, pred_lang""",
     "d_semantic_dedup" ->
       s"""WITH $kmeansCtesSql,
          emb AS (SELECT e.vec_id, e.embedding, a.cid

@@ -3257,6 +3257,43 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Deterministic Poisson bootstrap CI (the scale recipe for "error
+    // bars without resampling passes"): each of B=40 replicas weights
+    // every user by a Poisson(1) draw — the md5-derived uniform cut at
+    // fixed 16-bit CDF thresholds — so one ×B explode + one hash
+    // aggregate yields all replica means, and both engines replay the
+    // "randomness" exactly. CI = percentile bootstrap (ranks 1 and 39
+    // of 40); the final rank window runs on the 40-row replica table.
+    "x_bootstrap_ci" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, d).filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+        .localCheckpoint(false)
+      val rep = per.select($"user_id", $"cents",
+          explode(sequence(lit(0), lit(39))).as("r"))
+        .withColumn("u16", conv(substring(md5(concat(lit("bs:"),
+          $"r".cast("string"), lit(":"), $"user_id".cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("long"))
+        .withColumn("w",
+          when($"u16" < 24109, 0L).when($"u16" < 48218, 1L)
+            .when($"u16" < 60281, 2L).when($"u16" < 64300, 3L)
+            .when($"u16" < 65293, 4L).otherwise(5L))
+        .groupBy($"r")
+        .agg(sum($"w" * $"cents").as("sw"), sum($"w").as("nw"))
+        .select($"r", expr("(sw * 100) div nw").as("mean_x100"))
+      val point = per.agg(
+        expr("(sum(cents) * 100) div count(1)").as("point_x100"))
+      val ranked = rep.withColumn("rk",
+        row_number().over(Window.orderBy($"mean_x100", $"r")))
+      ranked.agg(
+          min(when($"rk" === 1, $"mean_x100")).as("lo_x100"),
+          min(when($"rk" === 39, $"mean_x100")).as("hi_x100"))
+        .crossJoin(broadcast(point))
+        .select($"point_x100", $"lo_x100", $"hi_x100")
+    }),
+
     // CUPED variance reduction (Deng et al., WSDM'13 — the industry
     // A/B precision lever): adjust each user's post-period purchase
     // total by θ× their PRE-period total, θ = cov(pre, post)/var(pre)
@@ -4969,6 +5006,34 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_bootstrap_ci" ->
+      """WITH per AS (SELECT user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         rep AS (SELECT t.r, per.user_id, per.cents,
+             ('0x' || substr(md5('bs:' || t.r || ':' ||
+               CAST(user_id AS VARCHAR)), 1, 4))::BIGINT AS u16
+           FROM per, range(0, 40) t(r)),
+         w AS (SELECT r, cents,
+             CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48218 THEN 1
+                  WHEN u16 < 60281 THEN 2 WHEN u16 < 64300 THEN 3
+                  WHEN u16 < 65293 THEN 4 ELSE 5 END AS w
+           FROM rep),
+         means AS (SELECT r,
+             (CAST(sum(w * cents) AS BIGINT) * 100)
+               // CAST(sum(w) AS BIGINT) AS mean_x100
+           FROM w GROUP BY 1),
+         rk AS (SELECT mean_x100, row_number() OVER
+             (ORDER BY mean_x100, r) AS rk FROM means),
+         pt AS (SELECT (CAST(sum(cents) AS BIGINT) * 100) // count(*)
+             AS point_x100 FROM per)
+         SELECT pt.point_x100,
+           CAST(min(CASE WHEN rk = 1 THEN mean_x100 END) AS BIGINT)
+             AS lo_x100,
+           CAST(min(CASE WHEN rk = 39 THEN mean_x100 END) AS BIGINT)
+             AS hi_x100
+         FROM rk, pt GROUP BY pt.point_x100""",
     "x_cuped" ->
       """WITH p AS (SELECT user_id,
              CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),

@@ -983,6 +983,46 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("ListState pattern tail survives a checkpoint restart") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.{PatternHit, SessEvent}
+    implicit val sc = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ls_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ls_out").toString
+    val input = MemoryStream[SessEvent]
+    def start() = StreamOps.patternStream(input.toDS())
+      .writeStream.format("parquet").outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    try {
+      // run 1 ends with u1's tail = [view, view] in the ListState
+      val q1 = start()
+      input.addData(SessEvent(1L, 10L, "view"), SessEvent(1L, 20L, "view"))
+      q1.processAllAvailable()
+      q1.stop()
+      // run 2: the purchase completes the trigram purely from the
+      // RECOVERED list tail
+      val q2 = start()
+      input.addData(SessEvent(1L, 30L, "purchase"))
+      q2.processAllAvailable()
+      q2.stop()
+      val hits = spark.read.parquet(out).as[PatternHit].collect().toSeq
+      assert(hits == Seq(PatternHit(1L, 30L)),
+        s"recovered list tail must complete the trigram, got $hits")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState distinct count: membership survives batches, novelty per batch") {
     val sparkS = spark
     import sparkS.implicits._

@@ -3435,23 +3435,29 @@ object Analytics {
     // equivalent ln(u)/w ordering — with w = n_chars and u the
     // md5-derived uniform (the x_dp_counts recipe per doc), so longer
     // docs are proportionally likelier but the draw replays
-    // deterministically in both engines. One scan, one per-source top-k
-    // window over the scored projection; keys quantized ×1e9 only for
-    // display (ordering uses the raw double).
+    // deterministically in both engines. Selection is the bounded-heap
+    // TopKAgg (map-side trim to k per partition — a per-source window
+    // would funnel each source through one task at corpus scale); the
+    // winners' metadata joins back via the broadcast-small side. Keys
+    // quantized ×1e9 only for display.
     "x_weighted_sample" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val u = conv(substring(md5(concat(lit("ws:"),
           $"doc_id".cast("string")).cast("binary")), 1, 12), 16, 10)
         .cast("long").cast("double") / lit(281474976710656.0)
       val scored = documents(s, d).filter($"n_chars" > 0)
-        .select($"source", $"doc_id", $"n_chars",
+        .select($"source", $"doc_id",
           (log(u) / $"n_chars".cast("double")).as("key"))
-      val w = Window.partitionBy($"source").orderBy($"key".desc, $"doc_id")
-      scored.withColumn("rnk", row_number().over(w).cast("int"))
-        .filter($"rnk" <= 5)
-        .select($"source", $"rnk", $"doc_id", $"n_chars",
-          floor($"key" * 1e9).cast("long").as("key_x1e9"))
+      val top = scored.groupBy($"source")
+        .agg(graft.operators.TopKAgg.topKByScore($"key", $"doc_id", 5)
+          .as("top"))
+        .select($"source", posexplode($"top").as(Seq("i", "e")))
+        .select($"source", ($"i" + 1).cast("int").as("rnk"),
+          $"e.id".as("doc_id"),
+          floor($"e.score" * 1e9).cast("long").as("key_x1e9"))
+      top.join(documents(s, d).select($"doc_id", $"n_chars"),
+          Seq("doc_id"))
+        .select($"source", $"rnk", $"doc_id", $"n_chars", $"key_x1e9")
         .orderBy($"source", $"rnk")
     }),
 

@@ -599,6 +599,16 @@ class PlanQualitySpec extends SparkSpec {
       s"top-200 must plan as a bounded heap:\n$plan")
   }
 
+  test("x_weighted_sample: selection is a bounded heap, not a window") {
+    val plan = planString(q("x_weighted_sample"))
+    assert(plan.contains("partial_graft_topk"),
+      s"per-source winners must map-side trim through TopKAgg:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no per-source window may sort the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny winner table must broadcast into the metadata join:\n$plan")
+  }
+
   test("x_exact_quantile_hist: cumsum runs on the value histogram only") {
     val plan = planString(q("x_exact_quantile_hist"))
     // corpus folds to a (lang, value) histogram map-side first; the

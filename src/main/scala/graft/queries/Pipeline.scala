@@ -1256,11 +1256,11 @@ object Pipeline {
     // nearest wrong-class examples a triplet/InfoNCE trainer wants. Same
     // broadcast-query scan shape as the exact ANN baseline, with the
     // label inequality pushed into the scoring filter so same-class
-    // candidates never score. At corpus scale the label lives on the
-    // candidate row — no second join.
+    // candidates never score, and the v_ann_topk bounded-heap selection
+    // (map-side trim to k per partition — a per-qid window would funnel
+    // each query's whole candidate set through one task at scale).
     "x_hard_negatives" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val emb = embeddings(s, d)
       val q = emb.filter($"vec_id".isin(0, 1, 2))
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
@@ -1270,12 +1270,13 @@ object Pipeline {
       val scored = c.crossJoin(broadcast(q))
         .filter($"label" =!= $"qlabel")
         .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      scored.withColumn("rnk", row_number().over(w).cast("int"))
-        .filter($"rnk" <= 5)
-        .select($"qid", $"vec_id",
-          floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"),
-          $"rnk")
+      scored.groupBy($"qid")
+        .agg(graft.operators.TopKAgg.topKByScore($"cos", $"vec_id", 5)
+          .as("top"))
+        .select($"qid", posexplode($"top").as(Seq("i", "e")))
+        .select($"qid", $"e.id".as("vec_id"),
+          floor($"e.score" * 10000 + 0.5).cast("long").as("score_x10000"),
+          ($"i" + 1).cast("int").as("rnk"))
         .orderBy($"qid", $"rnk")
     }),
 

@@ -569,15 +569,19 @@ class PlanQualitySpec extends SparkSpec {
       s"pair counts must combine map-side:\n$plan")
   }
 
-  test("x_hard_negatives: broadcast 3-row query side, no corpus self-join") {
+  test("x_hard_negatives: broadcast 3-row query side, heap selection") {
     val plan = planString(q("x_hard_negatives"))
-    // same fenced shape as v_ann_cosine: ONE nested-loop against the
-    // broadcast 3-row query table; the corpus appears once
+    // same fenced shape as v_ann_topk: ONE nested-loop against the
+    // broadcast 3-row query table; selection map-side trims via TopKAgg
     val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
     assert(bnlj <= 1,
       s"only the 3-row query broadcast may nested-loop, got $bnlj:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"no corpus-vs-corpus join in hard-negative mining:\n$plan")
+    assert(plan.contains("partial_graft_topk"),
+      s"top-5 must map-side trim through the TopKAgg heap:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no per-qid window may sort the candidate set:\n$plan")
   }
 
   test("x_ngram_coverage: coverage cumsum is shard-partitioned") {

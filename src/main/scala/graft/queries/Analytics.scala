@@ -3257,6 +3257,71 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Welch's unequal-variance t-test (the A/B readout that doesn't
+    // assume pooled variance): per-arm user means of post-period
+    // purchase cents from exact integer moments, t and the
+    // Welch–Satterthwaite df in doubles quantized once. Completes the
+    // experiment kit: SRM guards the split, CUPED shrinks the
+    // variance, Welch reads the effect.
+    "x_welch_ttest" -> ((s, d) => {
+      import s.implicits._
+      val per = events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id",
+          floor($"value" * 100 + 0.5).cast("long").as("cents"))
+        .groupBy($"user_id").agg(sum($"cents").as("y"))
+        .select($"y",
+          when(substring(md5(concat(lit("exp1:"),
+            $"user_id".cast("string")).cast("binary")), 1, 1) < "8", 1L)
+            .otherwise(0L).as("arm"))
+      per.agg(
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("na"),
+          sum(when($"arm" === 1, $"y").otherwise(0L)).as("sa"),
+          sum(when($"arm" === 1, $"y" * $"y").otherwise(0L)).as("ssa"),
+          sum(when($"arm" === 0, 1L).otherwise(0L)).as("nb"),
+          sum(when($"arm" === 0, $"y").otherwise(0L)).as("sb"),
+          sum(when($"arm" === 0, $"y" * $"y").otherwise(0L)).as("ssb"))
+        .select($"na", $"nb",
+          (($"ssa" - $"sa" * $"sa" / $"na").cast("double") /
+            ($"na" - 1) / $"na").as("qa"),
+          (($"ssb" - $"sb" * $"sb" / $"nb").cast("double") /
+            ($"nb" - 1) / $"nb").as("qb"),
+          ($"sa".cast("double") / $"na" - $"sb".cast("double") / $"nb")
+            .as("delta"))
+        .select($"na", $"nb",
+          floor($"delta" / sqrt($"qa" + $"qb") * 1e6).cast("long")
+            .as("t_x1e6"),
+          floor(($"qa" + $"qb") * ($"qa" + $"qb") /
+            ($"qa" * $"qa" / ($"na" - 1) + $"qb" * $"qb" / ($"nb" - 1)) *
+            100).cast("long").as("df_x100"),
+          (abs($"delta" / sqrt($"qa" + $"qb")) > 1.96).cast("long")
+            .as("sig_flag"))
+    }),
+
+    // Hill tail-index estimator over the link graph's degree
+    // distribution (is the graph scale-free enough that hub-aware
+    // algorithms matter?): α̂ = k / Σ ln(dᵢ/d₍ₖ₎) over the top-k=50
+    // degrees — top-k via the bounded-heap TopKAgg, each ln term
+    // floor-quantized ×1e9 before the k-row sum (order-free), one
+    // final quantized division.
+    "v_degree_tail" -> ((s, d) => {
+      import s.implicits._
+      val deg = linkGraphEdges(documents(s, d))
+        .select(explode(array($"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      val top = deg.agg(graft.operators.TopKAgg.topKByScore(
+          $"deg".cast("double"), $"v", 50).as("top"))
+        .select(posexplode($"top").as(Seq("i", "e")))
+        .select($"i", $"e.score".as("dv"))
+        .localCheckpoint(false)
+      val dk = top.agg(min($"dv").as("dk"))
+      top.crossJoin(broadcast(dk))
+        .select(floor(log($"dv" / $"dk") * 1e9).cast("long").as("t"))
+        .agg(count(lit(1)).as("k"), sum($"t").as("sum_ln_x1e9"))
+        .select($"k", $"sum_ln_x1e9",
+          expr("(k * 1000000000000) div greatest(sum_ln_x1e9, 1)")
+            .as("alpha_x1e3"))
+    }),
+
     // Deterministic Poisson bootstrap CI (the scale recipe for "error
     // bars without resampling passes"): each of B=40 replicas weights
     // every user by a Poisson(1) draw — the md5-derived uniform cut at
@@ -5012,6 +5077,61 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_welch_ttest" ->
+      """WITH per AS (SELECT user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         a AS (SELECT y, CASE WHEN substr(md5('exp1:' ||
+             CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END
+             AS arm FROM per),
+         m AS (SELECT
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END)
+               AS BIGINT) AS ssa,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS sb,
+             CAST(sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END)
+               AS BIGINT) AS ssb
+           FROM a),
+         q AS (SELECT na, nb,
+             (ssa - sa * sa / na) / (na - 1) / na AS qa,
+             (ssb - sb * sb / nb) / (nb - 1) / nb AS qb,
+             CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS delta
+           FROM m)
+         SELECT na, nb,
+           CAST(floor(delta / sqrt(qa + qb) * 1e6) AS BIGINT) AS t_x1e6,
+           CAST(floor((qa + qb) * (qa + qb) /
+             (qa * qa / (na - 1) + qb * qb / (nb - 1)) * 100) AS BIGINT)
+             AS df_x100,
+           CAST(CASE WHEN abs(delta / sqrt(qa + qb)) > 1.96
+             THEN 1 ELSE 0 END AS BIGINT) AS sig_flag
+         FROM q""",
+    "v_degree_tail" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (SELECT d.doc_id AS src,
+             (d.doc_id * d.doc_id + 37 * t.k) % nn.n AS dst
+           FROM documents d, nn, range(1, 4) t(k)),
+         e1 AS (SELECT DISTINCT least(src, dst) AS a,
+             greatest(src, dst) AS b
+           FROM e0 WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS deg FROM
+             (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+           GROUP BY 1),
+         top AS (SELECT CAST(deg AS DOUBLE) AS dv FROM deg
+           ORDER BY deg DESC, v LIMIT 50),
+         dk AS (SELECT min(dv) AS dk FROM top),
+         t AS (SELECT CAST(floor(ln(dv / dk.dk) * 1e9) AS BIGINT) AS t
+           FROM top, dk)
+         SELECT count(*) AS k, CAST(sum(t) AS BIGINT) AS sum_ln_x1e9,
+           CAST((count(*) * 1000000000000) //
+             greatest(CAST(sum(t) AS BIGINT), 1) AS BIGINT) AS alpha_x1e3
+         FROM t""",
     "x_bootstrap_ci" ->
       """WITH per AS (SELECT user_id,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

@@ -3257,6 +3257,76 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Kaplan–Meier survival over user lifetimes (the retention curve
+    // with honest right-censoring): lifetime = last−first active day,
+    // censored when the user is still active near the window's end.
+    // The product-limit estimator runs in LOG space with each step's
+    // ln(1 − d/n) floor-quantized ×1e9 — the cumulative sum is then
+    // integer (order-free) and one exp per output row recovers S(t).
+    // All windows run over the ≤31-row distinct-lifetime table.
+    "x_survival_km" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val life = events(s, d)
+        .select($"user_id",
+          expr("datediff(to_date(ts), date '2024-01-01')").as("day"))
+        .groupBy($"user_id").agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(($"d1" - $"d0").cast("long").as("t"),
+          ($"d1" >= 25).cast("long").as("cens"))
+      val byT = life.groupBy($"t").agg(count(lit(1)).as("n_t"),
+        sum(lit(1L) - $"cens").as("deaths"))
+      val wRisk = Window.orderBy($"t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("at_risk", sum($"n_t").over(wRisk))
+        .withColumn("lnterm",
+          when($"deaths" === 0, 0L)
+            .when($"deaths" < $"at_risk",
+              floor(log(lit(1.0) -
+                $"deaths".cast("double") / $"at_risk") * 1e9).cast("long"))
+            .otherwise(lit(-23000000000L)))
+        .withColumn("cum", sum($"lnterm").over(wCum))
+        .select($"t", $"at_risk", $"deaths",
+          floor(exp($"cum".cast("double") / 1e9) * 1e6).cast("long")
+            .as("surv_x1e6"))
+        .orderBy($"t")
+    }),
+
+    // Calibration / reliability table for the hashed quality
+    // classifier (is a score of 0.8 right 80% of the time?): docs
+    // decile-bucketed by mean feature score via shardedRank +
+    // arithmetic ntile (no global window), each bin reporting its
+    // mean score and the observed rate of the deterministic
+    // n_chars > 500 label — the reliability diagram's data, and the
+    // eval-completeness twin of x_langid_confusion.
+    "x_calibration_bins" -> ((s, d) => {
+      import s.implicits._
+      val scored = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", ($"n_chars" > 500).cast("long").as("label"),
+          words($"text").as("w"))
+        .select($"doc_id", $"label", explode(concat($"w",
+          zip_with($"w",
+            slice($"w", lit(2), greatest(size($"w") - 1, lit(0))),
+            (a, b) => concat(a, lit("_"), b)))).as("f"))
+        .filter($"f".isNotNull)
+        .select($"doc_id", $"label",
+          (conv(substring(md5(concat(lit("qw:"), $"f").cast("binary")),
+            1, 6), 16, 10).cast("long") % 2001 - 1000).as("wt"))
+        .groupBy($"doc_id", $"label")
+        .agg(expr("(sum(wt) * 1000) div count(1)").as("score_x1000"))
+      val n1 = scored.agg(count(lit(1)).as("n"))
+      shardedRank(scored, floor($"score_x1000" / 64),
+          Seq($"score_x1000", $"doc_id"), "i")
+        .crossJoin(broadcast(n1))
+        .withColumn("bin", ntileOf(10, "i", "n"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_x1000) div count(1)").as("mean_score_x1000"),
+          expr("(sum(label) * 10000) div count(1)").as("label_rate_x1e4"))
+        .orderBy($"bin")
+    }),
+
     // Welch's unequal-variance t-test (the A/B readout that doesn't
     // assume pooled variance): per-arm user means of post-period
     // purchase cents from exact integer moments, t and the
@@ -5077,6 +5147,63 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_survival_km" ->
+      """WITH l AS (SELECT user_id,
+             min(datediff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS d0,
+             max(datediff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS d1
+           FROM events GROUP BY 1),
+         lt AS (SELECT CAST(d1 - d0 AS BIGINT) AS t,
+             CASE WHEN d1 >= 25 THEN 1 ELSE 0 END AS cens FROM l),
+         bt AS (SELECT t, count(*) AS n_t,
+             CAST(sum(1 - cens) AS BIGINT) AS deaths
+           FROM lt GROUP BY 1),
+         ar AS (SELECT t, n_t, deaths,
+             CAST(sum(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+           FROM bt),
+         km AS (SELECT t, at_risk, deaths,
+             CASE WHEN deaths = 0 THEN 0
+                  WHEN deaths < at_risk THEN CAST(floor(ln(1.0 -
+                    CAST(deaths AS DOUBLE) / at_risk) * 1e9) AS BIGINT)
+                  ELSE -23000000000 END AS lnterm
+           FROM ar),
+         cm AS (SELECT t, at_risk, deaths,
+             CAST(sum(lnterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+           FROM km)
+         SELECT t, at_risk, deaths,
+           CAST(floor(exp(CAST(cum AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+             AS surv_x1e6
+         FROM cm ORDER BY t""",
+    "x_calibration_bins" ->
+      """WITH base AS (SELECT doc_id,
+             CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS label,
+             string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         feats AS (SELECT doc_id, label, unnest(w) AS f FROM base
+           UNION ALL
+           SELECT doc_id, label, unnest(
+             list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || '_' || w[i + 1])) AS f
+           FROM base WHERE len(w) >= 2),
+         wt AS (SELECT doc_id, label,
+             ('0x' || substr(md5('qw:' || f), 1, 6))::BIGINT % 2001
+               - 1000 AS wt
+           FROM feats),
+         sc AS (SELECT doc_id, label,
+             (CAST(sum(wt) AS BIGINT) * 1000) // count(*) AS score_x1000
+           FROM wt GROUP BY 1, 2),
+         r AS (SELECT doc_id, label, score_x1000,
+             ntile(10) OVER (ORDER BY score_x1000, doc_id) AS bin
+           FROM sc)
+         SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+           CAST(sum(score_x1000) // count(*) AS BIGINT)
+             AS mean_score_x1000,
+           CAST((sum(label) * 10000) // count(*) AS BIGINT)
+             AS label_rate_x1e4
+         FROM r GROUP BY 1 ORDER BY 1""",
     "x_welch_ttest" ->
       """WITH per AS (SELECT user_id,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

@@ -3257,6 +3257,55 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Embedding-space drift matrix (the vector-side complement to the
+    // token-level PSI/KS/JS monitors): per label-pair cosine between
+    // integer-quantized centroid sums (the v_ann_ivf quantization — no
+    // division before the final cosine, so centroids merge exactly).
+    // The pair table is label², never vector-sized.
+    "x_embedding_drift" -> ((s, d) => {
+      import s.implicits._
+      val cent = embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("k", "v")))
+        .groupBy($"label", $"k")
+        .agg(sum(floor($"v".cast("double") * 1000).cast("long")).as("cs"))
+        .localCheckpoint(false)
+      val a = cent.select($"label".as("la"), $"k", $"cs".as("ca"))
+      val b = cent.select($"label".as("lb"), $"k", $"cs".as("cb"))
+      a.join(b, Seq("k"))
+        .filter($"la" < $"lb")
+        .groupBy($"la", $"lb")
+        .agg(sum($"ca" * $"cb").as("dp"),
+          sum($"ca" * $"ca").as("na"), sum($"cb" * $"cb").as("nb"))
+        .select($"la", $"lb",
+          floor($"dp".cast("double") /
+            (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))) *
+            1e6).cast("long").as("cos_x1e6"))
+        .orderBy($"la", $"lb")
+    }),
+
+    // New-user rate per day (the growth board's acquisition line):
+    // each user's first-seen day from one min() aggregate, then the
+    // share of each day's actives who are brand new, in basis points.
+    "x_new_user_rate" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id",
+          expr("datediff(to_date(ts), date '2024-01-01')").cast("long")
+            .as("day"))
+        .localCheckpoint(false)
+      // user-keyed equi-join of two user-scale tables: a plain hash
+      // join on user_id (no broadcast — the first-seen table grows
+      // with the user base)
+      val first = ev.groupBy($"user_id").agg(min($"day").as("d0"))
+      val daily = ev.distinct()
+      daily.join(first, Seq("user_id"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("active"),
+          sum(when($"d0" === $"day", 1L).otherwise(0L)).as("new_users"))
+        .select($"day", $"active", $"new_users",
+          expr("(new_users * 10000) div active").as("new_rate_x1e4"))
+        .orderBy($"day")
+    }),
+
     // Kaplan–Meier survival over user lifetimes (the retention curve
     // with honest right-censoring): lifetime = last−first active day,
     // censored when the user is still active near the window's end.
@@ -5147,6 +5196,37 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_embedding_drift" ->
+      """WITH dims AS (SELECT label, k,
+             CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000)
+               AS BIGINT) AS qv
+           FROM embeddings, range(0, 64) t(k)),
+         cent AS (SELECT label, k, CAST(sum(qv) AS BIGINT) AS cs
+           FROM dims GROUP BY 1, 2),
+         p AS (SELECT a.label AS la, b.label AS lb,
+             CAST(sum(a.cs * b.cs) AS BIGINT) AS dp,
+             CAST(sum(a.cs * a.cs) AS BIGINT) AS na,
+             CAST(sum(b.cs * b.cs) AS BIGINT) AS nb
+           FROM cent a JOIN cent b ON a.k = b.k AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT la, lb,
+           CAST(floor(CAST(dp AS DOUBLE) /
+             (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1e6)
+             AS BIGINT) AS cos_x1e6
+         FROM p ORDER BY la, lb""",
+    "x_new_user_rate" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1)
+         SELECT e.day, count(*) AS active,
+           CAST(sum(CASE WHEN f.d0 = e.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST((sum(CASE WHEN f.d0 = e.day THEN 1 ELSE 0 END) * 10000)
+             // count(*) AS BIGINT) AS new_rate_x1e4
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1 ORDER BY e.day""",
     "x_survival_km" ->
       """WITH l AS (SELECT user_id,
              min(datediff('day', DATE '2024-01-01',

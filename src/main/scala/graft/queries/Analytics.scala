@@ -3257,6 +3257,59 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // PMI collocation mining (the tokenizer-vocab companion: which
+    // adjacent pairs behave as one unit): top-20 bigrams by count with
+    // pointwise mutual information ln(N·c(ab)/(c(a)·c(b))) — one ln
+    // per output row (deterministic, quantized ×1e6), bigram/unigram
+    // tables are vocab-sized, the final cut is a bounded TakeOrdered.
+    "x_pmi_collocations" -> ((s, d) => {
+      import s.implicits._
+      val ws = documents(s, d).filter(length(trim($"text")) > 0)
+        .select(words(lower($"text")).as("w"))
+      val uni = ws.select(explode($"w").as("t")).filter($"t" =!= "")
+        .groupBy($"t").agg(count(lit(1)).as("c")).localCheckpoint(false)
+      val tot = uni.agg(sum($"c").as("n"))
+      val bi = ws.select(explode(zip_with($"w",
+          slice($"w", lit(2), greatest(size($"w") - 1, lit(0))),
+          (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+        .filter($"p.tb".isNotNull && $"p.ta" =!= "" && $"p.tb" =!= "")
+        .groupBy($"p.ta".as("ta"), $"p.tb".as("tb"))
+        .agg(count(lit(1)).as("cab"))
+        .orderBy($"cab".desc, $"ta", $"tb").limit(20)
+      bi.join(uni.select($"t".as("ta"), $"c".as("ca")), Seq("ta"))
+        .join(uni.select($"t".as("tb"), $"c".as("cb")), Seq("tb"))
+        .crossJoin(broadcast(tot))
+        .select($"ta", $"tb", $"cab",
+          floor(log($"n".cast("double") * $"cab" /
+            ($"ca".cast("double") * $"cb")) * 1e6).cast("long")
+            .as("pmi_x1e6"))
+        .orderBy($"cab".desc, $"ta", $"tb")
+    }),
+
+    // Source-vocabulary overlap matrix (how much do two sources share
+    // a lexicon — the domain-mixing signal a sampler reads): Jaccard
+    // of distinct token sets per source pair, in basis points. The
+    // token-keyed join fans out at most source-count ways per token.
+    "x_vocab_overlap" -> ((s, d) => {
+      import s.implicits._
+      val sv = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"source", explode(words(lower($"text"))).as("t"))
+        .filter($"t" =!= "").distinct().localCheckpoint(false)
+      val sizes = sv.groupBy($"source").agg(count(lit(1)).as("vs"))
+      val inter = sv.select($"source".as("sa"), $"t")
+        .join(sv.select($"source".as("sb"), $"t"), Seq("t"))
+        .filter($"sa" < $"sb")
+        .groupBy($"sa", $"sb").agg(count(lit(1)).as("vi"))
+      inter
+        .join(broadcast(sizes.select($"source".as("sa"), $"vs".as("va"))),
+          Seq("sa"))
+        .join(broadcast(sizes.select($"source".as("sb"), $"vs".as("vb"))),
+          Seq("sb"))
+        .select($"sa", $"sb", $"vi",
+          expr("(vi * 10000) div (va + vb - vi)").as("jaccard_x1e4"))
+        .orderBy($"sa", $"sb")
+    }),
+
     // Embedding-space drift matrix (the vector-side complement to the
     // token-level PSI/KS/JS monitors): per label-pair cosine between
     // integer-quantized centroid sums (the v_ann_ivf quantization — no
@@ -5196,6 +5249,44 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_pmi_collocations" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), ' +')
+             AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         uni AS (SELECT t, count(*) AS c FROM
+             (SELECT unnest(w) AS t FROM d) WHERE t <> '' GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         bi0 AS (SELECT unnest(list_transform(
+             generate_series(1, len(w) - 1),
+             i -> struct_pack(ta := w[i], tb := w[i + 1]))) AS p
+           FROM d WHERE len(w) >= 2),
+         bi AS (SELECT p.ta AS ta, p.tb AS tb, count(*) AS cab
+           FROM bi0 WHERE p.ta <> '' AND p.tb <> ''
+           GROUP BY 1, 2 ORDER BY cab DESC, ta, tb LIMIT 20)
+         SELECT bi.ta, bi.tb, bi.cab,
+           CAST(floor(ln(CAST(tot.n AS DOUBLE) * bi.cab /
+             (CAST(ua.c AS DOUBLE) * ub.c)) * 1e6) AS BIGINT)
+             AS pmi_x1e6
+         FROM bi JOIN uni ua ON bi.ta = ua.t
+           JOIN uni ub ON bi.tb = ub.t, tot
+         ORDER BY bi.cab DESC, bi.ta, bi.tb""",
+    "x_vocab_overlap" ->
+      """WITH sv AS (SELECT DISTINCT source, t FROM
+             (SELECT source, unnest(string_split_regex(
+               trim(lower(text)), ' +')) AS t
+              FROM documents WHERE len(trim(text)) > 0)
+           WHERE t <> ''),
+         sz AS (SELECT source, count(*) AS vs FROM sv GROUP BY 1),
+         inter AS (SELECT a.source AS sa, b.source AS sb,
+             count(*) AS vi
+           FROM sv a JOIN sv b ON a.t = b.t AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT i.sa, i.sb, i.vi,
+           CAST((i.vi * 10000) // (za.vs + zb.vs - i.vi) AS BIGINT)
+             AS jaccard_x1e4
+         FROM inter i JOIN sz za ON i.sa = za.source
+           JOIN sz zb ON i.sb = zb.source
+         ORDER BY i.sa, i.sb""",
     "x_embedding_drift" ->
       """WITH dims AS (SELECT label, k,
              CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000)

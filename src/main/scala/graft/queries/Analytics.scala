@@ -3257,6 +3257,66 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Token burstiness (Church & Gale's Fano factor, var/mean of the
+    // per-doc count INCLUDING zeros): bursty tokens (names, topics)
+    // concentrate in few docs while function words spread evenly —
+    // the signal that separates topical from grammatical vocabulary.
+    // Population moments from integer sums over the (doc, token)
+    // count table + the 1-row corpus doc count; top-20 by frequency
+    // via bounded TakeOrdered, one final quantized division each.
+    "x_burstiness" -> ((s, d) => {
+      import s.implicits._
+      val dt = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(words(lower($"text"))).as("t"))
+        .filter($"t" =!= "")
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      val nDocs = documents(s, d).filter(length(trim($"text")) > 0)
+        .agg(count(lit(1)).as("nd"))
+      dt.groupBy($"t")
+        .agg(sum($"c").as("ct"), sum($"c" * $"c").as("ct2"))
+        .orderBy($"ct".desc, $"t").limit(20)
+        .crossJoin(broadcast(nDocs))
+        .select($"t", $"ct",
+          // fano = var/mean = (E[c²] − E[c]²)/E[c]
+          //      = (nd·Σc² − (Σc)²) / (nd·Σc), all integer until ÷
+          floor(($"nd" * $"ct2" - $"ct" * $"ct").cast("double") /
+            ($"nd" * $"ct").cast("double") * 1e6).cast("long")
+            .as("fano_x1e6"))
+        .orderBy($"ct".desc, $"t")
+    }),
+
+    // Cohen's kappa over the language-ID confusion matrix (agreement
+    // beyond chance — the single-number companion to
+    // x_langid_confusion): κ = (pₒ − pₑ)/(1 − pₑ) from integer
+    // marginal products, quantized ×1e6 once.
+    "x_langid_kappa" -> ((s, d) => {
+      import s.implicits._
+      def hits(w: Column, xs: Seq[String]): Column =
+        size(filter(w, x => x.isin(xs: _*)))
+      val preds = documents(s, d)
+        .select($"lang", words($"text").as("w"))
+        .select($"lang",
+          hits($"w", Seq("the", "a", "of", "and")).as("s_en"),
+          hits($"w", Seq("el", "la", "de", "y")).as("s_es"),
+          hits($"w", Seq("der", "die", "das", "und")).as("s_de"))
+        .select($"lang",
+          when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
+            .when($"s_es" >= $"s_de", "es")
+            .otherwise("de").as("pred"))
+        .localCheckpoint(false)
+      val agree = preds.agg(count(lit(1)).as("n"),
+        sum(when($"lang" === $"pred", 1L).otherwise(0L)).as("po_n"))
+      val margT = preds.groupBy($"lang").agg(count(lit(1)).as("mt"))
+      val margP = preds.groupBy($"pred").agg(count(lit(1)).as("mp"))
+      val pe = margT.join(margP, margT("lang") === margP("pred"))
+        .agg(sum($"mt" * $"mp").as("pe_nn"))
+      agree.crossJoin(broadcast(pe))
+        .select($"n", $"po_n",
+          floor(($"po_n" * $"n" - $"pe_nn").cast("double") /
+            ($"n" * $"n" - $"pe_nn").cast("double") * 1e6).cast("long")
+            .as("kappa_x1e6"))
+    }),
+
     // PMI collocation mining (the tokenizer-vocab companion: which
     // adjacent pairs behave as one unit): top-20 bigrams by count with
     // pointwise mutual information ln(N·c(ab)/(c(a)·c(b))) — one ln
@@ -5249,6 +5309,48 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_burstiness" ->
+      """WITH dt AS (SELECT doc_id, t, count(*) AS c FROM
+             (SELECT doc_id, unnest(string_split_regex(
+               trim(lower(text)), ' +')) AS t
+              FROM documents WHERE len(trim(text)) > 0)
+           WHERE t <> '' GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+           WHERE len(trim(text)) > 0),
+         m AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct,
+             CAST(sum(c * c) AS BIGINT) AS ct2
+           FROM dt GROUP BY 1 ORDER BY ct DESC, t LIMIT 20)
+         SELECT m.t, m.ct,
+           CAST(floor(CAST(nd.nd * m.ct2 - m.ct * m.ct AS DOUBLE) /
+             CAST(nd.nd * m.ct AS DOUBLE) * 1e6) AS BIGINT)
+             AS fano_x1e6
+         FROM m, nd ORDER BY m.ct DESC, m.t""",
+    "x_langid_kappa" ->
+      """WITH sc AS (SELECT lang,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS s_en,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('el', 'la', 'de', 'y'))) AS INT) AS s_es,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             x -> x IN ('der', 'die', 'das', 'und'))) AS INT) AS s_de
+           FROM documents),
+         pr AS (SELECT lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred
+           FROM sc),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS po_n
+           FROM pr),
+         mt AS (SELECT lang, count(*) AS mt FROM pr GROUP BY 1),
+         mp AS (SELECT pred, count(*) AS mp FROM pr GROUP BY 1),
+         pe AS (SELECT CAST(sum(mt.mt * mp.mp) AS BIGINT) AS pe_nn
+           FROM mt JOIN mp ON mt.lang = mp.pred)
+         SELECT ag.n, ag.po_n,
+           CAST(floor(CAST(ag.po_n * ag.n - pe.pe_nn AS DOUBLE) /
+             CAST(ag.n * ag.n - pe.pe_nn AS DOUBLE) * 1e6) AS BIGINT)
+             AS kappa_x1e6
+         FROM ag, pe""",
     "x_pmi_collocations" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), ' +')
              AS w

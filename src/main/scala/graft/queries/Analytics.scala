@@ -3257,6 +3257,81 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Conditional bigram entropy H(w₂|w₁) = H(bigrams) − H(unigrams)
+    // (the corpus predictability rate — low means templated text, the
+    // sequence-level repetitiveness signal char entropy can't see).
+    // Both entropies accumulate c·ln(c) terms floor-quantized ×1e6 PER
+    // VOCAB ROW (order-free integer sums, the x_js_divergence
+    // discipline); H = ln N − Σc·ln c / N assembles from four scalars.
+    "x_bigram_cond_entropy" -> ((s, d) => {
+      import s.implicits._
+      val ws = documents(s, d).filter(length(trim($"text")) > 0)
+        .select(words(lower($"text")).as("w"))
+        .localCheckpoint(false)
+      def entropyParts(counts: DataFrame): DataFrame =
+        counts.agg(sum($"c").as("n"),
+          sum(floor($"c".cast("double") * log($"c".cast("double")) * 1e6)
+            .cast("long")).as("clnc_x1e6"))
+      val uni = entropyParts(ws.select(explode($"w").as("t"))
+        .filter($"t" =!= "").groupBy($"t").agg(count(lit(1)).as("c")))
+        .select($"n".as("n1"), $"clnc_x1e6".as("u_x1e6"))
+      val bi = entropyParts(ws.select(explode(zip_with($"w",
+          slice($"w", lit(2), greatest(size($"w") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("t"))
+        // null = zip_with's tail pad; a leading/trailing space means an
+        // empty token on either side (tokens cannot contain spaces)
+        .filter($"t".isNotNull && !$"t".startsWith(" ") &&
+          !$"t".endsWith(" "))
+        .groupBy($"t").agg(count(lit(1)).as("c")))
+        .select($"n".as("n2"), $"clnc_x1e6".as("b_x1e6"))
+      uni.crossJoin(broadcast(bi))
+        .select($"n1", $"n2",
+          (floor((log($"n2".cast("double")) -
+            $"b_x1e6".cast("double") / 1e6 / $"n2") * 1e6) -
+           floor((log($"n1".cast("double")) -
+            $"u_x1e6".cast("double") / 1e6 / $"n1") * 1e6))
+            .cast("long").as("cond_h_x1e6"))
+    }),
+
+    // Operating-threshold selection (Youden's J over the classifier
+    // score grid): for each candidate cut (the decile bin's max
+    // score), TPR/FPR in basis points against the n_chars > 500 label
+    // and J = TPR − FPR — the row a deployment picks its threshold
+    // from. Confusion counts come from one score-vs-cut explode over
+    // the 10-row cut table, never an all-pairs scan.
+    "x_youden_threshold" -> ((s, d) => {
+      import s.implicits._
+      val scored = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", ($"n_chars" > 500).cast("long").as("label"),
+          words($"text").as("w"))
+        .select($"doc_id", $"label", explode(concat($"w",
+          zip_with($"w",
+            slice($"w", lit(2), greatest(size($"w") - 1, lit(0))),
+            (a, b) => concat(a, lit("_"), b)))).as("f"))
+        .filter($"f".isNotNull)
+        .select($"doc_id", $"label",
+          (conv(substring(md5(concat(lit("qw:"), $"f").cast("binary")),
+            1, 6), 16, 10).cast("long") % 2001 - 1000).as("wt"))
+        .groupBy($"doc_id", $"label")
+        .agg(expr("(sum(wt) * 1000) div count(1)").as("score_x1000"))
+        .localCheckpoint(false)
+      val cuts = Seq(-40L, -20L, -10L, 0L, 10L, 20L, 40L).toDF("cut")
+      scored.crossJoin(broadcast(cuts))
+        .groupBy($"cut")
+        .agg(
+          sum(when($"label" === 1 && $"score_x1000" >= $"cut", 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when($"label" === 0 && $"score_x1000" >= $"cut", 1L)
+            .otherwise(0L)).as("fp"),
+          sum($"label").as("pos"),
+          sum(lit(1L) - $"label").as("neg"))
+        .select($"cut", expr("(tp * 10000) div pos").as("tpr_x1e4"),
+          expr("(fp * 10000) div neg").as("fpr_x1e4"))
+        .select($"cut", $"tpr_x1e4", $"fpr_x1e4",
+          ($"tpr_x1e4" - $"fpr_x1e4").as("youden_x1e4"))
+        .orderBy($"cut")
+    }),
+
     // Token burstiness (Church & Gale's Fano factor, var/mean of the
     // per-doc count INCLUDING zeros): bursty tokens (names, topics)
     // concentrate in few docs while function words spread evenly —
@@ -5309,6 +5384,69 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_bigram_cond_entropy" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), ' +')
+             AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         uc AS (SELECT t, count(*) AS c FROM
+             (SELECT unnest(w) AS t FROM d) WHERE t <> '' GROUP BY 1),
+         u AS (SELECT CAST(sum(c) AS BIGINT) AS n1,
+             CAST(sum(CAST(floor(CAST(c AS DOUBLE) *
+               ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+               AS u_x1e6
+           FROM uc),
+         bc AS (SELECT t, count(*) AS c FROM
+             (SELECT unnest(list_transform(
+                 generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1])) AS t
+              FROM d WHERE len(w) >= 2)
+           WHERE NOT starts_with(t, ' ') AND NOT ends_with(t, ' ')
+           GROUP BY 1),
+         b AS (SELECT CAST(sum(c) AS BIGINT) AS n2,
+             CAST(sum(CAST(floor(CAST(c AS DOUBLE) *
+               ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+               AS b_x1e6
+           FROM bc)
+         SELECT u.n1, b.n2,
+           CAST(CAST(floor((ln(CAST(b.n2 AS DOUBLE)) -
+               CAST(b.b_x1e6 AS DOUBLE) / 1e6 / b.n2) * 1e6) AS BIGINT)
+             - CAST(floor((ln(CAST(u.n1 AS DOUBLE)) -
+               CAST(u.u_x1e6 AS DOUBLE) / 1e6 / u.n1) * 1e6) AS BIGINT)
+             AS BIGINT) AS cond_h_x1e6
+         FROM u, b""",
+    "x_youden_threshold" ->
+      """WITH base AS (SELECT doc_id,
+             CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS label,
+             string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         feats AS (SELECT doc_id, label, unnest(w) AS f FROM base
+           UNION ALL
+           SELECT doc_id, label, unnest(
+             list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || '_' || w[i + 1])) AS f
+           FROM base WHERE len(w) >= 2),
+         wt AS (SELECT doc_id, label,
+             ('0x' || substr(md5('qw:' || f), 1, 6))::BIGINT % 2001
+               - 1000 AS wt
+           FROM feats),
+         sc AS (SELECT doc_id, label,
+             (CAST(sum(wt) AS BIGINT) * 1000) // count(*) AS score
+           FROM wt GROUP BY 1, 2),
+         cuts AS (SELECT unnest([-40, -20, -10, 0, 10, 20, 40]) AS cut),
+         m AS (SELECT cuts.cut,
+             CAST(sum(CASE WHEN label = 1 AND score >= cuts.cut
+               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN label = 0 AND score >= cuts.cut
+               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+           FROM sc, cuts GROUP BY 1)
+         SELECT CAST(cut AS BIGINT) AS cut,
+           CAST((tp * 10000) // pos AS BIGINT) AS tpr_x1e4,
+           CAST((fp * 10000) // neg AS BIGINT) AS fpr_x1e4,
+           CAST((tp * 10000) // pos - (fp * 10000) // neg AS BIGINT)
+             AS youden_x1e4
+         FROM m ORDER BY cut""",
     "x_burstiness" ->
       """WITH dt AS (SELECT doc_id, t, count(*) AS c FROM
              (SELECT doc_id, unnest(string_split_regex(

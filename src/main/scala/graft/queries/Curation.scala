@@ -642,6 +642,47 @@ object Curation {
         .orderBy($"tile_id")
     }),
 
+    // M12 — AOI coverage report (the catalog dashboard's "how much of
+    // my area of interest is published this period"): grid tiles from
+    // the engine's own tessellation, a deterministic 75% "published"
+    // subset, and per latitude band the exact clipped-rectangle area
+    // inside a non-tile-aligned AOI — grid tiles are disjoint, so
+    // coverage is a SUM of clips, never a union problem. All areas are
+    // exact integer m²; one tiny aggregate over the tile table.
+    "m12_aoi_coverage" -> ((s, d) => {
+      import s.implicits._
+      val (ax0, ay0, ax1, ay1) = (230000L, 8130000L, 870000L, 8820000L)
+      val tiles = graft.core.Grid.createTiles("G", 150000.0, 100000.0,
+          0.0, 1.0e7, xl = 100000.0, xr = 1000000.0,
+          yb = 8000000.0, yu = 9000000.0, srid = 100001)
+        .map(t => (t.tileId, t.xmin.toLong, t.ymin.toLong,
+          t.xmax.toLong, t.ymax.toLong))
+        .toDF("tile_id", "xmin", "ymin", "xmax", "ymax")
+      tiles
+        .filter(substring(md5(concat(lit("pub:"), $"tile_id")
+          .cast("binary")), 1, 1) < "c")
+        .select($"tile_id",
+          expr("(10000000 - ymax) div 100000").as("iv"),
+          greatest(lit(0L),
+            least($"xmax", lit(ax1)) - greatest($"xmin", lit(ax0)))
+            .as("iw"),
+          greatest(lit(0L),
+            least($"ymax", lit(ay1)) - greatest($"ymin", lit(ay0)))
+            .as("ih"))
+        .groupBy($"iv")
+        .agg(count(lit(1)).as("published"),
+          sum($"iw" * $"ih").as("covered_m2"))
+        .withColumn("band_h", greatest(lit(0L),
+          least(lit(10000000L) - $"iv" * 100000L, lit(ay1)) -
+            greatest(lit(10000000L) - $"iv" * 100000L - 100000L,
+              lit(ay0))))
+        .select($"iv", $"published", $"covered_m2",
+          ($"band_h" * (ax1 - ax0)).as("band_aoi_m2"),
+          expr(s"(covered_m2 * 10000) div " +
+            s"greatest(band_h * ${ax1 - ax0}, 1)").as("coverage_x1e4"))
+        .orderBy($"iv")
+    }),
+
     // Source-drift detection: per-source KL-style divergence from the
     // corpus unigram distribution, in the established integer-quantized
     // form (per-term logprobs floored once at ×1e6, then order-free
@@ -1294,6 +1335,40 @@ object Curation {
          SELECT p.tile_id, count(*) AS n_neighbors
          FROM probes p JOIN tiles n ON p.nh = n.ih AND p.nv = n.iv
          GROUP BY 1 ORDER BY 1""",
+    "m12_aoi_coverage" ->
+      """WITH tiles AS (SELECT
+             lpad(CAST(ih AS VARCHAR), 3, '0')
+               || lpad(CAST(iv AS VARCHAR), 3, '0') AS tile_id,
+             CAST(ih * 150000 AS BIGINT) AS xmin,
+             CAST(10000000 - iv * 100000 - 100000 AS BIGINT) AS ymin,
+             CAST(ih * 150000 + 150000 AS BIGINT) AS xmax,
+             CAST(10000000 - iv * 100000 AS BIGINT) AS ymax, iv
+           FROM range(CAST(trunc((100000.0 - 0.0) / 150000.0) AS INT),
+                  CAST(trunc((1000000.0 - 0.0) / 150000.0) AS INT) + 1) t(ih),
+                range(CAST(trunc((10000000.0 - 9000000.0) / 100000.0) AS INT),
+                  CAST(trunc((10000000.0 - 8000000.0) / 100000.0) AS INT) + 1)
+                  u(iv)),
+         pub AS (SELECT * FROM tiles
+           WHERE substr(md5('pub:' || tile_id), 1, 1) < 'c'),
+         cl AS (SELECT iv,
+             greatest(0, least(xmax, 870000) - greatest(xmin, 230000))
+               AS iw,
+             greatest(0, least(ymax, 8820000) - greatest(ymin, 8130000))
+               AS ih2
+           FROM pub),
+         g AS (SELECT iv, count(*) AS published,
+             CAST(sum(iw * ih2) AS BIGINT) AS covered_m2
+           FROM cl GROUP BY 1),
+         b AS (SELECT iv, published, covered_m2,
+             greatest(0, least(10000000 - iv * 100000, 8820000) -
+               greatest(10000000 - iv * 100000 - 100000, 8130000))
+               AS band_h
+           FROM g)
+         SELECT CAST(iv AS BIGINT) AS iv, published, covered_m2,
+           CAST(band_h * 640000 AS BIGINT) AS band_aoi_m2,
+           CAST((covered_m2 * 10000) // greatest(band_h * 640000, 1)
+             AS BIGINT) AS coverage_x1e4
+         FROM b ORDER BY iv""",
     "x_source_drift" ->
       """WITH t AS (SELECT source, unnest(string_split_regex(trim(text), ' +'))
              AS t

@@ -229,6 +229,37 @@ object Analytics {
     s"else ($n % $k) + ($i - ($n % $k) * (($n div $k) + 1) + ($n div $k) - 1) " +
     s"div greatest($n div $k, 1) end")
 
+  /** Kaplan–Meier product-limit estimator over (t, cens) lifetime rows
+    * (the x_survival_km gate): per distinct lifetime, at-risk counts
+    * from a reverse running sum, each step's ln(1 − d/n) floor-quantized
+    * ×1e9 so the cumulative product runs as an order-free integer sum in
+    * log space; one exp per output row recovers S(t)·1e6. Every window
+    * runs on the distinct-lifetime table (bounded by the observation
+    * window's day count, never the user count).
+    */
+  def kaplanMeier(life: DataFrame): DataFrame = {
+    import life.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byT = life.groupBy($"t").agg(count(lit(1)).as("n_t"),
+      sum(lit(1L) - $"cens").as("deaths"))
+    val wRisk = Window.orderBy($"t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("at_risk", sum($"n_t").over(wRisk))
+      .withColumn("lnterm",
+        when($"deaths" === 0, 0L)
+          .when($"deaths" < $"at_risk",
+            floor(log(lit(1.0) -
+              $"deaths".cast("double") / $"at_risk") * 1e9).cast("long"))
+          .otherwise(lit(-23000000000L)))
+      .withColumn("cum", sum($"lnterm").over(wCum))
+      .select($"t", $"at_risk", $"deaths",
+        floor(exp($"cum".cast("double") / 1e9) * 1e6).cast("long")
+          .as("surv_x1e6"))
+      .orderBy($"t")
+  }
+
   /** Market-basket pair mining (the x_itemsets_pairs gate): distinct
     * (basket, item) rows in, co-occurrence pairs with support ≥
     * `minSupport` out — the self-join keys on the basket, so fan-out
@@ -3503,31 +3534,13 @@ object Analytics {
     // All windows run over the ≤31-row distinct-lifetime table.
     "x_survival_km" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val life = events(s, d)
         .select($"user_id",
           expr("datediff(to_date(ts), date '2024-01-01')").as("day"))
         .groupBy($"user_id").agg(min($"day").as("d0"), max($"day").as("d1"))
         .select(($"d1" - $"d0").cast("long").as("t"),
           ($"d1" >= 25).cast("long").as("cens"))
-      val byT = life.groupBy($"t").agg(count(lit(1)).as("n_t"),
-        sum(lit(1L) - $"cens").as("deaths"))
-      val wRisk = Window.orderBy($"t")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val wCum = Window.orderBy($"t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byT.withColumn("at_risk", sum($"n_t").over(wRisk))
-        .withColumn("lnterm",
-          when($"deaths" === 0, 0L)
-            .when($"deaths" < $"at_risk",
-              floor(log(lit(1.0) -
-                $"deaths".cast("double") / $"at_risk") * 1e9).cast("long"))
-            .otherwise(lit(-23000000000L)))
-        .withColumn("cum", sum($"lnterm").over(wCum))
-        .select($"t", $"at_risk", $"deaths",
-          floor(exp($"cum".cast("double") / 1e9) * 1e6).cast("long")
-            .as("surv_x1e6"))
-        .orderBy($"t")
+      kaplanMeier(life)
     }),
 
     // Calibration / reliability table for the hashed quality

@@ -121,6 +121,38 @@ class CrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeier equals the direct product loop on random lifetimes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val life = Seq.fill(400)((rnd.nextInt(12).toLong,
+        if (rnd.nextBoolean()) 1L else 0L))
+      val got = Analytics.kaplanMeier(life.toDF("t", "cens").repartition(5))
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // reference: the textbook sequential product over sorted times
+      val byT = life.groupBy(_._1).view.mapValues { rows =>
+        (rows.size.toLong, rows.count(_._2 == 0L).toLong)
+      }.toMap
+      val times = byT.keys.toSeq.sorted
+      var atRisk = life.size.toLong
+      var s = 1.0
+      for (t <- times) {
+        val (nT, deaths) = byT(t)
+        val expected = got(t)
+        assert(expected._1 == atRisk, s"seed $seed t=$t at_risk")
+        assert(expected._2 == deaths, s"seed $seed t=$t deaths")
+        if (deaths > 0) s *= 1.0 - deaths.toDouble / atRisk
+        // the quantized pipeline loses < 2e-6 absolute vs the direct
+        // product (one 1e-9 floor per step, <= 12 steps)
+        assert(math.abs(expected._3 - s * 1e6) <= 2,
+          s"seed $seed t=$t: S=${expected._3} vs direct ${s * 1e6}")
+        atRisk -= nT
+      }
+    }
+  }
+
   test("k-core equals the naive peel loop on random graphs") {
     val sparkS = spark
     import sparkS.implicits._

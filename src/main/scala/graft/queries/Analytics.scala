@@ -3288,6 +3288,27 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Simpson diversity per source (1 − Σpᵢ² over the token
+    // distribution — the no-logarithm twin of the entropy gates, and
+    // EXACT in integers until one final division: Σc² and n² never
+    // touch a double). Low diversity = a source dominated by few
+    // tokens, the template-farm signal.
+    "x_simpson_diversity" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"source", explode(words(lower($"text"))).as("t"))
+        .filter($"t" =!= "")
+        .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("vocab"), sum($"c").as("n"),
+          sum($"c" * $"c").as("sc2"))
+        .select($"source", $"vocab", $"n",
+          floor((lit(1.0) - $"sc2".cast("double") /
+            ($"n".cast("double") * $"n".cast("double"))) * 1e6)
+            .cast("long").as("simpson_x1e6"))
+        .orderBy($"source")
+    }),
+
     // Conditional bigram entropy H(w₂|w₁) = H(bigrams) − H(unigrams)
     // (the corpus predictability rate — low means templated text, the
     // sequence-level repetitiveness signal char entropy can't see).
@@ -5397,6 +5418,22 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_simpson_diversity" ->
+      """WITH tk AS (SELECT source, t FROM
+             (SELECT source, unnest(string_split_regex(
+               trim(lower(text)), ' +')) AS t
+              FROM documents WHERE len(trim(text)) > 0)
+           WHERE t <> ''),
+         c AS (SELECT source, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         m AS (SELECT source, count(*) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+           FROM c GROUP BY 1)
+         SELECT source, vocab, n,
+           CAST(floor((1.0 - CAST(sc2 AS DOUBLE) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1e6) AS BIGINT)
+             AS simpson_x1e6
+         FROM m ORDER BY source""",
     "x_bigram_cond_entropy" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), ' +')
              AS w

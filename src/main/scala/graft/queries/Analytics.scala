@@ -3523,6 +3523,34 @@ object Analytics {
         .orderBy($"la", $"lb")
     }),
 
+    // Autocorrelation of the daily event-count series at lags 1..7
+    // (the seasonality diagnostic behind the DOW index: a weekly cycle
+    // shows as an ACF spike at lag 7): Pearson r per lag over the
+    // (day, day+lag) pair join — exact integer moments on the
+    // day-count-sized series, one quantized division per lag.
+    "x_acf_daily" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .select(expr("datediff(to_date(ts), date '2024-01-01')")
+          .cast("long").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val lags = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("lag")
+      daily.crossJoin(broadcast(lags))
+        .select($"lag", ($"day" + $"lag").as("day"), $"n".as("x"))
+        .join(daily.select($"day", $"n".as("y")), Seq("day"))
+        .groupBy($"lag")
+        .agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"lag", $"m",
+          floor(($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"m" * $"sxx" - $"sx" * $"sx").cast("double")) *
+             sqrt(($"m" * $"syy" - $"sy" * $"sy").cast("double"))) * 1e6)
+            .cast("long").as("acf_x1e6"))
+        .orderBy($"lag")
+    }),
+
     // New-user rate per day (the growth board's acquisition line):
     // each user's first-seen day from one min() aggregate, then the
     // share of each day's actives who are brand new, in basis points.
@@ -5595,6 +5623,27 @@ object Analytics {
              (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1e6)
              AS BIGINT) AS cos_x1e6
          FROM p ORDER BY la, lb""",
+    "x_acf_daily" ->
+      """WITH daily AS (SELECT CAST(datediff('day', DATE '2024-01-01',
+             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day,
+             count(*) AS n
+           FROM events GROUP BY 1),
+         lags AS (SELECT CAST(unnest([1,2,3,4,5,6,7]) AS BIGINT) AS lag),
+         p AS (SELECT l.lag, a.n AS x, b.n AS y
+           FROM lags l CROSS JOIN daily a
+           JOIN daily b ON b.day = a.day + l.lag),
+         m AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM p GROUP BY 1)
+         SELECT lag, m,
+           CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1e6) AS BIGINT)
+             AS acf_x1e6
+         FROM m ORDER BY lag""",
     "x_new_user_rate" ->
       """WITH e AS (SELECT DISTINCT user_id,
              CAST(datediff('day', DATE '2024-01-01',

@@ -3288,6 +3288,43 @@ object Analytics {
         .orderBy($"lang")
     }),
 
+    // Spelling-variant pairs via the deletion neighborhood (the
+    // FastSS/SymSpell trick): every vocab token explodes to its ≤len
+    // single-deletion variants (plus itself), variants EQUI-join, and
+    // an exact edit-distance ≤ 1 filter verifies — a fuzzy join with
+    // no all-pairs scan and no theta join, the scale path a
+    // levenshtein-threshold crawl dedup needs. The synthetic corpus's
+    // vocabulary has no natural typos, so every 37th doc contributes
+    // its first word with the second character dropped (deterministic
+    // crawl noise, the linkGraphEdges recipe) — the variants the
+    // neighborhood join must then recover exactly.
+    "x_spelling_variants" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).filter(length(trim($"text")) > 0)
+        .select($"doc_id", words(lower($"text")).as("w"))
+        .localCheckpoint(false)
+      val toks = base.select(explode($"w").as("t"))
+      val typos = base.filter($"doc_id" % 37 === 0)
+        .select(element_at($"w", 1).as("t0"))
+        .select(concat(substring($"t0", 1, 1), expr("substring(t0, 3)"))
+          .as("t"))
+      val vocab = toks.unionAll(typos)
+        .filter(length($"t") >= 3)
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val dels = vocab.select($"t", $"c", explode(array_distinct(concat(
+          array($"t"),
+          expr("transform(sequence(1, length(t)), i -> " +
+            "concat(substring(t, 1, i - 1), substring(t, i + 1)))"))))
+          .as("v"))
+      val pairs = dels.select($"t".as("ta"), $"c".as("ca"), $"v")
+        .join(dels.select($"t".as("tb"), $"c".as("cb"), $"v"), Seq("v"))
+        .filter($"ta" < $"tb")
+        .select($"ta", $"tb", $"ca", $"cb").distinct()
+      pairs.filter(levenshtein($"ta", $"tb") <= 1)
+        .orderBy($"ta", $"tb")
+    }),
+
     // Simpson diversity per source (1 − Σpᵢ² over the token
     // distribution — the no-logarithm twin of the entropy gates, and
     // EXACT in integers until one final division: Σc² and n² never
@@ -5446,6 +5483,26 @@ object Analytics {
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",
+    "x_spelling_variants" ->
+      """WITH base AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         tk AS (SELECT unnest(w) AS t FROM base
+           UNION ALL
+           SELECT substr(w[1], 1, 1) || substr(w[1], 3) AS t
+           FROM base WHERE doc_id % 37 = 0),
+         v AS (SELECT t, count(*) AS c FROM tk
+           WHERE len(t) >= 3 GROUP BY 1),
+         dels AS (SELECT t, c, unnest(list_distinct(list_append(
+             list_transform(generate_series(1, len(t)),
+               i -> substr(t, 1, i - 1) || substr(t, i + 1)), t)))
+             AS var
+           FROM v),
+         p AS (SELECT DISTINCT a.t AS ta, b.t AS tb,
+             a.c AS ca, b.c AS cb
+           FROM dels a JOIN dels b ON a.var = b.var AND a.t < b.t)
+         SELECT ta, tb, ca, cb FROM p
+         WHERE levenshtein(ta, tb) <= 1 ORDER BY ta, tb""",
     "x_simpson_diversity" ->
       """WITH tk AS (SELECT source, t FROM
              (SELECT source, unnest(string_split_regex(

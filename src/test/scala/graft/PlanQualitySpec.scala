@@ -613,6 +613,18 @@ class PlanQualitySpec extends SparkSpec {
       s"the tiny winner table must broadcast into the metadata join:\n$plan")
   }
 
+  test("x_spelling_variants: fuzzy join is variant-keyed, never all-pairs") {
+    val plan = planString(q("x_spelling_variants"))
+    // the deletion-neighborhood trick exists precisely to avoid a
+    // levenshtein theta join: the candidate join must be an equi-join
+    // on the variant key
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood join must stay keyed:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"vocab counts must combine map-side:\n$plan")
+  }
+
   test("x_exact_quantile_hist: cumsum runs on the value histogram only") {
     val plan = planString(q("x_exact_quantile_hist"))
     // corpus folds to a (lang, value) histogram map-side first; the

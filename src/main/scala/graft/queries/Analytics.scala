@@ -3686,10 +3686,13 @@ object Analytics {
           sum(when($"arm" === 0, 1L).otherwise(0L)).as("nb"),
           sum(when($"arm" === 0, $"y").otherwise(0L)).as("sb"),
           sum(when($"arm" === 0, $"y" * $"y").otherwise(0L)).as("ssb"))
+        // moment products form in DOUBLE (sa·sa over summed cents can
+        // exceed Long at large SFs, where Spark wraps silently but
+        // DuckDB raises — the oracle mirrors the same double op order)
         .select($"na", $"nb",
-          (($"ssa" - $"sa" * $"sa" / $"na").cast("double") /
+          (($"ssa".cast("double") - $"sa".cast("double") * $"sa" / $"na") /
             ($"na" - 1) / $"na").as("qa"),
-          (($"ssb" - $"sb" * $"sb" / $"nb").cast("double") /
+          (($"ssb".cast("double") - $"sb".cast("double") * $"sb" / $"nb") /
             ($"nb" - 1) / $"nb").as("qb"),
           ($"sa".cast("double") / $"na" - $"sb".cast("double") / $"nb")
             .as("delta"))
@@ -3792,9 +3795,13 @@ object Analytics {
           sum(when($"arm" === 1, 1L).otherwise(0L)).as("nt"),
           sum(when($"arm" === 1, $"x").otherwise(0L)).as("sxt"),
           sum(when($"arm" === 1, $"y").otherwise(0L)).as("syt"))
+        // θ's moment products form in DOUBLE (n·sxy / sx·sy over summed
+        // cents overflow Long at large SFs; the oracle mirrors the op
+        // order so both engines round identically)
         .select($"n", $"nt", ($"n" - $"nt").as("nc"),
-          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("theta"),
+          (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+            ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+            .as("theta"),
           ($"syt".cast("double") / $"nt" -
             ($"sy" - $"syt").cast("double") / ($"n" - $"nt"))
             .as("raw_delta"),
@@ -5794,8 +5801,10 @@ object Analytics {
                AS BIGINT) AS ssb
            FROM a),
          q AS (SELECT na, nb,
-             (ssa - sa * sa / na) / (na - 1) / na AS qa,
-             (ssb - sb * sb / nb) / (nb - 1) / nb AS qb,
+             (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+               / (na - 1) / na AS qa,
+             (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+               / (nb - 1) / nb AS qb,
              CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS delta
            FROM m)
          SELECT na, nb,
@@ -5880,8 +5889,9 @@ object Analytics {
                AS syt
            FROM p),
          c AS (SELECT n, nt, n - nt AS nc,
-             CAST(n * sxy - sx * sy AS DOUBLE) /
-               CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+               (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS theta,
              CAST(syt AS DOUBLE) / nt -
                CAST(sy - syt AS DOUBLE) / (n - nt) AS raw_delta,
              CAST(sxt AS DOUBLE) / nt -

@@ -81,6 +81,7 @@ object Curation {
     * lazily so closed rounds never replay.
     */
   def hits(docs0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"hits needs at least one a←h round, got $iters")
     import docs0.sparkSession.implicits._
     val docs = docs0.select($"doc_id")
     val nRow = docs.agg(count(lit(1)).as("n"))

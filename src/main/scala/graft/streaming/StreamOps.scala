@@ -412,7 +412,8 @@ object StreamOps {
       }
   }
 
-  final case class SessEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class SessEvent(user_id: Long, ts_us: Long, event_type: String,
+                             event_id: Long = 0L)
   final case class SessRow(user_id: Long, session_start_us: Long,
                            n_events: Long, dur_us: Long, purchases: Long)
   private final case class SessState(start: Long, last: Long, n: Long,
@@ -568,8 +569,10 @@ object StreamOps {
     * arriving event that completes the exact trigram emits a hit. The
     * batch twin is the x_event_pattern gate (two lags over a
     * user-partitioned window); StreamOpsSpec pins the two equal across
-    * batch boundaries. In-batch rows sort by event time, so a pattern
-    * split across micro-batches still matches through the carried tail.
+    * batch boundaries. In-batch rows sort by (ts_us, event_id) — the
+    * same tie-break the batch twin and its DuckDB oracle use — so a
+    * pattern split across micro-batches still matches through the
+    * carried tail and same-timestamp events order identically.
     */
   final class PatternProcessor(pattern: Seq[String])
       extends StatefulProcessor[Long, SessEvent, PatternHit] {
@@ -592,7 +595,7 @@ object StreamOps {
         b.result()
       }
       var out: List[PatternHit] = Nil
-      for (e <- rows.toSeq.sortBy(r => (r.ts_us, r.event_type))) {
+      for (e <- rows.toSeq.sortBy(r => (r.ts_us, r.event_id))) {
         if (recent.length == keep &&
             (recent :+ e.event_type) == pattern.toList)
           out ::= PatternHit(user, e.ts_us)

@@ -92,17 +92,26 @@ class GraftExtensionsSpec extends SparkSpec {
       // lev(a,b,3) <= 4 is TRUE for arbitrarily distant pairs; a length
       // guard there would drop rows. The rule must not fire.
       val threeArg = spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(expr("levenshtein(lang, source, 3) <= 4"))
+        .filter(expr("levenshtein(lang, substr(text, 1, 40), 3) <= 4"))
         .select($"doc_id")
       assert(!threeArg.queryExecution.optimizedPlan.toString.toLowerCase
         .contains("abs("), "guard must not fire on the thresholded form")
-      // semantic check: every -1 (over-threshold) row passes `<= 4` and
-      // must survive — compare against the unguarded 2-arg truth
+      // semantic check: the thresholded form returns -1 past the
+      // threshold and -1 <= 4 holds, so EVERY row passes — including
+      // rows whose length gap exceeds 4, exactly the rows a mis-fired
+      // length guard would drop. Assert the fixture has such rows and
+      // that none were lost.
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val total = docs.count()
+      val gapRows = docs
+        .filter(abs(length($"lang") -
+          length(substring($"text", 1, 40))) > 4).count()
+      assert(gapRows > 0,
+        "fixture must contain rows a mis-fired length guard would drop")
       val kept = threeArg.count()
-      val truth = spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(expr("levenshtein(lang, source) > 3 " +
-                     "or levenshtein(lang, source) <= 4")).count()
-      assert(kept == truth, s"thresholded form kept $kept of $truth rows")
+      assert(kept == total,
+        s"thresholded form kept $kept of $total rows " +
+        s"($gapRows of them have length gap > 4 and must survive)")
       // a negative bound is always-false; the guard must not fire either
       val neg = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(levenshtein($"lang", $"source") <= -1)

@@ -983,6 +983,44 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("ListState pattern detector: tied timestamps order by event_id, " +
+       "matching the batch twin's (ts_us, event_id) tie-break") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import StreamOps.{PatternHit, SessEvent}
+    implicit val sc = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[SessEvent]
+    val q = StreamOps.patternStream(input.toDS())
+      .writeStream.format("memory").queryName("pattern_tie")
+      .outputMode("append").start()
+    try {
+      // u1: view@10, then TWO events tied at ts=20 — view (event_id 2)
+      // before purchase (event_id 3). Ordered by (ts_us, event_id) the
+      // sequence is view,view,purchase → one hit at 20. A lexicographic
+      // event_type tie-break would order purchase first and find none.
+      input.addData(
+        SessEvent(1L, 10L, "view", 1L),
+        SessEvent(1L, 20L, "purchase", 3L),
+        SessEvent(1L, 20L, "view", 2L))
+      q.processAllAvailable()
+      val hits = spark.table("pattern_tie").as[PatternHit].collect().toSeq
+      assert(hits == Seq(PatternHit(1L, 20L)),
+        s"tied timestamps must order by event_id, got $hits")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ListState pattern tail survives a checkpoint restart") {
     val sparkS = spark
     import sparkS.implicits._

@@ -100,8 +100,20 @@ object Bench {
     val truncated = results.collect { case (k, (_, n)) if n < passes => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"method":"min-of-$passes%d-sweeps","passes_run":$passCounts,"budget_skipped":$truncated}""")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"method":"min-of-$passes%d-sweeps","passes_run":$passCounts,"budget_skipped":$truncated}"""
+    println(fullJson)
+    // Durable copy: the driver's BENCH_r*.json capture keeps only a
+    // 2000-char stdout tail, so per-query times beyond worst5 are lost
+    // each round. Overwrite a repo-local file with the full map so
+    // round-over-round forensics never need a solo re-bench.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     // Second, SHORT summary line printed AFTER the full one: the capture
     // window that collects this output keeps only the stdout tail, which
     // truncates the leading "value" field off the (multi-KB) line above

@@ -910,6 +910,61 @@ object Pipeline {
       .withColumn("mean_nll_x1e6", expr("nll_x1e6 div tokens"))
   }
 
+  /** Synchronous min-label propagation to a fixpoint over a SYMMETRIC
+    * edge list `sym(a, b)` — each doc's cluster id becomes the smallest
+    * doc_id reachable through its edges. `localCheckpoint` truncates the
+    * plan each round; convergence detection rides the SAME job as the
+    * propagation (an `observe` metric counts changed labels while the
+    * checkpoint materializes — one job per round, not two). If the
+    * metric listener races the `Await` bound (`awaitMs`, injectable so
+    * the spec can pin the path), the fallback is a cheap `isEmpty` scan
+    * of the already-materialized checkpoint, never a join recompute;
+    * `awaitMs < 0` skips the Await outright (the deterministic
+    * listener-lost simulation — a tiny positive bound can still win the
+    * race when the future resolved during materialization).
+    * Returns (doc_id, cluster_id, members) ordered by doc_id.
+    */
+  def minLabelClusters(docsIds: DataFrame, sym: DataFrame,
+                       awaitMs: Long = 5000L): DataFrame = {
+    val s = docsIds.sparkSession
+    import s.implicits._
+    var labels = docsIds
+      .select($"doc_id", $"doc_id".as("lbl"), lit(false).as("changed"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val neigh = sym.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
+        .groupBy($"a").agg(min($"nl").as("minn"))
+      val newLbl = least($"lbl", coalesce($"minn", $"lbl"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels
+        .join(neigh.select($"a".as("doc_id"), $"minn"), Seq("doc_id"), "left")
+        .select($"doc_id", newLbl.as("nl"), (newLbl =!= $"lbl").as("changed"))
+        .observe(obs, sum(when($"changed", 1L).otherwise(0L)).as("changed_labels"))
+        .withColumnRenamed("nl", "lbl")
+        .localCheckpoint()
+      converged =
+        if (awaitMs < 0L) next.filter($"changed").isEmpty
+        else
+          try scala.concurrent.Await
+            .result(obs.future,
+              scala.concurrent.duration.Duration(awaitMs, "ms"))
+            .getAs[Long]("changed_labels") == 0L
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              next.filter($"changed").isEmpty
+          }
+      labels = next
+      rounds += 1
+    }
+    import org.apache.spark.sql.expressions.Window
+    labels.select($"doc_id", $"lbl".as("cluster_id"))
+      .withColumn("members",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy, keep lowest doc_id per identical text
     "d_dedup_exact" -> ((s, d) => {
@@ -942,42 +997,7 @@ object Pipeline {
       val pairs = minhashCandidatePairs(s, d).localCheckpoint()
       val sym = pairs.select($"id1".as("a"), $"id2".as("b"))
         .unionAll(pairs.select($"id2".as("a"), $"id1".as("b")))
-      var labels = documents(s, d)
-        .select($"doc_id", $"doc_id".as("lbl"), lit(false).as("changed"))
-        .localCheckpoint()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 25) {
-        val neigh = sym.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
-          .groupBy($"a").agg(min($"nl").as("minn"))
-        val newLbl = least($"lbl", coalesce($"minn", $"lbl"))
-        val obs = org.apache.spark.sql.Observation()
-        val next = labels
-          .join(neigh.select($"a".as("doc_id"), $"minn"), Seq("doc_id"), "left")
-          .select($"doc_id", newLbl.as("nl"), (newLbl =!= $"lbl").as("changed"))
-          .observe(obs, sum(when($"changed", 1L).otherwise(0L)).as("changed_labels"))
-          .withColumnRenamed("nl", "lbl")
-          .localCheckpoint()
-        // the checkpoint above already ran the job; the metric arrives with
-        // its QueryExecution listener — wait briefly, and if the listener
-        // races, fall back to a cheap scan of the materialized checkpoint
-        // (never a join recompute)
-        converged =
-          try scala.concurrent.Await
-            .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
-            .getAs[Long]("changed_labels") == 0L
-          catch {
-            case _: java.util.concurrent.TimeoutException =>
-              next.filter($"changed").isEmpty
-          }
-        labels = next
-        rounds += 1
-      }
-      import org.apache.spark.sql.expressions.Window
-      labels.select($"doc_id", $"lbl".as("cluster_id"))
-        .withColumn("members",
-          count(lit(1)).over(Window.partitionBy($"cluster_id")))
-        .orderBy($"doc_id")
+      minLabelClusters(documents(s, d).select($"doc_id"), sym)
     }),
 
     // Near-dup clusters via the SCALE path: alternating large-star /

@@ -143,4 +143,34 @@ class ComponentsSpec extends SparkSpec {
 
     check(20, Seq((0L, 10L), (10L, 4L), (4L, 12L), (6L, 18L), (18L, 6L)))
   }
+
+  test("minLabelClusters: observe-timeout fallback converges identically " +
+       "to the metric path") {
+    import spark.implicits._
+    // a chain (needs several propagation rounds), a triangle, an isolate
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L))
+    val docs = (0L to 8L).toDF("doc_id")
+    val sym = edges.toDF("a", "b")
+      .unionAll(edges.map(_.swap).toDF("a", "b"))
+    val metricPath = graft.queries.Pipeline
+      .minLabelClusters(docs, sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // awaitMs < 0 skips the Await — the deterministic simulation of the
+    // listener losing the race; convergence then rides the isEmpty scan
+    // of the materialized checkpoint
+    val fallbackPath = graft.queries.Pipeline
+      .minLabelClusters(docs, sym, awaitMs = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fallbackPath == metricPath,
+      "fallback convergence must match the observe-metric path")
+    val want = unionFind(9, edges)
+    assert(metricPath.map(t => t._1 -> t._2).toMap == want)
+    // and a tiny positive bound (usually a real TimeoutException, but
+    // possibly a won race) must also converge to the same fixpoint
+    val tinyBound = graft.queries.Pipeline
+      .minLabelClusters(docs, sym, awaitMs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tinyBound == metricPath)
+  }
 }

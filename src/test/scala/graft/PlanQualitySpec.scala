@@ -870,6 +870,29 @@ class PlanQualitySpec extends SparkSpec {
       s"lang IN (...) must land in PartitionFilters, not a data filter:\n$plan")
   }
 
+  test("s1: STAC predicates land in the DSv2 scan's pushdown, not " +
+       "post-scan Filters") {
+    // the 100 TB catalog path's partition-elimination proof: collection,
+    // date range, bbox and cloud-cover all absorb into the search request
+    // (StacScanBuilder.absorb) and never replay as a post-scan Filter
+    val plan = planString(q("s1_stac_search"))
+    assert(plan.contains("collection=S2_L2A"),
+      s"collection must push into the STAC search:\n$plan")
+    assert(plan.contains("start=2020-02-01") && plan.contains("end=2020-03-31"),
+      s"the date range must push into the STAC search:\n$plan")
+    assert(plan.contains("bbox=(5.0,0.0,25.0,12.0)"),
+      s"the bbox corners must be recovered into the search:\n$plan")
+    assert(plan.contains("cloudCover<=60.0"),
+      s"the cloud bound must push into the STAC search:\n$plan")
+    // absorbed predicates must not re-run row-by-row after the scan —
+    // only isnotnull residuals may remain ("Filter (" matches the
+    // operator node, not the scan's PushedFilters list)
+    val filterLines = plan.linesIterator.filter(_.contains("Filter (")).toSeq
+    for (pred <- Seq("= S2_L2A", "<= 60.0", "< 25.0", ">= 2020-02-01"))
+      assert(!filterLines.exists(_.contains(pred)),
+        s"pushed comparison '$pred' reappears post-scan:\n$plan")
+  }
+
   test("x_char_entropy: linear explode into two partial hash-aggs, no joins") {
     val plan = planString(q("x_char_entropy"))
     assert(!plan.contains("Join"), s"entropy needs no joins:\n$plan")

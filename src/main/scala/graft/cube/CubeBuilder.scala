@@ -71,25 +71,53 @@ object CubeBuilder {
                 applyValidRange: Boolean = false): DataFrame = {
     val spark = merged.sparkSession
     import spark.implicits._
+    val qualityMerged = merged.filter($"band" === collection.qualityBand)
+    val radsat =
+      if (mask.saturatedBand.nonEmpty)
+        Some(merged.filter($"band" === mask.saturatedBand))
+      else None
+    val spectral = merged.filter($"band" =!= collection.qualityBand &&
+      (if (mask.saturatedBand.nonEmpty) $"band" =!= mask.saturatedBand else lit(true)))
+    compositeSlices(spectral, qualityMerged, radsat, periods, collection,
+      mask, priority, sourceIdx, applyValidRange)
+  }
 
-    val qualityRaw = merged.filter($"band" === collection.qualityBand)
+  /** [[composite]] over pre-split slices. Taking the spectral and quality
+    * slices as SEPARATE frames (instead of one unioned `merged` frame)
+    * matters for the zero-shuffle path: `Union` reports unknown output
+    * partitioning, so a composite over `spectralMerge.unionByName(qaMerge)`
+    * re-shuffles the quality join even when both merges preserved a
+    * bucketed scan's (tileId, blockY, blockX) clustering. With slices,
+    * both join children keep the scan's HashPartitioning and the whole
+    * merge→composite chain plans with zero Exchange (pinned in
+    * CubeRunSpec).
+    */
+  def compositeSlices(spectral: DataFrame, qualityMerged: DataFrame,
+                      radsat: Option[DataFrame], periods: DataFrame,
+                      collection: Collection, mask: MaskDef,
+                      priority: Column = lit(1.0),
+                      sourceIdx: Column = lit(0),
+                      applyValidRange: Boolean = false): DataFrame = {
+    val spark = spectral.sparkSession
+    import spark.implicits._
+
+    val qualityRaw = qualityMerged
       .select($"tileId", $"date", $"blockY", $"blockX", $"pixels".as("qa"))
 
     // M4 — saturated-band propagation (reference `tasks.py:355-366`,
     // `processing.py:787-791`): where the RADSAT companion band has any of
     // bits 1..7 set, rewrite the QA sample to a saturated marker so the
     // composite's usability predicate rejects it.
-    val quality = if (mask.saturatedBand.nonEmpty) {
-      val marker = mask.saturatedData.headOption.getOrElse(mask.nodata)
-      val sat = merged.filter($"band" === mask.saturatedBand)
-        .select($"tileId", $"date", $"blockY", $"blockX", $"pixels".as("radsat"))
-      qualityRaw.join(sat, Seq("tileId", "date", "blockY", "blockX"), "left")
-        .select($"tileId", $"date", $"blockY", $"blockX",
-          Composite.saturatedPropagate($"qa", $"radsat", marker.toInt).as("qa"))
-    } else qualityRaw
-
-    val spectral = merged.filter($"band" =!= collection.qualityBand &&
-      (if (mask.saturatedBand.nonEmpty) $"band" =!= mask.saturatedBand else lit(true)))
+    val quality = radsat match {
+      case Some(satDf) =>
+        val marker = mask.saturatedData.headOption.getOrElse(mask.nodata)
+        val sat = satDf
+          .select($"tileId", $"date", $"blockY", $"blockX", $"pixels".as("radsat"))
+        qualityRaw.join(sat, Seq("tileId", "date", "blockY", "blockX"), "left")
+          .select($"tileId", $"date", $"blockY", $"blockX",
+            Composite.saturatedPropagate($"qa", $"radsat", marker.toInt).as("qa"))
+      case None => qualityRaw
+    }
 
     // pair each spectral block with its date's QA block (co-keyed join)
     val paired = spectral.join(quality, Seq("tileId", "date", "blockY", "blockX"))

@@ -34,7 +34,8 @@ object CubeRun {
           start: java.time.LocalDate,
           end: java.time.LocalDate,
           force: Boolean = false,
-          blockSize: Int = 512): RunResult = {
+          blockSize: Int = 512,
+          blockBuckets: Int = 32): RunResult = {
     import spark.implicits._
 
     val periods = CubeBuilder.periodTable(spark, collection, start, end)
@@ -56,23 +57,24 @@ object CubeRun {
       .collect().map(r => (r.getString(0), r.getString(1)))
     if (pendingPeriods.isEmpty) return RunResult(0, 0, 0)
 
-    // stage 1-2: scan → decode → merge → composite, restricted to pending
+    // stage 1-2: scan → decode → merge → composite, restricted to pending.
+    // The decoded chunked-raster table persists BUCKETED on (tileId,
+    // blockY, blockX): one write-side shuffle, after which the merge
+    // groupBys, the spectral↔quality join, and the composite groupBy all
+    // inherit the scan's HashPartitioning — the whole merge→composite
+    // chain plans with zero Exchange (pinned in CubeRunSpec). At cluster
+    // scale this is the layout a 1000-executor job wants: every stage of
+    // every (tile, block)'s lifecycle runs where its bytes already live.
     val scanned = RasterIO.scanDirectory(spark, sceneDir)
-    val blocks = RasterIO.decodeBlocks(scanned, collection.identifier, tileId,
-      blockSize)
-      .withColumn("assetOrder", lit(0)).withColumn("source", lit(0))
-    val nodata = collection.bands.find(_.name != collection.qualityBand)
-      .map(_.nodata.toInt).getOrElse(-9999)
-    val merged = CubeBuilder.merge(
-        blocks.filter($"band" =!= collection.qualityBand), nodata, combined = true)
-      .unionByName(CubeBuilder.merge(
-        blocks.filter($"band" === collection.qualityBand),
-        mask.nodata.toInt, combined = true))
-
+    val blocks = graft.operators.Scale.persistBucketed(
+      RasterIO.decodeBlocks(scanned, collection.identifier, tileId, blockSize)
+        .withColumn("assetOrder", lit(0)).withColumn("source", lit(0)),
+      "cube_blocks", s"$outDir/bucketed_blocks", blockBuckets,
+      Seq("tileId", "blockY", "blockX"))
     val pendingPeriodsDf = pendingPeriods.toSeq.toDF("ps", "pe")
       .select($"ps".cast("date").as("p_start"), $"pe".cast("date").as("p_end"))
-    val composited = CubeBuilder.composite(merged, pendingPeriodsDf,
-      collection, mask)
+    val composited = mergeCompositeChain(blocks, collection, mask,
+      pendingPeriodsDf)
 
     // stage 3: publish blocks, index bands, items, ledger
     composited.withColumn("value", CubeBuilder.compositeBand(collection))
@@ -96,6 +98,33 @@ object CubeRun {
     RunResult(plannedCount,
       readParquetIfExists(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
       readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L))
+  }
+
+  /** Stages 1-2 of a run — per-band-slice merge then compositeSlices —
+    * over an already-decoded block table. Exposed (package-private) so
+    * the plan gate can pin the zero-Exchange property on the EXACT
+    * production chain `run` executes: when `blocks` comes from a table
+    * bucketed on (tileId, blockY, blockX), this whole chain must plan
+    * with no shuffle after the scan.
+    */
+  private[graft] def mergeCompositeChain(blocks: DataFrame,
+      collection: Collection, mask: MaskDef,
+      periodsDf: DataFrame): DataFrame = {
+    import blocks.sparkSession.implicits._
+    val nodata = collection.bands.find(_.name != collection.qualityBand)
+      .map(_.nodata.toInt).getOrElse(-9999)
+    val satBand = Option(mask.saturatedBand).filter(_.nonEmpty)
+    val spectralMerged = CubeBuilder.merge(
+      blocks.filter($"band" =!= collection.qualityBand &&
+        satBand.map($"band" =!= _).getOrElse(lit(true))),
+      nodata, combined = true)
+    val qualityMerged = CubeBuilder.merge(
+      blocks.filter($"band" === collection.qualityBand),
+      mask.nodata.toInt, combined = true)
+    val radsatMerged = satBand.map(sb =>
+      CubeBuilder.merge(blocks.filter($"band" === sb), nodata, combined = true))
+    CubeBuilder.compositeSlices(spectralMerged, qualityMerged,
+      radsatMerged, periodsDf, collection, mask)
   }
 
   private def readParquetIfExists(spark: SparkSession, path: String): Option[DataFrame] =

@@ -76,6 +76,26 @@ object Scale {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Persist `df` bucketed+sorted on a MULTI-column `keys` prefix and read
+    * it back: every downstream groupBy/equi-join whose keys are a superset
+    * of `keys` then plans with ZERO Exchange — the scan's
+    * HashPartitioning(keys, buckets) satisfies their clustered
+    * distribution directly. The table name derives from `path` (stable
+    * across re-runs, so repeated runs overwrite instead of leaking catalog
+    * entries) and the data lives externally at `path`.
+    */
+  def persistBucketed(df: DataFrame, prefix: String, path: String,
+                      buckets: Int, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "persistBucketed needs at least one bucket key")
+    val table = s"${prefix}_${Integer.toHexString(path.hashCode)}"
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+
   /** Number of shuffle exchanges in `df`'s physical plan — the levers in
     * this object exist to make this zero for the joins they cover, and
     * the gates assert it stays zero.

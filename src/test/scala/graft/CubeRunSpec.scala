@@ -60,4 +60,36 @@ class CubeRunSpec extends SparkSpec {
       blockSize = 32)
     assert(r4.planned == 3) // one new period × 3 bands
   }
+
+  test("merge→composite over the bucketed block table plans ZERO Exchange") {
+    // the production chain run() executes: decoded blocks persisted
+    // bucketed on (tileId, blockY, blockX), then per-slice merges, the
+    // spectral↔quality join and the composite groupBy must all inherit
+    // the scan's HashPartitioning — one write-side shuffle for the whole
+    // tile lifecycle, the layout a 1000-executor job wants
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("run_bucket").toString
+    val rows = for {
+      date <- Seq("2020-01-05", "2020-01-20"); band <- Seq("B04", "B8A", "QA")
+      by <- 0 until 2; bx <- 0 until 2
+    } yield ("run_V1", "t9", java.sql.Date.valueOf(date), band, by, bx,
+      16, 16, bx * 160.0, 320.0 - by * 160.0, 10.0, 10.0, nodata,
+      Array.tabulate(256)(i => if (band == "QA") i % 5 else 100 + i), 0, 0)
+    val blocks = graft.operators.Scale.persistBucketed(
+      rows.toDF("cube", "tileId", "date", "band", "blockY", "blockX",
+        "height", "width", "x0", "y0", "resX", "resY", "nodata", "pixels",
+        "assetOrder", "source"),
+      "cube_blocks", s"$tmp/bucketed_blocks", 8,
+      Seq("tileId", "blockY", "blockX"))
+    val periods = Seq(("2020-01-01", "2020-01-16"), ("2020-01-17", "2020-02-01"))
+      .toDF("ps", "pe")
+      .select($"ps".cast("date").as("p_start"), $"pe".cast("date").as("p_end"))
+    val composited = CubeRun.mergeCompositeChain(blocks, coll, this.mask, periods)
+    assert(composited.count() == 2 * 2 * 4, "2 periods × 2 bands × 4 blocks")
+    val n = graft.operators.Scale.shuffleExchangeCount(composited)
+    assert(n == 0,
+      s"the e2e merge→composite chain must plan zero Exchange, got $n:\n" +
+        composited.queryExecution.executedPlan)
+  }
 }

@@ -229,6 +229,51 @@ object Analytics {
     s"else ($n % $k) + ($i - ($n % $k) * (($n div $k) + 1) + ($n div $k) - 1) " +
     s"div greatest($n div $k, 1) end")
 
+  /** Exact interpolated per-group quantiles (the `quantile_cont` /
+    * Spark-`percentile` definition) computed from a VALUE HISTOGRAM —
+    * the buffer-free 100 TB path: `percentile` holds every group value
+    * in an executor-memory buffer, while this folds to (group, value)
+    * counts first, so the only window runs over histogram rows (bounded
+    * by the distinct-value count, never the corpus). The interpolation
+    * replays Spark's `Percentile.getPercentile` arithmetic exactly —
+    * `rn = (n-1)·p` in doubles, then `(ceil(rn)-rn)·lo +
+    * (rn-floor(rn))·hi` — so results are bit-identical to the in-memory
+    * aggregate (pinned in AnalyticsSpec) and DuckDB's `quantile_cont`
+    * oracles keep matching.
+    *
+    * Returns one row per group: (`group`, one double column per entry
+    * of `ps` named by its key).
+    */
+  def contQuantiles(df: DataFrame, group: String, value: String,
+                    ps: Seq[(String, Double)]): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(group)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("__cum", sum($"__c").over(w))
+    val tot = h.groupBy(col(group)).agg(sum($"__c").as("__n"))
+    val j = cum.join(broadcast(tot), Seq(group))
+    val aggs = ps.flatMap { case (nm, p) =>
+      val rn = ($"__n" - 1).cast("double") * lit(p)
+      Seq(
+        // x_(k) is the smallest value whose cumulative count reaches k
+        // (1-based); lo sits at floor(rn)+1, hi at ceil(rn)+1
+        min(when($"__cum" >= floor(rn) + 1, col(value))).as(s"__lo_$nm"),
+        min(when($"__cum" >= ceil(rn) + 1, col(value))).as(s"__hi_$nm"),
+        max(rn).as(s"__rn_$nm"))
+    }
+    val g = j.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+    val outs = col(group) +: ps.map { case (nm, _) =>
+      val rn = col(s"__rn_$nm")
+      val lo = col(s"__lo_$nm").cast("double")
+      val hi = coalesce(col(s"__hi_$nm"), col(s"__lo_$nm")).cast("double")
+      when(floor(rn) === ceil(rn), lo)
+        .otherwise((ceil(rn) - rn) * lo + (rn - floor(rn)) * hi).as(nm)
+    }
+    g.select(outs: _*)
+  }
+
   /** Kaplan–Meier product-limit estimator over (t, cens) lifetime rows
     * (the x_survival_km gate): per distinct lifetime, at-risk counts
     * from a reverse running sum, each step's ln(1 − d/n) floor-quantized
@@ -2803,17 +2848,17 @@ object Analytics {
     }),
 
     // Winsorized mean per language (the robust-mean companion to the
-    // MAD outlier gate): token counts clamp at the exact P10/P90 (the
-    // 0.5-interpolation grid, so the boundaries replay bit-for-bit)
-    // before averaging — one quantile pre-agg broadcast back over the
-    // corpus, integer sums to one final quantized division.
+    // MAD outlier gate): token counts clamp at the exact P10/P90 —
+    // computed buffer-free from the value histogram ([[contQuantiles]],
+    // bit-identical to the in-memory `percentile`) — before averaging;
+    // one quantile pre-agg broadcast back over the corpus, integer sums
+    // to one final quantized division.
     "x_winsorize" -> ((s, d) => {
       import s.implicits._
       val docs = documents(s, d).filter(length(trim($"text")) > 0)
         .select($"lang", size(words($"text")).cast("double").as("tokens"))
-      val bounds = docs.groupBy($"lang")
-        .agg(percentile($"tokens", lit(0.1)).as("p10"),
-          percentile($"tokens", lit(0.9)).as("p90"))
+      val bounds = contQuantiles(docs, "lang", "tokens",
+        Seq("p10" -> 0.1, "p90" -> 0.9))
       docs.join(broadcast(bounds), "lang")
         .select($"lang",
           // P10/P90 interpolate to arbitrary fractions — floor once

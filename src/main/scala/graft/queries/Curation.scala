@@ -962,23 +962,25 @@ object Curation {
 
     // Robust outlier detection (median absolute deviation): per-language
     // token-count median and MAD, flagging docs with |x − med| > 3·MAD.
-    // Exact interpolated percentiles (the deviations live on a 0.5 grid,
-    // so every comparison is exact in binary and the oracle replays the
+    // Exact interpolated medians from the value histogram
+    // (Analytics.contQuantiles — buffer-free, bit-identical to the
+    // in-memory `percentile`; the deviations live on a 0.5 grid, so
+    // every comparison is exact in binary and the oracle replays the
     // flags bit-for-bit); the 5-row median table broadcasts back over
-    // the corpus — two partial-agg shuffles total, the robust-stats
-    // analog of the x_len_quantiles sketch path.
+    // the corpus — the robust-stats analog of the x_len_quantiles
+    // sketch path.
     "x_mad_outliers" -> ((s, d) => {
       import s.implicits._
       val docs = documents(s, d).filter(length(trim($"text")) > 0)
         .select($"lang",
           size(words($"text")).cast("double").as("tokens"))
-      val med = docs.groupBy($"lang")
-        .agg(percentile($"tokens", lit(0.5)).as("med"))
+      val med = Analytics.contQuantiles(docs, "lang", "tokens",
+        Seq("med" -> 0.5))
       val dev = docs.join(broadcast(med), "lang")
         .select($"lang", $"tokens", $"med",
           abs($"tokens" - $"med").as("dev"))
-      val mad = dev.groupBy($"lang")
-        .agg(percentile($"dev", lit(0.5)).as("mad"))
+      val mad = Analytics.contQuantiles(dev.select($"lang", $"dev"),
+        "lang", "dev", Seq("mad" -> 0.5))
       dev.join(broadcast(mad), "lang")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n"),

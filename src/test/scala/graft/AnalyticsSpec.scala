@@ -178,6 +178,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(waited == Map(10L -> 1L, 20L -> 2L))
   }
 
+  test("contQuantiles is bit-identical to the in-memory percentile " +
+       "aggregate across fractions and group shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // awkward shapes: singleton group, tied values, even/odd counts
+    val rows = Seq.tabulate(137)(i => ("g" + (i % 5), ((i * 37) % 50).toDouble)) ++
+      Seq(("solo", 42.0))
+    val df = rows.toDF("g", "v")
+    val ps = Seq("q10" -> 0.1, "q25" -> 0.25, "q50" -> 0.5,
+      "q77" -> 0.77, "q90" -> 0.9)
+    val hist = queries.Analytics.contQuantiles(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val mem = df.groupBy($"g")
+      .agg(percentile($"v", lit(0.1)).as("q10"),
+        percentile($"v", lit(0.25)).as("q25"),
+        percentile($"v", lit(0.5)).as("q50"),
+        percentile($"v", lit(0.77)).as("q77"),
+        percentile($"v", lit(0.9)).as("q90"))
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(hist.keySet == mem.keySet)
+    for (g <- mem.keySet; i <- ps.indices)
+      assert(java.lang.Double.doubleToLongBits(hist(g)(i)) ==
+        java.lang.Double.doubleToLongBits(mem(g)(i)),
+        s"group $g ${ps(i)._1}: hist=${hist(g)(i)} mem=${mem(g)(i)}")
+  }
+
   test("q17 threshold algebra: 5*qty*cnt < sum <=> qty < 0.2*avg") {
     // part with qtys 10, 20, 30: avg=20, 0.2*avg=4 -> none qualify
     // part with qtys 1, 99: avg=50, 0.2*avg=10 -> qty=1 qualifies

@@ -893,6 +893,17 @@ class PlanQualitySpec extends SparkSpec {
         s"pushed comparison '$pred' reappears post-scan:\n$plan")
   }
 
+  test("winsorize/MAD: no in-memory percentile buffer on corpus input") {
+    // both robust-stats gates route their quantiles through the
+    // histogram-cumsum shape (Analytics.contQuantiles) — a `percentile`
+    // aggregate would buffer every group value in executor memory
+    for (name <- Seq("x_winsorize", "x_mad_outliers")) {
+      val plan = planString(q(name))
+      assert(!plan.contains("percentile"),
+        s"$name must not plan an in-memory percentile buffer:\n$plan")
+    }
+  }
+
   test("x_char_entropy: linear explode into two partial hash-aggs, no joins") {
     val plan = planString(q("x_char_entropy"))
     assert(!plan.contains("Join"), s"entropy needs no joins:\n$plan")

@@ -37,6 +37,15 @@ object CubeRun {
           blockSize: Int = 512,
           blockBuckets: Int = 32): RunResult = {
     import spark.implicits._
+    // The bucketed (tileId, blockY, blockX) layout carries every
+    // downstream stage shuffle-free — but the spectral↔quality join
+    // (keys + date) only rides SUBSET-key co-partitioning when this
+    // conf is off (aggregates accept subset clustering uncondition-
+    // ally; joins gate it behind the conf). Scoped to the run.
+    val coPartConf = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevCoPart = spark.conf.getOption(coPartConf)
+    spark.conf.set(coPartConf, "false")
+    try {
 
     val periods = CubeBuilder.periodTable(spark, collection, start, end)
     val ledgerPath = s"$outDir/ledger"
@@ -98,6 +107,12 @@ object CubeRun {
     RunResult(plannedCount,
       readParquetIfExists(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
       readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L))
+    } finally {
+      prevCoPart match {
+        case Some(v) => spark.conf.set(coPartConf, v)
+        case None    => spark.conf.unset(coPartConf)
+      }
+    }
   }
 
   /** Stages 1-2 of a run — per-band-slice merge then compositeSlices —

@@ -91,5 +91,31 @@ class CubeRunSpec extends SparkSpec {
     assert(n == 0,
       s"the e2e merge→composite chain must plan zero Exchange, got $n:\n" +
         composited.queryExecution.executedPlan)
+
+    // the AT-SCALE variant: broadcast off (a tile-date quality slice is
+    // hundreds of MB in production) + subset-key co-partitioning on (the
+    // conf CubeRun.run sets) — the spectral↔quality join must ride the
+    // scan's (tileId, blockY, blockX) partitioning, still zero Exchange
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevC =
+      spark.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val c2 = CubeRun.mergeCompositeChain(blocks, coll, this.mask, periods)
+      assert(c2.count() == 2 * 2 * 4)
+      val n2 = graft.operators.Scale.shuffleExchangeCount(c2)
+      assert(n2 == 0,
+        s"no-broadcast chain must co-partition on the bucket subset, got " +
+          s"$n2:\n${c2.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      prevC match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None =>
+          spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+    }
   }
 }

@@ -318,6 +318,187 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: FULL 10560x10560 tile through the CubeBuilder chain — " +
+       "merge→composite→index→publish→COG, shuffle linear in blocks") {
+    // BASELINE.md's whole-tile envelope end to end: 21×21 = 441 blocks
+    // of 512² px × 2 dates (→ 2 periods) × 3 spectral bands + QA run
+    // the production chain (CubeRun.mergeCompositeChain — the same
+    // code path run() executes), then index band, item publication and
+    // a streamed whole-tile COG validate. The one shuffle is the
+    // repartition by (tile, block); everything downstream runs in
+    // place, so total shuffle must scale with blocks while per-task
+    // read and peak memory stay flat (task count scales with blocks).
+    import graft.cube.{CubeBuilder, CubeRun}
+    import graft.model.{Band, Collection, MaskDef}
+    val sparkS = spark
+    import sparkS.implicits._
+    val px = 512 * 512
+    val d1 = java.sql.Date.valueOf("2020-01-05")
+    val d2 = java.sql.Date.valueOf("2020-01-20")
+    val coll = Collection(
+      name = "soak", version = 1, grid = "G", compositeFunction = "LCF",
+      temporalSchema = "Continuous", temporalUnit = "day", temporalStep = 16,
+      bands = Seq(
+        Band("B04", "red", "int16", -9999),
+        Band("B05", "rededge", "int16", -9999),
+        Band("B8A", "nir", "int16", -9999),
+        Band("QA", "quality", "uint8", 255),
+        Band("NDVI", "ndvi", "int16", -9999,
+          expression = "10000.*((B8A-B04)/(B8A+B04))")),
+      qualityBand = "QA")
+    val mask = MaskDef(clearData = Seq(0L), notClearData = Seq(2L, 4L),
+      nodata = 255L)
+    val periods = Seq(("2020-01-01", "2020-01-16"), ("2020-01-17", "2020-02-01"))
+      .toDF("ps", "pe")
+      .select($"ps".cast("date").as("p_start"), $"pe".cast("date").as("p_end"))
+
+    def tileBlocks(rows: Int, cols: Int): org.apache.spark.sql.DataFrame = {
+      val nb = rows * cols
+      // constant columns go through a non-foldable `when` so they stay
+      // ATTRIBUTES after optimization, as they are when read from
+      // parquet in production — constant-folded literals in the
+      // repartition keys would fail the aggregates' subset-distribution
+      // check and re-shuffle the chain (measured: 4-partition collapse)
+      def k(c: org.apache.spark.sql.Column) =
+        when($"id" >= 0, c).otherwise(lit(null))
+      spark.range(nb.toLong * 2 * 4).select(
+        k(lit("soak")).as("cube"), k(lit("t0")).as("tileId"),
+        element_at(array(lit(d1), lit(d2)),
+          (expr(s"(id div $nb) % 2") + 1).cast("int")).as("date"),
+        element_at(array(lit("B04"), lit("B05"), lit("B8A"), lit("QA")),
+          (expr(s"id div ${nb * 2}") + 1).cast("int")).as("band"),
+        expr(s"(id % $nb) div $cols").cast("int").as("blockY"),
+        ($"id" % cols).cast("int").as("blockX"),
+        k(lit(512)).as("height"), k(lit(512)).as("width"),
+        (($"id" % cols) * 5120.0).as("x0"),
+        (lit(rows * 5120.0) - expr(s"(id % $nb) div $cols") * 5120.0).as("y0"),
+        k(lit(10.0)).as("resX"), k(lit(10.0)).as("resY"),
+        when(element_at(array(lit("B04"), lit("B05"), lit("B8A"), lit("QA")),
+          (expr(s"id div ${nb * 2}") + 1).cast("int")) === "QA",
+          array_repeat(lit(0), px))
+          .otherwise(array_repeat(
+            (expr(s"id div ${nb * 2}") * 1000 +
+             expr(s"(id div $nb) % 2") * 100 + $"id" % nb % 97).cast("int"),
+            px)).as("pixels"),
+        lit(0).as("assetOrder"), lit(0).as("source"))
+    }
+    def chainAt(rows: Int, cols: Int, parts: Int) =
+      CubeRun.mergeCompositeChain(
+        tileBlocks(rows, cols)
+          .repartition(parts, $"tileId", $"blockY", $"blockX"),
+        coll, mask, periods)
+
+    // broadcast off for the spectral↔quality join: a tile-date's QA
+    // slice is 441 MB here (and unbounded at 100 TB) — the plan the
+    // chain must hold is the CO-PARTITIONED merge join, not a broadcast
+    // build that materializes the whole quality slice in one task (the
+    // generated frame's guessed stats would otherwise pick broadcast;
+    // parquet scans with real stats don't)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // subset-key co-partitioning for the join (what CubeRun.run sets):
+    // both join children are partitioned on (tileId, blockY, blockX) ⊂
+    // join keys; without this the join re-shuffles on the full key
+    val prevCoPart =
+      spark.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+    val t0 = System.nanoTime()
+    val (b1, peak1, read1) = measure3(chainAt(7, 7, 8))
+    val tSmall = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val (b9, peak9, read9) = measure3(chainAt(21, 21, 72))
+    val tFull = (System.nanoTime() - t1) / 1e9
+    assert(b1 > 0, "no shuffle measured at the 49-block scale")
+    val bytesRatio = b9.toDouble / b1
+    info(f"full-tile chain: 49 blocks ${tSmall}%.1fs shuffle ${b1}B -> " +
+      f"441 blocks ${tFull}%.1fs shuffle ${b9}B (${bytesRatio}%.1fx at 9x " +
+      f"blocks); full-tile max task read ${read9}B (fair share " +
+      f"${b9 / 72}B), max task peak-mem ${peak9}B " +
+      f"[49-block: read ${read1}B peak ${peak1}B]")
+    assert(bytesRatio < 22, s"shuffle grew superlinearly at 9x blocks: $bytesRatio")
+    assert(bytesRatio > 3, s"shuffle growth suspiciously flat: $bytesRatio")
+    // per-task pins are ABSOLUTE at full scale (cross-run ratios are
+    // hostage to hash placement of 49 vs 441 keys and to compression
+    // variance): no task may read a disproportionate slice of the
+    // shuffle, and no task may ever hold anything near the 3.5 GB tile
+    assert(read9 <= 6L * (b9 / 72),
+      s"max task shuffle read $read9 exceeds 6x the fair share ${b9 / 72}")
+    assert(peak9 < (1L << 30),
+      s"a task peaked at $peak9 B — the chain must stream blocks, " +
+        "never materialize the tile")
+
+    // outputs of the full tile: composite → index band → items → COG
+    val composited = chainAt(21, 21, 72).localCheckpoint()
+    assert(composited.count() == 441L * 2 * 3, "2 periods × 3 bands × 441 blocks")
+    // LCF with one clear scene per period ⇒ composite = that scene
+    val spot = composited
+      .filter($"band" === "B04" && $"blockY" === 3 && $"blockX" === 5)
+      .select($"p_start".cast("string"), element_at($"value", 1),
+        element_at($"value", px))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val bi35 = (3 * 21 + 5) % 97
+    assert(spot == Set(("2020-01-01", bi35, bi35),
+      ("2020-01-17", 100 + bi35, 100 + bi35)), s"got $spot")
+
+    val index = CubeBuilder.indexBands(composited, coll)
+    assert(index.count() == 441L * 2, "one NDVI block per (block, period)")
+    // block (0,0) period 1: B04=0, B8A=2000 ⇒ NDVI = 10000 exactly
+    val ndvi00 = index
+      .filter($"blockY" === 0 && $"blockX" === 0 &&
+        $"p_start" === java.sql.Date.valueOf("2020-01-01"))
+      .select(element_at($"value", 1)).collect().head.getInt(0)
+    assert(ndvi00 == 10000, s"NDVI(B04=0, B8A=2000) must be 10000, got $ndvi00")
+
+    val items = CubeBuilder.publishItems(composited, coll)
+      .collect().sortBy(_.getString(3))
+    assert(items.length == 2, "one item per period")
+    assert(items.forall(_.getSeq[String](5) == Seq("B04", "B05", "B8A")))
+    assert(items.forall(r => math.abs(r.getDouble(10) - 100.0) < 1e-9),
+      "all-clear QA must publish clear_pct = 100")
+
+    // whole-tile COG: B04 of period 1 streams into ONE 10560² GeoTIFF,
+    // re-scans, integrity-checks and decodes back to 441 exact blocks
+    val cogDir = java.nio.file.Files.createTempDirectory("soak_cog").toString
+    val t2 = System.nanoTime()
+    graft.sources.RasterIO.writeGeoTiffs(
+      composited.filter($"band" === "B04" &&
+          $"p_start" === java.sql.Date.valueOf("2020-01-01"))
+        .withColumn("pixels", $"value")
+        .withColumn("dkey", lit("20200101")),
+      cogDir, periodCols = Seq("dkey"), overviews = false)
+    val tCog = (System.nanoTime() - t2) / 1e9
+    composited.unpersist()
+    val scanned = graft.sources.RasterIO.scanDirectory(spark, cogDir,
+      bandPattern = "_(B[0-9A-Z]+|QA)_")
+    // structural integrity probe only (fullRead re-decodes the 446 MB
+    // tile in one task); the decodeBlocks pixel sum below is the full
+    // content validation
+    val okN = scanned.select($"content").as[Array[Byte]]
+      .map(c =>
+        if (graft.sources.Archives.checkIntegrity(c, fullRead = false)) 1L
+        else 0L)
+      .reduce(_ + _)
+    assert(okN == 1L, "exactly one COG, structurally clean")
+    val decoded = graft.sources.RasterIO.decodeBlocks(scanned, "soak", "t0", 512)
+    val (nBlocks, pxSum) = decoded.agg(count(lit(1)),
+      sum(graft.functions.PixelExpressions.arraySumLong($"pixels")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val wantSum = (0 until 441).map(bi => (bi % 97).toLong * px).sum
+    info(f"COG: 10560² B04 written in ${tCog}%.1fs, decoded $nBlocks blocks")
+    assert(nBlocks == 441L, s"decoded $nBlocks of 441 blocks")
+    assert(pxSum == wantSum, s"decoded pixel sum $pxSum != $wantSum")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      prevCoPart match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None =>
+          spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+    }
+  }
+
   test("soak: shardedRank shuffle scales ~linearly, serial step stays flat") {
     // the round's headline rewrite (x_quantile_norm / x_ks_test /
     // x_rfm_segments all route global ranks through shardedRank): at

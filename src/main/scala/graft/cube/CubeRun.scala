@@ -74,7 +74,18 @@ object CubeRun {
     // chain plans with zero Exchange (pinned in CubeRunSpec). At cluster
     // scale this is the layout a 1000-executor job wants: every stage of
     // every (tile, block)'s lifecycle runs where its bytes already live.
+    // C4 scale path: decode ONLY scenes whose date can land in a pending
+    // period — an incremental backfill re-reads its new window, not the
+    // whole archive. The date is filename metadata (scanDirectory), so
+    // the prune costs zero pixel decodes; periods are driver-side and
+    // timeline-bounded, so the predicate disjunction stays small.
+    val pendingDateFilter = pendingPeriods
+      .map { case (ps, pe) =>
+        $"date".between(lit(ps).cast("date"), lit(pe).cast("date"))
+      }
+      .reduce(_ || _)
     val scanned = RasterIO.scanDirectory(spark, sceneDir)
+      .filter(pendingDateFilter)
     val blocks = graft.operators.Scale.persistBucketed(
       RasterIO.decodeBlocks(scanned, collection.identifier, tileId, blockSize)
         .withColumn("assetOrder", lit(0)).withColumn("source", lit(0)),

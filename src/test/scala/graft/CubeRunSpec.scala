@@ -59,6 +59,16 @@ class CubeRunSpec extends SparkSpec {
       java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 2, 15),
       blockSize = 32)
     assert(r4.planned == 3) // one new period × 3 bands
+
+    // the backfill decoded NOTHING: its pending period (Feb) has no
+    // scenes, and the date prune keeps the whole Jan archive out of the
+    // decode — the persisted block table (overwritten per run) is empty
+    val bucketFiles = java.nio.file.Files
+      .list(java.nio.file.Paths.get(outDir, "bucketed_blocks")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(bucketFiles.isEmpty,
+      "incremental backfill must not re-decode out-of-window scenes, " +
+        s"found ${bucketFiles.length} block files")
   }
 
   test("merge→composite over the bucketed block table plans ZERO Exchange") {

@@ -248,7 +248,10 @@ object Analytics {
                     ps: Seq[(String, Double)]): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val h = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("__c"))
+    // nulls are skipped, as the percentile aggregate skips them — a null
+    // histogram row would otherwise shift every cumulative count
+    val h = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value)).agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(col(group)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.withColumn("__cum", sum($"__c").over(w))

@@ -182,9 +182,12 @@ class AnalyticsSpec extends SparkSpec {
        "aggregate across fractions and group shapes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // awkward shapes: singleton group, tied values, even/odd counts
-    val rows = Seq.tabulate(137)(i => ("g" + (i % 5), ((i * 37) % 50).toDouble)) ++
-      Seq(("solo", 42.0))
+    // awkward shapes: singleton group, tied values, even/odd counts,
+    // nulls (both sides must skip them)
+    val rows = Seq.tabulate(137)(i =>
+      ("g" + (i % 5), ((i * 37) % 50).toDouble: java.lang.Double)) ++
+      Seq(("solo", 42.0: java.lang.Double),
+        ("g0", null: java.lang.Double), ("g3", null: java.lang.Double))
     val df = rows.toDF("g", "v")
     val ps = Seq("q10" -> 0.1, "q25" -> 0.25, "q50" -> 0.5,
       "q77" -> 0.77, "q90" -> 0.9)

@@ -901,11 +901,11 @@ object Analytics {
     // length in chars and in words — the profile stat behind a
     // length-normalization choice. The five sums (Σx, Σy, Σx², Σy²,
     // Σxy) are exact integer partial aggregates (ONE corpus scan, no
-    // joins); only the final per-group corr/beta divide in doubles,
-    // floor-quantized ×1e6 so the oracle replays bit-for-bit. At larger
-    // scales the sums promote to DECIMAL before n·Σx² outgrows a long
-    // (bounded here: chars ≤ 1e4, docs ≤ 1e8 per group keeps products
-    // under 2^62).
+    // joins); the moment PRODUCTS (n·Σx², Σx·Σy, …) form in DOUBLE with
+    // the oracle mirroring the op order — Long products over corpus-
+    // sized groups wrap silently in Spark but raise in DuckDB (the
+    // welch/cuped discipline); the final corr/beta floor-quantize ×1e6
+    // so the oracle replays bit-for-bit.
     "x_corr_len" -> ((s, d) => {
       import s.implicits._
       val f = documents(s, d).filter(length(trim($"text")) > 0)
@@ -916,12 +916,12 @@ object Analytics {
           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
           sum($"x" * $"y").as("sxy"))
         .select($"lang", $"n",
-          floor(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
-              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))) * 1e6)
+          floor(($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+            (sqrt($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") *
+              sqrt($"n".cast("double") * $"syy" - $"sy".cast("double") * $"sy")) * 1e6)
             .cast("long").as("corr_x1e6"),
-          floor(($"n" * $"sxy" - $"sx" * $"sy").cast("double") * 1e6 /
-            ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+          floor(($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") * 1e6 /
+            ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
             .cast("long").as("beta_x1e6"))
         .orderBy($"lang")
     }),
@@ -2845,7 +2845,7 @@ object Analytics {
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
           sum($"i" * $"x").as("six"))
         .select($"n", $"sx",
-          floor(lit(1e6) * (lit(2.0) * $"six" / ($"n" * $"sx") -
+          floor(lit(1e6) * (lit(2.0) * $"six" / ($"n".cast("double") * $"sx") -
             ($"n" + 1).cast("double") / $"n")).cast("long")
             .as("gini_x1e6"))
     }),
@@ -3629,9 +3629,9 @@ object Analytics {
           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
           sum($"x" * $"y").as("sxy"))
         .select($"lag", $"m",
-          floor(($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
-            (sqrt(($"m" * $"sxx" - $"sx" * $"sx").cast("double")) *
-             sqrt(($"m" * $"syy" - $"sy" * $"sy").cast("double"))) * 1e6)
+          floor(($"m".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+            (sqrt($"m".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") *
+             sqrt($"m".cast("double") * $"syy" - $"sy".cast("double") * $"sy")) * 1e6)
             .cast("long").as("acf_x1e6"))
         .orderBy($"lag")
     }),
@@ -4749,12 +4749,13 @@ object Analytics {
              sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
            FROM f GROUP BY 1)
          SELECT lang, n,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
-             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-              sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6) AS BIGINT)
-             AS corr_x1e6,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6 /
-             CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS beta_x1e6
+           CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1e6) AS BIGINT) AS corr_x1e6,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * 1e6 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+             AS BIGINT) AS beta_x1e6
          FROM s ORDER BY lang""",
     "q21_waiting_supplier" ->
       """SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
@@ -5751,10 +5752,10 @@ object Analytics {
              CAST(sum(x * y) AS BIGINT) AS sxy
            FROM p GROUP BY 1)
          SELECT lag, m,
-           CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE) /
-             (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
-              sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1e6) AS BIGINT)
-             AS acf_x1e6
+           CAST(floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1e6) AS BIGINT) AS acf_x1e6
          FROM m ORDER BY lag""",
     "x_new_user_rate" ->
       """WITH e AS (SELECT DISTINCT user_id,
@@ -6571,7 +6572,7 @@ object Analytics {
              CAST(sum(i * x) AS BIGINT) AS six
            FROM r)
          SELECT n, sx,
-           CAST(floor(1e6 * (2.0 * six / (n * sx) -
+           CAST(floor(1e6 * (2.0 * six / (CAST(n AS DOUBLE) * sx) -
              CAST(n + 1 AS DOUBLE) / n)) AS BIGINT) AS gini_x1e6
          FROM m""",
     "x_diff_in_diff" ->

@@ -111,7 +111,7 @@ object Bench {
       "bench_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
     // Second, SHORT summary line printed AFTER the full one: the capture

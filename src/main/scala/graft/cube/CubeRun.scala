@@ -35,13 +35,21 @@ object CubeRun {
           end: java.time.LocalDate,
           force: Boolean = false,
           blockSize: Int = 512,
-          blockBuckets: Int = 32): RunResult = {
+          blockBuckets: Int = 32,
+          /** keep the scratch bucketed-block table + files after the
+            * run (debugging/inspection); default drops them — the
+            * layout is intra-run scratch and would otherwise accumulate
+            * a full decoded data copy per outDir */
+          keepBucketed: Boolean = false): RunResult = {
     import spark.implicits._
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
     // (keys + date) only rides SUBSET-key co-partitioning when this
     // conf is off (aggregates accept subset clustering uncondition-
-    // ally; joins gate it behind the conf). Scoped to the run.
+    // ally; joins gate it behind the conf). Scoped to the run and
+    // restored in finally. NOTE: session confs are global — two runs
+    // racing on ONE SparkSession can restore each other's value; the
+    // facade is a driver-side sequential orchestrator by design.
     val coPartConf = "spark.sql.requireAllClusterKeysForCoPartition"
     val prevCoPart = spark.conf.getOption(coPartConf)
     spark.conf.set(coPartConf, "false")
@@ -115,6 +123,9 @@ object CubeRun {
       .parquet(ledgerPath)
 
     pending.unpersist()
+    if (!keepBucketed)
+      graft.operators.Scale.dropBucketed(spark, "cube_blocks",
+        s"$outDir/bucketed_blocks")
     RunResult(plannedCount,
       readParquetIfExists(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
       readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L))

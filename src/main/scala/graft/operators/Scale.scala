@@ -87,13 +87,39 @@ object Scale {
   def persistBucketed(df: DataFrame, prefix: String, path: String,
                       buckets: Int, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "persistBucketed needs at least one bucket key")
-    val table = s"${prefix}_${Integer.toHexString(path.hashCode)}"
+    val table = bucketedTableName(prefix, path)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(table)
     df.sparkSession.table(table)
+  }
+
+  /** md5 of the path, not hashCode: 32-bit String.hashCode collisions
+    * are trivial to hit at scale and two colliding paths would silently
+    * share (and clobber) one catalog entry.
+    */
+  private def bucketedTableName(prefix: String, path: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    s"${prefix}_$digest"
+  }
+
+  /** Drop a [[persistBucketed]] table's catalog entry and delete its
+    * data directory — the layout is intra-job scratch, and without
+    * cleanup every distinct path accumulates a full data copy on disk
+    * plus a metastore entry forever.
+    */
+  def dropBucketed(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketedTableName(prefix, path)}")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(): Unit
+    }
+    del(new java.io.File(path))
   }
 
   /** Number of shuffle exchanges in `df`'s physical plan — the levers in

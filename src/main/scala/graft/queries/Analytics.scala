@@ -242,7 +242,10 @@ object Analytics {
     * oracles keep matching.
     *
     * Returns one row per group: (`group`, one double column per entry
-    * of `ps` named by its key).
+    * of `ps` named by its key). A group whose values are ALL null has
+    * no rows here (the in-memory aggregate would emit a null-quantile
+    * row instead) — callers join the result back on the group key, so
+    * such groups drop rather than carry null bounds.
     */
   def contQuantiles(df: DataFrame, group: String, value: String,
                     ps: Seq[(String, Double)]): DataFrame = {

@@ -922,10 +922,16 @@ object Pipeline {
     * `awaitMs < 0` skips the Await outright (the deterministic
     * listener-lost simulation — a tiny positive bound can still win the
     * race when the future resolved during materialization).
+    * Throws if the fixpoint is not reached within `maxRounds` — a graph
+    * whose diameter exceeds it (near-dup components are quasi-cliques,
+    * diameter ~3-5; a 25+-hop chain is not one) must use the O(log² n)
+    * [[graft.operators.Components.connectedComponents]] star path
+    * instead of silently returning split clusters.
     * Returns (doc_id, cluster_id, members) ordered by doc_id.
     */
   def minLabelClusters(docsIds: DataFrame, sym: DataFrame,
-                       awaitMs: Long = 5000L): DataFrame = {
+                       awaitMs: Long = 5000L,
+                       maxRounds: Int = 25): DataFrame = {
     val s = docsIds.sparkSession
     import s.implicits._
     var labels = docsIds
@@ -933,7 +939,7 @@ object Pipeline {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    while (!converged && rounds < maxRounds) {
       val neigh = sym.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
         .groupBy($"a").agg(min($"nl").as("minn"))
       val newLbl = least($"lbl", coalesce($"minn", $"lbl"))
@@ -958,6 +964,12 @@ object Pipeline {
       labels = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"minLabelClusters did not reach a fixpoint in $maxRounds rounds " +
+          "— the edge graph's diameter exceeds the near-dup envelope; " +
+          "use Components.connectedComponents (large-star/small-star) " +
+          "for long-diameter graphs")
     import org.apache.spark.sql.expressions.Window
     labels.select($"doc_id", $"lbl".as("cluster_id"))
       .withColumn("members",

@@ -595,7 +595,11 @@ object StreamOps {
         b.result()
       }
       var out: List[PatternHit] = Nil
-      for (e <- rows.toSeq.sortBy(r => (r.ts_us, r.event_id))) {
+      // event_type is the LAST resort tie-break: producers that leave
+      // event_id at its 0L default still get a deterministic order for
+      // tied timestamps (a bare (ts_us, event_id) sort would keep
+      // arbitrary post-shuffle iterator order on all-equal keys)
+      for (e <- rows.toSeq.sortBy(r => (r.ts_us, r.event_id, r.event_type))) {
         if (recent.length == keep &&
             (recent :+ e.event_type) == pattern.toList)
           out ::= PatternHit(user, e.ts_us)

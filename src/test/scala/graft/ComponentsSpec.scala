@@ -172,5 +172,13 @@ class ComponentsSpec extends SparkSpec {
       .minLabelClusters(docs, sym, awaitMs = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(tinyBound == metricPath)
+
+    // a graph whose diameter exceeds maxRounds must FAIL LOUDLY, never
+    // return split clusters (the 0-1-2-3-4 chain needs 4 hops)
+    val e = intercept[IllegalStateException] {
+      graft.queries.Pipeline.minLabelClusters(docs, sym, maxRounds = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
   }
 }

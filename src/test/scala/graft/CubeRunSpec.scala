@@ -54,18 +54,27 @@ class CubeRunSpec extends SparkSpec {
       force = true, blockSize = 32)
     assert(r3.planned == 6)
 
-    // extending the range backfills only the new periods (C4)
+    // default runs clean up their scratch layout
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outDir, "bucketed_blocks")),
+      "the scratch bucketed-block layout must be dropped after a run")
+
+    // extending the range backfills only the new periods (C4);
+    // keepBucketed exposes the scratch table so the date prune is
+    // observable
     val r4 = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
       java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 2, 15),
-      blockSize = 32)
+      blockSize = 32, keepBucketed = true)
     assert(r4.planned == 3) // one new period × 3 bands
 
     // the backfill decoded NOTHING: its pending period (Feb) has no
     // scenes, and the date prune keeps the whole Jan archive out of the
     // decode — the persisted block table (overwritten per run) is empty
-    val bucketFiles = java.nio.file.Files
-      .list(java.nio.file.Paths.get(outDir, "bucketed_blocks")).toArray
-      .map(_.toString).filter(_.endsWith(".parquet"))
+    val bucketDir = java.nio.file.Paths.get(outDir, "bucketed_blocks")
+    val stream = java.nio.file.Files.list(bucketDir)
+    val bucketFiles =
+      try stream.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally stream.close()
     assert(bucketFiles.isEmpty,
       "incremental backfill must not re-decode out-of-window scenes, " +
         s"found ${bucketFiles.length} block files")

@@ -55,7 +55,12 @@ class ScaleSpec extends SparkSpec {
       s"superset groupBy must ride the bucket clustering:\n" +
         agg.queryExecution.executedPlan)
     assert(agg.count() == t2.select($"a", $"b", ($"v" % 2)).distinct().count())
-    spark.sql(s"DROP TABLE IF EXISTS pb_test_${Integer.toHexString((s"$tmp/t").hashCode)}")
+    val before2 = spark.catalog.listTables().count()
+    Scale.dropBucketed(spark, "pb_test", s"$tmp/t")
+    assert(spark.catalog.listTables().count() == before2 - 1,
+      "dropBucketed must remove the catalog entry")
+    assert(!new java.io.File(s"$tmp/t").exists(),
+      "dropBucketed must delete the data directory")
   }
 
   test("salted join: same result as plain join, hot key spread over salts") {

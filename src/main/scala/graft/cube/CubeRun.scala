@@ -40,7 +40,11 @@ object CubeRun {
             * run (debugging/inspection); default drops them — the
             * layout is intra-run scratch and would otherwise accumulate
             * a full decoded data copy per outDir */
-          keepBucketed: Boolean = false): RunResult = {
+          keepBucketed: Boolean = false,
+          /** also publish composite+index bands as COG items under
+            * `outDir/data` via the crash-safe work→data commit
+            * ([[Publish.publishGeoTiffs]]) */
+          publishCogs: Boolean = false): RunResult = {
     import spark.implicits._
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
@@ -109,10 +113,30 @@ object CubeRun {
       .write.mode("append").partitionBy("tileId", "p_start")
       .parquet(s"$outDir/blocks")
     val indexDf = CubeBuilder.indexBands(composited, collection)
-    if (!indexDf.isEmpty)
+    val hasIndex = !indexDf.isEmpty
+    if (hasIndex)
       indexDf.write.mode("append").parquet(s"$outDir/index_blocks")
     val items = CubeBuilder.publishItems(composited, collection)
     items.write.mode("append").parquet(s"$outDir/items")
+    // optional S9+C2 asset publication: composite (and index) bands
+    // stream into per-item COG directories under work/ and each item
+    // commits atomically into data/ only once its full band set exists
+    // (Publish.publishGeoTiffs) — a crash mid-run leaves earlier items
+    // fully published and later items absent, never half-visible
+    if (publishCogs) {
+      val cogBlocks = composited
+        .withColumn("pixels", CubeBuilder.compositeBand(collection))
+        .select($"cube", $"tileId", $"band", $"p_start", $"blockY",
+          $"blockX", $"height", $"width", $"x0", $"y0", $"resX", $"resY",
+          $"nodata", $"pixels")
+      val withIndex =
+        if (!hasIndex) cogBlocks
+        else cogBlocks.unionByName(indexDf
+          .select($"cube", $"tileId", $"band", $"p_start", $"blockY",
+            $"blockX", $"height", $"width", $"x0", $"y0", $"resX", $"resY",
+            $"nodata", $"value".as("pixels")))
+      Publish.publishGeoTiffs(withIndex, s"$outDir/work", s"$outDir/data")
+    }
 
     val completions = pending.select($"cube", $"tile_id", $"p_start", $"p_end",
       $"band", lit(Ledger.StatusSuccess).as("status"))

@@ -80,6 +80,48 @@ class CubeRunSpec extends SparkSpec {
         s"found ${bucketFiles.length} block files")
   }
 
+  test("publishCogs commits per-item COG directories with the full band " +
+       "set, index bands included") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("pub_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("pub_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"), bytes)
+    }
+    val withNdvi = coll.copy(bands = coll.bands :+
+      Band("NDVI", "ndvi", "int16", nodata,
+        expression = "10000.*((B8A-B04)/(B8A+B04))"))
+    val r = CubeRun.run(spark, withNdvi, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32, publishCogs = true)
+    assert(r.planned == 6 && r.items == 2)
+    // work root emptied, data root holds one dir per item with the full
+    // band set (2 composites + the NDVI index band) as decodable tiffs
+    for (period <- Seq("2020-01-01", "2020-01-17")) {
+      val itemDir = java.nio.file.Paths.get(outDir, "data",
+        withNdvi.identifier, "t9", period)
+      val tifs = java.nio.file.Files.list(itemDir).toArray.map(_.toString)
+        .filter(_.endsWith(".tif")).sorted
+      assert(tifs.length == 3, s"item $period: ${tifs.mkString(", ")}")
+      assert(tifs.exists(_.contains("_NDVI_")), "index band must publish")
+      val info = GeoTiff.readInfo(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tifs.head)))
+      assert(info.width == 32 && info.height == 32)
+    }
+    val workRoot = java.nio.file.Paths.get(outDir, "work")
+    assert(!java.nio.file.Files.exists(workRoot) || {
+      val s = java.nio.file.Files.list(workRoot)
+      try !s.iterator().hasNext finally s.close()
+    }, "work root must be emptied after the commit")
+  }
+
   test("merge→composite over the bucketed block table plans ZERO Exchange") {
     // the production chain run() executes: decoded blocks persisted
     // bucketed on (tileId, blockY, blockX), then per-slice merges, the

@@ -44,7 +44,11 @@ object CubeRun {
           /** also publish composite+index bands as COG items under
             * `outDir/data` via the crash-safe work→data commit
             * ([[Publish.publishGeoTiffs]]) */
-          publishCogs: Boolean = false): RunResult = {
+          publishCogs: Boolean = false,
+          /** with [[publishCogs]]: also stage an S11 quicklook PNG per
+            * item (requires `collection.quicklook` RGB band names),
+            * scaled over this (inMin, inMax) display range */
+          quicklookRange: Option[(Double, Double)] = None): RunResult = {
     import spark.implicits._
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
@@ -135,6 +139,22 @@ object CubeRun {
           .select($"cube", $"tileId", $"band", $"p_start", $"blockY",
             $"blockX", $"height", $"width", $"x0", $"y0", $"resX", $"resY",
             $"nodata", $"value".as("pixels")))
+      // quicklooks stage into the item work dirs FIRST, so the per-item
+      // commit below moves the PNG together with the band set — an item
+      // is never visible without its quicklook
+      for ((inMin, inMax) <- quicklookRange) {
+        val pngs = CubeBuilder.quicklook(composited, collection, inMin, inMax)
+          .collect() // one row per (tile, period) item — catalog-bounded
+        pngs.foreach { row =>
+          val dir = Publish.itemWorkDir(s"$outDir/work", row.getString(0),
+            row.getString(1), row.getString(2))
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(
+            dir.resolve(s"${row.getString(0)}_${row.getString(1)}_" +
+              s"${row.getString(2)}_quicklook.png"),
+            row.getAs[Array[Byte]](4))
+        }
+      }
       Publish.publishGeoTiffs(withIndex, s"$outDir/work", s"$outDir/data")
     }
 

@@ -95,25 +95,37 @@ class CubeRunSpec extends SparkSpec {
         nodata = if (isQa) 255 else nodata)
       java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"), bytes)
     }
-    val withNdvi = coll.copy(bands = coll.bands :+
-      Band("NDVI", "ndvi", "int16", nodata,
-        expression = "10000.*((B8A-B04)/(B8A+B04))"))
+    val withNdvi = coll.copy(
+      bands = coll.bands :+
+        Band("NDVI", "ndvi", "int16", nodata,
+          expression = "10000.*((B8A-B04)/(B8A+B04))"),
+      quicklook = Seq("B04", "B8A", "B04"))
     val r = CubeRun.run(spark, withNdvi, mask, sceneDir.toString, outDir, "t9",
       java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
-      blockSize = 32, publishCogs = true)
+      blockSize = 32, publishCogs = true,
+      quicklookRange = Some((0.0, 1000.0)))
     assert(r.planned == 6 && r.items == 2)
     // work root emptied, data root holds one dir per item with the full
-    // band set (2 composites + the NDVI index band) as decodable tiffs
+    // asset set: 2 composites + the NDVI index band as decodable tiffs,
+    // plus the S11 quicklook PNG committed WITH the item
     for (period <- Seq("2020-01-01", "2020-01-17")) {
       val itemDir = java.nio.file.Paths.get(outDir, "data",
         withNdvi.identifier, "t9", period)
-      val tifs = java.nio.file.Files.list(itemDir).toArray.map(_.toString)
-        .filter(_.endsWith(".tif")).sorted
-      assert(tifs.length == 3, s"item $period: ${tifs.mkString(", ")}")
+      val s = java.nio.file.Files.list(itemDir)
+      val files = try s.toArray.map(_.toString).sorted finally s.close()
+      val tifs = files.filter(_.endsWith(".tif"))
+      assert(tifs.length == 3, s"item $period: ${files.mkString(", ")}")
       assert(tifs.exists(_.contains("_NDVI_")), "index band must publish")
       val info = GeoTiff.readInfo(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tifs.head)))
       assert(info.width == 32 && info.height == 32)
+      val pngs = files.filter(_.endsWith("_quicklook.png"))
+      assert(pngs.length == 1, s"item $period must carry its quicklook")
+      val png = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(pngs.head))
+      assert(png.take(4).sameElements(
+        Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+        "quicklook must be a PNG")
     }
     val workRoot = java.nio.file.Paths.get(outDir, "work")
     assert(!java.nio.file.Files.exists(workRoot) || {

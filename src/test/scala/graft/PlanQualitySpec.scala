@@ -901,6 +901,10 @@ class PlanQualitySpec extends SparkSpec {
       val plan = planString(q(name))
       assert(!plan.contains("percentile"),
         s"$name must not plan an in-memory percentile buffer:\n$plan")
+      // the histogram cumsum windows partition BY LANG — no global
+      // serial step anywhere in the quantile path
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name quantiles must stay group-partitioned:\n$plan")
     }
   }
 

@@ -530,6 +530,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: contQuantiles shuffle is value-domain-bound, not corpus-bound") {
+    // the buffer-free exact-quantile path folds to a (group, value)
+    // histogram FIRST — partial aggregation reduces each map task to at
+    // most |value domain| rows, so 10x the corpus must NOT move 10x the
+    // bytes through the shuffle (an in-memory percentile would)
+    val sparkS = spark
+    import sparkS.implicits._
+    def at(n: Long): org.apache.spark.sql.DataFrame = {
+      val df = spark.range(0L, n, 1L, 8).select(
+        ($"id" % 7).cast("string").as("g"),
+        pmod($"id" * 2654435761L, lit(1024)).cast("double").as("v"))
+      graft.queries.Analytics.contQuantiles(df, "g", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+    }
+    val (b1, _, _) = measure3(at(100000L))
+    val (b10, _, _) = measure3(at(1000000L))
+    assert(b1 > 0, "no shuffle measured at base size")
+    val ratio = b10.toDouble / b1
+    info(f"contQuantiles shuffle at 10x rows: ${b1}B -> ${b10}B (${ratio}%.2fx)")
+    assert(ratio < 2.0,
+      s"histogram shuffle must stay value-domain-bound at 10x rows: $ratio")
+  }
+
   test("soak: shardedRank shuffle scales ~linearly, serial step stays flat") {
     // the round's headline rewrite (x_quantile_norm / x_ks_test /
     // x_rfm_segments all route global ranks through shardedRank): at

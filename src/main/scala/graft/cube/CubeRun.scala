@@ -48,7 +48,55 @@ object CubeRun {
           /** with [[publishCogs]]: also stage an S11 quicklook PNG per
             * item (requires `collection.quicklook` RGB band names),
             * scaled over this (inMin, inMax) display range */
-          quicklookRange: Option[(Double, Double)] = None): RunResult = {
+          quicklookRange: Option[(Double, Double)] = None): RunResult =
+    runImpl(spark, collection, mask, sceneDir, outDir, Left(tileId), start,
+      end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
+      quicklookRange)
+
+  /** Multi-tile orchestration (the reference Maestro dispatches one unit
+    * per (tile, period); here ONE declarative chain carries every tile —
+    * the bucketed (tileId, blockY, blockX) layout co-locates each tile's
+    * lifecycle, so tiles parallelize across the cluster without
+    * per-tile jobs). Tiles are read from the scene FILENAMES via
+    * `tilePattern` (capture group 1), the scan is metadata-only, and the
+    * ledger plans pending = expected ∖ done per (tile, period, band) —
+    * a new tile dropped into the directory backfills alone on re-run.
+    */
+  def runTiles(spark: SparkSession,
+               collection: Collection,
+               mask: MaskDef,
+               sceneDir: String,
+               outDir: String,
+               start: java.time.LocalDate,
+               end: java.time.LocalDate,
+               tilePattern: String = "_(T[0-9A-Za-z]+)_",
+               force: Boolean = false,
+               blockSize: Int = 512,
+               blockBuckets: Int = 32,
+               keepBucketed: Boolean = false,
+               publishCogs: Boolean = false,
+               quicklookRange: Option[(Double, Double)] = None): RunResult =
+    runImpl(spark, collection, mask, sceneDir, outDir, Right(tilePattern),
+      start, end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
+      quicklookRange)
+
+  /** `tileSpec`: Left(tileId) assigns every scanned file to one tile;
+    * Right(pattern) extracts each file's tile from its name.
+    */
+  private def runImpl(spark: SparkSession,
+          collection: Collection,
+          mask: MaskDef,
+          sceneDir: String,
+          outDir: String,
+          tileSpec: Either[String, String],
+          start: java.time.LocalDate,
+          end: java.time.LocalDate,
+          force: Boolean,
+          blockSize: Int,
+          blockBuckets: Int,
+          keepBucketed: Boolean,
+          publishCogs: Boolean,
+          quicklookRange: Option[(Double, Double)]): RunResult = {
     import spark.implicits._
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
@@ -69,9 +117,28 @@ object CubeRun {
       spark.emptyDataset[(String, String, String, String, String, String)]
         .toDF("cube", "tile_id", "p_start", "p_end", "band", "status"))
 
+    // the scan is filename metadata only — safe to take before planning;
+    // with a tile pattern the scanned directory also DEFINES the tile
+    // set. Invalidate the session's FileStatusCache first: it has no
+    // TTL by default, so a re-run after new scenes landed would
+    // otherwise plan against the STALE listing and silently skip them.
+    spark.catalog.refreshByPath(sceneDir)
+    val scannedAll = RasterIO.scanDirectory(spark, sceneDir)
+    val scannedTiled = tileSpec match {
+      case Left(t) => scannedAll.withColumn("tile", lit(t))
+      case Right(p) => scannedAll
+        .withColumn("tile",
+          regexp_extract(element_at(split($"path", "/"), -1), p, 1))
+        .filter($"tile" =!= "")
+    }
+    val tilesDf = tileSpec match {
+      case Left(t)  => Seq(t).toDF("tile_id")
+      case Right(_) => scannedTiled.select($"tile".as("tile_id")).distinct()
+    }
+
     val bandNames = collection.bands.filter(_.expression.isEmpty).map(_.name)
     val expected = Ledger.expectedUnits(
-      Seq(tileId).toDF("tile_id"),
+      tilesDf,
       periods.select($"p_start".cast("string"), $"p_end".cast("string")),
       bandNames, collection.identifier)
     // materialize the plan now: the ledger parquet is swapped below and
@@ -90,20 +157,21 @@ object CubeRun {
     // chain plans with zero Exchange (pinned in CubeRunSpec). At cluster
     // scale this is the layout a 1000-executor job wants: every stage of
     // every (tile, block)'s lifecycle runs where its bytes already live.
-    // C4 scale path: decode ONLY scenes whose date can land in a pending
-    // period — an incremental backfill re-reads its new window, not the
-    // whole archive. The date is filename metadata (scanDirectory), so
-    // the prune costs zero pixel decodes; periods are driver-side and
-    // timeline-bounded, so the predicate disjunction stays small.
-    val pendingDateFilter = pendingPeriods
-      .map { case (ps, pe) =>
-        $"date".between(lit(ps).cast("date"), lit(pe).cast("date"))
-      }
-      .reduce(_ || _)
-    val scanned = RasterIO.scanDirectory(spark, sceneDir)
-      .filter(pendingDateFilter)
+    // C4 scale path: decode ONLY scenes whose (tile, date) can land in a
+    // pending unit — an incremental backfill re-reads its new window,
+    // not the whole archive, and a tile already ledgered SUCCESS drops
+    // out entirely. Tile and date are filename metadata, so the prune
+    // costs zero pixel decodes; the pending-window table is (tiles ×
+    // periods)-bounded and broadcasts into a left-semi join.
+    val pendingWindows = pending
+      .select($"tile_id".as("tile"), $"p_start".cast("date").as("__ps"),
+        $"p_end".cast("date").as("__pe")).distinct()
+    val scanned = scannedTiled.join(broadcast(pendingWindows),
+      scannedTiled("tile") === pendingWindows("tile") &&
+        $"date".between($"__ps", $"__pe"),
+      "left_semi")
     val blocks = graft.operators.Scale.persistBucketed(
-      RasterIO.decodeBlocks(scanned, collection.identifier, tileId, blockSize)
+      RasterIO.decodeBlocksByTile(scanned, collection.identifier, blockSize)
         .withColumn("assetOrder", lit(0)).withColumn("source", lit(0)),
       "cube_blocks", s"$outDir/bucketed_blocks", blockBuckets,
       Seq("tileId", "blockY", "blockX"))

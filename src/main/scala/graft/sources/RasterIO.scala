@@ -46,12 +46,23 @@ object RasterIO {
     * [[scanDirectory]] without dropping content).
     */
   def decodeBlocks(files: DataFrame, cube: String, tileId: String,
-                   blockSize: Int = 512): DataFrame = {
+                   blockSize: Int = 512): DataFrame =
+    decodeBlocksByTile(
+      files.withColumn("tile", org.apache.spark.sql.functions.lit(tileId)),
+      cube, blockSize)
+
+  /** [[decodeBlocks]] with a PER-FILE tile id from a `tile` column —
+    * the multi-tile scan path ([[graft.cube.CubeRun.runTiles]]): one
+    * directory of many tiles' scenes decodes into one chunked-raster
+    * frame keyed by each file's own tile.
+    */
+  def decodeBlocksByTile(files: DataFrame, cube: String,
+                         blockSize: Int = 512): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    files.select($"path", $"content", $"band", $"date")
-      .as[(String, Array[Byte], String, java.sql.Date)]
-      .flatMap { case (path, content, band, date) =>
+    files.select($"path", $"content", $"band", $"date", $"tile")
+      .as[(String, Array[Byte], String, java.sql.Date, String)]
+      .flatMap { case (path, content, band, date, tileId) =>
         val info = GeoTiff.readInfo(content)
         val nodata = if (info.nodata.isNaN) -9999 else info.nodata.toInt
         for {

@@ -134,6 +134,49 @@ class CubeRunSpec extends SparkSpec {
     }, "work root must be emptied after the commit")
   }
 
+  test("runTiles: one declarative chain carries many tiles; a dropped-in " +
+       "tile backfills alone") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("mt_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("mt_out").toString
+    val w = 32; val h = 32
+    def writeScene(tile: String, date: String, seed: Int): Unit =
+      for (band <- Seq("B04", "B8A", "QA")) {
+        val isQa = band == "QA"
+        val px = Array.tabulate(w * h)(i =>
+          if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+        val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+          originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+          nodata = if (isQa) 255 else nodata)
+        java.nio.file.Files.write(
+          sceneDir.resolve(s"S_${tile}_${date}_$band.tif"), bytes)
+      }
+    writeScene("T9", "20200105", 1); writeScene("T9", "20200120", 2)
+    writeScene("T7", "20200105", 3); writeScene("T7", "20200120", 4)
+
+    def go() = CubeRun.runTiles(spark, coll, mask, sceneDir.toString, outDir,
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    val r1 = go()
+    assert(r1.planned == 2 * 2 * 3, "2 tiles × 2 periods × 3 bands")
+    assert(r1.items == 4, "one item per (tile, period)")
+    assert(r1.blocks == 2 * 2 * 2, "2 tiles × 2 periods × 2 spectral bands")
+    import spark.implicits._
+    val perTile = spark.read.parquet(s"$outDir/blocks")
+      .groupBy($"tileId").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTile == Map("T9" -> 4L, "T7" -> 4L), s"got $perTile")
+
+    assert(go().planned == 0, "rerun must be a no-op across all tiles")
+
+    // a NEW tile lands in the same directory: only it backfills
+    writeScene("T5", "20200105", 5); writeScene("T5", "20200120", 6)
+    val r3 = go()
+    assert(r3.planned == 2 * 3, "only the new tile's units plan")
+    val tiles3 = spark.read.parquet(s"$outDir/blocks")
+      .select($"tileId").distinct().collect().map(_.getString(0)).toSet
+    assert(tiles3 == Set("T9", "T7", "T5"))
+  }
+
   test("merge→composite over the bucketed block table plans ZERO Exchange") {
     // the production chain run() executes: decoded blocks persisted
     // bucketed on (tileId, blockY, blockX), then per-slice merges, the

@@ -1,0 +1,32 @@
+#!/usr/bin/env python3
+"""Round-over-round per-query bench diff: compare two bench_detail.json
+files (developer tool; pairs with Bench.scala's durable detail output).
+
+Usage: tools/diff_bench.py OLD.json NEW.json [threshold_ratio=1.5]
+Prints queries slower than threshold x their old time (descending),
+then queries added/removed, then the total.
+"""
+import json, sys
+
+old = json.load(open(sys.argv[1]))
+new = json.load(open(sys.argv[2]))
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+oq, nq = old["queries"], new["queries"]
+
+slower = [(k, oq[k], nq[k], nq[k] / oq[k])
+          for k in sorted(set(oq) & set(nq))
+          if oq[k] > 0 and nq[k] / oq[k] >= thr]
+for k, o, n, r in sorted(slower, key=lambda t: -t[3]):
+    print(f"SLOWER {k}: {o:.3f}s -> {n:.3f}s ({r:.2f}x)")
+faster = [(k, oq[k], nq[k], oq[k] / nq[k])
+          for k in sorted(set(oq) & set(nq))
+          if nq[k] > 0 and oq[k] / nq[k] >= thr]
+for k, o, n, r in sorted(faster, key=lambda t: -t[3]):
+    print(f"faster {k}: {o:.3f}s -> {n:.3f}s ({r:.2f}x)")
+for k in sorted(set(nq) - set(oq)):
+    print(f"ADDED {k}: {nq[k]:.3f}s")
+for k in sorted(set(oq) - set(nq)):
+    print(f"REMOVED {k} (was {oq[k]:.3f}s)")
+print(f"\ntotal: {old['value']:.1f}s/{len(oq)} -> "
+      f"{new['value']:.1f}s/{len(nq)} "
+      f"({new['value'] / len(nq):.3f} s/query)")

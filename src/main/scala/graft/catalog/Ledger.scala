@@ -109,6 +109,49 @@ object Ledger {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Crash-safe versioned parquet commit: write `df` as a NEW version
+    * directory under `dir`, then flip the `_current` pointer atomically,
+    * then best-effort drop superseded versions. At every instant the
+    * pointer names a fully-written version, so a crash anywhere in the
+    * sequence leaves readers on a complete snapshot and the re-run simply
+    * rewrites the next version — the discipline the reference gets from
+    * its database transaction (`models/activity.py` commits), here over
+    * plain parquet. `df` must NOT be derived lazily from files this call
+    * deletes; deriving it from [[readCurrent]] is safe because the read
+    * version is only dropped AFTER the pointer moved off it and the new
+    * version was fully materialized.
+    */
+  def commitVersion(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val curN = currentVersion(dir)
+      .flatMap("""(\d+)$""".r.findFirstIn(_)).map(_.toLong).getOrElse(-1L)
+    val next = s"v${curN + 1}"
+    df.write.mode("overwrite").parquet(s"$dir/$next")
+    val tmp = Paths.get(dir, "_current.tmp")
+    Files.write(tmp, next.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // superseded versions are garbage once the pointer moved; a crash here
+    // leaks at most one directory, which the NEXT commit sweeps
+    val versionName = """^(ledger_)?v\d+$""".r
+    val s = Files.list(Paths.get(dir))
+    val stale =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.filter { p =>
+          val n = p.getFileName.toString
+          versionName.matches(n) && n != next
+        }.toList
+      finally s.close()
+    stale.foreach { p =>
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }
+  }
+
   /** The ledger version the `_current` pointer names, if any. */
   def currentVersion(dir: String): Option[String] = {
     val p = java.nio.file.Paths.get(dir, "_current")

@@ -23,7 +23,12 @@ import graft.sources.RasterIO
   */
 object CubeRun {
 
-  final case class RunResult(planned: Long, items: Long, blocks: Long)
+  final case class RunResult(planned: Long, items: Long, blocks: Long,
+                             /** units ledgered ERROR this run (a corrupt
+                               * scene quarantines its whole (tile, period)
+                               * — see `outDir/quarantine`); they stay
+                               * pending and re-plan on the next run */
+                             errors: Long = 0L)
 
   def run(spark: SparkSession,
           collection: Collection,
@@ -112,8 +117,12 @@ object CubeRun {
     try {
 
     val periods = CubeBuilder.periodTable(spark, collection, start, end)
+    // ledger, items and quarantine live as POINTER-VERSIONED parquet
+    // (Ledger.commitVersion): the `_current` pointer only ever names a
+    // fully-written snapshot, so a crash anywhere in publication leaves
+    // readers consistent and the resume re-plans from the last commit
     val ledgerPath = s"$outDir/ledger"
-    val ledger = readParquetIfExists(spark, ledgerPath).getOrElse(
+    val ledger = Ledger.readCurrent(spark, ledgerPath).getOrElse(
       spark.emptyDataset[(String, String, String, String, String, String)]
         .toDF("cube", "tile_id", "p_start", "p_end", "band", "status"))
 
@@ -170,26 +179,78 @@ object CubeRun {
       scannedTiled("tile") === pendingWindows("tile") &&
         $"date".between($"__ps", $"__pe"),
       "left_semi")
-    val blocks = graft.operators.Scale.persistBucketed(
-      RasterIO.decodeBlocksByTile(scanned, collection.identifier, blockSize)
+    // decode with per-file error capture (the reference maestro's
+    // activity-ERROR discipline): a corrupt scene yields a quarantine row
+    // instead of failing the job, and its whole (tile, period) is
+    // excluded from publication and ledgered ERROR — an item is never
+    // published from a partial band set, and ERROR units stay pending so
+    // the next run retries them after the file is repaired
+    val decoded = graft.operators.Scale.persistBucketed(
+      RasterIO.decodeBlocksQuarantining(scanned, collection.identifier,
+          blockSize)
         .withColumn("assetOrder", lit(0)).withColumn("source", lit(0)),
       "cube_blocks", s"$outDir/bucketed_blocks", blockBuckets,
       Seq("tileId", "blockY", "blockX"))
     val pendingPeriodsDf = pendingPeriods.toSeq.toDF("ps", "pe")
       .select($"ps".cast("date").as("p_start"), $"pe".cast("date").as("p_end"))
-    val composited = mergeCompositeChain(blocks, collection, mask,
+    // errored (tile, period) pairs: catalog-bounded (≤ tiles × periods)
+    val erroredKeys: Array[(String, String)] = decoded
+      .filter($"error".isNotNull).select($"tileId", $"date").distinct()
+      .join(broadcast(pendingPeriodsDf),
+        $"date".between($"p_start", $"p_end"))
+      .select($"tileId", $"p_start".cast("string")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val erroredSet = erroredKeys.map { case (t, p) => s"$t|$p" }.toSet
+    val qDir = s"$outDir/quarantine"
+    val prevQ = Ledger.readCurrent(spark, qDir)
+    if (erroredSet.nonEmpty || prevQ.isDefined) {
+      val newErrors = decoded.filter($"error".isNotNull)
+        .select($"path", $"tileId", $"date", $"band", $"error")
+      // retire entries whose file now decodes cleanly; refresh re-failures
+      val okPaths = decoded.filter($"error".isNull).select($"path").distinct()
+      val mergedQ = prevQ match {
+        case Some(q) => q.join(okPaths, Seq("path"), "left_anti")
+          .join(newErrors.select($"path"), Seq("path"), "left_anti")
+          .unionByName(newErrors)
+        case None => newErrors
+      }
+      Ledger.commitVersion(spark, qDir, mergedQ)
+    }
+    val blocks = decoded.filter($"error".isNull).drop("path", "error")
+    val composited0 = mergeCompositeChain(blocks, collection, mask,
       pendingPeriodsDf)
+    val composited =
+      if (erroredSet.isEmpty) composited0
+      else composited0.filter(!concat_ws("|", $"tileId",
+        $"p_start".cast("string")).isin(erroredSet.toSeq: _*))
 
-    // stage 3: publish blocks, index bands, items, ledger
+    // stage 3: publish blocks, index bands, items, ledger. Block tables
+    // overwrite exactly the (tileId, p_start) partitions this run
+    // recomputed (dynamic partition overwrite): a force rebuild or a
+    // crash-resume REPLACES its partitions instead of appending
+    // duplicates, and untouched partitions survive — publication is
+    // idempotent at the unit grain the ledger plans
     composited.withColumn("value", CubeBuilder.compositeBand(collection))
-      .write.mode("append").partitionBy("tileId", "p_start")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tileId", "p_start")
       .parquet(s"$outDir/blocks")
     val indexDf = CubeBuilder.indexBands(composited, collection)
     val hasIndex = !indexDf.isEmpty
     if (hasIndex)
-      indexDf.write.mode("append").parquet(s"$outDir/index_blocks")
+      indexDf.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tileId", "p_start")
+        .parquet(s"$outDir/index_blocks")
+    // the items catalog is a C1 upsert keyed on item_id (the reference's
+    // get_or_create over the items table), committed pointer-versioned
     val items = CubeBuilder.publishItems(composited, collection)
-    items.write.mode("append").parquet(s"$outDir/items")
+    val itemsPath = s"$outDir/items"
+    val newItems = Ledger.readCurrent(spark, itemsPath) match {
+      case Some(old) =>
+        old.join(items, Seq("item_id"), "left_anti").unionByName(items)
+      case None => items
+    }
+    Ledger.commitVersion(spark, itemsPath, newItems)
     // optional S9+C2 asset publication: composite (and index) bands
     // stream into per-item COG directories under work/ and each item
     // commits atomically into data/ only once its full band set exists
@@ -226,21 +287,28 @@ object CubeRun {
       Publish.publishGeoTiffs(withIndex, s"$outDir/work", s"$outDir/data")
     }
 
+    // every planned unit ledgers: SUCCESS normally, ERROR when its
+    // (tile, period) was quarantined — ERROR units are NOT done
+    // (pendingUnits only excludes SUCCESS) so they re-plan next run
+    val statusCol =
+      if (erroredSet.isEmpty) lit(Ledger.StatusSuccess)
+      else when(concat_ws("|", $"tile_id", $"p_start")
+          .isin(erroredSet.toSeq: _*), lit(Ledger.StatusError))
+        .otherwise(lit(Ledger.StatusSuccess))
     val completions = pending.select($"cube", $"tile_id", $"p_start", $"p_end",
-      $"band", lit(Ledger.StatusSuccess).as("status"))
-    val newLedger = Ledger.upsert(ledger, completions)
-    // two-phase write: stage then swap (parquet can't overwrite its input)
-    newLedger.write.mode("overwrite").parquet(s"$ledgerPath.staging")
-    spark.read.parquet(s"$ledgerPath.staging").write.mode("overwrite")
-      .parquet(ledgerPath)
+      $"band", statusCol.as("status"))
+    val errorCount = completions
+      .filter($"status" === Ledger.StatusError).count()
+    Ledger.commitVersion(spark, ledgerPath, Ledger.upsert(ledger, completions))
 
     pending.unpersist()
     if (!keepBucketed)
       graft.operators.Scale.dropBucketed(spark, "cube_blocks",
         s"$outDir/bucketed_blocks")
     RunResult(plannedCount,
-      readParquetIfExists(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
-      readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L))
+      Ledger.readCurrent(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
+      readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L),
+      errorCount)
     } finally {
       prevCoPart match {
         case Some(v) => spark.conf.set(coPartConf, v)
@@ -276,8 +344,10 @@ object CubeRun {
       radsatMerged, periodsDf, collection, mask)
   }
 
+  /** None when absent OR unreadable (e.g. a zero-partition first write
+    * left a directory with no schema to infer). */
   private def readParquetIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      Some(spark.read.parquet(path))
+      scala.util.Try(spark.read.parquet(path)).toOption
     else None
 }

@@ -437,9 +437,11 @@ object EngineOps {
         df.agg(agg.cast("long").as("value")).select(lit(name).as("metric"), $"value")
       Seq(("planned_run1", r1.planned), ("planned_run2", r2.planned))
         .toDF("metric", "value")
-        .unionByName(scalar("items", s.read.parquet(s"$outDir/items"), count(lit(1))))
-        .unionByName(scalar("ledger_success", s.read.parquet(s"$outDir/ledger")
-          .filter($"status" === Ledger.StatusSuccess), count(lit(1))))
+        .unionByName(scalar("items",
+          Ledger.readCurrent(s, s"$outDir/items").get, count(lit(1))))
+        .unionByName(scalar("ledger_success",
+          Ledger.readCurrent(s, s"$outDir/ledger").get
+            .filter($"status" === Ledger.StatusSuccess), count(lit(1))))
         .unionByName(scalar("blocks_n", blocks, count(lit(1))))
         .unionByName(blocks
           .groupBy(concat(lit("sum_"), $"band", lit("_"), $"p_start").as("metric"))

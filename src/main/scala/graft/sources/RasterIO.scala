@@ -81,6 +81,60 @@ object RasterIO {
       }.toDF()
   }
 
+  /** One output row of [[decodeBlocksQuarantining]]: a decoded block
+    * (`error` null) or a quarantined file (`error` set, block fields
+    * zeroed, `blockY = -1`). `path` rides along on every row so the
+    * orchestrator can retire stale quarantine entries when a previously
+    * corrupt file decodes cleanly.
+    */
+  final case class DecodedOrError(
+      cube: String, tileId: String, date: java.sql.Date, band: String,
+      blockY: Int, blockX: Int, height: Int, width: Int,
+      x0: Double, y0: Double, resX: Double, resY: Double, nodata: Int,
+      pixels: Array[Int], path: String, error: String)
+
+  /** [[decodeBlocksByTile]] with per-file error capture — the reference
+    * maestro's activity-error discipline (`tasks.py:126-182` marks the
+    * unit ERROR and carries on) instead of Spark's default
+    * fail-the-whole-job: a corrupt or truncated scene file yields ONE
+    * error row (file path + decoder message) and every healthy file
+    * still decodes. Decode is all-or-nothing per file: a failure
+    * anywhere in a file's window reads quarantines the whole file, never
+    * a partially-decoded raster.
+    */
+  def decodeBlocksQuarantining(files: DataFrame, cube: String,
+                               blockSize: Int = 512): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select($"path", $"content", $"band", $"date", $"tile")
+      .as[(String, Array[Byte], String, java.sql.Date, String)]
+      .flatMap { case (path, content, band, date, tileId) =>
+        scala.util.Try {
+          val info = GeoTiff.readInfo(content)
+          val nodata = if (info.nodata.isNaN) -9999 else info.nodata.toInt
+          for {
+            by <- 0 until (info.height + blockSize - 1) / blockSize
+            bx <- 0 until (info.width + blockSize - 1) / blockSize
+          } yield {
+            val h = math.min(blockSize, info.height - by * blockSize)
+            val w = math.min(blockSize, info.width - bx * blockSize)
+            val px = GeoTiff.readWindow(content, info,
+              by * blockSize, bx * blockSize, h, w)
+            DecodedOrError(cube, tileId, date, band, by, bx, h, w,
+              info.originX + bx * blockSize * info.scaleX,
+              info.originY - by * blockSize * info.scaleY,
+              info.scaleX, info.scaleY, nodata, px, path, null)
+          }
+        } match {
+          case scala.util.Success(rows) => rows
+          case scala.util.Failure(e) =>
+            Seq(DecodedOrError(cube, tileId, date, band, -1, 0, 0, 0,
+              0.0, 0.0, 0.0, 0.0, 0, Array.empty[Int], path,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }.toDF()
+  }
+
   /** S9 — write one GeoTIFF per (cube, tileId, date|period, band) from
     * block rows, executor-side and streaming: blocks repartition by output
     * file and sort within the partition, so each raster's blocks arrive in

@@ -53,6 +53,11 @@ class CubeRunSpec extends SparkSpec {
       java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
       force = true, blockSize = 32)
     assert(r3.planned == 6)
+    // republication is idempotent: the force rebuild REPLACES its
+    // (tileId, p_start) block partitions and upserts items by item_id —
+    // nothing duplicates
+    assert(r3.blocks == 4, s"force rebuild must not duplicate blocks, got ${r3.blocks}")
+    assert(r3.items == 2, s"force rebuild must not duplicate items, got ${r3.items}")
 
     // default runs clean up their scratch layout
     assert(!java.nio.file.Files.exists(
@@ -78,6 +83,105 @@ class CubeRunSpec extends SparkSpec {
     assert(bucketFiles.isEmpty,
       "incremental backfill must not re-decode out-of-window scenes, " +
         s"found ${bucketFiles.length} block files")
+  }
+
+  test("a crash between block publication and the ledger commit resumes " +
+       "without duplicating anything") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("crash_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("crash_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"), bytes)
+    }
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    val r1 = go()
+    assert(r1.planned == 6 && r1.blocks == 4 && r1.items == 2)
+
+    // simulate a crash AFTER blocks/items published but BEFORE the ledger
+    // commit: wipe the ledger (its versioned commit means a torn write can
+    // only ever look like "not committed"), leaving blocks+items on disk
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(new java.io.File(s"$outDir/ledger"))
+
+    // the resume re-plans everything (nothing is ledgered) and REPLACES
+    // the already-published partitions/items instead of appending dupes
+    val r2 = go()
+    assert(r2.planned == 6, "un-ledgered units must re-plan on resume")
+    assert(r2.blocks == 4, s"crash-resume must not duplicate blocks, got ${r2.blocks}")
+    assert(r2.items == 2, s"crash-resume must not duplicate items, got ${r2.items}")
+    assert(go().planned == 0, "after the resume the run is complete")
+  }
+
+  test("a corrupt scene quarantines its (tile, period): ERROR ledger rows " +
+       "re-plan after the file is repaired") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("quar_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("quar_out").toString
+    val w = 32; val h = 32
+    def goodBytes(band: String, seed: Int): Array[Byte] = {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+    }
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200105_$band.tif"), goodBytes(band, 1))
+    for (band <- Seq("B04", "B8A"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200120_$band.tif"), goodBytes(band, 2))
+    // the second period's QA is truncated garbage — decode must fail
+    val corrupt = sceneDir.resolve("S_T9_20200120_QA.tif")
+    java.nio.file.Files.write(corrupt,
+      Array.tabulate[Byte](64)(i => (i * 37).toByte))
+
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    val r1 = go()
+    assert(r1.planned == 6, "both periods plan")
+    assert(r1.errors == 3, "the corrupt period's 3 band units ledger ERROR")
+    assert(r1.items == 1, "no item publishes from a partial band set")
+    assert(r1.blocks == 2, "only the healthy period's spectral bands publish")
+    val ledger1 = graft.catalog.Ledger.readCurrent(spark, s"$outDir/ledger").get
+    import spark.implicits._
+    assert(ledger1.filter($"status" === "SUCCESS").count() == 3)
+    assert(ledger1.filter($"status" === "ERROR").count() == 3)
+    val q1 = graft.catalog.Ledger.readCurrent(spark, s"$outDir/quarantine").get
+      .collect()
+    assert(q1.length == 1, "exactly the corrupt file quarantines")
+    val qRow = q1.head
+    assert(qRow.getAs[String]("path").endsWith("S_T9_20200120_QA.tif"))
+    assert(qRow.getAs[String]("error").nonEmpty)
+
+    // a plain rerun retries the ERROR units (still failing — idempotent)
+    val r2 = go()
+    assert(r2.planned == 3 && r2.errors == 3 && r2.items == 1)
+
+    // repair the file: the next run backfills exactly the ERROR units,
+    // clears the quarantine, and completes the cube
+    java.nio.file.Files.write(corrupt, goodBytes("QA", 2))
+    val r3 = go()
+    assert(r3.planned == 3, "only the repaired period's units re-plan")
+    assert(r3.errors == 0 && r3.items == 2 && r3.blocks == 4)
+    val ledger3 = graft.catalog.Ledger.readCurrent(spark, s"$outDir/ledger").get
+    assert(ledger3.filter($"status" === "SUCCESS").count() == 6)
+    assert(ledger3.filter($"status" === "ERROR").count() == 0)
+    assert(graft.catalog.Ledger.readCurrent(spark, s"$outDir/quarantine").get
+      .count() == 0, "a repaired file's quarantine entry retires")
+    assert(go().planned == 0)
   }
 
   test("publishCogs commits per-item COG directories with the full band " +

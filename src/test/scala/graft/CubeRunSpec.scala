@@ -281,6 +281,53 @@ class CubeRunSpec extends SparkSpec {
     assert(tiles3 == Set("T9", "T7", "T5"))
   }
 
+  test("runTiles: a corrupt scene quarantines only ITS tile's period; " +
+       "every other tile publishes") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("mtq_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("mtq_out").toString
+    val w = 32; val h = 32
+    def bandBytes(band: String, seed: Int): Array[Byte] = {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+    }
+    def writeScene(tile: String, date: String, seed: Int,
+                   bands: Seq[String] = Seq("B04", "B8A", "QA")): Unit =
+      bands.foreach { band =>
+        java.nio.file.Files.write(
+          sceneDir.resolve(s"S_${tile}_${date}_$band.tif"),
+          bandBytes(band, seed))
+      }
+    writeScene("T9", "20200105", 1); writeScene("T9", "20200120", 2)
+    writeScene("T7", "20200105", 3)
+    writeScene("T7", "20200120", 4, Seq("B04", "B8A"))
+    val corrupt = sceneDir.resolve("S_T7_20200120_QA.tif")
+    java.nio.file.Files.write(corrupt,
+      Array.tabulate[Byte](48)(i => (i * 29 + 5).toByte))
+
+    def go() = CubeRun.runTiles(spark, coll, mask, sceneDir.toString, outDir,
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    val r1 = go()
+    assert(r1.planned == 12, "2 tiles × 2 periods × 3 bands")
+    assert(r1.errors == 3, "only T7's second period ledgers ERROR")
+    assert(r1.items == 3, "T9 publishes both periods, T7 only the first")
+    assert(r1.blocks == 6)
+    import spark.implicits._
+    val blocksByTile = spark.read.parquet(s"$outDir/blocks")
+      .groupBy($"tileId").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(blocksByTile == Map("T9" -> 4L, "T7" -> 2L), s"got $blocksByTile")
+
+    java.nio.file.Files.write(corrupt, bandBytes("QA", 4))
+    val r2 = go()
+    assert(r2.planned == 3 && r2.errors == 0 && r2.items == 4 && r2.blocks == 8)
+    assert(go().planned == 0)
+  }
+
   test("merge→composite over the bucketed block table plans ZERO Exchange") {
     // the production chain run() executes: decoded blocks persisted
     // bucketed on (tileId, blockY, blockX), then per-slice merges, the

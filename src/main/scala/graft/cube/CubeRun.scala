@@ -135,7 +135,12 @@ object CubeRun {
     val scannedAll = RasterIO.scanDirectory(spark, sceneDir)
     val scannedTiled = tileSpec match {
       case Left(t) => scannedAll.withColumn("tile", lit(t))
-      case Right(p) => scannedAll
+      case Right(p) =>
+        // a pattern with no capture group extracts "" from EVERY file and
+        // the filter below would silently drop the whole archive
+        require(java.util.regex.Pattern.compile(p).matcher("").groupCount() >= 1,
+          s"tilePattern must have a capture group for the tile id: $p")
+        scannedAll
         .withColumn("tile",
           regexp_extract(element_at(split($"path", "/"), -1), p, 1))
         .filter($"tile" =!= "")
@@ -297,8 +302,9 @@ object CubeRun {
         .otherwise(lit(Ledger.StatusSuccess))
     val completions = pending.select($"cube", $"tile_id", $"p_start", $"p_end",
       $"band", statusCol.as("status"))
-    val errorCount = completions
-      .filter($"status" === Ledger.StatusError).count()
+    val errorCount =
+      if (erroredSet.isEmpty) 0L
+      else completions.filter($"status" === Ledger.StatusError).count()
     Ledger.commitVersion(spark, ledgerPath, Ledger.upsert(ledger, completions))
 
     pending.unpersist()

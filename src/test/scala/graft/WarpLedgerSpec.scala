@@ -91,6 +91,35 @@ class WarpLedgerSpec extends SparkSpec {
     assert(Ledger.pendingUnits(expected, updated).count() == 6)
   }
 
+  test("ledger: commitVersion flips the pointer atomically and sweeps " +
+       "superseded versions") {
+    import graft.catalog.Ledger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cv").toString
+    assert(Ledger.readCurrent(spark, dir).isEmpty)
+    Ledger.commitVersion(spark, dir, Seq(("a", 1)).toDF("k", "v"))
+    assert(Ledger.currentVersion(dir).contains("v0"))
+    assert(Ledger.readCurrent(spark, dir).get.count() == 1)
+    Ledger.commitVersion(spark, dir, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    assert(Ledger.currentVersion(dir).contains("v1"))
+    assert(Ledger.readCurrent(spark, dir).get.count() == 2)
+    // superseded v0 is swept; only the committed version remains on disk
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val names = try s.toArray.map(_.toString.split("/").last).toSet
+      finally s.close()
+    assert(names.filter(_.matches("v\\d+")) == Set("v1"), s"got $names")
+
+    // crash simulation: an orphan version dir WITHOUT a pointer flip is
+    // invisible to readers and swept by the next commit
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "v2"))
+    assert(Ledger.currentVersion(dir).contains("v1"),
+      "an unflipped version must stay invisible")
+    Ledger.commitVersion(spark, dir, Seq(("c", 3)).toDF("k", "v"))
+    assert(Ledger.currentVersion(dir).contains("v2"))
+    assert(Ledger.readCurrent(spark, dir).get.count() == 1)
+  }
+
   test("histogram matching: identical distributions map to identity") {
     import spark.implicits._
     val vals = Seq(1, 2, 2, 3, 3, 3, 7, 9)

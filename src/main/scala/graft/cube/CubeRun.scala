@@ -53,10 +53,20 @@ object CubeRun {
           /** with [[publishCogs]]: also stage an S11 quicklook PNG per
             * item (requires `collection.quicklook` RGB band names),
             * scaled over this (inMin, inMax) display range */
-          quicklookRange: Option[(Double, Double)] = None): RunResult =
+          quicklookRange: Option[(Double, Double)] = None,
+          /** T1 scene ordering: blend clearer scenes first instead of
+            * the later-date default (see [[mergeCompositeChain]]) */
+          efficacyPriority: Boolean = false,
+          /** T1 reference-day mode: prefer scenes closest to this
+            * day-of-period, efficacy as tie-break */
+          referenceDay: Option[Int] = None,
+          /** T10: histogram-match every scene to the best-priority
+            * scene per (tile, band) before compositing (the cube's
+            * `histogram_matching` parameter; implies [[efficacyPriority]]) */
+          histogramMatching: Boolean = false): RunResult =
     runImpl(spark, collection, mask, sceneDir, outDir, Left(tileId), start,
       end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
-      quicklookRange)
+      quicklookRange, efficacyPriority, referenceDay, histogramMatching)
 
   /** Multi-tile orchestration (the reference Maestro dispatches one unit
     * per (tile, period); here ONE declarative chain carries every tile —
@@ -80,10 +90,13 @@ object CubeRun {
                blockBuckets: Int = 32,
                keepBucketed: Boolean = false,
                publishCogs: Boolean = false,
-               quicklookRange: Option[(Double, Double)] = None): RunResult =
+               quicklookRange: Option[(Double, Double)] = None,
+               efficacyPriority: Boolean = false,
+               referenceDay: Option[Int] = None,
+               histogramMatching: Boolean = false): RunResult =
     runImpl(spark, collection, mask, sceneDir, outDir, Right(tilePattern),
       start, end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
-      quicklookRange)
+      quicklookRange, efficacyPriority, referenceDay, histogramMatching)
 
   /** `tileSpec`: Left(tileId) assigns every scanned file to one tile;
     * Right(pattern) extracts each file's tile from its name.
@@ -101,7 +114,10 @@ object CubeRun {
           blockBuckets: Int,
           keepBucketed: Boolean,
           publishCogs: Boolean,
-          quicklookRange: Option[(Double, Double)]): RunResult = {
+          quicklookRange: Option[(Double, Double)],
+          efficacyPriority: Boolean,
+          referenceDay: Option[Int],
+          histogramMatching: Boolean): RunResult = {
     import spark.implicits._
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
@@ -223,7 +239,7 @@ object CubeRun {
     }
     val blocks = decoded.filter($"error".isNull).drop("path", "error")
     val composited0 = mergeCompositeChain(blocks, collection, mask,
-      pendingPeriodsDf)
+      pendingPeriodsDf, efficacyPriority, referenceDay, histogramMatching)
     val composited =
       if (erroredSet.isEmpty) composited0
       else composited0.filter(!concat_ws("|", $"tileId",
@@ -328,11 +344,28 @@ object CubeRun {
     * the plan gate can pin the zero-Exchange property on the EXACT
     * production chain `run` executes: when `blocks` comes from a table
     * bucketed on (tileId, blockY, blockX), this whole chain must plan
-    * with no shuffle after the scan.
+    * with no shuffle after the scan (default flags; the priority branch
+    * adds ONE (tile, date)-bounded partial-agg exchange for the T1
+    * priority table, which broadcasts back).
+    *
+    * `efficacyPriority` / `referenceDay` turn on T1 scene ordering (the
+    * reference's prepare-blend sort; `processing.py:636-654`,
+    * `timeline.py:208-249`); `histogramMatching` additionally T10-matches
+    * every non-reference scene to the best-priority scene per
+    * (tile, band) before compositing (`tasks.py:368-385`, the cube's
+    * `histogram_matching` parameter, `forms.py:125`). Matching without a
+    * priority signal would pick an arbitrary reference, so it implies
+    * the efficacy ordering. `resolution` only scales the efficacy term
+    * (order-invariant for pure efficacy; the tie-break weight under
+    * referenceDay).
     */
   private[graft] def mergeCompositeChain(blocks: DataFrame,
       collection: Collection, mask: MaskDef,
-      periodsDf: DataFrame): DataFrame = {
+      periodsDf: DataFrame,
+      efficacyPriority: Boolean = false,
+      referenceDay: Option[Int] = None,
+      histogramMatching: Boolean = false,
+      resolution: Double = 10.0): DataFrame = {
     import blocks.sparkSession.implicits._
     val nodata = collection.bands.find(_.name != collection.qualityBand)
       .map(_.nodata.toInt).getOrElse(-9999)
@@ -346,8 +379,26 @@ object CubeRun {
       mask.nodata.toInt, combined = true)
     val radsatMerged = satBand.map(sb =>
       CubeBuilder.merge(blocks.filter($"band" === sb), nodata, combined = true))
-    CubeBuilder.compositeSlices(spectralMerged, qualityMerged,
-      radsatMerged, periodsDf, collection, mask)
+    val needPrio = efficacyPriority || referenceDay.isDefined ||
+      histogramMatching
+    val (spectralIn, prioCol) =
+      if (!needPrio) (spectralMerged, lit(1.0))
+      else {
+        val prio = CubeBuilder.scenePriorities(qualityMerged, collection,
+          mask, resolution, referenceDay)
+        val sp = spectralMerged
+          .join(broadcast(prio), Seq("tileId", "date"), "left")
+          .withColumn("scene_priority",
+            coalesce($"scene_priority", lit(0.0)))
+        val hm =
+          if (histogramMatching)
+            CubeBuilder.histogramMatchScenes(sp, $"scene_priority",
+              collection.qualityBand)
+          else sp
+        (hm, col("scene_priority"))
+      }
+    CubeBuilder.compositeSlices(spectralIn, qualityMerged,
+      radsatMerged, periodsDf, collection, mask, priority = prioCol)
   }
 
   /** None when absent OR unreadable (e.g. a zero-partition first write

@@ -111,45 +111,87 @@ object Ledger {
 
   /** Crash-safe versioned parquet commit: write `df` as a NEW version
     * directory under `dir`, then flip the `_current` pointer atomically,
-    * then best-effort drop superseded versions. At every instant the
-    * pointer names a fully-written version, so a crash anywhere in the
-    * sequence leaves readers on a complete snapshot and the re-run simply
-    * rewrites the next version — the discipline the reference gets from
-    * its database transaction (`models/activity.py` commits), here over
-    * plain parquet. `df` must NOT be derived lazily from files this call
-    * deletes; deriving it from [[readCurrent]] is safe because the read
-    * version is only dropped AFTER the pointer moved off it and the new
-    * version was fully materialized.
+    * then best-effort drop superseded versions KEEPING the last `retain`
+    * (current + retain-1 predecessors — a concurrent reader's lazy
+    * DataFrame over the just-superseded version survives the next
+    * commit). At every instant the pointer names a fully-written
+    * version, so a crash anywhere in the sequence leaves readers on a
+    * complete snapshot and the re-run simply rewrites the next version —
+    * the discipline the reference gets from its database transaction
+    * (`models/activity.py` commits), here over plain parquet. Racing
+    * committers claim DISTINCT version numbers (atomic `.claim_vN`
+    * create) so they never write the same directory; between their
+    * complete snapshots the pointer flip is last-write-wins. `df` must
+    * NOT be derived lazily from files this call deletes; deriving it
+    * from [[readCurrent]] is safe because the read version (legacy or
+    * versioned) is only dropped AFTER the pointer moved off it, the new
+    * version was fully materialized, and `retain-1` further commits
+    * happened.
     */
-  def commitVersion(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+  def commitVersion(spark: SparkSession, dir: String, df: DataFrame,
+                    retain: Int = 2): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(retain >= 1, s"retain must keep at least the current version: $retain")
     Files.createDirectories(Paths.get(dir))
     val curN = currentVersion(dir)
       .flatMap("""(\d+)$""".r.findFirstIn(_)).map(_.toLong).getOrElse(-1L)
-    val next = s"v${curN + 1}"
+    // Cross-process guard: CLAIM the next version number via an atomic
+    // create (`.claim_vN`; dot-prefixed so Spark listings ignore it).
+    // Two committers racing on one dir thus write DIFFERENT version
+    // directories instead of clobbering the same one; the pointer flip
+    // below is last-write-wins between complete snapshots. A claim
+    // whose committer crashed before writing just skips that number
+    // forever — numbers are free. (Pointer machinery is java.nio, so
+    // the coordination holds on POSIX-visible dirs — the module's
+    // documented scope; data files themselves go through the Hadoop
+    // FileSystem so the sweep also works when `dir` resolves remote.)
+    var nextN = curN + 1
+    var claimed = false
+    while (!claimed) {
+      try { Files.createFile(Paths.get(dir, s".claim_v$nextN")); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => nextN += 1 }
+    }
+    val next = s"v$nextN"
     df.write.mode("overwrite").parquet(s"$dir/$next")
     val tmp = Paths.get(dir, "_current.tmp")
     Files.write(tmp, next.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(dir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // superseded versions are garbage once the pointer moved; a crash here
-    // leaks at most one directory, which the NEXT commit sweeps
+    // Sweep: keep `next` plus the retain-1 highest-numbered other
+    // versions (a reader holding a lazy DataFrame over the superseded
+    // version survives the next commit instead of hitting FileNotFound
+    // mid-job), then retire LEGACY flat-parquet files (a pre-pointer
+    // layout this dir migrated from — see readCurrent) so the dir holds
+    // only versioned content. Both deletes run strictly AFTER the new
+    // version materialized, so a `df` derived from readCurrent — legacy
+    // or versioned — never loses its source mid-write.
     val versionName = """^(ledger_)?v\d+$""".r
     val s = Files.list(Paths.get(dir))
-    val stale =
-      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
-        .asScala.filter { p =>
-          val n = p.getFileName.toString
-          versionName.matches(n) && n != next
-        }.toList
-      finally s.close()
-    stale.foreach { p =>
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(p.toFile)
+    val (versions, legacy) =
+      try {
+        val all = scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.toList
+        (all.filter(p => versionName.matches(p.getFileName.toString)),
+          all.filter(p => isLegacyDataFile(p) ||
+            legacySideFile(p.getFileName.toString)))
+      } finally s.close()
+    def num(p: java.nio.file.Path): Long =
+      """(\d+)$""".r.findFirstIn(p.getFileName.toString).map(_.toLong).getOrElse(-1L)
+    val keep = versions.filter(_.getFileName.toString != next)
+      .sortBy(-num(_)).take(retain - 1).map(_.getFileName.toString).toSet + next
+    versions.filterNot(p => keep(p.getFileName.toString)).foreach { p =>
+      hadoopDelete(spark, p.toString)
+      Files.deleteIfExists(Paths.get(dir, s".claim_${p.getFileName}")): Unit
     }
+    legacy.foreach(p => hadoopDelete(spark, p.toString))
+  }
+
+  /** Recursive delete through the Hadoop FileSystem (not java.io.File,
+    * which silently no-ops on non-local filesystems).
+    */
+  private[graft] def hadoopDelete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
   }
 
   /** The ledger version the `_current` pointer names, if any. */
@@ -160,9 +202,45 @@ object Ledger {
     else None
   }
 
-  /** Read the ledger as of its current committed version. */
+  /** A top-level parquet data file from the LEGACY (pre-pointer) flat
+    * layout: `part-*` / `*.parquet` written straight into `dir`.
+    */
+  private def isLegacyDataFile(p: java.nio.file.Path): Boolean = {
+    val n = p.getFileName.toString
+    java.nio.file.Files.isRegularFile(p) && !n.endsWith(".crc") &&
+      (n.startsWith("part-") || n.endsWith(".parquet"))
+  }
+
+  private def legacySideFile(n: String): Boolean =
+    n == "_SUCCESS" || n.endsWith(".crc") ||
+      n.startsWith("_committed") || n.startsWith("_started")
+
+  /** Top-level legacy data files, listed explicitly so the legacy read
+    * below never trips over co-resident version directories (a crash
+    * between a version write and its pointer flip leaves one).
+    */
+  private def legacyDataFiles(dir: String): List[java.nio.file.Path] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return Nil
+    val s = java.nio.file.Files.list(d)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+      .asScala.filter(isLegacyDataFile).toList
+    finally s.close()
+  }
+
+  /** Read the ledger as of its current committed version. A directory
+    * with NO `_current` pointer but flat parquet files at top level is
+    * the legacy (pre-pointer-versioning) layout: read those files
+    * directly — the next [[commitVersion]] migrates the dir (new
+    * version + pointer, legacy files swept).
+    */
   def readCurrent(spark: SparkSession, dir: String): Option[DataFrame] =
     currentVersion(dir).map(v => spark.read.parquet(s"$dir/$v"))
+      .orElse {
+        val legacy = legacyDataFiles(dir)
+        if (legacy.isEmpty) None
+        else Some(spark.read.parquet(legacy.map(_.toString): _*))
+      }
 
   /** C3 — per-tile summary with missing periods as a set difference. */
   def summarize(ledger: DataFrame, periods: DataFrame): DataFrame = {

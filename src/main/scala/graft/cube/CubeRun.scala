@@ -229,8 +229,18 @@ object CubeRun {
         .select($"path", $"tileId", $"date", $"band", $"error")
       // retire entries whose file now decodes cleanly; refresh re-failures
       val okPaths = decoded.filter($"error".isNull).select($"path").distinct()
+      // also retire entries whose file is GONE from the scanned listing
+      // (deleted rather than repaired): a vanished path can never decode
+      // again, so without this check its quarantine row would outlive its
+      // (tile, period)'s eventual success forever. The semi-join runs
+      // against the FULL directory listing (metadata-only), not the
+      // pending-window subset — a still-present file whose window isn't
+      // pending this run keeps its entry. Quarantine is thereby scoped to
+      // the run's scene directory, matching how entries are created.
+      val presentPaths = scannedTiled.select($"path").distinct()
       val mergedQ = prevQ match {
-        case Some(q) => q.join(okPaths, Seq("path"), "left_anti")
+        case Some(q) => q.join(presentPaths, Seq("path"), "left_semi")
+          .join(okPaths, Seq("path"), "left_anti")
           .join(newErrors.select($"path"), Seq("path"), "left_anti")
           .unionByName(newErrors)
         case None => newErrors

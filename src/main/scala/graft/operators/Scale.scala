@@ -115,11 +115,13 @@ object Scale {
   def dropBucketed(spark: org.apache.spark.sql.SparkSession,
                    prefix: String, path: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedTableName(prefix, path)}")
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(del))
-      f.delete(): Unit
-    }
-    del(new java.io.File(path))
+    // delete through the Hadoop FileSystem, not java.io.File: the
+    // bucketed scratch lives wherever Spark wrote it (HDFS/S3 on the
+    // cluster deployments this layout targets), and a local-File
+    // recursion would silently no-op there — leaking a full decoded
+    // data copy per run
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
   }
 
   /** Number of shuffle exchanges in `df`'s physical plan — the levers in

@@ -922,11 +922,14 @@ object Pipeline {
     * `awaitMs < 0` skips the Await outright (the deterministic
     * listener-lost simulation — a tiny positive bound can still win the
     * race when the future resolved during materialization).
-    * Throws if the fixpoint is not reached within `maxRounds` — a graph
-    * whose diameter exceeds it (near-dup components are quasi-cliques,
-    * diameter ~3-5; a 25+-hop chain is not one) must use the O(log² n)
-    * [[graft.operators.Components.connectedComponents]] star path
-    * instead of silently returning split clusters.
+    * If the fixpoint is not reached within `maxRounds` — a graph whose
+    * diameter exceeds the near-dup envelope (near-dup components are
+    * quasi-cliques, diameter ~3-5; a 25+-hop transitive chain is not
+    * one, but it IS legitimate input) — the computation falls back to
+    * the O(log² n) [[graft.operators.Components.connectedComponents]]
+    * large-star/small-star path automatically: identical
+    * min-reachable-id semantics, never split clusters, never a hard
+    * failure on a long chain.
     * Returns (doc_id, cluster_id, members) ordered by doc_id.
     */
   def minLabelClusters(docsIds: DataFrame, sym: DataFrame,
@@ -964,14 +967,22 @@ object Pipeline {
       labels = next
       rounds += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"minLabelClusters did not reach a fixpoint in $maxRounds rounds " +
-          "— the edge graph's diameter exceeds the near-dup envelope; " +
-          "use Components.connectedComponents (large-star/small-star) " +
-          "for long-diameter graphs")
+    val labeled =
+      if (converged) labels.select($"doc_id", $"lbl".as("cluster_id"))
+      else {
+        // round exhaustion: re-solve on the star-contraction path (the
+        // doc-comment fallback) rather than throwing — label propagation
+        // pays one round per hop of diameter, the contraction O(log² n)
+        // rounds on ANY shape, and both compute min-reachable-id
+        val comp = graft.operators.Components.connectedComponents(
+          sym.select($"a".as("src"), $"b".as("dst")))
+          .withColumnRenamed("vertex", "doc_id")
+        docsIds.select($"doc_id").join(comp, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"component", $"doc_id").as("cluster_id"))
+      }
     import org.apache.spark.sql.expressions.Window
-    labels.select($"doc_id", $"lbl".as("cluster_id"))
+    labeled
       .withColumn("members",
         count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"doc_id")

@@ -173,12 +173,15 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(tinyBound == metricPath)
 
-    // a graph whose diameter exceeds maxRounds must FAIL LOUDLY, never
-    // return split clusters (the 0-1-2-3-4 chain needs 4 hops)
-    val e = intercept[IllegalStateException] {
-      graft.queries.Pipeline.minLabelClusters(docs, sym, maxRounds = 2)
-        .collect()
-    }
-    assert(e.getMessage.contains("fixpoint"))
+    // a graph whose diameter exceeds maxRounds must NEVER return split
+    // clusters OR fail: round exhaustion falls back to the large-star/
+    // small-star contraction and still yields the exact components (the
+    // 0-1-2-3-4 chain needs 4 propagation hops; maxRounds = 2 forces
+    // the fallback)
+    val exhausted = graft.queries.Pipeline
+      .minLabelClusters(docs, sym, maxRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exhausted == metricPath,
+      "round-exhaustion fallback must match the converged propagation")
   }
 }

@@ -184,6 +184,48 @@ class CubeRunSpec extends SparkSpec {
     assert(go().planned == 0)
   }
 
+  test("a deleted (not repaired) corrupt scene's quarantine entry retires " +
+       "once its path leaves the scan listing") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("quardel_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("quardel_out").toString
+    val w = 32; val h = 32
+    def goodBytes(band: String, seed: Int): Array[Byte] = {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+    }
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200105_$band.tif"), goodBytes(band, 1))
+    for (band <- Seq("B04", "B8A"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200120_$band.tif"), goodBytes(band, 2))
+    val corrupt = sceneDir.resolve("S_T9_20200120_QA.tif")
+    java.nio.file.Files.write(corrupt,
+      Array.tabulate[Byte](64)(i => (i * 37).toByte))
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    val r1 = go()
+    assert(r1.errors == 3)
+    assert(graft.catalog.Ledger.readCurrent(spark, s"$outDir/quarantine").get
+      .count() == 1)
+    // operator decision: the scene is garbage — remove the whole
+    // second-period scene instead of repairing it. Its path can never
+    // decode cleanly, so only the listing check can retire the entry.
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.delete(
+        sceneDir.resolve(s"S_T9_20200120_$band.tif"))
+    val r2 = go()
+    assert(r2.errors == 0, "no scenes left to fail")
+    assert(graft.catalog.Ledger.readCurrent(spark, s"$outDir/quarantine").get
+      .count() == 0,
+      "a vanished path's quarantine entry must retire, not persist forever")
+  }
+
   test("publishCogs commits per-item COG directories with the full band " +
        "set, index bands included") {
     val sceneDir = java.nio.file.Files.createTempDirectory("pub_scenes")

@@ -91,33 +91,85 @@ class WarpLedgerSpec extends SparkSpec {
     assert(Ledger.pendingUnits(expected, updated).count() == 6)
   }
 
-  test("ledger: commitVersion flips the pointer atomically and sweeps " +
-       "superseded versions") {
+  test("ledger: commitVersion flips the pointer atomically, retains the " +
+       "previous version for in-flight readers, and sweeps older ones") {
     import graft.catalog.Ledger
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cv").toString
+    def onDisk(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.toArray.map(_.toString.split("/").last).toSet finally s.close()
+    }
     assert(Ledger.readCurrent(spark, dir).isEmpty)
     Ledger.commitVersion(spark, dir, Seq(("a", 1)).toDF("k", "v"))
     assert(Ledger.currentVersion(dir).contains("v0"))
     assert(Ledger.readCurrent(spark, dir).get.count() == 1)
+    // a reader holding the CURRENT version's lazy plan must survive the
+    // next commit (retain = 2 keeps its version on disk) …
+    val inFlight = Ledger.readCurrent(spark, dir).get
     Ledger.commitVersion(spark, dir, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
     assert(Ledger.currentVersion(dir).contains("v1"))
     assert(Ledger.readCurrent(spark, dir).get.count() == 2)
-    // superseded v0 is swept; only the committed version remains on disk
+    assert(onDisk().filter(_.matches("v\\d+")) == Set("v0", "v1"),
+      s"retain=2 keeps the superseded version: ${onDisk()}")
+    assert(inFlight.count() == 1,
+      "a reader on the superseded version must not hit FileNotFound")
+    // … and is swept one commit later
+    Ledger.commitVersion(spark, dir, Seq(("c", 3)).toDF("k", "v"))
+    assert(Ledger.currentVersion(dir).contains("v2"))
+    assert(onDisk().filter(_.matches("v\\d+")) == Set("v1", "v2"),
+      s"got ${onDisk()}")
+
+    // crash simulation: an orphan version dir WITHOUT a pointer flip is
+    // invisible to readers and clobbered/reused by the next commit
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "v3"))
+    assert(Ledger.currentVersion(dir).contains("v2"),
+      "an unflipped version must stay invisible")
+    Ledger.commitVersion(spark, dir, Seq(("d", 4)).toDF("k", "v"))
+    assert(Ledger.currentVersion(dir).contains("v3"))
+    assert(Ledger.readCurrent(spark, dir).get.count() == 1)
+
+    // cross-process guard: a competing committer's CLAIM on the next
+    // number forces this committer onto a fresh number — the two never
+    // write the same directory
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, ".claim_v4"))
+    Ledger.commitVersion(spark, dir, Seq(("e", 5)).toDF("k", "v"))
+    assert(Ledger.currentVersion(dir).contains("v5"),
+      "a claimed version number must be skipped, not clobbered")
+    assert(Ledger.readCurrent(spark, dir).get.as[(String, Int)]
+      .collect().toSet == Set(("e", 5)))
+  }
+
+  test("ledger: readCurrent falls back to a legacy flat-parquet layout " +
+       "and commitVersion migrates it (legacy files swept)") {
+    import graft.catalog.Ledger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cvleg").toString
+    // a pre-pointer-era dir: parquet written straight into it
+    Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    assert(Ledger.currentVersion(dir).isEmpty)
+    val legacy = Ledger.readCurrent(spark, dir)
+    assert(legacy.isDefined, "legacy layout must be readable, not ignored")
+    assert(legacy.get.count() == 2)
+    // upsert derived from the legacy read, committed pointer-versioned:
+    // the migration — contents carry over, top level holds ONLY
+    // versioned content + markers afterwards
+    val migrated = Ledger.upsert(legacy.get.withColumnRenamed("k", "cube")
+      .select($"cube", lit("t").as("tile_id"), lit("p").as("p_start"),
+        lit("q").as("p_end"), lit("B").as("band"), lit("S").as("status")),
+      Seq(("c", "t", "p", "q", "B", "S"))
+        .toDF("cube", "tile_id", "p_start", "p_end", "band", "status"))
+    Ledger.commitVersion(spark, dir, migrated)
+    assert(Ledger.currentVersion(dir).contains("v0"))
+    assert(Ledger.readCurrent(spark, dir).get.count() == 3)
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     val names = try s.toArray.map(_.toString.split("/").last).toSet
       finally s.close()
-    assert(names.filter(_.matches("v\\d+")) == Set("v1"), s"got $names")
-
-    // crash simulation: an orphan version dir WITHOUT a pointer flip is
-    // invisible to readers and swept by the next commit
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(dir, "v2"))
-    assert(Ledger.currentVersion(dir).contains("v1"),
-      "an unflipped version must stay invisible")
-    Ledger.commitVersion(spark, dir, Seq(("c", 3)).toDF("k", "v"))
-    assert(Ledger.currentVersion(dir).contains("v2"))
-    assert(Ledger.readCurrent(spark, dir).get.count() == 1)
+    assert(!names.exists(n => n.startsWith("part-") || n == "_SUCCESS" ||
+      n.endsWith(".crc")), s"legacy files must be swept: $names")
   }
 
   test("histogram matching: identical distributions map to identity") {

@@ -95,6 +95,24 @@ object Ledger {
     Files.move(tmp, Paths.get(dir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     writeApplied(dir, applied + batchId.toString)
+    // sweep superseded batch versions, keeping the previous one for any
+    // in-flight reader — without this a long-running stream retains a
+    // full ledger copy PER MICRO-BATCH (unbounded growth is the one
+    // failure mode an always-on ingest cannot have). Replay safety is
+    // untouched: the `_applied` fence, not the old version dirs, is
+    // what makes a replayed batch a no-op.
+    val versionName = """^ledger_v\d+$""".r
+    val ls = Files.list(Paths.get(dir))
+    val versions =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(ls.iterator())
+        .asScala.filter(p => versionName.matches(p.getFileName.toString)).toList
+      finally ls.close()
+    def num(p: java.nio.file.Path): Long =
+      """(\d+)$""".r.findFirstIn(p.getFileName.toString).map(_.toLong).getOrElse(-1L)
+    val keep = versions.filter(_.getFileName.toString != nextV)
+      .sortBy(-num(_)).take(1).map(_.getFileName.toString).toSet + nextV
+    versions.filterNot(p => keep(p.getFileName.toString))
+      .foreach(p => hadoopDelete(spark, p.toString))
   }
 
   /** Atomic `_applied` update: temp-file + rename, so a crash mid-write

@@ -101,7 +101,7 @@ object CubeRun {
   /** `tileSpec`: Left(tileId) assigns every scanned file to one tile;
     * Right(pattern) extracts each file's tile from its name.
     */
-  private def runImpl(spark: SparkSession,
+  private def runImpl(callerSession: SparkSession,
           collection: Collection,
           mask: MaskDef,
           sceneDir: String,
@@ -118,19 +118,26 @@ object CubeRun {
           efficacyPriority: Boolean,
           referenceDay: Option[Int],
           histogramMatching: Boolean): RunResult = {
-    import spark.implicits._
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
-    // (keys + date) only rides SUBSET-key co-partitioning when this
-    // conf is off (aggregates accept subset clustering uncondition-
-    // ally; joins gate it behind the conf). Scoped to the run and
-    // restored in finally. NOTE: session confs are global — two runs
-    // racing on ONE SparkSession can restore each other's value; the
-    // facade is a driver-side sequential orchestrator by design.
-    val coPartConf = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevCoPart = spark.conf.getOption(coPartConf)
-    spark.conf.set(coPartConf, "false")
-    try {
+    // (keys + date) only rides SUBSET-key co-partitioning when the
+    // conf below is off (aggregates accept subset clustering uncondi-
+    // tionally; joins gate it behind the conf). The whole chain runs
+    // on a CLONED session — shared SparkContext and catalog, isolated
+    // SQLConf — so the conf change is scoped to THIS run by
+    // construction: concurrent runs on one driver no longer race on a
+    // shared session's conf (the set-then-restore hazard the previous
+    // form documented away). The caller's runtime SQL tunings carry
+    // over; newSession() alone would reset them to SparkContext
+    // defaults.
+    val spark = callerSession.newSession()
+    callerSession.conf.getAll.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static conf
+    }
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    import spark.implicits._
+    {
 
     val periods = CubeBuilder.periodTable(spark, collection, start, end)
     // ledger, items and quarantine live as POINTER-VERSIONED parquet
@@ -341,11 +348,6 @@ object CubeRun {
       Ledger.readCurrent(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
       readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L),
       errorCount)
-    } finally {
-      prevCoPart match {
-        case Some(v) => spark.conf.set(coPartConf, v)
-        case None    => spark.conf.unset(coPartConf)
-      }
     }
   }
 

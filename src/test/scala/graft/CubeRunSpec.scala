@@ -35,6 +35,11 @@ class CubeRunSpec extends SparkSpec {
       java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"), bytes)
     }
 
+    // the run executes on a CLONED session: its co-partition conf
+    // override must never leak into (or race with) the caller's session
+    val coPartConf = "spark.sql.requireAllClusterKeysForCoPartition"
+    val callerCoPart = spark.conf.getOption(coPartConf)
+
     val r1 = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
       java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
       blockSize = 32)
@@ -42,6 +47,8 @@ class CubeRunSpec extends SparkSpec {
     assert(r1.planned == 2 * 3)
     assert(r1.items == 2)   // one item per period
     assert(r1.blocks == 2 * 2) // (2 periods × 2 spectral bands) × 1 block
+    assert(spark.conf.getOption(coPartConf) == callerCoPart,
+      "the run's conf override must stay inside its cloned session")
 
     val r2 = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
       java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),

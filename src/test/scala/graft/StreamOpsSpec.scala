@@ -782,6 +782,16 @@ class StreamOpsSpec extends SparkSpec {
     // and a SECOND replay takes the ordinary fast-path no-op
     Ledger.idempotentBatchUpsert(spark, dir)(poison, 99L)
     assert(snapshot() == Set("t1" -> "CREATED", "t2" -> "SUCCESS"))
+
+    // version growth is BOUNDED: each applied batch sweeps all but the
+    // current + previous version (an always-on stream must not retain
+    // a ledger copy per micro-batch). Batches 0, 1, 99 applied →
+    // only v1 (reader grace) and v99 (current) remain on disk.
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val vdirs = try ls.toArray.map(_.toString.split("/").last)
+      .filter(_.matches("ledger_v\\d+")).toSet finally ls.close()
+    assert(vdirs == Set("ledger_v1", "ledger_v99"),
+      s"superseded batch versions must be swept, got $vdirs")
   }
 
   test("watermark drops the too-late row and reports it in progress metrics") {

@@ -92,6 +92,61 @@ class CubeRunSpec extends SparkSpec {
         s"found ${bucketFiles.length} block files")
   }
 
+  test("a legacy (pre-pointer) flat-parquet ledger resumes instead of " +
+       "silently re-planning, and migrates on the next commit") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("leg_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("leg_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"),
+        GeoTiff.write(px, w, h, tileSize = 32, originX = 0, originY = 320,
+          scaleX = 10, scaleY = 10, nodata = if (isQa) 255 else nodata))
+    }
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    assert(go().planned == 6)
+    // simulate the pre-versioning layout an operator upgrades from:
+    // flatten the current ledger + items into PLAIN parquet at the same
+    // paths (no _current pointer, no version dirs)
+    import graft.catalog.Ledger
+    for (sub <- Seq("ledger", "items")) {
+      val dir = s"$outDir/$sub"
+      val cur = Ledger.readCurrent(spark, dir).get.collect()
+      val schema = Ledger.readCurrent(spark, dir).get.schema
+      Ledger.hadoopDelete(spark, dir)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cur.toIndexedSeq), schema)
+        .write.mode("overwrite").parquet(dir)
+    }
+    assert(Ledger.currentVersion(s"$outDir/ledger").isEmpty)
+    // the resume must READ the legacy ledger (0 units re-plan — the
+    // old behavior silently discarded it and re-ran the whole cube) …
+    val resumed = go()
+    assert(resumed.planned == 0,
+      s"legacy ledger must resume, not re-plan; planned ${resumed.planned}")
+    assert(Ledger.readCurrent(spark, s"$outDir/items").get.count() == 2,
+      "legacy items catalog must be readable")
+    // … and a FORCED run migrates both dirs: pointer-versioned content
+    // only, no orphaned legacy part-files
+    val forced = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir,
+      "t9", java.time.LocalDate.of(2020, 1, 1),
+      java.time.LocalDate.of(2020, 1, 31), force = true, blockSize = 32)
+    assert(forced.planned == 6 && forced.items == 2 && forced.blocks == 4)
+    for (sub <- Seq("ledger", "items")) {
+      assert(Ledger.currentVersion(s"$outDir/$sub").isDefined)
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(outDir, sub))
+      val names = try ls.toArray.map(_.toString.split("/").last).toSet
+        finally ls.close()
+      assert(!names.exists(n => n.startsWith("part-") || n == "_SUCCESS"),
+        s"$sub still holds orphaned legacy part-files: $names")
+    }
+  }
+
   test("a crash between block publication and the ledger commit resumes " +
        "without duplicating anything") {
     val sceneDir = java.nio.file.Files.createTempDirectory("crash_scenes")

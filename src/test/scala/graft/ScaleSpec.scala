@@ -530,6 +530,118 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("soak: MULTI-TILE chain — shuffle linear in TILES at fixed " +
+       "per-tile size, per-task load flat (the 1000-executor axis)") {
+    // The r12 soak scales the BLOCKS axis of one tile; the cluster
+    // deployment scales the TILES axis — thousands of tiles in ONE
+    // declarative chain (CubeRun.runTiles), executors each owning the
+    // (tile, block) keys hashed to them. 4x the tiles at constant
+    // per-tile size must cost ~4x the shuffle with per-task read flat
+    // against fair share: no per-tile driver loop, no tile-count term
+    // in any task's memory.
+    import graft.cube.CubeRun
+    import graft.model.{Band, Collection, MaskDef}
+    val sparkS = spark
+    import sparkS.implicits._
+    val px = 512 * 512
+    val rows = 5; val cols = 5; val nb = rows * cols
+    val d1 = java.sql.Date.valueOf("2020-01-05")
+    val d2 = java.sql.Date.valueOf("2020-01-20")
+    val coll = Collection(
+      name = "msoak", version = 1, grid = "G", compositeFunction = "LCF",
+      temporalSchema = "Continuous", temporalUnit = "day", temporalStep = 16,
+      bands = Seq(
+        Band("B04", "red", "int16", -9999),
+        Band("B05", "rededge", "int16", -9999),
+        Band("B8A", "nir", "int16", -9999),
+        Band("QA", "quality", "uint8", 255)),
+      qualityBand = "QA")
+    val mask = MaskDef(clearData = Seq(0L), notClearData = Seq(2L, 4L),
+      nodata = 255L)
+    val periods = Seq(("2020-01-01", "2020-01-16"), ("2020-01-17", "2020-02-01"))
+      .toDF("ps", "pe")
+      .select($"ps".cast("date").as("p_start"), $"pe".cast("date").as("p_end"))
+    def blocksAt(nTiles: Int): org.apache.spark.sql.DataFrame = {
+      // id decomposes as (band, date, block, tile); constants ride a
+      // non-foldable `when` so they stay attributes (see tileBlocks)
+      def k(c: org.apache.spark.sql.Column) =
+        when($"id" >= 0, c).otherwise(lit(null))
+      spark.range(nTiles.toLong * nb * 2 * 4).select(
+        k(lit("msoak")).as("cube"),
+        concat(lit("t"), ($"id" % nTiles).cast("string")).as("tileId"),
+        element_at(array(lit(d1), lit(d2)),
+          (expr(s"(id div ${nTiles * nb}) % 2") + 1).cast("int")).as("date"),
+        element_at(array(lit("B04"), lit("B05"), lit("B8A"), lit("QA")),
+          (expr(s"id div ${nTiles.toLong * nb * 2}") + 1).cast("int")).as("band"),
+        expr(s"((id div $nTiles) % $nb) div $cols").cast("int").as("blockY"),
+        expr(s"(id div $nTiles) % $cols").cast("int").as("blockX"),
+        k(lit(512)).as("height"), k(lit(512)).as("width"),
+        (expr(s"(id div $nTiles) % $cols") * 5120.0).as("x0"),
+        (lit(rows * 5120.0) -
+          expr(s"((id div $nTiles) % $nb) div $cols") * 5120.0).as("y0"),
+        k(lit(10.0)).as("resX"), k(lit(10.0)).as("resY"),
+        when(expr(s"id div ${nTiles.toLong * nb * 2}") === 3,
+          array_repeat(lit(0), px))
+          .otherwise(array_repeat(
+            (expr(s"id div ${nTiles.toLong * nb * 2}") * 1000 +
+             expr(s"(id div ${nTiles * nb}) % 2") * 100 +
+             ($"id" % nTiles) * 7 + expr(s"(id div $nTiles) % $nb") % 97
+            ).cast("int"), px)).as("pixels"),
+        lit(0).as("assetOrder"), lit(0).as("source"))
+    }
+    def chainAt(nTiles: Int, parts: Int) =
+      CubeRun.mergeCompositeChain(
+        blocksAt(nTiles).repartition(parts, $"tileId", $"blockY", $"blockX"),
+        coll, mask, periods)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val prevCoPart =
+      spark.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val t0 = System.nanoTime()
+      val (b2, _, read2) = measure3(chainAt(2, 16))
+      val tSmall = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (b8, peak8, read8) = measure3(chainAt(8, 64))
+      val tBig = (System.nanoTime() - t1) / 1e9
+      assert(b2 > 0, "no shuffle measured at the 2-tile scale")
+      val ratio = b8.toDouble / b2
+      info(f"multi-tile chain: 2 tiles ${tSmall}%.1fs shuffle ${b2}B " +
+        f"(max task read ${read2}B) -> 8 tiles ${tBig}%.1fs shuffle " +
+        f"${b8}B (${ratio}%.1fx at 4x tiles); max task read ${read8}B " +
+        f"(fair share ${b8 / 64}B), peak-mem ${peak8}B")
+      assert(ratio < 9, s"shuffle grew superlinearly at 4x tiles: $ratio")
+      assert(ratio > 1.5, s"shuffle growth suspiciously flat: $ratio")
+      assert(read8 <= 6L * (b8 / 64),
+        s"max task read $read8 exceeds 6x fair share ${b8 / 64} — " +
+          "a task is aggregating more than its hashed (tile, block) slice")
+      assert(peak8 < (1L << 30),
+        s"task peak $peak8 B — the chain must stream blocks across tiles")
+      // correctness rides along: every (tile, period, band) block
+      // composites, and a spot block equals its single clear scene
+      val composited = chainAt(8, 64).localCheckpoint()
+      assert(composited.count() == 8L * nb * 2 * 3,
+        "8 tiles × 25 blocks × 2 periods × 3 spectral bands")
+      val spot = composited
+        .filter($"tileId" === "t3" && $"band" === "B05" &&
+          $"blockY" === 2 && $"blockX" === 4 &&
+          $"p_start" === java.sql.Date.valueOf("2020-01-17"))
+        .select(element_at($"value", 1)).collect().head.getInt(0)
+      assert(spot == 1000 + 100 + 3 * 7 + (2 * cols + 4) % 97,
+        s"spot composite pixel wrong: $spot")
+      composited.unpersist(): Unit
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      prevCoPart match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None =>
+          spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+    }
+  }
+
   test("soak: contQuantiles shuffle is value-domain-bound, not corpus-bound") {
     // the buffer-free exact-quantile path folds to a (group, value)
     // histogram FIRST — partial aggregation reduces each map task to at

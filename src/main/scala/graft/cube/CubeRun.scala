@@ -63,10 +63,18 @@ object CubeRun {
           /** T10: histogram-match every scene to the best-priority
             * scene per (tile, band) before compositing (the cube's
             * `histogram_matching` parameter; implies [[efficacyPriority]]) */
-          histogramMatching: Boolean = false): RunResult =
+          histogramMatching: Boolean = false,
+          /** Event-time watermark for ALWAYS-ON ingestion
+            * ([[CubeStream]]): only periods with `p_end <= horizon`
+            * are expected, so an open period — one scenes can still
+            * arrive for — is never composited early or ledgered
+            * SUCCESS with a partial scene set. None (batch builds):
+            * every period in [start, end] is expected. */
+          horizon: Option[java.time.LocalDate] = None): RunResult =
     runImpl(spark, collection, mask, sceneDir, outDir, Left(tileId), start,
       end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
-      quicklookRange, efficacyPriority, referenceDay, histogramMatching)
+      quicklookRange, efficacyPriority, referenceDay, histogramMatching,
+      horizon)
 
   /** Multi-tile orchestration (the reference Maestro dispatches one unit
     * per (tile, period); here ONE declarative chain carries every tile —
@@ -93,10 +101,12 @@ object CubeRun {
                quicklookRange: Option[(Double, Double)] = None,
                efficacyPriority: Boolean = false,
                referenceDay: Option[Int] = None,
-               histogramMatching: Boolean = false): RunResult =
+               histogramMatching: Boolean = false,
+               horizon: Option[java.time.LocalDate] = None): RunResult =
     runImpl(spark, collection, mask, sceneDir, outDir, Right(tilePattern),
       start, end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
-      quicklookRange, efficacyPriority, referenceDay, histogramMatching)
+      quicklookRange, efficacyPriority, referenceDay, histogramMatching,
+      horizon)
 
   /** `tileSpec`: Left(tileId) assigns every scanned file to one tile;
     * Right(pattern) extracts each file's tile from its name.
@@ -117,7 +127,8 @@ object CubeRun {
           quicklookRange: Option[(Double, Double)],
           efficacyPriority: Boolean,
           referenceDay: Option[Int],
-          histogramMatching: Boolean): RunResult = {
+          histogramMatching: Boolean,
+          horizon: Option[java.time.LocalDate] = None): RunResult = {
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
     // (keys + date) only rides SUBSET-key co-partitioning when the
@@ -139,7 +150,16 @@ object CubeRun {
     import spark.implicits._
     {
 
-    val periods = CubeBuilder.periodTable(spark, collection, start, end)
+    // with a horizon (streaming ingestion), only CLOSED periods are
+    // expected: p_end <= horizon means no scene for the period can
+    // still arrive (scene dates never exceed the data horizon), so
+    // compositing it now is final — open periods stay out of the
+    // expected set and become pending in the batch whose horizon
+    // closes them
+    val periods = horizon.foldLeft(
+      CubeBuilder.periodTable(spark, collection, start, end)) { (p, h) =>
+        p.filter($"p_end" <= lit(java.sql.Date.valueOf(h)))
+      }
     // ledger, items and quarantine live as POINTER-VERSIONED parquet
     // (Ledger.commitVersion): the `_current` pointer only ever names a
     // fully-written snapshot, so a crash anywhere in publication leaves

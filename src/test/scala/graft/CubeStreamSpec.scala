@@ -1,0 +1,143 @@
+package graft
+
+import graft.catalog.Ledger
+import graft.cube.{CubeRun, CubeStream}
+import graft.model.{Band, Collection, MaskDef}
+import graft.sources.GeoTiff
+import org.apache.spark.sql.streaming.Trigger
+
+/** Always-on ingestion: the file stream drives horizon-bounded
+  * idempotent CubeRun backfills as scenes land over time.
+  */
+class CubeStreamSpec extends SparkSpec {
+
+  private val nodata = -9999
+  private val coll = Collection(
+    name = "stream", version = 1, grid = "G", compositeFunction = "LCF",
+    temporalSchema = "Continuous", temporalUnit = "day", temporalStep = 16,
+    bands = Seq(
+      Band("B04", "red", "int16", nodata),
+      Band("B8A", "nir", "int16", nodata),
+      Band("QA", "quality", "uint8", 255)),
+    qualityBand = "QA")
+  private val mask = MaskDef(clearData = Seq(0L, 1L),
+    notClearData = Seq(2L, 3L, 4L), nodata = 255L)
+
+  private def sceneBytes(band: String, seed: Int): Array[Byte] = {
+    val w = 32; val h = 32
+    val isQa = band == "QA"
+    val px = Array.tabulate(w * h)(i =>
+      if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+    GeoTiff.write(px, w, h, tileSize = 32, originX = 0, originY = 320,
+      scaleX = 10, scaleY = 10, nodata = if (isQa) 255 else nodata)
+  }
+
+  test("scenes landing over time build exactly the CLOSED periods, " +
+       "idempotently, through the streaming ingest") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("ingest_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("ingest_out").toString
+    def drop(date: String, seed: Int, bands: Seq[String] = Seq("B04", "B8A", "QA")): Unit =
+      for (band <- bands)
+        java.nio.file.Files.write(
+          sceneDir.resolve(s"S_T9_${date}_$band.tif"), sceneBytes(band, seed))
+    // one AvailableNow pass = "the ingest caught up with the directory"
+    def pass(): Unit = {
+      val q = CubeStream.ingest(spark, coll, mask, sceneDir.toString, outDir,
+        "t9", java.time.LocalDate.of(2020, 1, 1),
+        java.time.LocalDate.of(2020, 1, 31),
+        trigger = Trigger.AvailableNow(), blockSize = 32)
+      q.awaitTermination()
+    }
+    def items(): Long =
+      Ledger.readCurrent(spark, s"$outDir/items").map(_.count()).getOrElse(0L)
+    def success(): Long =
+      Ledger.readCurrent(spark, s"$outDir/ledger")
+        .map(_.filter(org.apache.spark.sql.functions.col("status") ===
+          Ledger.StatusSuccess).count()).getOrElse(0L)
+
+    // batch 1: scenes for period 1 (Jan 1-16) only. The horizon is
+    // Jan 5 — period 1 is still OPEN (more scenes may come), so the
+    // ingest must build NOTHING yet: compositing now would ledger the
+    // period done with a partial scene set.
+    drop("20200105", 1)
+    pass()
+    assert(items() == 0L,
+      "an open period must not composite from a partial scene set")
+
+    // batch 2: a Jan 20 scene closes period 1 (p_end Jan 16 <= Jan 20).
+    // Period 1 builds from its full scene set; period 2 (Jan 17-Feb 1)
+    // is now the open one and stays out.
+    drop("20200120", 2)
+    pass()
+    assert(items() == 1L, "the closed period publishes exactly one item")
+    assert(success() == 3L, "3 band units ledger SUCCESS for period 1")
+
+    // batch 3: a Feb 2 scene closes period 2. It builds from the
+    // Jan 20 scenes (Feb 2 is outside the period window) — the Feb
+    // scene only advances the horizon here (its own period is outside
+    // the requested range).
+    drop("20200202", 3)
+    pass()
+    assert(items() == 2L)
+    assert(success() == 6L)
+    val blocks = spark.read.parquet(s"$outDir/blocks")
+    assert(blocks.count() == 4L, "2 periods x 2 spectral bands x 1 block")
+
+    // a pass with NO new files runs no batch and changes nothing
+    pass()
+    assert(items() == 2L && success() == 6L)
+
+    // and the ingested cube is exactly what a one-shot batch run
+    // produces: a manual run over the same range plans ZERO units
+    val manual = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir,
+      "t9", java.time.LocalDate.of(2020, 1, 1),
+      java.time.LocalDate.of(2020, 1, 31), blockSize = 32)
+    assert(manual.planned == 0L,
+      "the streaming ingest must converge to the batch-run fixpoint")
+  }
+
+  test("lateness slack delays readiness: a period closes only once the " +
+       "horizon clears p_end + latenessDays") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("late_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("late_out").toString
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200105_$band.tif"), sceneBytes(band, 1))
+    // horizon Jan 20 with 7 days lateness = effective Jan 13 < p_end
+    // Jan 16: period 1 must WAIT for stragglers
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200120_$band.tif"), sceneBytes(band, 2))
+    def pass(lateness: Int): Unit = {
+      val q = CubeStream.ingest(spark, coll, mask, sceneDir.toString, outDir,
+        "t9", java.time.LocalDate.of(2020, 1, 1),
+        java.time.LocalDate.of(2020, 1, 31),
+        trigger = Trigger.AvailableNow(), blockSize = 32,
+        latenessDays = lateness)
+      q.awaitTermination()
+    }
+    pass(lateness = 7)
+    assert(Ledger.readCurrent(spark, s"$outDir/items").isEmpty,
+      "inside the lateness window the period must not close")
+    // a late straggler lands INSIDE period 1 — precisely what the
+    // slack exists to admit — then a new scene advances the horizon
+    // past the slack and the period builds with the straggler included
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200114_$band.tif"), sceneBytes(band, 9))
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200124_$band.tif"), sceneBytes(band, 3))
+    pass(lateness = 7)
+    // horizon Jan 24 - 7 = Jan 17 >= p_end Jan 16: period 1 closes;
+    // LCF's later-date priority makes the Jan 14 straggler the winner
+    val items = Ledger.readCurrent(spark, s"$outDir/items").get
+    assert(items.count() == 1L)
+    import org.apache.spark.sql.functions._
+    val b04 = spark.read.parquet(s"$outDir/blocks")
+      .filter(col("band") === "B04")
+      .select(element_at(col("value"), 1)).collect().map(_.getInt(0)).toSeq
+    assert(b04 == Seq(100 + (9 * 13) % 900),
+      s"the admitted straggler (seed 9, latest in-period date) must win LCF: $b04")
+  }
+}

@@ -96,6 +96,48 @@ class CubeStreamSpec extends SparkSpec {
       "the streaming ingest must converge to the batch-run fixpoint")
   }
 
+  test("ingestTiles: a new tile landing mid-stream backfills alone, " +
+       "existing tiles untouched") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("ingt_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("ingt_out").toString
+    def drop(tile: String, date: String, seed: Int): Unit =
+      for (band <- Seq("B04", "B8A", "QA"))
+        java.nio.file.Files.write(
+          sceneDir.resolve(s"S_${tile}_${date}_$band.tif"),
+          sceneBytes(band, seed))
+    def pass(): Unit = {
+      val q = CubeStream.ingestTiles(spark, coll, mask, sceneDir.toString,
+        outDir, java.time.LocalDate.of(2020, 1, 1),
+        java.time.LocalDate.of(2020, 1, 31),
+        trigger = Trigger.AvailableNow(), blockSize = 32)
+      q.awaitTermination()
+    }
+    // tile TA: period-1 scene + a Jan 20 scene closing period 1
+    drop("TA", "20200105", 1); drop("TA", "20200120", 2)
+    pass()
+    val items1 = Ledger.readCurrent(spark, s"$outDir/items").get
+    import org.apache.spark.sql.functions._
+    assert(items1.count() == 1L)
+    // tile TB lands later with a period-1 scene: only TB's units plan
+    // (TA is SUCCESS-ledgered), and TB's period 1 builds in this batch
+    // because the horizon is already past its end
+    drop("TB", "20200106", 5)
+    pass()
+    val items2 = Ledger.readCurrent(spark, s"$outDir/items").get
+    assert(items2.count() == 2L, "the new tile must backfill alone")
+    val tiles = items2.select(col("tileId")).collect()
+      .map(_.getString(0)).toSet
+    assert(tiles == Set("TA", "TB"))
+    // TA's published blocks are byte-identical across the two passes —
+    // the TB backfill never rewrote TA's partitions
+    val taSum = spark.read.parquet(s"$outDir/blocks")
+      .filter(col("tileId") === "TA" && col("band") === "B04")
+      .select(graft.functions.PixelExpressions.arraySumLong(col("value")))
+      .collect().map(_.getLong(0)).sum
+    val expectTa = (0 until 1024).map(i => 100L + (i * 7 + 13) % 900).sum
+    assert(taSum == expectTa, s"TA composite changed: $taSum != $expectTa")
+  }
+
   test("lateness slack delays readiness: a period closes only once the " +
        "horizon clears p_end + latenessDays") {
     val sceneDir = java.nio.file.Files.createTempDirectory("late_scenes")

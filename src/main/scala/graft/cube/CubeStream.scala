@@ -59,12 +59,19 @@ object CubeStream {
              blockBuckets: Int = 32,
              latenessDays: Int = 0,
              glob: String = "*.tif*",
-             datePattern: String = "(20[0-9]{6})"): StreamingQuery =
+             datePattern: String = "(20[0-9]{6})",
+             publishCogs: Boolean = false,
+             quicklookRange: Option[(Double, Double)] = None,
+             efficacyPriority: Boolean = false,
+             referenceDay: Option[Int] = None,
+             histogramMatching: Boolean = false): StreamingQuery =
     start0(spark, sceneDir, outDir, trigger, glob, datePattern,
       latenessDays) { h =>
       CubeRun.run(spark, collection, mask, sceneDir, outDir, tileId,
         start, end, blockSize = blockSize, blockBuckets = blockBuckets,
-        horizon = Some(h)): Unit
+        publishCogs = publishCogs, quicklookRange = quicklookRange,
+        efficacyPriority = efficacyPriority, referenceDay = referenceDay,
+        histogramMatching = histogramMatching, horizon = Some(h)): Unit
     }
 
   /** Watch `sceneDir` and keep the multi-tile cube at `outDir` current;
@@ -85,12 +92,20 @@ object CubeStream {
                   blockBuckets: Int = 32,
                   latenessDays: Int = 0,
                   glob: String = "*.tif*",
-                  datePattern: String = "(20[0-9]{6})"): StreamingQuery =
+                  datePattern: String = "(20[0-9]{6})",
+                  publishCogs: Boolean = false,
+                  quicklookRange: Option[(Double, Double)] = None,
+                  efficacyPriority: Boolean = false,
+                  referenceDay: Option[Int] = None,
+                  histogramMatching: Boolean = false): StreamingQuery =
     start0(spark, sceneDir, outDir, trigger, glob, datePattern,
       latenessDays) { h =>
       CubeRun.runTiles(spark, collection, mask, sceneDir, outDir,
         start, end, tilePattern = tilePattern, blockSize = blockSize,
-        blockBuckets = blockBuckets, horizon = Some(h)): Unit
+        blockBuckets = blockBuckets, publishCogs = publishCogs,
+        quicklookRange = quicklookRange,
+        efficacyPriority = efficacyPriority, referenceDay = referenceDay,
+        histogramMatching = histogramMatching, horizon = Some(h)): Unit
     }
 
   private def start0(spark: SparkSession, sceneDir: String, outDir: String,

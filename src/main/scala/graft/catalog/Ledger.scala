@@ -201,16 +201,20 @@ object Ledger {
       hadoopDelete(spark, p.toString)
       Files.deleteIfExists(Paths.get(dir, s".claim_${p.getFileName}")): Unit
     }
-    legacy.foreach(p => hadoopDelete(spark, p.toString))
+    // legacy files get the SAME one-commit grace as superseded versions:
+    // on the migration commit itself (no prior version dir) a reader may
+    // still hold a lazy DataFrame over the flat files — readCurrent
+    // prefers the pointer from now on, so they are inert leftovers until
+    // the NEXT commit sweeps them
+    if (versions.exists(_.getFileName.toString != next))
+      legacy.foreach(p => hadoopDelete(spark, p.toString))
   }
 
-  /** Recursive delete through the Hadoop FileSystem (not java.io.File,
-    * which silently no-ops on non-local filesystems).
+  /** Recursive delete through the Hadoop FileSystem — see
+    * [[graft.core.Fs.deleteRecursive]].
     */
-  private[graft] def hadoopDelete(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
-  }
+  private[graft] def hadoopDelete(spark: SparkSession, path: String): Unit =
+    graft.core.Fs.deleteRecursive(spark, path)
 
   /** The ledger version the `_current` pointer names, if any. */
   def currentVersion(dir: String): Option[String] = {

@@ -65,16 +65,24 @@ object CubeRun {
             * `histogram_matching` parameter; implies [[efficacyPriority]]) */
           histogramMatching: Boolean = false,
           /** Event-time watermark for ALWAYS-ON ingestion
-            * ([[CubeStream]]): only periods with `p_end <= horizon`
-            * are expected, so an open period — one scenes can still
-            * arrive for — is never composited early or ledgered
-            * SUCCESS with a partial scene set. None (batch builds):
-            * every period in [start, end] is expected. */
-          horizon: Option[java.time.LocalDate] = None): RunResult =
+            * ([[CubeStream]]): only periods with `p_end < horizon`
+            * are expected (STRICT — a scene dated exactly `p_end` may
+            * still be mid-arrival when its first file lands), so an
+            * open period — one scenes can still arrive for — is never
+            * composited early or ledgered SUCCESS with a partial scene
+            * set. None (batch builds): every period in [start, end] is
+            * expected. */
+          horizon: Option[java.time.LocalDate] = None,
+          /** scene-scan filename conventions, forwarded to
+            * [[RasterIO.scanDirectory]] (drivers differ; defaults
+            * match the reference's band/date naming) */
+          glob: String = "*.tif*",
+          bandPattern: String = RasterIO.DefaultBandPattern,
+          datePattern: String = RasterIO.DefaultDatePattern): RunResult =
     runImpl(spark, collection, mask, sceneDir, outDir, Left(tileId), start,
       end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
       quicklookRange, efficacyPriority, referenceDay, histogramMatching,
-      horizon)
+      horizon, glob, bandPattern, datePattern)
 
   /** Multi-tile orchestration (the reference Maestro dispatches one unit
     * per (tile, period); here ONE declarative chain carries every tile —
@@ -102,11 +110,14 @@ object CubeRun {
                efficacyPriority: Boolean = false,
                referenceDay: Option[Int] = None,
                histogramMatching: Boolean = false,
-               horizon: Option[java.time.LocalDate] = None): RunResult =
+               horizon: Option[java.time.LocalDate] = None,
+               glob: String = "*.tif*",
+               bandPattern: String = RasterIO.DefaultBandPattern,
+               datePattern: String = RasterIO.DefaultDatePattern): RunResult =
     runImpl(spark, collection, mask, sceneDir, outDir, Right(tilePattern),
       start, end, force, blockSize, blockBuckets, keepBucketed, publishCogs,
       quicklookRange, efficacyPriority, referenceDay, histogramMatching,
-      horizon)
+      horizon, glob, bandPattern, datePattern)
 
   /** `tileSpec`: Left(tileId) assigns every scanned file to one tile;
     * Right(pattern) extracts each file's tile from its name.
@@ -128,7 +139,10 @@ object CubeRun {
           efficacyPriority: Boolean,
           referenceDay: Option[Int],
           histogramMatching: Boolean,
-          horizon: Option[java.time.LocalDate] = None): RunResult = {
+          horizon: Option[java.time.LocalDate] = None,
+          glob: String = "*.tif*",
+          bandPattern: String = RasterIO.DefaultBandPattern,
+          datePattern: String = RasterIO.DefaultDatePattern): RunResult = {
     // The bucketed (tileId, blockY, blockX) layout carries every
     // downstream stage shuffle-free — but the spectral↔quality join
     // (keys + date) only rides SUBSET-key co-partitioning when the
@@ -151,14 +165,17 @@ object CubeRun {
     {
 
     // with a horizon (streaming ingestion), only CLOSED periods are
-    // expected: p_end <= horizon means no scene for the period can
-    // still arrive (scene dates never exceed the data horizon), so
-    // compositing it now is final — open periods stay out of the
-    // expected set and become pending in the batch whose horizon
-    // closes them
+    // expected: p_end < horizon (STRICT) means a scene STRICTLY newer
+    // than the period's last day exists, so no scene for the period
+    // can still arrive — a scene dated exactly p_end could be
+    // mid-arrival (its band files land one by one) at the moment its
+    // first file advances the horizon to p_end, and <= would close
+    // the period against that partial set. Open periods stay out of
+    // the expected set and become pending in the batch whose horizon
+    // clears them.
     val periods = horizon.foldLeft(
       CubeBuilder.periodTable(spark, collection, start, end)) { (p, h) =>
-        p.filter($"p_end" <= lit(java.sql.Date.valueOf(h)))
+        p.filter($"p_end" < lit(java.sql.Date.valueOf(h)))
       }
     // ledger, items and quarantine live as POINTER-VERSIONED parquet
     // (Ledger.commitVersion): the `_current` pointer only ever names a
@@ -175,7 +192,8 @@ object CubeRun {
     // TTL by default, so a re-run after new scenes landed would
     // otherwise plan against the STALE listing and silently skip them.
     spark.catalog.refreshByPath(sceneDir)
-    val scannedAll = RasterIO.scanDirectory(spark, sceneDir)
+    val scannedAll = RasterIO.scanDirectory(spark, sceneDir,
+      bandPattern = bandPattern, datePattern = datePattern, glob = glob)
     val scannedTiled = tileSpec match {
       case Left(t) => scannedAll.withColumn("tile", lit(t))
       case Right(p) =>
@@ -204,7 +222,14 @@ object CubeRun {
     val plannedCount = pending.count()
     val pendingPeriods = pending.select($"p_start", $"p_end").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
-    if (pendingPeriods.isEmpty) return RunResult(0, 0, 0)
+    if (pendingPeriods.isEmpty) {
+      // release the cache entry before the no-op return: under the
+      // always-on ingest this path runs on every batch that arrives
+      // while no period has closed, and a leaked entry per batch is
+      // unbounded cache growth over a stream's lifetime
+      pending.unpersist()
+      return RunResult(0, 0, 0)
+    }
 
     // stage 1-2: scan → decode → merge → composite, restricted to pending.
     // The decoded chunked-raster table persists BUCKETED on (tileId,

@@ -16,7 +16,9 @@ import graft.model.{Collection, MaskDef}
   * Period readiness is EVENT-TIME, not arrival-time: each batch
   * re-derives the data horizon (the newest scene date in the
   * directory — no extra state to persist), and a period is
-  * composited only once `p_end <= horizon - latenessDays`. An open
+  * composited only once `p_end < horizon - latenessDays` (STRICT: a
+  * scene dated exactly p_end may still be mid-arrival, band file by
+  * band file, when its first file advances the horizon). An open
   * period — one scenes can still arrive for — is never composited
   * early or marked done with a partial scene set; it becomes pending
   * in the batch whose horizon closes it. Scenes arriving later than
@@ -58,20 +60,23 @@ object CubeStream {
              blockSize: Int = 512,
              blockBuckets: Int = 32,
              latenessDays: Int = 0,
-             glob: String = "*.tif*",
-             datePattern: String = "(20[0-9]{6})",
+             glob: String = graft.sources.RasterIO.DefaultGlob,
+             bandPattern: String = graft.sources.RasterIO.DefaultBandPattern,
+             datePattern: String = graft.sources.RasterIO.DefaultDatePattern,
              publishCogs: Boolean = false,
              quicklookRange: Option[(Double, Double)] = None,
              efficacyPriority: Boolean = false,
              referenceDay: Option[Int] = None,
              histogramMatching: Boolean = false): StreamingQuery =
-    start0(spark, sceneDir, outDir, trigger, glob, datePattern,
-      latenessDays) { h =>
+    start0(spark, sceneDir, outDir, trigger, glob, bandPattern,
+      datePattern, latenessDays) { h =>
       CubeRun.run(spark, collection, mask, sceneDir, outDir, tileId,
         start, end, blockSize = blockSize, blockBuckets = blockBuckets,
         publishCogs = publishCogs, quicklookRange = quicklookRange,
         efficacyPriority = efficacyPriority, referenceDay = referenceDay,
-        histogramMatching = histogramMatching, horizon = Some(h)): Unit
+        histogramMatching = histogramMatching, horizon = Some(h),
+        glob = glob, bandPattern = bandPattern,
+        datePattern = datePattern): Unit
     }
 
   /** Watch `sceneDir` and keep the multi-tile cube at `outDir` current;
@@ -91,26 +96,29 @@ object CubeStream {
                   blockSize: Int = 512,
                   blockBuckets: Int = 32,
                   latenessDays: Int = 0,
-                  glob: String = "*.tif*",
-                  datePattern: String = "(20[0-9]{6})",
+                  glob: String = graft.sources.RasterIO.DefaultGlob,
+                  bandPattern: String = graft.sources.RasterIO.DefaultBandPattern,
+                  datePattern: String = graft.sources.RasterIO.DefaultDatePattern,
                   publishCogs: Boolean = false,
                   quicklookRange: Option[(Double, Double)] = None,
                   efficacyPriority: Boolean = false,
                   referenceDay: Option[Int] = None,
                   histogramMatching: Boolean = false): StreamingQuery =
-    start0(spark, sceneDir, outDir, trigger, glob, datePattern,
-      latenessDays) { h =>
+    start0(spark, sceneDir, outDir, trigger, glob, bandPattern,
+      datePattern, latenessDays) { h =>
       CubeRun.runTiles(spark, collection, mask, sceneDir, outDir,
         start, end, tilePattern = tilePattern, blockSize = blockSize,
         blockBuckets = blockBuckets, publishCogs = publishCogs,
         quicklookRange = quicklookRange,
         efficacyPriority = efficacyPriority, referenceDay = referenceDay,
-        histogramMatching = histogramMatching, horizon = Some(h)): Unit
+        histogramMatching = histogramMatching, horizon = Some(h),
+        glob = glob, bandPattern = bandPattern,
+        datePattern = datePattern): Unit
     }
 
   private def start0(spark: SparkSession, sceneDir: String, outDir: String,
-                     trigger: Trigger, glob: String, datePattern: String,
-                     latenessDays: Int)
+                     trigger: Trigger, glob: String, bandPattern: String,
+                     datePattern: String, latenessDays: Int)
                     (runTo: java.time.LocalDate => Unit): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob)
@@ -133,18 +141,23 @@ object CubeStream {
       .writeStream
       .option("checkpointLocation", s"$outDir/_ingest_ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // the horizon comes from the DIRECTORY (same filename parse as
-        // the run's scan), not just this batch: a replayed batch then
-        // re-runs with the up-to-date horizon, and an undated stray
-        // file can trigger a run but never regress readiness
-        val maxDate = batch.sparkSession.read.format("binaryFile")
-          .option("pathGlobFilter", glob).load(sceneDir)
-          .select(try_to_date(
-            regexp_extract(element_at(split(col("path"), "/"), -1),
-              datePattern, 1), "yyyyMMdd").as("d"))
-          .agg(max(col("d"))).collect().head
-        if (!batch.isEmpty && !maxDate.isNullAt(0))
-          runTo(maxDate.getDate(0).toLocalDate.minusDays(latenessDays.toLong))
+        // the horizon comes from the DIRECTORY via the SAME scan the
+        // run will perform (scanDirectory with identical glob + band +
+        // date patterns — a dated file the run would never treat as a
+        // scene, e.g. a preview sidecar, must not advance readiness),
+        // not from this batch alone: a replayed batch then re-runs
+        // with the up-to-date horizon. Guard first — an empty batch
+        // (catch-up pass, idle trigger) must not pay the listing job.
+        if (!batch.isEmpty) {
+          val maxDate = graft.sources.RasterIO
+            .scanDirectory(batch.sparkSession, sceneDir,
+              bandPattern = bandPattern, datePattern = datePattern,
+              glob = glob)
+            .agg(max(col("date"))).collect().head
+          if (!maxDate.isNullAt(0))
+            runTo(maxDate.getDate(0).toLocalDate
+              .minusDays(latenessDays.toLong))
+        }
       }
       .trigger(trigger)
       .start()

@@ -120,8 +120,7 @@ object Scale {
     // cluster deployments this layout targets), and a local-File
     // recursion would silently no-op there — leaking a full decoded
     // data copy per run
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+    graft.core.Fs.deleteRecursive(spark, path)
   }
 
   /** Number of shuffle exchanges in `df`'s physical plan — the levers in

@@ -24,10 +24,18 @@ object RasterIO {
     * names like `S2A_..._20200105_B04.tif` via configurable regexes.
     * Metadata-only: reads paths, not contents.
     */
+  /** Default filename conventions, shared with [[graft.cube.CubeRun]] /
+    * [[graft.cube.CubeStream]] so the horizon parse, the stream's file
+    * filter and the run's scan can never disagree on what is a scene.
+    */
+  val DefaultBandPattern = "_(B[0-9A-Z]+|QA|SCL)\\.tiff?$"
+  val DefaultDatePattern = "(20[0-9]{6})"
+  val DefaultGlob = "*.tif*"
+
   def scanDirectory(spark: SparkSession, dir: String,
-                    bandPattern: String = "_(B[0-9A-Z]+|QA|SCL)\\.tiff?$",
-                    datePattern: String = "(20[0-9]{6})",
-                    glob: String = "*.tif*"): DataFrame = {
+                    bandPattern: String = DefaultBandPattern,
+                    datePattern: String = DefaultDatePattern,
+                    glob: String = DefaultGlob): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)

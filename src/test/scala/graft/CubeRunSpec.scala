@@ -131,12 +131,16 @@ class CubeRunSpec extends SparkSpec {
       s"legacy ledger must resume, not re-plan; planned ${resumed.planned}")
     assert(Ledger.readCurrent(spark, s"$outDir/items").get.count() == 2,
       "legacy items catalog must be readable")
-    // … and a FORCED run migrates both dirs: pointer-versioned content
-    // only, no orphaned legacy part-files
+    // … and FORCED runs migrate both dirs: the first commit flips the
+    // pointer (legacy files keep a one-commit reader grace), the next
+    // sweeps them — pointer-versioned content only, no orphans
     val forced = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir,
       "t9", java.time.LocalDate.of(2020, 1, 1),
       java.time.LocalDate.of(2020, 1, 31), force = true, blockSize = 32)
     assert(forced.planned == 6 && forced.items == 2 && forced.blocks == 4)
+    CubeRun.run(spark, coll, mask, sceneDir.toString, outDir,
+      "t9", java.time.LocalDate.of(2020, 1, 1),
+      java.time.LocalDate.of(2020, 1, 31), force = true, blockSize = 32): Unit
     for (sub <- Seq("ledger", "items")) {
       assert(Ledger.currentVersion(s"$outDir/$sub").isDefined)
       val ls = java.nio.file.Files.list(java.nio.file.Paths.get(outDir, sub))

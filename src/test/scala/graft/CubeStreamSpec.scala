@@ -58,11 +58,17 @@ class CubeStreamSpec extends SparkSpec {
     // batch 1: scenes for period 1 (Jan 1-16) only. The horizon is
     // Jan 5 — period 1 is still OPEN (more scenes may come), so the
     // ingest must build NOTHING yet: compositing now would ledger the
-    // period done with a partial scene set.
+    // period done with a partial scene set. A far-future-DATED file
+    // that is NOT a scene (glob-matched but no band suffix — a preview
+    // sidecar) must not advance the horizon: readiness follows the
+    // run's own scan, not every file in the directory.
     drop("20200105", 1)
+    java.nio.file.Files.write(sceneDir.resolve("S_T9_20300101_preview.tif"),
+      Array[Byte](1, 2, 3))
     pass()
     assert(items() == 0L,
-      "an open period must not composite from a partial scene set")
+      "an open period must not composite from a partial scene set " +
+        "(nor close off a dated non-scene sidecar)")
 
     // batch 2: a Jan 20 scene closes period 1 (p_end Jan 16 <= Jan 20).
     // Period 1 builds from its full scene set; period 2 (Jan 17-Feb 1)

@@ -162,14 +162,25 @@ class WarpLedgerSpec extends SparkSpec {
         lit("q").as("p_end"), lit("B").as("band"), lit("S").as("status")),
       Seq(("c", "t", "p", "q", "B", "S"))
         .toDF("cube", "tile_id", "p_start", "p_end", "band", "status"))
+    // the legacy read's plan may still be in flight elsewhere, so the
+    // migration commit leaves the flat files in place (the same
+    // one-commit grace superseded versions get) …
+    val inFlight = legacy.get
     Ledger.commitVersion(spark, dir, migrated)
     assert(Ledger.currentVersion(dir).contains("v0"))
-    assert(Ledger.readCurrent(spark, dir).get.count() == 3)
+    assert(Ledger.readCurrent(spark, dir).get.count() == 3,
+      "readCurrent must prefer the pointer over retained legacy files")
+    assert(inFlight.count() == 2,
+      "a reader over the legacy files must survive the migration commit")
+    // … and the NEXT commit sweeps them
+    Ledger.commitVersion(spark, dir,
+      Ledger.readCurrent(spark, dir).get)
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     val names = try s.toArray.map(_.toString.split("/").last).toSet
       finally s.close()
     assert(!names.exists(n => n.startsWith("part-") || n == "_SUCCESS" ||
       n.endsWith(".crc")), s"legacy files must be swept: $names")
+    assert(Ledger.readCurrent(spark, dir).get.count() == 3)
   }
 
   test("histogram matching: identical distributions map to identity") {

@@ -144,6 +144,36 @@ class CubeStreamSpec extends SparkSpec {
     assert(taSum == expectTa, s"TA composite changed: $taSum != $expectTa")
   }
 
+  test("publishCogs through the stream: each closed period commits its " +
+       "full COG band set") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("ingc_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("ingc_out").toString
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200105_$band.tif"), sceneBytes(band, 1))
+    for (band <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.write(
+        sceneDir.resolve(s"S_T9_20200120_$band.tif"), sceneBytes(band, 2))
+    val q = CubeStream.ingest(spark, coll, mask, sceneDir.toString, outDir,
+      "t9", java.time.LocalDate.of(2020, 1, 1),
+      java.time.LocalDate.of(2020, 1, 31),
+      trigger = Trigger.AvailableNow(), blockSize = 32, publishCogs = true)
+    q.awaitTermination()
+    // horizon Jan 20 closes period 1 only; its item commits to data/
+    // with both spectral COGs (atomic per-item publication)
+    val dataDir = java.nio.file.Paths.get(outDir, "data")
+    assert(java.nio.file.Files.isDirectory(dataDir), "data/ must exist")
+    val walk = java.nio.file.Files.walk(dataDir)
+    val tifs = try walk.toArray.map(_.toString).filter(_.endsWith(".tif"))
+      .map(_.split("/").last).toSet
+      finally walk.close()
+    assert(tifs.count(_.contains("2020-01-01")) == 2 &&
+      tifs.exists(n => n.contains("B04")) && tifs.exists(_.contains("B8A")),
+      s"exactly the closed period's full spectral band set publishes: $tifs")
+    assert(!tifs.exists(_.contains("2020-01-17")),
+      s"the open period must not publish COGs: $tifs")
+  }
+
   test("lateness slack delays readiness: a period closes only once the " +
        "horizon clears p_end + latenessDays") {
     val sceneDir = java.nio.file.Files.createTempDirectory("late_scenes")

@@ -100,6 +100,17 @@ class CubeStreamSpec extends SparkSpec {
       java.time.LocalDate.of(2020, 1, 31), blockSize = 32)
     assert(manual.planned == 0L,
       "the streaming ingest must converge to the batch-run fixpoint")
+
+    // replay safety: a replayed batch carries an OLDER horizon, which
+    // only shrinks the expected set — it must plan nothing and touch
+    // nothing (the doc's idempotence claim, pinned)
+    val replayed = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir,
+      "t9", java.time.LocalDate.of(2020, 1, 1),
+      java.time.LocalDate.of(2020, 1, 31), blockSize = 32,
+      horizon = Some(java.time.LocalDate.of(2020, 1, 10)))
+    assert(replayed.planned == 0L,
+      "an older-horizon replay must be a no-op")
+    assert(items() == 2L && success() == 6L)
   }
 
   test("ingestTiles: a new tile landing mid-stream backfills alone, " +

@@ -185,6 +185,51 @@ class CubeStreamSpec extends SparkSpec {
       s"the open period must not publish COGs: $tifs")
   }
 
+  test("soak: an incremental batch decodes only the NEW period's " +
+       "scenes — batch cost tracks arrival rate, not archive size") {
+    // 8 periods of history already ledgered SUCCESS; one new scene
+    // closes one more period. The backfill's decode (the dominant
+    // cost) must touch the new window only — the pending-window prune
+    // keeps the other 24 archived scenes out at filename-metadata
+    // cost. This is the always-on deployment's steady state: work per
+    // batch ∝ new data, not ∝ archive.
+    val sceneDir = java.nio.file.Files.createTempDirectory("incr_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("incr_out").toString
+    // periods start Jan 1 + 16k days; scene on day 2 of each period
+    def sceneDate(k: Int): String =
+      java.time.LocalDate.of(2020, 1, 2).plusDays(16L * k)
+        .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    def drop(k: Int): Unit =
+      for (band <- Seq("B04", "B8A", "QA"))
+        java.nio.file.Files.write(
+          sceneDir.resolve(s"S_T9_${sceneDate(k)}_$band.tif"),
+          sceneBytes(band, k + 1))
+    (0 until 8).foreach(drop)
+    val start = java.time.LocalDate.of(2020, 1, 1)
+    val end = java.time.LocalDate.of(2020, 12, 31)
+    def run(h: java.time.LocalDate): CubeRun.RunResult =
+      CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+        start, end, blockSize = 32, keepBucketed = true, horizon = Some(h))
+    // build the 8-period history (horizon = day after scene 7's period)
+    val r0 = run(start.plusDays(16L * 8))
+    assert(r0.planned == 8 * 3 && r0.items == 8)
+    // the NEW scene arrives, closing period 9
+    drop(8)
+    val r1 = run(start.plusDays(16L * 9))
+    assert(r1.planned == 3 && r1.items == 9)
+    // the incremental run decoded ONLY the new scene: the persisted
+    // bucketed block table (overwritten per run) holds exactly the new
+    // period's 3 band blocks, not the 27-file archive's
+    val decoded = spark.read.parquet(s"$outDir/bucketed_blocks")
+    assert(decoded.count() == 3L,
+      s"incremental decode must be the new scene only, got ${decoded.count()}")
+    import org.apache.spark.sql.functions._
+    val dates = decoded.select(col("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(dates == Set(java.time.LocalDate.of(2020, 1, 2)
+      .plusDays(16L * 8).toString), s"wrong window decoded: $dates")
+  }
+
   test("lateness slack delays readiness: a period closes only once the " +
        "horizon clears p_end + latenessDays") {
     val sceneDir = java.nio.file.Files.createTempDirectory("late_scenes")

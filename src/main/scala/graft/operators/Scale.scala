@@ -145,6 +145,26 @@ object Scale {
     n
   }
 
+  /** Fan a CPU-dense derivation out across the cluster when the scan
+    * behind it is byte-small: Spark sizes scan splits by BYTES
+    * (`files.maxPartitionBytes`), so a few-MB input planned under a
+    * per-row-expensive pipeline (shingle explode × 8 hashes, media
+    * codec round-trips, char-bigram explodes) serializes the whole
+    * derivation onto one or two tasks while 30 cores idle. Repartitions
+    * round-robin to `target` ONLY when the scan has fewer partitions —
+    * at 100 TB the scan already carries thousands of splits and this is
+    * a NO-OP (no shuffle added on the big-data path); at the small end
+    * the narrow pre-inflation rows (the shuffle moves the doc text, not
+    * the exploded shingles) buy full-width parallelism for the expensive
+    * part. Row-order-neutral for every caller: the derivations feed
+    * aggregates/joins, never order-sensitive windows over the raw scan.
+    */
+  def fanOutScan(df: DataFrame, target: Int = 0): DataFrame = {
+    val want =
+      if (target > 0) target else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Join two big frames on `key` with the big side salted into `salts`
     * sub-keys and the smaller side replicated across them. The salt is
     * derived per-row (not from the key), so a single hot key spreads

@@ -335,7 +335,10 @@ object Analytics {
     */
   def langidNgram(docs0: DataFrame): DataFrame = {
     import docs0.sparkSession.implicits._
-    val docs = docs0.filter(length($"text") >= 2)
+    // fanOutScan: the char-bigram explode multiplies rows by text length
+    // before the first shuffle — parallelize the byte-small scan first
+    val docs = graft.operators.Scale.fanOutScan(docs0)
+      .filter(length($"text") >= 2)
       .select($"doc_id", $"lang",
         explode(expr(
           "transform(sequence(1, length(text) - 1)," +

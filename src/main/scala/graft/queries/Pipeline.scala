@@ -39,7 +39,8 @@ object Pipeline {
     */
   private def simhashFp(s: SparkSession, d: String, bits: Int): DataFrame = {
     import s.implicits._
-    val w = documents(s, d).filter(length(trim($"text")) > 0)
+    val w = graft.operators.Scale.fanOutScan(documents(s, d))
+      .filter(length(trim($"text")) > 0)
       .select($"doc_id", explode(words($"text")).as("word"))
       .filter($"word" =!= "")
       .select($"doc_id", md5($"word".cast("binary")).as("h"))
@@ -716,7 +717,10 @@ object Pipeline {
   private[graft] def bigramShingles(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select($"doc_id", words($"text").as("w"))
+    // fanOutScan: the explode + 8 salted hashes downstream are CPU-bound
+    // per row — spread a byte-small scan across the cores (no-op at scale)
+    graft.operators.Scale.fanOutScan(docs)
+      .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 2)
       .select($"doc_id",
         explode(transform(sequence(lit(1), size($"w") - 1),
@@ -2306,7 +2310,8 @@ object Pipeline {
     "x_image_png" -> ((s, d) => {
       import s.implicits._
       import graft.multimodal.Multimodal
-      documents(s, d).select($"doc_id").as[Long].map { id =>
+      graft.operators.Scale.fanOutScan(documents(s, d).select($"doc_id"))
+        .as[Long].map { id =>
         val w = (8 + id % 8).toInt
         val h = (6 + id % 6).toInt
         val raw = Array.tabulate(w * h)(i => ((id * 131 + i * 7) % 251).toByte)
@@ -2330,7 +2335,8 @@ object Pipeline {
     "x_video_avi" -> ((s, d) => {
       import s.implicits._
       import graft.multimodal.Multimodal
-      documents(s, d).select($"doc_id").as[Long].map { id =>
+      graft.operators.Scale.fanOutScan(documents(s, d).select($"doc_id"))
+        .as[Long].map { id =>
         val w = 16; val h = 8; val plane = w * h
         val nf = (2 + id % 3).toInt
         val fps = (10 + id % 5).toInt

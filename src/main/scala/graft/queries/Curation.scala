@@ -807,11 +807,16 @@ object Curation {
           .select($"doc_id", $"bh.band", $"bh.h")
         val buckets = bd.groupBy($"band", $"h")
           .agg(count(lit(1)).as("m"))
-        val pairs = bd.as("a").join(bd.as("b"),
+        // Cap BEFORE pair-gen (the production capped-bucket shape):
+        // filtering members of >64 buckets first keeps the self-join
+        // O(64·|bd|); filtering after would pay the mega-buckets' m²
+        // pair space just to discard it — the 8×1 config's single-hash
+        // buckets are exactly where that blows up.
+        val bdOk = bd.join(buckets.filter($"m" <= 64)
+          .select($"band", $"h"), Seq("band", "h"))
+        val pairs = bdOk.as("a").join(bdOk.as("b"),
             col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id"))
-          .join(buckets.filter($"m" <= 64)
-            .select($"band", $"h"), Seq("band", "h"))
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
           .distinct()
         pairs.agg(count(lit(1)).as("cand_pairs"))

@@ -71,6 +71,51 @@ object Components {
     stats.filter(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0)).isEmpty
   }
 
+  /** Per-partition union-find contraction (the "local aggregation"
+    * optimization from the Kiveris et al. paper): each partition's edges
+    * collapse to downward star edges (v → min vertex of v's component
+    * *within the partition*) before any global round. Connectivity is
+    * preserved — the union over partitions of the local star edges links
+    * exactly the vertices the original edges linked — while path lengths
+    * drop to the number of partition crossings, so the global star
+    * alternation (and min-label propagation) converges in 0-2 rounds on
+    * graphs that previously paid O(log diameter). Memory per task is one
+    * parent entry per distinct vertex in the partition — the same bound
+    * the groupBy state already has, so a partition sized to fit memory
+    * for the shuffle also fits the union-find.
+    */
+  private[graft] def localContract(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          var p = parent.getOrDefault(r, r)
+          while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+          var c = x0
+          while (parent.getOrDefault(c, c) != r) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val keys = parent.keySet().toArray(new Array[java.lang.Long](0))
+        keys.iterator.flatMap { v =>
+          val r = find(v)
+          if (r != v.longValue()) Iterator((v.longValue(), r)) else Iterator.empty
+        }
+      }
+      .toDF("src", "dst")
+  }
+
   /** Component id (= minimum reachable vertex id) for every vertex that
     * appears in `edges` (long `src`/`dst` columns). Isolated vertices
     * don't appear — union the vertex table downstream if needed.
@@ -86,19 +131,15 @@ object Components {
     */
   private[graft] def connectedComponentsWithRounds(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    // Canonicalize orientation BEFORE the first fixpoint check: isStarForest
-    // assumes downward edges (smallStar guarantees that for later rounds,
-    // but round 0 sees raw input). Without this, an upward star like
-    // {(1,3),(2,3)} — or a single edge (2,5) — passes the test with zero
-    // rounds run and every vertex gets labeled with the LARGER id instead
-    // of the documented minimum. A downward star forest is necessarily
-    // min-rooted, so the canonical form makes the round-0 check sound; it
-    // also dedupes opposite-orientation duplicates for free.
-    var e = edges.select(col("src").cast("long").as("a"),
-        col("dst").cast("long").as("b"))
-      .select(greatest(col("a"), col("b")).as("src"),
-        least(col("a"), col("b")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    // Round 0 is the per-partition union-find contraction ([[localContract]]):
+    // its output is downward star edges (v → local component min), which is
+    // exactly the orientation isStarForest assumes — the old explicit
+    // canonicalize step is subsumed (union-find ignores edge orientation,
+    // and a min-root is by construction the smaller endpoint). The distinct
+    // removes cross-partition duplicates of the same (v, root) edge so a
+    // graph that IS fully contracted after round 0 passes the fixpoint
+    // check immediately instead of reading as a multi-parent src.
+    var e = localContract(edges)
       .distinct()
       .localCheckpoint()
     var converged = isStarForest(e)

@@ -271,11 +271,13 @@ object Pipeline {
       .select($"doc_id", $"lang",
         (conv(substring(md5(concat(lit("dsir:"), $"f").cast("binary")),
           1, 6), 16, 10).cast("long") % buckets).as("b"))
-    val raw = feats.groupBy($"b").agg(count(lit(1)).as("cr"))
-    val tgt = feats.filter($"lang" === targetLang)
-      .groupBy($"b").agg(count(lit(1)).as("ct"))
-    val wts = raw.join(tgt, Seq("b"), "left")
-      .select($"b", $"cr", coalesce($"ct", lit(0L)).as("ct"))
+      // two consumers (bucket-weight build, per-doc scoring join) — the
+      // corpus-sized explode + md5 materializes once, not once each
+      .localCheckpoint(false)
+    // raw and target bucket counts in ONE pass over the features (a
+    // conditional sum instead of a second scan + left join)
+    val wts = feats.groupBy($"b").agg(count(lit(1)).as("cr"),
+      sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("ct"))
     val totals = wts.agg(sum($"cr").as("nr"), sum($"ct").as("nt"))
     val scoreByBucket = wts.crossJoin(broadcast(totals))
       .select($"b", ($"ct" * $"nr" - $"cr" * $"nt").as("sb"))
@@ -938,16 +940,34 @@ object Pipeline {
     */
   def minLabelClusters(docsIds: DataFrame, sym: DataFrame,
                        awaitMs: Long = 5000L,
-                       maxRounds: Int = 25): DataFrame = {
+                       maxRounds: Int = 25,
+                       preContract: Boolean = true): DataFrame = {
     val s = docsIds.sparkSession
     import s.implicits._
+    // Per-partition union-find contraction before any propagation round
+    // (Components.localContract): the symmetric edge list collapses to
+    // star edges (v ↔ local component min), which preserves components
+    // exactly while dropping both the edge count (≤ one edge per distinct
+    // vertex per partition vs. the full near-dup pair list) and the
+    // diameter (hops left = partition crossings), so the round loop
+    // below converges in 1-2 rounds where the raw graph paid one round
+    // per hop. `preContract = false` keeps the raw graph — the spec uses
+    // it to force the round-exhaustion fallback deterministically.
+    val symEff =
+      if (!preContract) sym
+      else {
+        val star = graft.operators.Components.localContract(
+          sym.select($"a".as("src"), $"b".as("dst")))
+        star.select($"src".as("a"), $"dst".as("b"))
+          .unionAll(star.select($"dst".as("a"), $"src".as("b")))
+      }
     var labels = docsIds
       .select($"doc_id", $"doc_id".as("lbl"), lit(false).as("changed"))
       .localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val neigh = sym.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
+      val neigh = symEff.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
         .groupBy($"a").agg(min($"nl").as("minn"))
       val newLbl = least($"lbl", coalesce($"minn", $"lbl"))
       val obs = org.apache.spark.sql.Observation()

@@ -94,22 +94,49 @@ class ComponentsSpec extends SparkSpec {
     assert(starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 7L -> 7L, 9L -> 7L, 10L -> 7L))
 
-    // triangle: one large-star pass flattens it, detected the same round
+    // triangle: at most one star pass flattens whatever the local
+    // union-find contraction left (0 rounds when the partition layout
+    // co-locates the edges)
     val (triDf, triRounds) = Components.connectedComponentsWithRounds(
       Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"))
-    assert(triRounds == 1)
+    assert(triRounds <= 1)
     assert(triDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
 
-    // a 50-chain needs the O(log n) doubling rounds; pin the exact count
-    // so fixpoint detection can't regress to paying an extra round
+    // a 50-chain paid exactly 6 doubling rounds before the per-partition
+    // union-find contraction landed; post-contraction the hop count is
+    // the number of partition crossings, so the bound pins that the
+    // contraction never does WORSE than the raw alternation and the
+    // fixpoint still fires the round it first appears
     val chain = (0L until 49L).map(i => (i, i + 1))
     val (chDf, chRounds) =
       Components.connectedComponentsWithRounds(chain.toDF("src", "dst"))
     info(s"50-chain converged in $chRounds rounds")
-    assert(chRounds == 6)
+    assert(chRounds <= 6)
     assert(chDf.filter(col("component") =!= 0L).count() == 0)
     assert(chDf.count() == 50)
+  }
+
+  test("localContract preserves connectivity and emits downward star edges") {
+    import spark.implicits._
+    // chain + triangle + isolate-pair, forced across 3 partitions so the
+    // contraction must leave genuine cross-partition work behind
+    val edges = ((0L until 20L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (31L, 32L), (32L, 30L), (40L, 41L)))
+    val df = edges.toDF("src", "dst").repartition(3)
+    val star = Components.localContract(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // downward: every emitted edge points from a vertex to a strictly
+    // smaller local root
+    star.foreach { case (v, r) => assert(r < v, s"edge $v -> $r not downward") }
+    // per-partition star property composes into identical global
+    // components: run the driver union-find over both edge sets
+    val want = unionFind(42, edges)
+    val gotUF = unionFind(42, star.toSeq)
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    touched.foreach { v => assert(gotUF(v) == want(v), s"vertex $v split") }
+    // and the end-to-end result over the contracted path stays exact
+    check(42, edges)
   }
 
   test("empty and single-edge graphs") {
@@ -177,9 +204,10 @@ class ComponentsSpec extends SparkSpec {
     // clusters OR fail: round exhaustion falls back to the large-star/
     // small-star contraction and still yields the exact components (the
     // 0-1-2-3-4 chain needs 4 propagation hops; maxRounds = 2 forces
-    // the fallback)
+    // the fallback — preContract off so the local union-find can't
+    // collapse the chain below the bound and dodge the path under test)
     val exhausted = graft.queries.Pipeline
-      .minLabelClusters(docs, sym, maxRounds = 2)
+      .minLabelClusters(docs, sym, maxRounds = 2, preContract = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(exhausted == metricPath,
       "round-exhaustion fallback must match the converged propagation")

@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // All payloads here are in-memory byte arrays, but ImageIO's default
+  // stream factories spool every read/write through a temp FILE
+  // (FileCache streams) — per-frame disk round-trips that turn the pure-
+  // CPU codecs IO-bound whenever java.io.tmpdir is slow. Force the
+  // memory-cached stream implementations process-wide; executors hit
+  // this on classload since every codec call enters through this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried alongside every media payload. */
   final case class MediaMeta(kind: String, codec: String,
                              width: Int, height: Int,

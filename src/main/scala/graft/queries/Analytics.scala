@@ -316,16 +316,34 @@ object Analytics {
     * `minSupport` out — the self-join keys on the basket, so fan-out
     * is bounded per basket, never global.
     */
-  def basketPairs(items0: DataFrame, minSupport: Long): DataFrame = {
+  /** One row per basket with its SORTED distinct item set — one shuffle
+    * on the basket key (collect_set dedups repeat items in-agg, so no
+    * separate distinct pass).
+    */
+  def baskets(items0: DataFrame): DataFrame = {
     import items0.sparkSession.implicits._
-    val items = items0.localCheckpoint(false)
-    items.select($"l_orderkey", $"l_partkey".as("pa"))
-      .join(items.select($"l_orderkey", $"l_partkey".as("pb")),
-        Seq("l_orderkey"))
-      .filter($"pa" < $"pb")
-      .groupBy($"pa", $"pb").agg(count(lit(1)).as("support"))
+    items0.groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ids"))
+  }
+
+  /** Ordered co-occurrence pairs above min-support from a [[baskets]]
+    * table: the pair space explodes IN the basket row (fan bounded by
+    * items-per-basket², a per-basket constant — the capped-LSH-bucket
+    * shape) and the counts partial-aggregate; a keyed self-join would
+    * pay a second corpus-wide exchange for the same pairs.
+    */
+  def basketPairsFrom(bk: DataFrame, minSupport: Long): DataFrame = {
+    import bk.sparkSession.implicits._
+    bk.select(explode(flatten(transform($"ids", (x, i) =>
+        transform(slice($"ids", i + 2, size($"ids")),
+          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+      .agg(count(lit(1)).as("support"))
       .filter($"support" >= minSupport)
   }
+
+  def basketPairs(items0: DataFrame, minSupport: Long): DataFrame =
+    basketPairsFrom(baskets(items0), minSupport)
 
   /** Trained char-bigram naive-Bayes language classifier (the
     * x_langid_ngram gate): trains on even doc_ids, classifies the odd
@@ -2238,10 +2256,10 @@ object Analytics {
         sh.filter(parity)), "a")
       val sigB = renamed(Pipeline.minhashSigsFromShingles(
         sh.filter(!parity)), "b")
-      // "g" sorts after every hex digit — an absent delta never wins
+      // Long.MaxValue exceeds every g_j < 2³⁵ — an absent delta never wins
       val ok = (0 until 8).map(j =>
-        col(s"m$j") === least(coalesce(col(s"a$j"), lit("g")),
-          coalesce(col(s"b$j"), lit("g")))).reduce(_ && _)
+        col(s"m$j") === least(coalesce(col(s"a$j"), lit(Long.MaxValue)),
+          coalesce(col(s"b$j"), lit(Long.MaxValue)))).reduce(_ && _)
       direct
         .join(sigA, Seq("doc_id"), "left")
         .join(sigB, Seq("doc_id"), "left")
@@ -2317,10 +2335,14 @@ object Analytics {
     // never the basket cross-product globally.
     "x_itemsets_pairs" -> ((s, d) => {
       import s.implicits._
-      val items = lineitem(s, d).select($"l_orderkey", $"l_partkey")
-        .distinct().localCheckpoint(false)
-      val pairs = basketPairs(items, minSupport = 3)
-      val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("f"))
+      // ONE basket aggregation feeds both consumers: the pair explode and
+      // the item frequencies (exploding the per-basket sets re-derives
+      // the distinct (order, item) rows without a second lineitem pass)
+      val bk = baskets(lineitem(s, d).select($"l_orderkey", $"l_partkey"))
+        .localCheckpoint(false)
+      val pairs = basketPairsFrom(bk, minSupport = 3)
+      val freq = bk.select(explode($"ids").as("l_partkey"))
+        .groupBy($"l_partkey").agg(count(lit(1)).as("f"))
       pairs
         .join(broadcast(freq.select($"l_partkey".as("pa"), $"f".as("fa"))),
           Seq("pa"))
@@ -5541,7 +5563,8 @@ object Analytics {
              unnest(list_transform(generate_series(1, len(w) - 1),
                i -> w[i] || ' ' || w[i + 1])) AS s
            FROM base2),
-         sig AS (SELECT doc_id, min(md5('0|' || s)) AS m0
+         sig AS (SELECT doc_id,
+             min(('0x' || substr(md5(s), 1, 8))::BIGINT) AS m0
            FROM sh GROUP BY 1)
          SELECT doc_id, m0, CAST(1 AS BIGINT) AS merged_ok
          FROM sig ORDER BY doc_id""",

@@ -765,20 +765,24 @@ object Curation {
 
     // Hashed document embedding (feature hashing / random-projection by
     // md5 signs): an 8-dim integer doc vector where dim j sums
-    // (md5(j:token) % 2001 − 1000) over the doc's tokens — the
-    // deterministic text→vector bridge (the shape of any bag-of-words
-    // projection; a learned projection swaps the hash for a broadcast
-    // weight table, same plan). Order-free integer sums; one explode +
-    // one partial-aggregated shuffle on doc_id; emits the vector's L1
-    // mass and first dims for the gate.
+    // (16-bit slice j of md5(hv:token)) % 2001 − 1000 over the doc's
+    // tokens — the deterministic text→vector bridge (the shape of any
+    // bag-of-words projection; a learned projection swaps the hash for a
+    // broadcast weight table, same plan). ONE md5 per token feeds all 8
+    // dims (the 128-bit digest is 8 independent 16-bit slices — hashing
+    // per dim would pay the digest 8×); order-free integer sums; one
+    // explode + one partial-aggregated shuffle on doc_id; emits the
+    // vector's L1 mass and first dims for the gate.
     "x_hash_embed" -> ((s, d) => {
       import s.implicits._
       val toks = documents(s, d).filter(length(trim($"text")) > 0)
         .select($"doc_id", explode(words($"text")).as("t"))
         .filter($"t" =!= "")
+        .select($"doc_id",
+          md5(concat(lit("hv:"), $"t").cast("binary")).as("h"))
       val dims = (0 until 8).map(j =>
-        sum(conv(substring(md5(concat(lit(s"$j:"), $"t").cast("binary")),
-          1, 6), 16, 10).cast("long") % 2001 - 1000).as(s"e$j"))
+        sum(conv(substring($"h", j * 4 + 1, 4), 16, 10).cast("long")
+          % 2001 - 1000).as(s"e$j"))
       toks.groupBy($"doc_id").agg(dims.head, dims.tail: _*)
         .select($"doc_id", $"e0", $"e1",
           (0 until 8).map(j => abs(col(s"e$j"))).reduce(_ + _).as("l1"))
@@ -800,7 +804,8 @@ object Curation {
       configs.map { case (bands, rows) =>
         val bandCols = (0 until bands).map { b =>
           struct(lit(b).as("band"),
-            md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+            md5(concat_ws("|",
+              (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
               .cast("binary")).as("h"))
         }
         val bd = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bh"))
@@ -1430,9 +1435,9 @@ object Curation {
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
              FROM documents WHERE len(trim(text)) > 0),
          t AS (SELECT doc_id, unnest(w) AS t FROM d),
-         t2 AS (SELECT doc_id, t FROM t WHERE t <> ''),
+         t2 AS (SELECT doc_id, md5('hv:' || t) AS h FROM t WHERE t <> ''),
          e AS (SELECT doc_id, j,
-             sum(('0x' || substr(md5(j || ':' || t), 1, 6))::BIGINT % 2001
+             sum(('0x' || substr(h, (j * 4 + 1)::INT, 4))::BIGINT % 2001
                - 1000) AS v
            FROM t2, range(0, 8) r(j) GROUP BY 1, 2)
          SELECT doc_id,
@@ -1442,23 +1447,28 @@ object Curation {
          FROM e GROUP BY doc_id ORDER BY doc_id""",
     "d_lsh_tuning" ->
       s"""WITH ${Pipeline.minhashCtesSql},
-         b81 AS (SELECT doc_id, j AS band, md5(m) AS h FROM mh),
+         b81 AS (SELECT doc_id, j AS band, md5(m::VARCHAR) AS h FROM mh),
          s24 AS (SELECT doc_id,
-             md5(max(CASE WHEN j=0 THEN m END) || max(CASE WHEN j=1 THEN m END)
-               || max(CASE WHEN j=2 THEN m END)
-               || max(CASE WHEN j=3 THEN m END)) AS h0,
-             md5(max(CASE WHEN j=4 THEN m END) || max(CASE WHEN j=5 THEN m END)
-               || max(CASE WHEN j=6 THEN m END)
-               || max(CASE WHEN j=7 THEN m END)) AS h1
+             md5(max(CASE WHEN j=0 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=1 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=2 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=3 THEN m END)::VARCHAR) AS h0,
+             md5(max(CASE WHEN j=4 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=5 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=6 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=7 THEN m END)::VARCHAR) AS h1
            FROM mh GROUP BY doc_id),
          b24 AS (SELECT doc_id, 0 AS band, h0 AS h FROM s24
            UNION ALL SELECT doc_id, 1, h1 FROM s24),
          s18 AS (SELECT doc_id,
-             md5(max(CASE WHEN j=0 THEN m END) || max(CASE WHEN j=1 THEN m END)
-               || max(CASE WHEN j=2 THEN m END) || max(CASE WHEN j=3 THEN m END)
-               || max(CASE WHEN j=4 THEN m END) || max(CASE WHEN j=5 THEN m END)
-               || max(CASE WHEN j=6 THEN m END)
-               || max(CASE WHEN j=7 THEN m END)) AS h
+             md5(max(CASE WHEN j=0 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=1 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=2 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=3 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=4 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=5 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=6 THEN m END)::VARCHAR || '|'
+               || max(CASE WHEN j=7 THEN m END)::VARCHAR) AS h
            FROM mh GROUP BY doc_id),
          b18 AS (SELECT doc_id, 0 AS band, h FROM s18),
          b42 AS (SELECT doc_id, band, h FROM bands),

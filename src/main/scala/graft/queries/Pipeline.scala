@@ -547,14 +547,18 @@ object Pipeline {
     val s = emb.sparkSession
     import s.implicits._
     require(iters >= 1, "kmeansQuantized needs at least one iteration")
+    // the quantized explode feeds every iteration's scoring join AND the
+    // centroid re-derivation (2·iters + 1 consumers) — materialize once
     val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
       .select($"vec_id", $"k",
         floor($"v".cast("double") * 1000).cast("long").as("qv"))
+      .localCheckpoint(false)
     val sq = dims.groupBy($"vec_id").agg(sum($"qv" * $"qv").as("qq"))
+      .localCheckpoint(false)
     var cent = dims.filter($"vec_id".isin(seeds: _*))
       .select($"vec_id".as("cid"), $"k", $"qv".as("sk"), lit(1L).as("n"))
     var assign: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val live = cent.filter($"n" > 0)
       val stats = live.groupBy($"cid")
         .agg(sum($"sk" * $"sk").as("ss"), max($"n").as("n"))
@@ -568,8 +572,14 @@ object Pipeline {
       assign = scored.groupBy($"vec_id")
         .agg(min(struct($"dd", $"cid", $"d2")).as("m"))
         .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"))
-      cent = dims.join(assign.select($"vec_id", $"cid"), Seq("vec_id"))
-        .groupBy($"cid", $"k").agg(sum($"qv").as("sk"), count(lit(1)).as("n"))
+      // checkpoint the per-iteration state so each round's plan hangs off
+      // the previous round's MATERIALIZED result instead of replaying the
+      // whole iteration history (lineage stays O(1) across iters)
+      if (it < iters) {
+        cent = dims.join(assign.select($"vec_id", $"cid"), Seq("vec_id"))
+          .groupBy($"cid", $"k").agg(sum($"qv").as("sk"), count(lit(1)).as("n"))
+          .localCheckpoint(false)
+      }
     }
     assign
   }
@@ -730,8 +740,13 @@ object Pipeline {
           .as("s"))
   }
 
-  /** 8-permutation MinHash signature per doc: (doc_id, m0..m7), each mj
-    * the minimum salted MD5 over the doc's bigram shingles.
+  /** 8-permutation MinHash signature per doc: (doc_id, m0..m7 longs),
+    * each mj the minimum of g_j = h1 + j·h2 over the doc's bigram
+    * shingles, where (h1, h2) are the two leading 32-bit words of ONE
+    * md5 per shingle (Kirsch–Mitzenmacher double hashing, the standard
+    * way to derive k independent-enough hash functions from one digest
+    * — salting the digest per permutation paid the md5 8×). Values stay
+    * < 2³⁵, so the arithmetic is overflow-free in both engines.
     */
   private[graft] def minhashSigsFor(docs: DataFrame): DataFrame =
     minhashSigsFromShingles(bigramShingles(docs))
@@ -740,9 +755,13 @@ object Pipeline {
   private[graft] def minhashSigsFromShingles(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
+    val h = md5($"s".cast("binary"))
+    val hv = sh.select($"doc_id",
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
     val minCols = (0 until 8).map(j =>
-      min(md5(concat(lit(s"$j|"), $"s").cast("binary"))).as(s"m$j"))
-    sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      min($"h1" + lit(j.toLong) * $"h2").as(s"m$j"))
+    hv.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
   private[graft] def minhashCandidatePairsFor(docs: DataFrame): DataFrame =
@@ -757,9 +776,12 @@ object Pipeline {
     val s = sig0.sparkSession
     import s.implicits._
     val sig = sig0
+    // "|" separates the two long minhashes inside the band key — without
+    // it (12, 345) and (123, 45) would collide into the same bucket
     val bands = sig.select($"doc_id", explode(array((0 until 4).map(b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary"))
+        md5(concat(col(s"m${2 * b}").cast("string"), lit("|"),
+          col(s"m${2 * b + 1}").cast("string")).cast("binary"))
           .as("h"))): _*)).as("bh"))
       .select($"doc_id", $"bh.band", $"bh.h")
     capBuckets(bands.groupBy($"band", $"h")
@@ -792,9 +814,27 @@ object Pipeline {
            CAST(sum(CASE WHEN p > 0 THEN (1 << (h % $LshBits)) ELSE 0 END) AS INT) AS bkt
          FROM proj GROUP BY 1, 2)"""
 
-  /** Exact brute-force cosine top-10 per query (window-ranked): the
-    * O(n·q) baseline the ANN variants and the recall eval measure
-    * against. Returns (qid, vec_id, cos, rnk ≤ 10).
+  /** Per-query top-k of a `(qid, vec_id, cos)` scored table through the
+    * bounded-heap [[graft.operators.TopKAgg]] — map-side partials trim
+    * every task to k rows per query BEFORE the exchange, where the
+    * row_number-window form shuffles the full scored corpus per query
+    * and sorts it on the reducer. Ordering is identical to
+    * `row_number over (partition by qid order by cos desc, vec_id)`:
+    * the heap's total order is (score desc, id asc). Returns
+    * (qid, vec_id, cos, rnk ≤ k) with rnk 1-based.
+    */
+  private[queries] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupBy($"qid")
+      .agg(graft.operators.TopKAgg.topKByScore($"cos", $"vec_id", k).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("i", "e")))
+      .select($"qid", $"e.id".as("vec_id"), $"e.score".as("cos"),
+        ($"i" + 1).cast("int").as("rnk"))
+  }
+
+  /** Exact brute-force cosine top-10 per query: the O(n·q) baseline the
+    * ANN variants and the recall eval measure against. Returns
+    * (qid, vec_id, cos, rnk ≤ 10).
     */
   private def annExactTop10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -805,9 +845,7 @@ object Pipeline {
       .select($"vec_id", $"embedding".as("ce"))
     val scored = c.crossJoin(broadcast(q))
       .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 10)
+    topKPerQuery(scored, 10)
   }
 
   /** Random-hyperplane LSH top-5 per query: bucket join on the plan-pinned
@@ -828,9 +866,7 @@ object Pipeline {
     val c = emb.select($"vec_id", $"embedding".as("ce"))
     val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
       .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+    topKPerQuery(scored, 5)
   }
 
   /** Multi-probe LSH top-5 (Lv et al. 2007): the query side probes its
@@ -854,9 +890,7 @@ object Pipeline {
     val c = emb.select($"vec_id", $"embedding".as("ce"))
     val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
       .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+    topKPerQuery(scored, 5)
   }
 
   /** IVF coarse-quantizer ANN top-5 (the v_ann_ivf pipeline): K=8
@@ -876,11 +910,18 @@ object Pipeline {
       .select($"grp".as("cgrp"), $"k", $"cs")
     val scores = dims.join(broadcast(cent), Seq("k"))
       .groupBy($"vec_id", $"cgrp").agg(sum($"qv" * $"cs").as("ip"))
+    // corpus-wide centroid assignment is a partial-aggregable argmax
+    // (max ip, ties to the smaller cgrp), not a window — map-side combine
+    // trims each task to one row per vector before the exchange; the
+    // NProbe ranking only ever touches the 3 query vectors' K rows
+    val assign = scores
+      .groupBy($"vec_id").agg(max(struct($"ip", (-$"cgrp").as("ng"))).as("b"))
+      .select($"vec_id", (-$"b.ng").cast("int").as("cgrp"))
     import org.apache.spark.sql.expressions.Window
     val byIp = Window.partitionBy($"vec_id").orderBy(desc("ip"), $"cgrp")
-    val ranked = scores.withColumn("rk", row_number().over(byIp))
-    val assign = ranked.filter($"rk" === 1).select($"vec_id", $"cgrp")
-    val probe = ranked.filter($"vec_id".isin(0, 1, 2) && $"rk" <= NProbe)
+    val probe = scores.filter($"vec_id".isin(0, 1, 2))
+      .withColumn("rk", row_number().over(byIp))
+      .filter($"rk" <= NProbe)
       .select($"vec_id".as("qid"), $"cgrp")
     val cand = assign.filter(!$"vec_id".isin(0, 1, 2))
       .join(broadcast(probe), Seq("cgrp"))
@@ -890,9 +931,7 @@ object Pipeline {
     val c = emb.select($"vec_id", $"embedding".as("ce"))
     val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
       .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-    val byCos = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-    scored.withColumn("rnk", row_number().over(byCos))
-      .filter($"rnk" <= TopK)
+    topKPerQuery(scored, TopK)
   }
 
   /** Per-doc unigram-LM surprisal: corpus-frequency logprobs quantized
@@ -1431,17 +1470,24 @@ object Pipeline {
         .select($"qid", $"qlabel", $"vec_id", $"label",
           cosine($"qe", $"ce").as("cos"))
         .localCheckpoint(false)
-      val wAll = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      val wLbl = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      val pre = scored.filter($"label" === $"qlabel")
-        .withColumn("rnk", row_number().over(wLbl))
-        .filter($"rnk" <= 3)
+      // both strategies heap-select from the corpus-sized scored table
+      // (map-side trim to k before any exchange); the only window left
+      // runs over the ≤10-row post-filter survivors
+      val pre = topKPerQuery(
+          scored.filter($"label" === $"qlabel")
+            .select($"qid", $"vec_id", $"cos"), 3)
         .select($"qid", lit("prefilter").as("strategy"), $"rnk",
           $"vec_id", floor($"cos" * 10000 + 0.5).cast("long")
             .as("score_x10000"))
-      val post = scored
-        .withColumn("grnk", row_number().over(wAll))
-        .filter($"grnk" <= 10 && $"label" === $"qlabel")
+      val wLbl = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
+      // labels rejoin from the CHECKPOINTED scored table (top-10 side
+      // broadcasts), so neither strategy touches parquet again
+      val post = broadcast(topKPerQuery(
+          scored.select($"qid", $"vec_id", $"cos"), 10)
+          .select($"qid", $"vec_id", $"rnk"))
+        .join(scored.select($"qid", $"vec_id", $"cos", $"label", $"qlabel"),
+          Seq("qid", "vec_id"))
+        .filter($"label" === $"qlabel")
         .withColumn("rnk", row_number().over(wLbl))
         .filter($"rnk" <= 3)
         .select($"qid", lit("postfilter").as("strategy"), $"rnk",
@@ -1460,7 +1506,6 @@ object Pipeline {
     // over the scored table.
     "x_bitext_mine" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val langs = documents(s, d).select($"doc_id", $"lang")
       val vecs = embeddings(s, d)
         .join(langs, $"vec_id" === $"doc_id")
@@ -1471,9 +1516,17 @@ object Pipeline {
         .select($"vec_id", $"lang", $"embedding".as("ce"))
       val scored = cand.crossJoin(broadcast(en))
         .select($"qid", $"vec_id", $"lang", cosine($"qe", $"ce").as("cos"))
-      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      val top4 = scored.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 4)
+      // per-query top-4 through the bounded heap — map-side partials trim
+      // each task to 4 rows/query before the exchange (same (cos desc,
+      // vec_id asc) order the old row_number window used, which shuffled
+      // the full |non-en|×|en| scored table); candidate langs rejoin on
+      // the 4-rows-per-query result, not the cross product
+      val top4 = scored.groupBy($"qid")
+        .agg(graft.operators.TopKAgg.topKByScore($"cos", $"vec_id", 4)
+          .as("top"))
+        .select($"qid", explode($"top").as("e"))
+        .select($"qid", $"e.id".as("vec_id"), $"e.score".as("cos"))
+        .join(langs.select($"doc_id".as("vec_id"), $"lang"), "vec_id")
       top4.groupBy($"qid")
         .agg(max(struct($"cos", (-$"vec_id").as("negid"), $"lang"))
             .as("best"),
@@ -1635,10 +1688,8 @@ object Pipeline {
         .select($"vec_id", slice($"embedding", 1, 16).as("ce"))
       val scored = cp.crossJoin(broadcast(qp))
         .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      val mrl = scored.withColumn("mrl_rnk", row_number().over(w))
-        .filter($"mrl_rnk" <= 5).select($"qid", $"vec_id", $"mrl_rnk")
+      val mrl = topKPerQuery(scored, 5)
+        .select($"qid", $"vec_id", $"rnk".as("mrl_rnk"))
       val ex = annExactTop10(s, d).filter($"rnk" <= 5)
         .select($"qid", $"vec_id", $"rnk".as("ex_rnk"))
       val hits = mrl.join(ex, Seq("qid", "vec_id"))
@@ -1705,9 +1756,7 @@ object Pipeline {
         .select($"vec_id", $"embedding".as("ce"))
       val scored = cand.join(broadcast(q), "qid").join(c, "vec_id")
         .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-      val byCos = Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")
-      val top = scored.withColumn("rnk", row_number().over(byCos))
-        .filter($"rnk" <= TopK)
+      val top = topKPerQuery(scored, TopK)
         .select($"qid", $"vec_id",
           floor($"cos" * 10000 + 0.5).cast("long").as("score_x10000"), $"rnk")
       // Recall audit: exact global top-5 per query (one more linear pass,
@@ -1716,11 +1765,8 @@ object Pipeline {
       // pins recall_ok = 1, so the gate FAILS if PQ candidate quality
       // drops below the band — an honest ANN-quality number, not just
       // integer-replay plumbing parity.
-      val exact5 = c.crossJoin(broadcast(q))
-        .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"qid").orderBy(desc("cos"), $"vec_id")))
-        .filter($"rk" <= TopK)
+      val exact5 = topKPerQuery(c.crossJoin(broadcast(q))
+          .select($"qid", $"vec_id", cosine($"qe", $"ce").as("cos")), TopK)
         .select($"qid", $"vec_id", lit(1).as("hit"))
       val hits = top.join(exact5, Seq("qid", "vec_id"), "left")
         .groupBy($"qid").agg(sum(coalesce($"hit", lit(0))).as("nhit"))
@@ -1989,11 +2035,14 @@ object Pipeline {
       val base = documents(s, d)
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 5)
+      // two consumers (doc-frequency build, per-position join) — the
+      // corpus-sized 5-gram explode materializes once, not once each
       val grams = base.select($"doc_id",
         explode(transform(sequence(lit(1), size($"w") - 4),
           i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
             element_at($"w", i + 2), element_at($"w", i + 3),
             element_at($"w", i + 4)))).as("g"))
+        .localCheckpoint(false)
       val docFreq = grams.distinct().groupBy($"g").agg(count(lit(1)).as("df"))
       grams.join(docFreq, Seq("g"))
         .groupBy($"doc_id")
@@ -2490,7 +2539,9 @@ object Pipeline {
       // docs participate, so the filter is ~neutral here)
       val members = pairs.select(explode(array($"id1", $"id2")).as("doc_id"))
         .distinct()
-      val sd = sh.join(members, "doc_id").distinct()
+      // three consumers (per-doc sizes, both sides of the intersection
+      // join) — materialize the distinct shingle set once
+      val sd = sh.join(members, "doc_id").distinct().localCheckpoint(false)
       val sc = sd.groupBy($"doc_id").agg(count(lit(1)).as("c"))
       val inter = pairs
         .join(sd.select($"doc_id".as("id1"), $"s"), "id1")
@@ -2542,13 +2593,22 @@ object Pipeline {
              unnest(list_transform(generate_series(1, len(w) - 1),
                i -> w[i] || ' ' || w[i + 1])) AS s
            FROM base2),
-         mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) AS m
-           FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+         shh AS (SELECT doc_id, md5(s) AS hh FROM sh),
+         hv AS (SELECT doc_id,
+             ('0x' || substr(hh, 1, 8))::BIGINT AS h1,
+             ('0x' || substr(hh, 9, 8))::BIGINT AS h2
+           FROM shh),
+         mh AS (SELECT doc_id, j, min(h1 + j * h2) AS m
+           FROM hv CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
          sig AS (SELECT doc_id,
-             md5(max(CASE WHEN j=0 THEN m END) || max(CASE WHEN j=1 THEN m END)) AS h0,
-             md5(max(CASE WHEN j=2 THEN m END) || max(CASE WHEN j=3 THEN m END)) AS h1,
-             md5(max(CASE WHEN j=4 THEN m END) || max(CASE WHEN j=5 THEN m END)) AS h2,
-             md5(max(CASE WHEN j=6 THEN m END) || max(CASE WHEN j=7 THEN m END)) AS h3
+             md5(max(CASE WHEN j=0 THEN m END)::VARCHAR || '|' ||
+               max(CASE WHEN j=1 THEN m END)::VARCHAR) AS h0,
+             md5(max(CASE WHEN j=2 THEN m END)::VARCHAR || '|' ||
+               max(CASE WHEN j=3 THEN m END)::VARCHAR) AS h1,
+             md5(max(CASE WHEN j=4 THEN m END)::VARCHAR || '|' ||
+               max(CASE WHEN j=5 THEN m END)::VARCHAR) AS h2,
+             md5(max(CASE WHEN j=6 THEN m END)::VARCHAR || '|' ||
+               max(CASE WHEN j=7 THEN m END)::VARCHAR) AS h3
            FROM mh GROUP BY doc_id),
          bands AS (
            SELECT doc_id, 0 AS band, h0 AS h FROM sig UNION ALL

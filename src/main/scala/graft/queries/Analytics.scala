@@ -345,6 +345,36 @@ object Analytics {
   def basketPairs(items0: DataFrame, minSupport: Long): DataFrame =
     basketPairsFrom(baskets(items0), minSupport)
 
+  /** TPC-H Q21's EXISTS/NOT-EXISTS, decorrelated to a per-order top-2:
+    * supplier s "waited" on order o iff o has ≥2 suppliers AND s's max
+    * shipdate ≥ the max shipdate among o's OTHER suppliers (the global
+    * per-order max, or the runner-up when s itself holds it — ties pass,
+    * matching the strict `d3 > l_shipdate` anti side). This replaces
+    * TWO lineitem self-joins (semi + anti, three corpus scans) with one
+    * (order, supplier) partial aggregate, one order-level top-2 fold
+    * over supplier-bounded lists, and one keyed join back. Returns the
+    * distinct waited (l_orderkey, l_suppkey) rows.
+    */
+  def waitingSuppliers(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    // two consumers (the order-level top-2 fold and the join back) —
+    // materialize the (order, supplier) fold once: ONE lineitem scan
+    val perOS = li.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("mx"))
+      .localCheckpoint(false)
+    val perO = perOS.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("nsupp"),
+        reverse(sort_array(collect_list(
+          struct($"mx", $"l_suppkey".as("sk"))))).as("tops"))
+      .select($"l_orderkey", $"nsupp",
+        $"tops"(0).as("m1"), element_at($"tops", 2).as("m2"))
+    perOS.join(perO, Seq("l_orderkey"))
+      .filter($"nsupp" >= 2 &&
+        $"mx" >= when($"l_suppkey" === $"m1.sk", $"m2.mx")
+          .otherwise($"m1.mx"))
+      .select($"l_orderkey", $"l_suppkey")
+  }
+
   /** Trained char-bigram naive-Bayes language classifier (the
     * x_langid_ngram gate): trains on even doc_ids, classifies the odd
     * half, returns the confusion matrix (lang, pred_lang, n, hit).
@@ -959,20 +989,10 @@ object Analytics {
     // wait count with a total tie-break order.
     "q21_waiting_supplier" -> ((s, d) => {
       import s.implicits._
-      val li = lineitem(s, d)
-        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-      val l1 = li
-      val l2 = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
-      val l3 = li.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"),
-        $"l_shipdate".as("d3"))
-      val waited = l1
-        .join(l2, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2",
-          "left_semi")
-        .join(l3, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3" &&
-          $"d3" > $"l_shipdate", "left_anti")
-      waited
+      waitingSuppliers(lineitem(s, d)
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate"))
         .join(broadcast(supplier(s, d).select($"s_suppkey", $"s_name")),
-          $"l_suppkey" === $"s_suppkey")
+          col("l_suppkey") === $"s_suppkey")
         .groupBy($"s_name")
         .agg(countDistinct($"l_orderkey").as("numwait"))
         .orderBy($"numwait".desc, $"s_name")

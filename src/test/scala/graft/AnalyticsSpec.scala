@@ -166,6 +166,7 @@ class AnalyticsSpec extends SparkSpec {
       // both pass the anti side and both count
       (3L, 10L, d("2024-01-03")), (3L, 20L, d("2024-01-03")))
       .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    // the reference semantics, written as the literal semi/anti joins
     val l2 = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
     val l3 = li.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"),
       $"l_shipdate".as("d3"))
@@ -176,6 +177,12 @@ class AnalyticsSpec extends SparkSpec {
       .groupBy($"l_suppkey").agg(countDistinct($"l_orderkey").as("numwait"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(waited == Map(10L -> 1L, 20L -> 2L))
+    // the production decorrelated top-2 form must agree case for case
+    val prod = graft.queries.Analytics.waitingSuppliers(li)
+      .groupBy($"l_suppkey").agg(countDistinct($"l_orderkey").as("numwait"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prod == waited,
+      s"decorrelated q21 diverged from the semi/anti reference: $prod")
   }
 
   test("contQuantiles is bit-identical to the in-memory percentile " +

@@ -924,15 +924,17 @@ class PlanQualitySpec extends SparkSpec {
       s"no global window over the position table:\n$plan")
   }
 
-  test("q21: EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+  test("q21: EXISTS/NOT EXISTS decorrelate to one aggregate pass, " +
+       "no lineitem self-joins") {
     val plan = planString(q("q21_waiting_supplier"))
-    assert(plan.contains("LeftSemi"),
-      s"the EXISTS must run as a left-semi join:\n$plan")
-    assert(plan.contains("LeftAnti"),
-      s"the NOT EXISTS must run as a left-anti join:\n$plan")
+    assert(plan.split("lineitem.parquet").length - 1 <= 1,
+      s"the top-2 decorrelation reads lineitem ONCE, not per subquery:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_count"),
+      s"the per-(order, supplier) fold must combine map-side:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"correlated subqueries must never replay per row:\n$plan")
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("Window"),
+      s"no per-row subquery replay and no window over lineitem:\n$plan")
   }
 
   test("c22: as-of snapshots are window-free partial-aggregable argmaxes") {

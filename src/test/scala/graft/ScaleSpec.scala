@@ -1000,6 +1000,61 @@ class ScaleSpec extends SparkSpec {
     assert(ratio < 25, s"pareto shuffle grew superlinearly: $ratio")
   }
 
+  test("soak: union-find contraction keeps component rounds FLAT at 10x " +
+       "chain length (and shuffle ~linear)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // a path graph is the adversarial diameter case: raw star alternation
+    // pays O(log diameter) global rounds, so 10x the chain would ADD
+    // rounds. The per-partition union-find contraction bounds residual
+    // hops by the number of partition CROSSINGS — a property of the
+    // layout, not the data size — whenever the input has locality (each
+    // partition holds edges of adjacent vertices). That is the production
+    // regime: the LSH pair lists explode per bucket, so a partition holds
+    // whole near-dup neighborhoods. Pin it with contiguous range slices:
+    // rounds must stay FLAT at 10x the chain and shuffle ~linear.
+    def chainAt(n: Long) = spark.range(0L, n - 1, 1L, 8)
+      .select($"id".as("src"), ($"id" + 1).as("dst"))
+    // the rounds run EAGERLY inside the call (checkpoint + fixpoint
+    // probes), so the whole computation must happen under the probe
+    var rounds1 = -1; var rounds10 = -1
+    var df10: org.apache.spark.sql.DataFrame = null
+    val (bytes1, _) = measure {
+      val (df, r) = graft.operators.Components
+        .connectedComponentsWithRounds(chainAt(3000L))
+      rounds1 = r; df
+    }
+    val (bytes10, _) = measure {
+      val (df, r) = graft.operators.Components
+        .connectedComponentsWithRounds(chainAt(30000L))
+      rounds10 = r; df10 = df; df
+    }
+    info(s"components(local chains): rounds $rounds1 -> $rounds10, " +
+      f"shuffle ${bytes1}B -> ${bytes10}B (${bytes10.toDouble / bytes1}%.1fx)")
+    assert(rounds10 <= rounds1,
+      s"global rounds grew with chain length ($rounds1 -> $rounds10): " +
+        "the contraction is not bounding hops by partition crossings")
+    assert(rounds10 <= 3,
+      s"8 contiguous slices must collapse in <=3 global rounds: $rounds10")
+    assert(df10.filter(col("component") =!= 0L).isEmpty,
+      "30k-chain must collapse to component 0")
+    val ratio = bytes10.toDouble / math.max(bytes1, 1)
+    assert(ratio < 25, s"component shuffle grew superlinearly: $ratio")
+
+    // the adversarial regime — locality destroyed by round-robin — must
+    // degrade gracefully to the raw O(log diameter) alternation bound,
+    // never worse, and stay exact
+    val scattered = spark.range(0L, 2999L, 1L, 8)
+      .select($"id".as("src"), ($"id" + 1).as("dst")).repartition(8)
+    val (dfS, roundsS) =
+      graft.operators.Components.connectedComponentsWithRounds(scattered)
+    info(s"components(scattered chain): rounds $roundsS")
+    assert(roundsS <= 14, // ceil(log2(3000)) + small-star cleanup slack
+      s"scattered chain exceeded the star-alternation bound: $roundsS")
+    assert(dfS.filter(col("component") =!= 0L).isEmpty,
+      "scattered chain must still collapse to component 0")
+  }
+
   test("soak: basket pair mining shuffle ~linear at 10x baskets") {
     val sparkS = spark
     import sparkS.implicits._

@@ -887,12 +887,15 @@ object Analytics {
       val base = documents(s, d)
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 5)
+      // two consumers (frequency build, positional join) — the 5-gram
+      // explode materializes once
       val grams = base.select($"doc_id",
         posexplode(transform(sequence(lit(1), size($"w") - 4),
           i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
             element_at($"w", i + 2), element_at($"w", i + 3),
             element_at($"w", i + 4)))))
         .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("g"))
+        .localCheckpoint(false)
       val freq = grams.groupBy($"g").agg(count(lit(1)).as("call"))
       val dup = grams.join(freq.filter($"call" >= 2), Seq("g"))
         .select($"doc_id", $"pos")

@@ -83,6 +83,17 @@ object Components {
     * parent entry per distinct vertex in the partition — the same bound
     * the groupBy state already has, so a partition sized to fit memory
     * for the shuffle also fits the union-find.
+    *
+    * Effectiveness tracks input LOCALITY (ScaleSpec pins both regimes):
+    * when a partition holds edges of related vertices — the production
+    * case, since LSH/bucket pair lists explode whole neighborhoods per
+    * bucket — rounds are bounded by partition crossings regardless of
+    * graph size; an adversarial layout (edges scattered independently of
+    * structure) contracts nothing and the pipeline falls back to the
+    * large-star/small-star O(log² n) alternation bound, never worse. No
+    * shuffle is spent trying to manufacture locality: a repartition that
+    * reliably co-locates communities would itself be the components
+    * problem.
     */
   private[graft] def localContract(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession

@@ -995,10 +995,14 @@ object Pipeline {
     val symEff =
       if (!preContract) sym
       else {
+        // both union branches read the contraction — materialize the
+        // partition pass once, and once more feed every propagation round
         val star = graft.operators.Components.localContract(
           sym.select($"a".as("src"), $"b".as("dst")))
+          .localCheckpoint(false)
         star.select($"src".as("a"), $"dst".as("b"))
           .unionAll(star.select($"dst".as("a"), $"src".as("b")))
+          .localCheckpoint(false)
       }
     var labels = docsIds
       .select($"doc_id", $"doc_id".as("lbl"), lit(false).as("changed"))

@@ -123,8 +123,18 @@ object Bench {
     val worst5 = results.sortBy(-_._2._1).take(5)
       .map { case (k, (v, _)) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    // Box-noise gauge: median of each query's (max/min) across the
+    // sweeps that ran it more than once. ~1.0 = quiet box, the reported
+    // minimums are trustworthy; >1.3 = heavy co-tenant/steal noise —
+    // read cross-round deltas against this before calling a regression.
+    val spreads = ordered.flatMap { case (name, _) =>
+      val ts = sweeps.flatMap(_.get(name)).filter(_._2).map(_._1)
+      if (ts.size >= 2 && ts.min > 0) Some(ts.max / ts.min) else None
+    }.sorted
+    val noise =
+      if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     println(
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"worst5":$worst5}""")
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"worst5":$worst5}""")
     spark.stop()
   }
 }

@@ -15,10 +15,18 @@ package graft.core
   * JVM default silently (returning None keeps the builder untouched).
   */
 object Scratch {
+  /** Minimum usable tmpfs space to elect it as scratch: below this
+    * (e.g. Docker's default 64 MB /dev/shm) the first real shuffle
+    * would ENOSPC where the /tmp default worked — too-small is as
+    * unusable as non-writable.
+    */
+  private val MinUsableBytes = 8L << 30
+
   def fastLocalDir(): Option[String] =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
       val shm = new java.io.File("/dev/shm")
-      if (!shm.isDirectory || !shm.canWrite) None
+      if (!shm.isDirectory || !shm.canWrite ||
+        shm.getUsableSpace < MinUsableBytes) None
       else {
         val d = new java.io.File(shm, "graft-spark-scratch")
         if (d.isDirectory || d.mkdirs()) Some(d.getAbsolutePath) else None

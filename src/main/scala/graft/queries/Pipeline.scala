@@ -1525,11 +1525,8 @@ object Pipeline {
       // vec_id asc) order the old row_number window used, which shuffled
       // the full |non-en|×|en| scored table); candidate langs rejoin on
       // the 4-rows-per-query result, not the cross product
-      val top4 = scored.groupBy($"qid")
-        .agg(graft.operators.TopKAgg.topKByScore($"cos", $"vec_id", 4)
-          .as("top"))
-        .select($"qid", explode($"top").as("e"))
-        .select($"qid", $"e.id".as("vec_id"), $"e.score".as("cos"))
+      val top4 = topKPerQuery(scored.select($"qid", $"vec_id", $"cos"), 4)
+        .drop("rnk")
         .join(langs.select($"doc_id".as("vec_id"), $"lang"), "vec_id")
       top4.groupBy($"qid")
         .agg(max(struct($"cos", (-$"vec_id").as("negid"), $"lang"))

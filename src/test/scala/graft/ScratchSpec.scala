@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScratchSpec extends AnyFunSuite {
+
+  test("fastLocalDir prefers the env override verbatim") {
+    // env can't be set from inside the JVM portably; assert the
+    // observable contract instead: with no override present, the result
+    // is either None or a writable directory under a large-enough tmpfs
+    assume(sys.env.get("SPARK_GRAFT_LOCAL_DIR").isEmpty)
+    graft.core.Scratch.fastLocalDir() match {
+      case None => succeed
+      case Some(p) =>
+        val d = new java.io.File(p)
+        assert(d.isDirectory && d.canWrite, s"elected scratch unusable: $p")
+        // the capacity guard: an elected tmpfs must clear the 8 GiB bar,
+        // so a Docker-default 64 MB /dev/shm can never be chosen
+        assert(d.getUsableSpace >= (8L << 30) - (1L << 30),
+          s"elected scratch too small for real shuffles: $p " +
+            s"(${d.getUsableSpace} usable)")
+    }
+  }
+
+  test("configure is a no-op on the builder when no scratch is elected") {
+    // contract-level: configure never throws and returns a builder that
+    // can still produce a session config map (we don't build a session
+    // here — SparkSpec owns the shared one)
+    val b = org.apache.spark.sql.SparkSession.builder()
+    val out = graft.core.Scratch.configure(b)
+    assert(out != null)
+  }
+}

@@ -2523,7 +2523,9 @@ object Pipeline {
       // materializes once instead of once per consumer
       val sh = bigramShingles(docs).localCheckpoint(false)
       val sigs = minhashSigsFromShingles(sh).localCheckpoint(false)
-      val pairs = minhashCandidatePairsFromSigs(sigs)
+      // three consumers (signature compare, member scoping, intersection
+      // join) — the band/bucket/pair derivation materializes once
+      val pairs = minhashCandidatePairsFromSigs(sigs).localCheckpoint(false)
       val a = sigs.select(($"doc_id").as("id1") +:
         (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
       val b = sigs.select(($"doc_id").as("id2") +:

@@ -182,6 +182,28 @@ class PlanQualitySpec extends SparkSpec {
       s"LSH ANN must not contain an all-pairs join:\n$plan")
   }
 
+  test("per-query top-k across the ANN family heap-trims map-side " +
+       "and never windows the scored corpus") {
+    // the r14 topKPerQuery contract: every per-query ranking runs through
+    // the bounded-heap aggregate (partial_graft_topk = map-side trim to k
+    // before the exchange); a Window node over the scored table would be
+    // the full-shuffle-per-query regression this pin exists to catch
+    // v_ann_ivf keeps ONE window: the NProbe ranking over the 3 query
+    // vectors' K=8 centroid scores (24 rows, bounded by construction) —
+    // the corpus-wide assignment is the argmax aggregate, not a window
+    val allowedWindows = Map("v_ann_ivf" -> 1).withDefaultValue(0)
+    for (name <- Seq("v_ann_cosine", "v_ann_lsh", "v_ann_lsh_multiprobe",
+        "v_ann_ivf", "v_recall_eval_mrl", "x_bitext_mine")) {
+      val plan = planString(q(name))
+      assert(plan.contains("partial_graft_topk"),
+        s"$name: per-query selection must map-side trim via TopKAgg:\n$plan")
+      val windows = "\\bWindow\\b".r.findAllMatchIn(plan).size
+      assert(windows <= allowedWindows(name),
+        s"$name: ${windows} Window nodes rank the scored corpus " +
+          s"(allowed ${allowedWindows(name)}):\n$plan")
+    }
+  }
+
   test("v_ann_int8: top-k heap partial-aggregates; only the query side nested-loops") {
     val plan = planString(q("v_ann_int8"))
     assert(!plan.contains("CartesianProduct"),

@@ -17,6 +17,25 @@ import org.apache.spark.sql.SparkSession
   * the code's actual cost.
   */
 object Bench {
+  /** Fixed, Spark-free CPU calibration probe: md5 over a 64-byte buffer,
+    * a constant iteration count, one thread. Its wall time moves ONLY
+    * with the box (clock, steal, thermal state) — never with this repo's
+    * code — so `calib_secs` in the output normalizes cross-round query
+    * deltas mechanically: query_r15/query_r14 vs calib_r15/calib_r14
+    * separates code changes from host drift without solo-bench forensics.
+    * ~1 s on an unloaded core of this class of box.
+    */
+  private def calibrate(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var buf = new Array[Byte](64)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 3000000) { md.update(buf); buf = md.digest(); i += 1 }
+    // fold the digest into a side effect the JIT can't elide
+    if (buf(0) == 127 && buf(1) == -127) System.err.println("[calib]")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,6 +50,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.install(spark)
+    // What the session is ACTUALLY spilling to — read back off the conf,
+    // not recomputed, so a silent Scratch regression shows in the JSON.
+    val scratchDir = spark.conf.getOption("spark.local.dir")
+      .getOrElse("<jvm-default>")
+    val calibBefore = calibrate()
 
     // untimed warmup: JIT + session init must not bill the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -100,8 +124,11 @@ object Bench {
     val truncated = results.collect { case (k, (_, n)) if n < passes => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
+    // min of a before/after pair: a steal burst landing on one probe run
+    // shouldn't inflate the round's whole normalization factor
+    val calib = math.min(calibBefore, calibrate())
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"method":"min-of-$passes%d-sweeps","passes_run":$passCounts,"budget_skipped":$truncated}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"scratch_dir":"$scratchDir","passes_run":$passCounts,"budget_skipped":$truncated}"""
     println(fullJson)
     // Durable copy: the driver's BENCH_r*.json capture keeps only a
     // 2000-char stdout tail, so per-query times beyond worst5 are lost
@@ -134,7 +161,7 @@ object Bench {
     val noise =
       if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     println(
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"worst5":$worst5}""")
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"scratch_dir":"$scratchDir","worst5":$worst5}""")
     spark.stop()
   }
 }

@@ -42,8 +42,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Always the COMPLETE oracle map, even under VERIFY_ONLY: a subset
+    // rerun into an existing outDir must not overwrite the full map with
+    // a subset, or a later full comparison would silently gate fewer
+    // queries. (Stale parquet dirs are harmless — the driver's compare
+    // walks the oracle map, and a full run rewrites every dir anyway.)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -11,8 +11,21 @@ package graft.core
   * so the production story is unchanged — this only decides where LOCAL
   * runs spill.
   *
-  * `SPARK_GRAFT_LOCAL_DIR` overrides; an unusable tmpfs falls back to the
-  * JVM default silently (returning None keeps the builder untouched).
+  * `SPARK_GRAFT_LOCAL_DIR` overrides (validated for writability like the
+  * tmpfs path — a typo'd or read-only override falls through to the
+  * election instead of handing Spark a dir it will crash on); an unusable
+  * tmpfs falls back to the JVM default silently (returning None keeps the
+  * builder untouched).
+  *
+  * Sizing note: the 8 GiB usable-space bar is checked once at session
+  * build. Spark has no mid-run failover between local dirs — a
+  * comma-list (`tmpfs,/tmp`) HASHES block files across entries, sending
+  * ~half of every shuffle to the slow disk always, which defeats the
+  * election — so a shuffle that outgrows the tmpfs mid-run fails with
+  * ENOSPC rather than degrading. At this suite's scale (sf0.1, peak
+  * shuffle well under 1 GiB) the 8 GiB bar leaves >8× headroom; a caller
+  * running genuinely tmpfs-sized data should set `SPARK_GRAFT_LOCAL_DIR`
+  * to a disk-backed dir explicitly.
   */
 object Scratch {
   /** Minimum usable tmpfs space to elect it as scratch: below this
@@ -22,16 +35,27 @@ object Scratch {
     */
   private val MinUsableBytes = 8L << 30
 
+  /** A dir (created if needed) Spark can actually write scratch into. */
+  private def usable(path: String): Option[String] = {
+    val d = new java.io.File(path)
+    if ((d.isDirectory || d.mkdirs()) && d.canWrite) Some(d.getAbsolutePath)
+    else None
+  }
+
   def fastLocalDir(): Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
-      val shm = new java.io.File("/dev/shm")
-      if (!shm.isDirectory || !shm.canWrite ||
-        shm.getUsableSpace < MinUsableBytes) None
-      else {
-        val d = new java.io.File(shm, "graft-spark-scratch")
-        if (d.isDirectory || d.mkdirs()) Some(d.getAbsolutePath) else None
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
+      .flatMap { p =>
+        val u = usable(p) // invalid override → fall through to the election
+        if (u.isEmpty) System.err.println(
+          s"[scratch] SPARK_GRAFT_LOCAL_DIR=$p not writable; ignoring")
+        u
       }
-    }
+      .orElse {
+        val shm = new java.io.File("/dev/shm")
+        if (!shm.isDirectory || !shm.canWrite ||
+          shm.getUsableSpace < MinUsableBytes) None
+        else usable("/dev/shm/graft-spark-scratch")
+      }
 
   /** Apply [[fastLocalDir]] to a session builder (no-op when unavailable). */
   def configure(b: org.apache.spark.sql.SparkSession.Builder)

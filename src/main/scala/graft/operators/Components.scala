@@ -99,6 +99,10 @@ object Components {
     val s = edges.sparkSession
     import s.implicits._
     edges.select(col("src").cast("long"), col("dst").cast("long"))
+      // the pre-contraction pipeline (greatest/least canonicalize +
+      // filter) silently DROPPED null endpoints; the typed decode below
+      // would NPE on them instead — preserve the drop-nulls contract
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .as[(Long, Long)]
       .mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()

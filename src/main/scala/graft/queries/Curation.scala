@@ -840,12 +840,19 @@ object Curation {
         sum(when($"m" > 1 && $"m" <= 64, 1L).otherwise(0L))
           .as("buckets_used"),
         sum(when($"m" > 64, 1L).otherwise(0L)).as("buckets_capped"))
-      broadcast(configs.toDF("cfg", "rows_per_band"))
-        .join(cand, Seq("cfg"), "left")
-        .join(used, Seq("cfg"))
+      // Both stat joins are LEFT from the config spine: on an empty
+      // corpus `buckets` (and hence `used`) has no rows, and an inner
+      // join would erase the four config rows instead of reporting
+      // zero counts for each. The broadcast hint goes on the RIGHT
+      // sides (4-row aggregates) — a left-outer join can only build
+      // its right side, so hinting the spine was a silent no-op.
+      configs.toDF("cfg", "rows_per_band")
+        .join(broadcast(cand), Seq("cfg"), "left")
+        .join(broadcast(used), Seq("cfg"), "left")
         .select($"cfg".as("bands"), $"rows_per_band",
           coalesce($"cand_pairs", lit(0L)).as("cand_pairs"),
-          $"buckets_used", $"buckets_capped")
+          coalesce($"buckets_used", lit(0L)).as("buckets_used"),
+          coalesce($"buckets_capped", lit(0L)).as("buckets_capped"))
         .orderBy($"bands".desc)
     }),
 

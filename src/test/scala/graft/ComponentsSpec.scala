@@ -139,6 +139,20 @@ class ComponentsSpec extends SparkSpec {
     check(42, edges)
   }
 
+  test("localContract drops null-endpoint edges instead of crashing") {
+    import spark.implicits._
+    // nullable edge columns reach localContract from callers whose edge
+    // derivation can emit nulls; the pre-contraction pipeline silently
+    // dropped them — the typed decode must not reintroduce an NPE
+    val df = Seq((Option(1L), Option(2L)), (None, Option(3L)),
+      (Option(4L), None), (Option(2L), Option(5L)))
+      .toDF("src", "dst")
+    val star = Components.localContract(df.coalesce(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the non-null edges contract: {1,2,5} -> root 1
+    assert(star == Set((2L, 1L), (5L, 1L)), s"got $star")
+  }
+
   test("empty and single-edge graphs") {
     import spark.implicits._
     assert(Components.connectedComponents(

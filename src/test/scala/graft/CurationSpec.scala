@@ -199,6 +199,28 @@ class CurationSpec extends SparkSpec {
       s"4x2 tuning row (${rows(4)}) must equal d_minhash_lsh ($prod)")
   }
 
+  test("LSH tuning on an empty corpus still reports all four configs") {
+    // regression: the buckets_used/buckets_capped join was inner, so an
+    // empty corpus erased the config spine instead of reporting zeros
+    val tmp = java.nio.file.Files.createTempDirectory("lsh-empty").toFile
+    try {
+      graft.queries.Tables.documents(spark, sfDir).limit(0)
+        .write.mode("overwrite").parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+      val rows = SparkEntry.queries("d_lsh_tuning")(spark, tmp.getAbsolutePath)
+        .collect()
+      assert(rows.length == 4, s"expected 4 config rows, got ${rows.length}")
+      rows.foreach { r =>
+        assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L,
+          s"empty corpus must report zero counts: $r")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("hash embedding: deterministic, and duplicate texts collide exactly") {
     val sparkS = spark
     import sparkS.implicits._

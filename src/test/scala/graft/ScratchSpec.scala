@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ScratchSpec extends AnyFunSuite {
 
-  test("fastLocalDir prefers the env override verbatim") {
+  test("fastLocalDir elects only a writable, large-enough scratch") {
     // env can't be set from inside the JVM portably; assert the
     // observable contract instead: with no override present, the result
     // is either None or a writable directory under a large-enough tmpfs
@@ -29,5 +29,23 @@ class ScratchSpec extends AnyFunSuite {
     val b = org.apache.spark.sql.SparkSession.builder()
     val out = graft.core.Scratch.configure(b)
     assert(out != null)
+  }
+
+  test("a Scratch.configure'd session actually runs on the elected dir") {
+    // End-to-end pin for the driver-contract mains (Bench/Verify/Smoke
+    // all build their session through Scratch.configure, as does the
+    // shared test session): the ELECTED dir must be what the live
+    // session's spark.local.dir reads back as — a silent regression here
+    // would quietly re-route every shuffle to the slow root disk and
+    // re-open the r14 drift story.
+    val spark = SparkSpec.session
+    graft.core.Scratch.fastLocalDir() match {
+      case Some(d) =>
+        assert(spark.conf.getOption("spark.local.dir").contains(d),
+          s"session spark.local.dir != elected scratch $d")
+      case None =>
+        assert(spark.conf.getOption("spark.local.dir").isEmpty,
+          "no scratch elected but session carries spark.local.dir")
+    }
   }
 }

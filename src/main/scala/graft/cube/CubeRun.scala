@@ -23,6 +23,20 @@ import graft.sources.RasterIO
   */
 object CubeRun {
 
+  /** Scope a pipeline stage under a Spark job description: every job the
+    * body launches shows as `cube:<name>` in the Spark UI / event log /
+    * [[graft.tools.ProfileOne]], so a slow run attributes to its stage
+    * (plan, decode, quarantine, publish, readback) instead of an
+    * anonymous job id. Restores the caller's description on exit — the
+    * property is thread-local on the shared SparkContext.
+    */
+  private def stage[T](spark: SparkSession, name: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"cube:$name")
+    try body finally sc.setJobDescription(prev)
+  }
+
   final case class RunResult(planned: Long, items: Long, blocks: Long,
                              /** units ledgered ERROR this run (a corrupt
                                * scene quarantines its whole (tile, period)
@@ -182,7 +196,7 @@ object CubeRun {
     // fully-written snapshot, so a crash anywhere in publication leaves
     // readers consistent and the resume re-plans from the last commit
     val ledgerPath = s"$outDir/ledger"
-    val ledger = Ledger.readCurrent(spark, ledgerPath).getOrElse(
+    val ledger = stage(spark, "plan")(Ledger.readCurrent(spark, ledgerPath)).getOrElse(
       spark.emptyDataset[(String, String, String, String, String, String)]
         .toDF("cube", "tile_id", "p_start", "p_end", "band", "status"))
 
@@ -219,9 +233,16 @@ object CubeRun {
     // materialize the plan now: the ledger parquet is swapped below and
     // re-evaluating this lazy plan afterwards would read deleted files
     val pending = Ledger.pendingUnits(expected, ledger, force).cache()
-    val plannedCount = pending.count()
-    val pendingPeriods = pending.select($"p_start", $"p_end").distinct()
-      .collect().map(r => (r.getString(0), r.getString(1)))
+    // ONE action plans the run: the per-period rollup yields both the
+    // planned-unit total and the distinct period list (they were two
+    // separate jobs over the same cached table — on the always-on ingest
+    // this is per-BATCH driver overhead, paid even by 0-pending batches)
+    val periodCounts = stage(spark, "plan") {
+      pending.groupBy($"p_start", $"p_end").agg(count(lit(1)).as("n"))
+        .collect()
+    }
+    val plannedCount = periodCounts.map(_.getLong(2)).sum
+    val pendingPeriods = periodCounts.map(r => (r.getString(0), r.getString(1)))
     if (pendingPeriods.isEmpty) {
       // release the cache entry before the no-op return: under the
       // always-on ingest this path runs on every batch that arrives
@@ -258,21 +279,23 @@ object CubeRun {
     // excluded from publication and ledgered ERROR — an item is never
     // published from a partial band set, and ERROR units stay pending so
     // the next run retries them after the file is repaired
-    val decoded = graft.operators.Scale.persistBucketed(
-      RasterIO.decodeBlocksQuarantining(scanned, collection.identifier,
-          blockSize)
-        .withColumn("assetOrder", lit(0)).withColumn("source", lit(0)),
-      "cube_blocks", s"$outDir/bucketed_blocks", blockBuckets,
-      Seq("tileId", "blockY", "blockX"))
+    val decoded = stage(spark, "decode+bucket")(
+      graft.operators.Scale.persistBucketed(
+        RasterIO.decodeBlocksQuarantining(scanned, collection.identifier,
+            blockSize)
+          .withColumn("assetOrder", lit(0)).withColumn("source", lit(0)),
+        "cube_blocks", s"$outDir/bucketed_blocks", blockBuckets,
+        Seq("tileId", "blockY", "blockX")))
     val pendingPeriodsDf = pendingPeriods.toSeq.toDF("ps", "pe")
       .select($"ps".cast("date").as("p_start"), $"pe".cast("date").as("p_end"))
     // errored (tile, period) pairs: catalog-bounded (≤ tiles × periods)
-    val erroredKeys: Array[(String, String)] = decoded
-      .filter($"error".isNotNull).select($"tileId", $"date").distinct()
-      .join(broadcast(pendingPeriodsDf),
-        $"date".between($"p_start", $"p_end"))
-      .select($"tileId", $"p_start".cast("string")).distinct()
-      .collect().map(r => (r.getString(0), r.getString(1)))
+    val erroredKeys: Array[(String, String)] = stage(spark, "quarantine")(
+      decoded
+        .filter($"error".isNotNull).select($"tileId", $"date").distinct()
+        .join(broadcast(pendingPeriodsDf),
+          $"date".between($"p_start", $"p_end"))
+        .select($"tileId", $"p_start".cast("string")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))))
     val erroredSet = erroredKeys.map { case (t, p) => s"$t|$p" }.toSet
     val qDir = s"$outDir/quarantine"
     val prevQ = Ledger.readCurrent(spark, qDir)
@@ -297,7 +320,7 @@ object CubeRun {
           .unionByName(newErrors)
         case None => newErrors
       }
-      Ledger.commitVersion(spark, qDir, mergedQ)
+      stage(spark, "quarantine")(Ledger.commitVersion(spark, qDir, mergedQ))
     }
     val blocks = decoded.filter($"error".isNull).drop("path", "error")
     val composited0 = mergeCompositeChain(blocks, collection, mask,
@@ -313,27 +336,35 @@ object CubeRun {
     // crash-resume REPLACES its partitions instead of appending
     // duplicates, and untouched partitions survive — publication is
     // idempotent at the unit grain the ledger plans
-    composited.withColumn("value", CubeBuilder.compositeBand(collection))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("tileId", "p_start")
-      .parquet(s"$outDir/blocks")
+    stage(spark, "composite+publish:blocks")(
+      composited.withColumn("value", CubeBuilder.compositeBand(collection))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tileId", "p_start")
+        .parquet(s"$outDir/blocks"))
     val indexDf = CubeBuilder.indexBands(composited, collection)
-    val hasIndex = !indexDf.isEmpty
+    // structural, not executed: `!indexDf.isEmpty` re-ran the whole
+    // merge→composite→pivot chain just to learn what the collection
+    // definition already says. A zero-row write (every unit quarantined)
+    // writes no partitions under dynamic overwrite — existing data
+    // survives and the readback path Try-wraps an unreadable first dir.
+    val hasIndex = collection.bands.exists(_.expression.nonEmpty)
     if (hasIndex)
-      indexDf.write.mode("overwrite")
+      stage(spark, "publish:index")(indexDf.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("tileId", "p_start")
-        .parquet(s"$outDir/index_blocks")
+        .parquet(s"$outDir/index_blocks"))
     // the items catalog is a C1 upsert keyed on item_id (the reference's
     // get_or_create over the items table), committed pointer-versioned
     val items = CubeBuilder.publishItems(composited, collection)
     val itemsPath = s"$outDir/items"
-    val newItems = Ledger.readCurrent(spark, itemsPath) match {
-      case Some(old) =>
-        old.join(items, Seq("item_id"), "left_anti").unionByName(items)
-      case None => items
+    stage(spark, "publish:items") {
+      val newItems = Ledger.readCurrent(spark, itemsPath) match {
+        case Some(old) =>
+          old.join(items, Seq("item_id"), "left_anti").unionByName(items)
+        case None => items
+      }
+      Ledger.commitVersion(spark, itemsPath, newItems)
     }
-    Ledger.commitVersion(spark, itemsPath, newItems)
     // optional S9+C2 asset publication: composite (and index) bands
     // stream into per-item COG directories under work/ and each item
     // commits atomically into data/ only once its full band set exists
@@ -367,7 +398,8 @@ object CubeRun {
             row.getAs[Array[Byte]](4))
         }
       }
-      Publish.publishGeoTiffs(withIndex, s"$outDir/work", s"$outDir/data")
+      stage(spark, "publish:cogs")(
+        Publish.publishGeoTiffs(withIndex, s"$outDir/work", s"$outDir/data"))
     }
 
     // every planned unit ledgers: SUCCESS normally, ERROR when its
@@ -383,16 +415,17 @@ object CubeRun {
     val errorCount =
       if (erroredSet.isEmpty) 0L
       else completions.filter($"status" === Ledger.StatusError).count()
-    Ledger.commitVersion(spark, ledgerPath, Ledger.upsert(ledger, completions))
+    stage(spark, "publish:ledger")(
+      Ledger.commitVersion(spark, ledgerPath, Ledger.upsert(ledger, completions)))
 
     pending.unpersist()
     if (!keepBucketed)
       graft.operators.Scale.dropBucketed(spark, "cube_blocks",
         s"$outDir/bucketed_blocks")
-    RunResult(plannedCount,
+    stage(spark, "readback")(RunResult(plannedCount,
       Ledger.readCurrent(spark, s"$outDir/items").map(_.count()).getOrElse(0L),
       readParquetIfExists(spark, s"$outDir/blocks").map(_.count()).getOrElse(0L),
-      errorCount)
+      errorCount))
     }
   }
 

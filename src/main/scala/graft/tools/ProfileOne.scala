@@ -13,13 +13,15 @@ object ProfileOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(sys.error("usage: ProfileOne <query> [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    // same scratch election as Bench — profiling on a different
+    // spill device than the bench would mis-attribute shuffle cost
+    val spark = graft.core.Scratch.configure(SparkSession.builder()
       .master("local[32]")
       .appName(s"profile-$name")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.install(spark)
@@ -65,6 +67,17 @@ object ProfileOne {
         println(f"  job $id%3d ${sec}%7.3f s  stages=${r.stages}%2d  ${r.desc.take(100)}")
       }
       println(f"  (job-accounted ${acct}%.3f s of ${total}%.3f s; gap = driver/planning time)")
+      // rollup by description: operators that tag their stages (e.g.
+      // CubeRun's `cube:<stage>` markers) get a direct per-stage total
+      recs.groupBy(_._2.desc).toSeq
+        .map { case (d, js) =>
+          (d, js.map(j => math.max(if (j._2.end > 0)
+            (j._2.end - j._2.start) / 1e3 else 0.0, 0.0)).sum, js.size)
+        }
+        .sortBy(-_._2)
+        .foreach { case (d, sec, n) =>
+          println(f"  stage ${sec}%7.3f s  jobs=$n%3d  ${if (d.isEmpty) "<untagged>" else d.take(80)}")
+        }
     }
     spark.stop()
   }

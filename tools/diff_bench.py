@@ -30,3 +30,12 @@ for k in sorted(set(oq) - set(nq)):
 print(f"\ntotal: {old['value']:.1f}s/{len(oq)} -> "
       f"{new['value']:.1f}s/{len(nq)} "
       f"({new['value'] / len(nq):.3f} s/query)")
+
+# Box-drift normalization: calib_secs is a fixed Spark-free CPU probe,
+# so its ratio between the two files IS the host-speed ratio. A total
+# ratio near the calib ratio means "the box moved, not the code".
+if old.get("calib_secs") and new.get("calib_secs"):
+    calib = new["calib_secs"] / old["calib_secs"]
+    tot = (new["value"] / len(nq)) / (old["value"] / len(oq))
+    print(f"calib ratio (box): {calib:.3f}   per-query ratio: {tot:.3f}   "
+          f"code ratio (per-query / calib): {tot / calib:.3f}")

@@ -175,6 +175,13 @@ object CubeRun {
       catch { case scala.util.control.NonFatal(_) => () } // static conf
     }
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // Publication reads back the just-written blocks partitions (see the
+    // blocks write below); with type inference on, an all-digit tile id
+    // directory would come back as an INT partition column (losing
+    // leading zeros) and the pruning filters would miss. Strings
+    // everywhere; p_start is cast back to date explicitly after the read.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
     import spark.implicits._
     {
 
@@ -237,12 +244,17 @@ object CubeRun {
     // planned-unit total and the distinct period list (they were two
     // separate jobs over the same cached table — on the always-on ingest
     // this is per-BATCH driver overhead, paid even by 0-pending batches)
-    val periodCounts = stage(spark, "plan") {
-      pending.groupBy($"p_start", $"p_end").agg(count(lit(1)).as("n"))
+    val unitCounts = stage(spark, "plan") {
+      pending.groupBy($"tile_id", $"p_start", $"p_end")
+        .agg(count(lit(1)).as("n"))
         .collect()
     }
-    val plannedCount = periodCounts.map(_.getLong(2)).sum
-    val pendingPeriods = periodCounts.map(r => (r.getString(0), r.getString(1)))
+    val plannedCount = unitCounts.map(_.getLong(3)).sum
+    val pendingPeriods = unitCounts
+      .map(r => (r.getString(1), r.getString(2))).distinct
+    // (tile, period) pairs this run will write — the read-back prune set
+    val pendingPairs = unitCounts
+      .map(r => (r.getString(0), r.getString(1))).distinct
     if (pendingPeriods.isEmpty) {
       // release the cache entry before the no-op return: under the
       // always-on ingest this path runs on every batch that arrives
@@ -341,7 +353,32 @@ object CubeRun {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("tileId", "p_start")
         .parquet(s"$outDir/blocks"))
-    val indexDf = CubeBuilder.indexBands(composited, collection)
+    // The merge→composite chain executes exactly ONCE per run — the
+    // blocks write above. Every later publication stage (index bands,
+    // items, COGs, quicklooks) reads BACK the partitions just written
+    // instead of re-running the composite from the bucketed table: at
+    // cube scale the composite aggregation over the full scene stack is
+    // the dominant cost, and items alone used to pay it a second time
+    // (COG publication a third and fourth). The read is pruned to this
+    // run's (tile, period) partitions by filter, then made exact by a
+    // broadcast semi-join on the pair list (the isin pair is a cross
+    // product; a partition another run wrote must not republish here).
+    // Fallback to the lazy composited plan when the read-back can't
+    // resolve (a zero-row FIRST write leaves no readable footer) —
+    // publication then sees the same empty result it does today.
+    val okPairs = pendingPairs.filterNot { case (t, p) => erroredSet(s"$t|$p") }
+    val pubSource: DataFrame = scala.util.Try {
+        val pairsDf = okPairs.toSeq.toDF("__tile", "__ps")
+        val readBack = spark.read.parquet(s"$outDir/blocks")
+          .filter($"tileId".isin(okPairs.map(_._1).distinct.toSeq: _*) &&
+            $"p_start".isin(okPairs.map(_._2).distinct.toSeq: _*))
+          .join(broadcast(pairsDf),
+            $"tileId" === $"__tile" && $"p_start" === $"__ps", "left_semi")
+          .withColumn("p_start", $"p_start".cast("date"))
+        readBack.schema // forces footer/partition resolution to fail fast
+        readBack
+      }.getOrElse(composited)
+    val indexDf = CubeBuilder.indexBands(pubSource, collection)
     // structural, not executed: `!indexDf.isEmpty` re-ran the whole
     // merge→composite→pivot chain just to learn what the collection
     // definition already says. A zero-row write (every unit quarantined)
@@ -355,7 +392,7 @@ object CubeRun {
         .parquet(s"$outDir/index_blocks"))
     // the items catalog is a C1 upsert keyed on item_id (the reference's
     // get_or_create over the items table), committed pointer-versioned
-    val items = CubeBuilder.publishItems(composited, collection)
+    val items = CubeBuilder.publishItems(pubSource, collection)
     val itemsPath = s"$outDir/items"
     stage(spark, "publish:items") {
       val newItems = Ledger.readCurrent(spark, itemsPath) match {
@@ -371,7 +408,7 @@ object CubeRun {
     // (Publish.publishGeoTiffs) — a crash mid-run leaves earlier items
     // fully published and later items absent, never half-visible
     if (publishCogs) {
-      val cogBlocks = composited
+      val cogBlocks = pubSource
         .withColumn("pixels", CubeBuilder.compositeBand(collection))
         .select($"cube", $"tileId", $"band", $"p_start", $"blockY",
           $"blockX", $"height", $"width", $"x0", $"y0", $"resX", $"resY",
@@ -386,7 +423,7 @@ object CubeRun {
       // commit below moves the PNG together with the band set — an item
       // is never visible without its quicklook
       for ((inMin, inMax) <- quicklookRange) {
-        val pngs = CubeBuilder.quicklook(composited, collection, inMin, inMax)
+        val pngs = CubeBuilder.quicklook(pubSource, collection, inMin, inMax)
           .collect() // one row per (tile, period) item — catalog-bounded
         pngs.foreach { row =>
           val dir = Publish.itemWorkDir(s"$outDir/work", row.getString(0),

@@ -359,24 +359,34 @@ object CubeRun {
     // instead of re-running the composite from the bucketed table: at
     // cube scale the composite aggregation over the full scene stack is
     // the dominant cost, and items alone used to pay it a second time
-    // (COG publication a third and fourth). The read is pruned to this
-    // run's (tile, period) partitions by filter, then made exact by a
-    // broadcast semi-join on the pair list (the isin pair is a cross
-    // product; a partition another run wrote must not republish here).
-    // Fallback to the lazy composited plan when the read-back can't
-    // resolve (a zero-row FIRST write leaves no readable footer) —
-    // publication then sees the same empty result it does today.
+    // (COG publication a third and fourth). The read names the run's
+    // (tile, period) partition DIRECTORIES explicitly — a whole-table
+    // read would list the cube's full lifetime partition tree on the
+    // driver just to prune it back down, and grows with the cube, not
+    // the run; `basePath` keeps tileId/p_start as columns, the escape
+    // matches what the writer used for the directory names, and the
+    // existence filter drops pairs that wrote nothing (an empty period).
+    // A pair some OTHER run wrote never republishes here by
+    // construction. Fallback to the lazy composited plan when nothing
+    // readable exists — publication then sees the same empty result it
+    // does today.
     val okPairs = pendingPairs.filterNot { case (t, p) => erroredSet(s"$t|$p") }
-    val pubSource: DataFrame = scala.util.Try {
-        val pairsDf = okPairs.toSeq.toDF("__tile", "__ps")
-        val readBack = spark.read.parquet(s"$outDir/blocks")
-          .filter($"tileId".isin(okPairs.map(_._1).distinct.toSeq: _*) &&
-            $"p_start".isin(okPairs.map(_._2).distinct.toSeq: _*))
-          .join(broadcast(pairsDf),
-            $"tileId" === $"__tile" && $"p_start" === $"__ps", "left_semi")
+    val blocksBase = s"$outDir/blocks"
+    val pairDirs = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      val fs = new org.apache.hadoop.fs.Path(blocksBase)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      okPairs.map { case (t, p) =>
+        new org.apache.hadoop.fs.Path(blocksBase,
+          s"tileId=${escapePathName(t)}/p_start=${escapePathName(p)}")
+      }.filter(fs.exists)
+    }
+    val pubSource: DataFrame =
+      if (pairDirs.isEmpty) composited
+      else scala.util.Try {
+        spark.read.option("basePath", blocksBase)
+          .parquet(pairDirs.map(_.toString).toSeq: _*)
           .withColumn("p_start", $"p_start".cast("date"))
-        readBack.schema // forces footer/partition resolution to fail fast
-        readBack
       }.getOrElse(composited)
     val indexDf = CubeBuilder.indexBands(pubSource, collection)
     // structural, not executed: `!indexDf.isEmpty` re-ran the whole

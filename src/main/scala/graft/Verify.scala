@@ -42,14 +42,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Always the COMPLETE oracle map, even under VERIFY_ONLY: a subset
-    // rerun into an existing outDir must not overwrite the full map with
-    // a subset, or a later full comparison would silently gate fewer
-    // queries. (Stale parquet dirs are harmless — the driver's compare
-    // walks the oracle map, and a full run rewrites every dir anyway.)
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Under VERIFY_ONLY a subset rerun must not shrink the gate of a
+    // previous FULL run: an existing oracle_sql.json is left untouched
+    // (its full map still names every query; the rerun refreshed the
+    // named parquet dirs in place). Into a FRESH outDir the filtered
+    // map is written, so the subset workflow (check_oracles over just
+    // the named queries) keeps working. A full run always rewrites the
+    // complete map.
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (only.isEmpty || !Files.exists(oraclePath)) {
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => only.forall(_.contains(k)) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(oraclePath, json): Unit
+    }
     spark.stop()
   }
 }

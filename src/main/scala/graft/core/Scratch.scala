@@ -45,10 +45,15 @@ object Scratch {
   def fastLocalDir(): Option[String] =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
       .flatMap { p =>
-        val u = usable(p) // invalid override → fall through to the election
-        if (u.isEmpty) System.err.println(
-          s"[scratch] SPARK_GRAFT_LOCAL_DIR=$p not writable; ignoring")
-        u
+        // spark.local.dir accepts a comma list; validate each entry and
+        // keep the usable ones (an invalid whole override falls through
+        // to the election rather than handing Spark a dir it crashes on)
+        val kept = p.split(",").map(_.trim).filter(_.nonEmpty).flatMap(usable)
+        if (kept.isEmpty) {
+          System.err.println(
+            s"[scratch] SPARK_GRAFT_LOCAL_DIR=$p not writable; ignoring")
+          None
+        } else Some(kept.mkString(","))
       }
       .orElse {
         val shm = new java.io.File("/dev/shm")

@@ -366,10 +366,18 @@ object CubeRun {
     // the run; `basePath` keeps tileId/p_start as columns, the escape
     // matches what the writer used for the directory names, and the
     // existence filter drops pairs that wrote nothing (an empty period).
-    // A pair some OTHER run wrote never republishes here by
-    // construction. Fallback to the lazy composited plan when nothing
-    // readable exists — publication then sees the same empty result it
-    // does today.
+    // A pending pair whose dir predates this run (a crashed run's blocks,
+    // or a force rebuild whose source scenes have since vanished) IS
+    // read back and republished: that is crash-resume semantics — the
+    // item minted from the existing blocks is the one the interrupted
+    // publication owed, and item ids are content-stable so a republish
+    // is idempotent — where publishing nothing would ledger a SUCCESS
+    // with no item behind it. A torn partition (crashed mid-write AND
+    // scenes deleted, so no later run rewrites it) fails the read loudly
+    // at action time; that beats minting an item from partial stats, and
+    // the repair is deleting the torn dir. Fallback to the lazy
+    // composited plan when nothing readable exists — publication then
+    // sees the same empty result it does today.
     val okPairs = pendingPairs.filterNot { case (t, p) => erroredSet(s"$t|$p") }
     val blocksBase = s"$outDir/blocks"
     val pairDirs = {
@@ -395,7 +403,10 @@ object CubeRun {
     // writes no partitions under dynamic overwrite — existing data
     // survives and the readback path Try-wraps an unreadable first dir.
     val hasIndex = collection.bands.exists(_.expression.nonEmpty)
-    if (hasIndex)
+    // pairDirs.nonEmpty ⇔ some blocks exist for this run ⇔ the pivot has
+    // rows: skips the zero-row write that would leave a schema-less
+    // index_blocks dir on a first run whose every unit quarantined
+    if (hasIndex && pairDirs.nonEmpty)
       stage(spark, "publish:index")(indexDf.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("tileId", "p_start")

@@ -58,22 +58,20 @@ object ProfileOne {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain
-      val recs = jobs.toSeq.sortBy(_._1)
+      // (id, rec, seconds) — unfinished jobs print as -1 but count as 0
+      val recs = jobs.toSeq.sortBy(_._1).map { case (id, r) =>
+        (id, r, if (r.end > 0) (r.end - r.start) / 1e3 else -1.0)
+      }
       println(f"== pass $p: $name total ${total}%.3f s, ${recs.size} jobs ==")
-      var acct = 0.0
-      recs.foreach { case (id, r) =>
-        val sec = if (r.end > 0) (r.end - r.start) / 1e3 else -1.0
-        acct += math.max(sec, 0)
+      recs.foreach { case (id, r, sec) =>
         println(f"  job $id%3d ${sec}%7.3f s  stages=${r.stages}%2d  ${r.desc.take(100)}")
       }
+      val acct = recs.map(t => math.max(t._3, 0)).sum
       println(f"  (job-accounted ${acct}%.3f s of ${total}%.3f s; gap = driver/planning time)")
       // rollup by description: operators that tag their stages (e.g.
       // CubeRun's `cube:<stage>` markers) get a direct per-stage total
       recs.groupBy(_._2.desc).toSeq
-        .map { case (d, js) =>
-          (d, js.map(j => math.max(if (j._2.end > 0)
-            (j._2.end - j._2.start) / 1e3 else 0.0, 0.0)).sum, js.size)
-        }
+        .map { case (d, js) => (d, js.map(t => math.max(t._3, 0)).sum, js.size) }
         .sortBy(-_._2)
         .foreach { case (d, sec, n) =>
           println(f"  stage ${sec}%7.3f s  jobs=$n%3d  ${if (d.isEmpty) "<untagged>" else d.take(80)}")

@@ -189,6 +189,49 @@ class CubeRunSpec extends SparkSpec {
     assert(go().planned == 0, "after the resume the run is complete")
   }
 
+  test("a crash-resume whose source scenes vanished still republishes the " +
+       "item from the surviving blocks") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("gone_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("gone_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"), bytes)
+    }
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    val r1 = go()
+    assert(r1.planned == 6 && r1.blocks == 4 && r1.items == 2)
+
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    // crash BEFORE the items/ledger commits, and the source archive has
+    // since rotated: the scenes are gone, only the published blocks
+    // survive. The resume owes the items those blocks back — publication
+    // reads back the surviving partitions (crash-resume semantics of the
+    // read-back path); the alternative is a SUCCESS ledger with no item
+    // behind the published data.
+    del(new java.io.File(s"$outDir/ledger"))
+    del(new java.io.File(s"$outDir/items"))
+    del(sceneDir.toFile)
+    java.nio.file.Files.createDirectories(sceneDir) // dir exists, empty
+
+    val r2 = go()
+    assert(r2.planned == 6, "un-ledgered units must re-plan")
+    assert(r2.blocks == 4, "surviving blocks stay published")
+    assert(r2.items == 2,
+      s"resume must republish items from the surviving blocks, got ${r2.items}")
+    assert(go().planned == 0, "after the resume the run is complete")
+  }
+
   test("a corrupt scene quarantines its (tile, period): ERROR ledger rows " +
        "re-plan after the file is repaired") {
     val sceneDir = java.nio.file.Files.createTempDirectory("quar_scenes")

@@ -384,10 +384,20 @@ object CubeRun {
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
       val fs = new org.apache.hadoop.fs.Path(blocksBase)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      okPairs.map { case (t, p) =>
-        new org.apache.hadoop.fs.Path(blocksBase,
-          s"tileId=${escapePathName(t)}/p_start=${escapePathName(p)}")
-      }.filter(fs.exists)
+      // one listStatus per TILE, not one exists() per pair: a large
+      // backfill carries tiles × periods pairs, and on an object store
+      // each existence probe is a round trip — the per-tile listing is
+      // one RPC and the period check is a set lookup
+      okPairs.groupBy(_._1).toSeq.flatMap { case (t, ps) =>
+        val tileDir = new org.apache.hadoop.fs.Path(blocksBase,
+          s"tileId=${escapePathName(t)}")
+        val present = scala.util.Try(
+          fs.listStatus(tileDir).map(_.getPath.getName).toSet)
+          .getOrElse(Set.empty[String])
+        ps.map(p => s"p_start=${escapePathName(p._2)}")
+          .filter(present)
+          .map(d => new org.apache.hadoop.fs.Path(tileDir, d))
+      }
     }
     val pubSource: DataFrame =
       if (pairDirs.isEmpty) composited

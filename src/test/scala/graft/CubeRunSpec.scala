@@ -232,6 +232,35 @@ class CubeRunSpec extends SparkSpec {
     assert(go().planned == 0, "after the resume the run is complete")
   }
 
+  test("a tile id needing partition-path escaping publishes and reruns " +
+       "as a no-op") {
+    // the read-back names partition dirs by escaping the tile id the
+    // same way the writer does — a tile id with path-hostile chars
+    // (space, '=', '%') must round-trip or publication would silently
+    // read back nothing and publish zero items
+    val sceneDir = java.nio.file.Files.createTempDirectory("esc_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("esc_out").toString
+    val w = 32; val h = 32
+    for (band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_20200105_$band.tif"), bytes)
+    }
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir,
+      "t 9=x%7", java.time.LocalDate.of(2020, 1, 1),
+      java.time.LocalDate.of(2020, 1, 16), blockSize = 32)
+    val r1 = go()
+    assert(r1.planned == 3 && r1.blocks == 2,
+      s"hostile tile id must publish blocks: $r1")
+    assert(r1.items == 1,
+      s"read-back must find the escaped partition dir and publish the item: $r1")
+    assert(go().planned == 0, "rerun is a no-op")
+  }
+
   test("a corrupt scene quarantines its (tile, period): ERROR ledger rows " +
        "re-plan after the file is repaired") {
     val sceneDir = java.nio.file.Files.createTempDirectory("quar_scenes")

@@ -52,8 +52,16 @@ object Bench {
     graft.plans.GraftFunctions.install(spark)
     // What the session is ACTUALLY spilling to — read back off the conf,
     // not recomputed, so a silent Scratch regression shows in the JSON.
-    val scratchDir = spark.conf.getOption("spark.local.dir")
-      .getOrElse("<jvm-default>")
+    // Escaped: the dir comes from an env override and a quote or
+    // backslash in it would corrupt both JSON lines.
+    def jq(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val scratchDir = jq(spark.conf.getOption("spark.local.dir")
+      .getOrElse("<jvm-default>"))
     val calibBefore = calibrate()
 
     // untimed warmup: JIT + session init must not bill the first query
@@ -128,7 +136,7 @@ object Bench {
     // shouldn't inflate the round's whole normalization factor
     val calib = math.min(calibBefore, calibrate())
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"scratch_dir":"$scratchDir","passes_run":$passCounts,"budget_skipped":$truncated}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"scratch_dir":"$scratchDir","passes_run":$passCounts,"budget_skipped":$truncated}"""
     println(fullJson)
     // Durable copy: the driver's BENCH_r*.json capture keeps only a
     // 2000-char stdout tail, so per-query times beyond worst5 are lost

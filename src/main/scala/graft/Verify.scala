@@ -42,20 +42,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Under VERIFY_ONLY a subset rerun must not shrink the gate of a
-    // previous FULL run: an existing oracle_sql.json is left untouched
-    // (its full map still names every query; the rerun refreshed the
-    // named parquet dirs in place). Into a FRESH outDir the filtered
-    // map is written, so the subset workflow (check_oracles over just
-    // the named queries) keeps working. A full run always rewrites the
-    // complete map.
-    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
-    if (only.isEmpty || !Files.exists(oraclePath)) {
-      val json = SparkEntry.oracleSql
-        .filter { case (k, _) => only.forall(_.contains(k)) }
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(oraclePath, json): Unit
-    }
+    // Always the COMPLETE, CURRENT oracle map, even under VERIFY_ONLY:
+    // a subset rerun must neither shrink a full run's gate (overwriting
+    // the map with a subset) nor leave a STALE map in place (preserving
+    // an old file would re-gate an edited query against its pre-edit
+    // SQL). SparkEntry.oracleSql is the live source of truth, so the
+    // full rewrite is always both complete and current. For a subset
+    // check into a fresh outDir, pass the same name list to
+    // tools/check_oracles.py as its third argument.
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json): Unit
     spark.stop()
   }
 }

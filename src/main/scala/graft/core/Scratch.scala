@@ -35,11 +35,23 @@ object Scratch {
     */
   private val MinUsableBytes = 8L << 30
 
-  /** A dir (created if needed) Spark can actually write scratch into. */
+  /** A dir (created if needed) Spark can actually write scratch into —
+    * the ELECTION path, where creating our own subdir is the point.
+    */
   private def usable(path: String): Option[String] = {
     val d = new java.io.File(path)
     if ((d.isDirectory || d.mkdirs()) && d.canWrite) Some(d.getAbsolutePath)
     else None
+  }
+
+  /** Override entries must already EXIST (and be writable): an operator
+    * points the override at real mount points, and auto-creating a
+    * mistyped path under some writable parent would silently elect the
+    * wrong disk — the typo protection the validation exists for.
+    */
+  private def usableExisting(path: String): Option[String] = {
+    val d = new java.io.File(path)
+    if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
   }
 
   def fastLocalDir(): Option[String] =
@@ -47,13 +59,18 @@ object Scratch {
       .flatMap { p =>
         // spark.local.dir accepts a comma list; validate each entry and
         // keep the usable ones (an invalid whole override falls through
-        // to the election rather than handing Spark a dir it crashes on)
-        val kept = p.split(",").map(_.trim).filter(_.nonEmpty).flatMap(usable)
-        if (kept.isEmpty) {
-          System.err.println(
-            s"[scratch] SPARK_GRAFT_LOCAL_DIR=$p not writable; ignoring")
-          None
-        } else Some(kept.mkString(","))
+        // to the election rather than handing Spark a dir it crashes
+        // on). Every dropped entry is reported — a silent partial drop
+        // would look like both dirs stripe shuffle when only one does.
+        val entries = p.split(",").map(_.trim).filter(_.nonEmpty)
+        val kept = entries.flatMap { e =>
+          val u = usableExisting(e)
+          if (u.isEmpty) System.err.println(
+            s"[scratch] SPARK_GRAFT_LOCAL_DIR entry '$e' missing or " +
+              "not writable; dropping it")
+          u
+        }
+        if (kept.isEmpty) None else Some(kept.mkString(","))
       }
       .orElse {
         val shm = new java.io.File("/dev/shm")

@@ -391,21 +391,29 @@ object CubeRun {
       okPairs.groupBy(_._1).toSeq.flatMap { case (t, ps) =>
         val tileDir = new org.apache.hadoop.fs.Path(blocksBase,
           s"tileId=${escapePathName(t)}")
-        val present = scala.util.Try(
-          fs.listStatus(tileDir).map(_.getPath.getName).toSet)
-          .getOrElse(Set.empty[String])
+        // only MISSING maps to "wrote nothing" — a transient listing
+        // failure (store throttling, auth refresh) must propagate, or a
+        // resume would silently skip republishing this tile's items
+        // while still ledgering SUCCESS
+        val present =
+          try fs.listStatus(tileDir).map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
         ps.map(p => s"p_start=${escapePathName(p._2)}")
           .filter(present)
           .map(d => new org.apache.hadoop.fs.Path(tileDir, d))
       }
     }
+    // no Try here: pairDirs nonEmpty means readable parquet is EXPECTED
+    // (this run just wrote it, or a crashed run left it); a failure is a
+    // torn partition or a store fault and must fail the run loudly — a
+    // silent fallback to the (possibly empty) lazy plan would publish
+    // nothing yet ledger SUCCESS, the exact hollow-success hole the
+    // read-back closes
     val pubSource: DataFrame =
       if (pairDirs.isEmpty) composited
-      else scala.util.Try {
-        spark.read.option("basePath", blocksBase)
-          .parquet(pairDirs.map(_.toString).toSeq: _*)
-          .withColumn("p_start", $"p_start".cast("date"))
-      }.getOrElse(composited)
+      else spark.read.option("basePath", blocksBase)
+        .parquet(pairDirs.map(_.toString).toSeq: _*)
+        .withColumn("p_start", $"p_start".cast("date"))
     val indexDf = CubeBuilder.indexBands(pubSource, collection)
     // structural, not executed: `!indexDf.isEmpty` re-ran the whole
     // merge→composite→pivot chain just to learn what the collection

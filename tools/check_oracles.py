@@ -15,6 +15,12 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional subset: check only the named queries (pairs with Verify's
+# SPARK_GRAFT_VERIFY_ONLY, whose runs dump only the named parquet dirs
+# while always writing the full oracle map)
+if len(sys.argv) > 3 and sys.argv[3]:
+    only = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
     pdir = f"{outdir}/{name}"

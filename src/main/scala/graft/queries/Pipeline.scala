@@ -188,6 +188,7 @@ object Pipeline {
     var syms = wc.select($"word", $"cnt",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms"))
+      .localCheckpoint(false)
     val roundRows = (1 to rounds).map { r =>
       val pairs = syms
         .filter(org.apache.spark.sql.functions.size($"syms") >= 2)
@@ -211,6 +212,7 @@ object Pipeline {
                  THEN concat(left(acc, length(acc) - length(pa)), pa, pb)
                  ELSE concat(acc, ' ', s) END)"""))
         .select($"word", $"cnt", split($"m", " ").as("syms"))
+        .localCheckpoint(false)
       best.select(lit(r).as("r"), $"pa", $"pb",
         concat($"pa", $"pb").as("merged"), $"wcnt")
     }

@@ -47,12 +47,24 @@ object Verify {
     // the map with a subset) nor leave a STALE map in place (preserving
     // an old file would re-gate an edited query against its pre-edit
     // SQL). SparkEntry.oracleSql is the live source of truth, so the
-    // full rewrite is always both complete and current. For a subset
-    // check into a fresh outDir, pass the same name list to
-    // tools/check_oracles.py as its third argument.
+    // full rewrite is always both complete and current.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json): Unit
+    // Subset manifest, so a VERIFY_ONLY dump into a fresh outDir is
+    // self-describing: tools/check_oracles.py reads this automatically
+    // and checks only the queries this run actually dumped — without it
+    // every non-dumped query's missing parquet dir reads as a failure.
+    // A FULL run deletes any stale manifest so the gate can never be
+    // silently narrowed by a leftover file.
+    val onlyPath = Paths.get(s"$outDir/verify_only.json")
+    only match {
+      case Some(names) =>
+        val arr = names.toSeq.sorted.map(q).mkString("[", ",", "]")
+        Files.writeString(onlyPath, arr): Unit
+      case None =>
+        Files.deleteIfExists(onlyPath): Unit
+    }
     spark.stop()
   }
 }

@@ -12,9 +12,14 @@ package graft.core
   * runs spill.
   *
   * `SPARK_GRAFT_LOCAL_DIR` overrides (validated for writability like the
-  * tmpfs path — a typo'd or read-only override falls through to the
-  * election instead of handing Spark a dir it will crash on); an unusable
-  * tmpfs falls back to the JVM default silently (returning None keeps the
+  * tmpfs path — unusable entries are dropped with a warning rather than
+  * handed to Spark to crash on). An override whose EVERY entry is
+  * unusable disables the election entirely and yields the JVM default:
+  * an operator who set the override did so precisely because the
+  * automatic tmpfs choice is wrong for their data (too big for RAM), so
+  * silently re-routing them onto tmpfs would trade a visible mkdir
+  * failure for a mid-run ENOSPC. An unusable tmpfs (no override set)
+  * falls back to the JVM default silently (returning None keeps the
   * builder untouched).
   *
   * Sizing note: the 8 GiB usable-space bar is checked once at session
@@ -55,13 +60,16 @@ object Scratch {
   }
 
   def fastLocalDir(): Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
-      .flatMap { p =>
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty) match {
+      case Some(p) =>
         // spark.local.dir accepts a comma list; validate each entry and
-        // keep the usable ones (an invalid whole override falls through
-        // to the election rather than handing Spark a dir it crashes
-        // on). Every dropped entry is reported — a silent partial drop
-        // would look like both dirs stripe shuffle when only one does.
+        // keep the usable ones. Every dropped entry is reported — a
+        // silent partial drop would look like both dirs stripe shuffle
+        // when only one does. A fully-unusable override yields None (JVM
+        // default), NOT the tmpfs election: the operator overrode the
+        // election on purpose (e.g. data too big for tmpfs), and routing
+        // them onto tmpfs anyway risks a mid-run ENOSPC worse than the
+        // typo it would paper over.
         val entries = p.split(",").map(_.trim).filter(_.nonEmpty)
         val kept = entries.flatMap { e =>
           val u = usableExisting(e)
@@ -70,14 +78,19 @@ object Scratch {
               "not writable; dropping it")
           u
         }
-        if (kept.isEmpty) None else Some(kept.mkString(","))
-      }
-      .orElse {
+        if (kept.isEmpty) {
+          System.err.println(
+            s"[scratch] SPARK_GRAFT_LOCAL_DIR='$p' has no usable entry; " +
+              "override disables the tmpfs election; using the JVM " +
+              "default scratch (java.io.tmpdir)")
+          None
+        } else Some(kept.mkString(","))
+      case None =>
         val shm = new java.io.File("/dev/shm")
         if (!shm.isDirectory || !shm.canWrite ||
           shm.getUsableSpace < MinUsableBytes) None
         else usable("/dev/shm/graft-spark-scratch")
-      }
+    }
 
   /** Apply [[fastLocalDir]] to a session builder (no-op when unavailable). */
   def configure(b: org.apache.spark.sql.SparkSession.Builder)

@@ -419,7 +419,9 @@ object CubeRun {
     // merge→composite→pivot chain just to learn what the collection
     // definition already says. A zero-row write (every unit quarantined)
     // writes no partitions under dynamic overwrite — existing data
-    // survives and the readback path Try-wraps an unreadable first dir.
+    // survives; and per the loud-failure contract above, an unreadable
+    // partition dir in the read-back FAILS the run (no Try) rather than
+    // being skipped.
     val hasIndex = collection.bands.exists(_.expression.nonEmpty)
     // pairDirs.nonEmpty ⇔ some blocks exist for this run ⇔ the pivot has
     // rows: skips the zero-row write that would leave a schema-less

@@ -48,9 +48,19 @@ class ScratchSpec extends AnyFunSuite {
     val spark = SparkSpec.session
     val confDir = spark.conf.getOption("spark.local.dir")
     confDir.foreach { d =>
-      assert(d.startsWith("/dev/shm/") ||
-        sys.env.get("SPARK_GRAFT_LOCAL_DIR").contains(d),
-        s"session scratch $d is not an electable dir")
+      // an override is normalized by the election (entries trimmed,
+      // unusable ones dropped, absolute-pathed, re-joined) — comparing
+      // against the RAW env string would fail a correctly functioning
+      // election on "a, b" spacing or a dropped entry. The stable
+      // contract: every dir the session carries is an entry the
+      // override NAMES (by absolute path), or the tmpfs subdir.
+      val overrideEntries = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+        .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(e => new java.io.File(e).getAbsolutePath).toSet
+      assert(d.split(",").forall(e =>
+        e.startsWith("/dev/shm/") || overrideEntries.contains(e)),
+        s"session scratch $d is not an electable dir " +
+          s"(override entries: $overrideEntries)")
     }
     graft.core.Scratch.fastLocalDir() match {
       case Some(d) if confDir.isDefined =>

@@ -15,11 +15,18 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-# optional subset: check only the named queries (pairs with Verify's
-# SPARK_GRAFT_VERIFY_ONLY, whose runs dump only the named parquet dirs
-# while always writing the full oracle map)
+# optional subset: check only the named queries. Source of truth is the
+# verify_only.json manifest Verify writes alongside a SPARK_GRAFT_VERIFY_ONLY
+# dump (deleted again by a full run) — picked up automatically, so a subset
+# gate never misreads non-dumped queries as regressions. An explicit third
+# argument overrides the manifest.
+only = None
 if len(sys.argv) > 3 and sys.argv[3]:
     only = set(sys.argv[3].split(","))
+elif os.path.exists(f"{outdir}/verify_only.json"):
+    only = set(json.load(open(f"{outdir}/verify_only.json")))
+    print(f"[subset gate: {len(only)} queries from verify_only.json]")
+if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):

@@ -25,14 +25,36 @@ object Bench {
     * separates code changes from host drift without solo-bench forensics.
     * ~1 s on an unloaded core of this class of box.
     */
-  private def calibrate(): Double = {
+  private def md5Loop(): Unit = {
     val md = java.security.MessageDigest.getInstance("MD5")
     var buf = new Array[Byte](64)
-    val t0 = System.nanoTime()
     var i = 0
     while (i < 3000000) { md.update(buf); buf = md.digest(); i += 1 }
     // fold the digest into a side effect the JIT can't elide
     if (buf(0) == 127 && buf(1) == -127) System.err.println("[calib]")
+  }
+
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    md5Loop()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Multi-core twin of [[calibrate]]: the same fixed loop on N threads
+    * at once, wall time of the slowest. On an unloaded >=N-core box it
+    * reads ~the single-thread time; under co-tenant steal it inflates
+    * while the single-thread probe stays quiet — exactly the r15 blind
+    * spot (calib 0.345 while 32-way queries drifted 1.7-2.4x). Reading
+    * BOTH probes separates "box is busy" (mc up, st flat) from "box is
+    * slow" (both up) from "code regressed" (neither up).
+    */
+  private def calibrateMC(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => md5Loop())
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -62,7 +84,12 @@ object Bench {
     }
     val scratchDir = jq(spark.conf.getOption("spark.local.dir")
       .getOrElse("<jvm-default>"))
-    val calibBefore = calibrate()
+    // Probe vectors: one reading before the warmup, one after every
+    // sweep, so each pass's times have a NEARBY host-state reading —
+    // a 17 s min-of-2 outlier decomposes into "which pass, and was the
+    // box busy then" from the JSON alone, no rerun.
+    val calibRuns = scala.collection.mutable.ArrayBuffer(calibrate())
+    val calibMcRuns = scala.collection.mutable.ArrayBuffer(calibrateMC(cpus.toInt))
 
     // untimed warmup: JIT + session init must not bill the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -116,6 +143,8 @@ object Bench {
         }
       }.toMap
       sweeps = sweeps :+ sweep
+      calibRuns += calibrate()
+      calibMcRuns += calibrateMC(cpus.toInt)
     }
     // a failed pass's time-to-exception is not a measurement: min over
     // the successful passes; only if every pass failed does the elapsed
@@ -132,11 +161,12 @@ object Bench {
     val truncated = results.collect { case (k, (_, n)) if n < passes => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
-    // min of a before/after pair: a steal burst landing on one probe run
+    // min over the probe vector: a steal burst landing on one probe run
     // shouldn't inflate the round's whole normalization factor
-    val calib = math.min(calibBefore, calibrate())
+    val calib = calibRuns.min
+    val calibMc = calibMcRuns.min
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"scratch_dir":"$scratchDir","passes_run":$passCounts,"budget_skipped":$truncated}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"scratch_dir":"$scratchDir","passes_run":$passCounts,"budget_skipped":$truncated}"""
     println(fullJson)
     // Durable copy: the driver's BENCH_r*.json capture keeps only a
     // 2000-char stdout tail, so per-query times beyond worst5 are lost
@@ -144,8 +174,26 @@ object Bench {
     // round-over-round forensics never need a solo re-bench.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
+    // Detail-only extras: the full per-pass time vector per query (in
+    // pass order — only the min survives into `queries`), which passes
+    // failed (usually none), and the calibration-probe vectors bracketing
+    // the sweeps (index 0 = before warmup, index i = after sweep i).
+    val passTimes = ordered.map { case (name, _) =>
+      "\"" + name + "\":" + sweeps.flatMap(_.get(name))
+        .map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val passFails = ordered.flatMap { case (name, _) =>
+      val runs = sweeps.flatMap(_.get(name))
+      if (runs.forall(_._2)) None
+      else Some("\"" + name + "\":" +
+        runs.map(r => if (r._2) "true" else "false").mkString("[", ",", "]"))
+    }.mkString("{", ",", "}")
+    val calibVec = calibRuns.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val calibMcVec = calibMcRuns.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val detailJson = fullJson.dropRight(1) +
+      s""","pass_times":$passTimes,"pass_fails":$passFails,"calib_passes":$calibVec,"calib_mc_passes":$calibMcVec}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (fullJson + "\n").getBytes("UTF-8"))
+      (detailJson + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
@@ -169,7 +217,7 @@ object Bench {
     val noise =
       if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     println(
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"scratch_dir":"$scratchDir","worst5":$worst5}""")
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"scratch_dir":"$scratchDir","worst5":$worst5}""")
     spark.stop()
   }
 }

@@ -58,10 +58,51 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Previous round's per-query minimums, read from the durable detail
+    * file BEFORE this run overwrites it. Fuels the targeted re-pass: a
+    * query reading far above its prior-round time on identical code is
+    * contention-suspect and earns an extra measurement. Absent/corrupt
+    * file → empty map → no targeted passes (first round, fresh clone).
+    */
+  private def priorTimes(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      // a detail file from a DIFFERENT scale factor (a dev run at
+      // sf0.001 overwrote it) would flag the whole sf0.1 suite as
+      // inflated and burn the budget on a pointless third sweep
+      val sfOk = Option(root.get("sf")).exists(_.asText() == sfDir)
+      val qs = root.get("queries")
+      if (qs == null || !sfOk) Map.empty
+      else {
+        val b = Map.newBuilder[String, Double]
+        val it = qs.fieldNames()
+        while (it.hasNext) {
+          val k = it.next(); b += k -> qs.get(k).asDouble()
+        }
+        b.result()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // probe thread count parsed defensively: SPARK_GRAFT_CPUS is also a
+    // valid Spark master spec (e.g. "*"), which must not abort the bench
+    val cpuN = cpus.trim.toIntOption.filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    // Sweeps the re-sweep budget can NEVER truncate (default: all of the
+    // configured passes). The r16 lesson: a contended pass-1 exhausted
+    // the budget and left 276/324 queries with a single inflated pass —
+    // exactly the runs where the second pass matters most. min-of-sweeps
+    // is only a contention filter if every query actually gets >=2
+    // sweeps, so the first `minPasses` sweeps run to completion
+    // unconditionally; the budget gates only passes BEYOND them (and the
+    // targeted re-pass below).
+    val minPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_PASSES", "2")
+      .toInt.max(1).min(passes)
     val spark = graft.core.Scratch.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -89,19 +130,21 @@ object Bench {
     // a 17 s min-of-2 outlier decomposes into "which pass, and was the
     // box busy then" from the JSON alone, no rerun.
     val calibRuns = scala.collection.mutable.ArrayBuffer(calibrate())
-    val calibMcRuns = scala.collection.mutable.ArrayBuffer(calibrateMC(cpus.toInt))
+    val calibMcRuns = scala.collection.mutable.ArrayBuffer(calibrateMC(cpuN))
 
     // untimed warmup: JIT + session init must not bill the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
-    // Re-sweep budget: extra passes beyond the first stop once the
-    // harness has run this long (seconds). Guards the caller's own
-    // timeout — a heavily contended box could otherwise double an
-    // already-slow run; a partial second sweep still improves every
-    // query it reached, and skipped ones keep their pass-1 time.
-    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "900").toLong
+    // Re-sweep budget: passes beyond `minPasses` (and the targeted
+    // re-pass) stop once the harness has run this long (seconds). Guards
+    // the caller's own timeout — but it no longer truncates the
+    // guaranteed sweeps: a fully-contended double sweep costs ~2x a
+    // contended single sweep, well inside the driver's observed window,
+    // and a min-of-2 under contention beats a min-of-1 every time
+    // (r16: 86 queries kept a 1.5-50x inflated single pass).
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "1800").toLong
     val started = System.nanoTime()
     def elapsedSecs: Long = (System.nanoTime() - started) / 1000000000L
 
@@ -126,7 +169,7 @@ object Bench {
       val order =
         if (pass == 1) ordered else ordered.sortBy { case (n, _) => -bestSoFar(n) }
       val sweep = order.flatMap { case (name, fn) =>
-        if (pass > 1 && elapsedSecs > budgetSecs) {
+        if (pass > minPasses && elapsedSecs > budgetSecs) {
           System.err.println(s"[bench] budget exhausted; skipping $name (pass $pass)")
           None
         } else {
@@ -144,7 +187,56 @@ object Bench {
       }.toMap
       sweeps = sweeps :+ sweep
       calibRuns += calibrate()
-      calibMcRuns += calibrateMC(cpus.toInt)
+      calibMcRuns += calibrateMC(cpuN)
+    }
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    // Targeted re-pass: a query whose best-so-far reads far above its
+    // PRIOR-ROUND minimum (from the committed detail file, read before
+    // this run overwrites it) is contention-suspect — on identical code
+    // the true per-round delta is never 2x on a quiet box. Each suspect
+    // gets ONE more measurement, worst-relative-inflation first, budget-
+    // gated: the r16 sweep would have re-run the 86 queries it left
+    // 1.5-50x inflated instead of stopping at the 48 the fixed order
+    // reached. The +0.5s floor keeps sub-second queries from earning a
+    // re-pass on absolute noise.
+    val prior = priorTimes(detailPath, sfDir)
+    var extraPasses = 0
+    if (prior.nonEmpty) {
+      def best(name: String): Option[Double] =
+        sweeps.flatMap(_.get(name)).filter(_._2).map(_._1).minOption
+      val suspects = ordered.flatMap { case (name, fn) =>
+        (best(name), prior.get(name)) match {
+          case (Some(b), Some(p)) if p > 0 && b > math.max(2 * p, p + 0.5) =>
+            Some((name, fn, b / p))
+          case _ => None
+        }
+      }.sortBy(-_._3)
+      if (suspects.nonEmpty) {
+        val sweep = suspects.flatMap { case (name, fn, infl) =>
+          if (elapsedSecs > budgetSecs) {
+            System.err.println(s"[bench] budget exhausted; no re-pass for $name")
+            None
+          } else {
+            System.err.println(f"[bench] targeted re-pass: $name (${infl}%.1fx prior)")
+            extraPasses += 1
+            val t0 = System.nanoTime()
+            val ok =
+              try {
+                fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed (re-pass): ${e.getMessage}")
+                false
+              }
+            Some(name -> ((System.nanoTime() - t0) / 1e9, ok))
+          }
+        }.toMap
+        if (sweep.nonEmpty) {
+          sweeps = sweeps :+ sweep
+          calibRuns += calibrate()
+          calibMcRuns += calibrateMC(cpuN)
+        }
+      }
     }
     // a failed pass's time-to-exception is not a measurement: min over
     // the successful passes; only if every pass failed does the elapsed
@@ -165,15 +257,17 @@ object Bench {
     // shouldn't inflate the round's whole normalization factor
     val calib = calibRuns.min
     val calibMc = calibMcRuns.min
+    // the gate's ">=2 passes for every query" guarantee, in-band: the
+    // MINIMUM pass count across the suite (2 = every min is a min-of-2+)
+    val minPassesRun = results.map(_._2._2).min
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"scratch_dir":"$scratchDir","passes_run":$passCounts,"budget_skipped":$truncated}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"scratch_dir":"$scratchDir","min_passes":$minPassesRun,"extra_passes":$extraPasses,"passes_run":$passCounts,"budget_skipped":$truncated}"""
     println(fullJson)
     // Durable copy: the driver's BENCH_r*.json capture keeps only a
     // 2000-char stdout tail, so per-query times beyond worst5 are lost
-    // each round. Overwrite a repo-local file with the full map so
-    // round-over-round forensics never need a solo re-bench.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "bench_detail.json")
+    // each round. Overwrite the repo-local detail file (read above as
+    // the prior-round reference) with the full map so round-over-round
+    // forensics never need a solo re-bench.
     // Detail-only extras: the full per-pass time vector per query (in
     // pass order — only the min survives into `queries`), which passes
     // failed (usually none), and the calibration-probe vectors bracketing
@@ -217,7 +311,7 @@ object Bench {
     val noise =
       if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     println(
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"scratch_dir":"$scratchDir","worst5":$worst5}""")
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"min_passes":$minPassesRun,"extra_passes":$extraPasses,"scratch_dir":"$scratchDir","worst5":$worst5}""")
     spark.stop()
   }
 }

@@ -37,6 +37,26 @@ object Multimodal {
   // memory-cached stream implementations process-wide; executors hit
   // this on classload since every codec call enters through this object.
   javax.imageio.ImageIO.setUseCache(false)
+  // One in-band line at init: if some other classpath tenant re-enables
+  // the disk cache after this object loads, the bench forensics need to
+  // know which mode the codecs actually ran in — the setting is global
+  // JVM state, not ours to assume.
+  System.err.println("[multimodal] ImageIO useCache=" +
+    javax.imageio.ImageIO.getUseCache + " cacheDir=" +
+    javax.imageio.ImageIO.getCacheDirectory)
+
+  /** JPEG writer provider, resolved ONCE. `ImageIO.getImageWritersByFormatName`
+    * takes the IIORegistry's global lock per call — 32 encoder threads x
+    * ~1,700 frames contending a synchronized registry scan for an answer
+    * that never changes. The SPI itself is a stateless factory; each
+    * caller mints its own writer instance from it lock-free.
+    */
+  private lazy val jpegWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val spi = w.getOriginatingProvider
+    w.dispose()
+    spi
+  }
 
   /** Typed metadata carried alongside every media payload. */
   final case class MediaMeta(kind: String, codec: String,
@@ -290,7 +310,9 @@ object Multimodal {
       }
 
     private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      // per-frame writer from the cached SPI: no registry lock (writers
+      // themselves are not thread-safe, so the INSTANCE stays per-call)
+      val writer = jpegWriterSpi.createWriterInstance()
       val params = writer.getDefaultWriteParam
       params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(0.98f)

@@ -19,8 +19,25 @@ object Verify {
     // Dev aid (driver-neutral): SPARK_GRAFT_VERIFY_ONLY="q1,q2" dumps only
     // the named queries, for re-gating a change's affected oracles without
     // the full sweep. Unset = all queries (the driver's official run).
+    // Names validated against the live query map: a typo'd list would
+    // otherwise dump nothing, write a manifest of ghosts, and let the
+    // subset gate read "0 pass, 0 fail" as green.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map { names =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println("[verify] WARNING: unknown query names in " +
+            s"SPARK_GRAFT_VERIFY_ONLY ignored: ${unknown.toSeq.sorted.mkString(",")}")
+        val known = names.intersect(SparkEntry.queries.keySet)
+        if (known.isEmpty) {
+          System.err.println("[verify] ERROR: SPARK_GRAFT_VERIFY_ONLY " +
+            "matches no query - nothing to dump")
+          spark.stop()
+          sys.exit(2)
+        }
+        known
+      }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

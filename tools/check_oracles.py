@@ -21,14 +21,24 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # gate never misreads non-dumped queries as regressions. An explicit third
 # argument overrides the manifest.
 only = None
-if len(sys.argv) > 3 and sys.argv[3]:
-    only = set(sys.argv[3].split(","))
+if len(sys.argv) > 3:
+    # an explicit third argument always wins over the manifest; "" or
+    # "all" forces the FULL check even when a verify_only.json is present
+    arg = sys.argv[3]
+    if arg and arg.lower() != "all":
+        only = set(arg.split(","))
 elif os.path.exists(f"{outdir}/verify_only.json"):
     only = set(json.load(open(f"{outdir}/verify_only.json")))
     print(f"[subset gate: {len(only)} queries from verify_only.json]")
-if only is not None:
-    oracle = {k: v for k, v in oracle.items() if k in only}
 fails, passes = [], []
+if only is not None:
+    # a subset name with no oracle is a FAILURE, not a silent shrink —
+    # otherwise a typo'd list reads as "0 pass, 0 fail" and looks green
+    for name in sorted(only - set(oracle)):
+        fails.append((name, "NOT IN oracle_sql.json"))
+    oracle = {k: v for k, v in oracle.items() if k in only}
+if not oracle:
+    fails.append(("<suite>", "EMPTY ORACLE SET after subset filter"))
 for name, sql in sorted(oracle.items()):
     pdir = f"{outdir}/{name}"
     files = glob.glob(f"{pdir}/*.parquet")
@@ -69,3 +79,4 @@ print()
 for name, msg in fails:
     print(f"FAIL {name}: {msg[:300]}")
 print(f"\n{len(passes)} pass, {len(fails)} fail")
+sys.exit(1 if fails else 0)

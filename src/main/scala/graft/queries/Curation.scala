@@ -548,6 +548,28 @@ object Curation {
         .orderBy($"bucket")
     }),
 
+    // Torn-partition repair planner (the recovery twin of c19's OPTIMIZE
+    // and c35's VACUUM): a writer that died mid-file leaves a partition
+    // dir whose data file is missing its tail magic — the read-back
+    // fails loudly on it (CubeRun's contract), and THIS query plans the
+    // fix: any torn file condemns its whole dir to delete-and-retry
+    // (parquet has no sub-file recovery; the unit regenerates from
+    // source). The fold here is graft.cube.Repair.planFromFileStats —
+    // the SAME code the real repair path runs over a cube's block dirs
+    // (probing 8 footer bytes per file, CubeRunSpec-gated) — driven over
+    // a modeled file ledger so DuckDB can pin its algebra. Planning is
+    // file-count-sized; the data is never read.
+    "c36_torn_repair_plan" -> ((s, d) => {
+      import s.implicits._
+      val files = lineitem(s, d)
+        .groupBy($"l_suppkey".as("dir_id"), ($"l_partkey" % 7).as("file_id"))
+        .agg(count(lit(1)).as("bytes"),
+          max(when(($"l_orderkey" + $"l_linenumber") % 101 === 0, 1L)
+            .otherwise(0L)).as("torn"))
+      graft.cube.Repair.planFromFileStats(files, Seq("dir_id"))
+        .orderBy($"dir_id")
+    }),
+
     // Incremental view maintenance (the 100 TB cost saver: merge a delta
     // into a materialized aggregate instead of recomputing the world).
     // Money is integer CENTS from the first projection, so partial sums
@@ -1693,6 +1715,18 @@ object Curation {
            CAST(sum(CASE WHEN del = 1 THEN rows_n ELSE 0 END) AS BIGINT)
              AS reclaim_rows
          FROM dl GROUP BY 1 ORDER BY 1""",
+    "c36_torn_repair_plan" ->
+      """WITH f AS (SELECT l_suppkey AS dir_id, l_partkey % 7 AS file_id,
+             CAST(count(*) AS BIGINT) AS bytes,
+             CAST(max(CASE WHEN (l_orderkey + l_linenumber) % 101 = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS torn
+           FROM lineitem GROUP BY 1, 2)
+         SELECT dir_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS dir_bytes,
+           CAST(sum(torn) AS BIGINT) AS n_torn,
+           CASE WHEN sum(torn) > 0 THEN 'delete_and_retry' ELSE 'keep' END
+             AS action
+         FROM f GROUP BY 1 ORDER BY 1""",
     "c19_compaction_plan" ->
       """WITH f AS (SELECT l_suppkey AS file_id, count(*) AS rows_n
            FROM lineitem GROUP BY 1),

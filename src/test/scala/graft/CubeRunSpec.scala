@@ -565,4 +565,84 @@ class CubeRunSpec extends SparkSpec {
       }
     }
   }
+
+  test("a torn block partition is planned for deletion and the next run " +
+       "republishes it from source") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("torn_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("torn_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"), bytes)
+    }
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    val r1 = go()
+    assert(r1.planned == 6 && r1.blocks == 4)
+
+    // a clean cube plans all-keep
+    val clean = graft.cube.Repair.tornRepairPlan(spark, outDir).collect()
+    assert(clean.length == 2 && clean.forall(_.getAs[String]("action") == "keep"))
+
+    // tear the LATER period's partition: truncate its data file mid-body
+    // (the tail "PAR1" magic is gone — exactly a writer crash signature)
+    val tileDir = java.nio.file.Paths.get(outDir, "blocks", "tileId=t9")
+    val periodDirs = {
+      val ls = java.nio.file.Files.list(tileDir)
+      try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("p_start=")).sortBy(_.toString)
+      finally ls.close()
+    }
+    assert(periodDirs.length == 2)
+    val tornPeriod = periodDirs.last.getFileName.toString.stripPrefix("p_start=")
+    val keptPeriod = periodDirs.head.getFileName.toString.stripPrefix("p_start=")
+    val pDir = periodDirs.last
+    val dataFile = {
+      val ls = java.nio.file.Files.list(pDir)
+      try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    val whole = java.nio.file.Files.readAllBytes(dataFile)
+    java.nio.file.Files.write(dataFile, whole.dropRight(whole.length / 2))
+
+    // the plan flags exactly the torn dir; the healthy one keeps
+    val plan = graft.cube.Repair.tornRepairPlan(spark, outDir).collect()
+    assert(plan.length == 2)
+    val byPeriod = plan.map(r =>
+      r.getAs[String]("p_start") -> r.getAs[String]("action")).toMap
+    assert(byPeriod(tornPeriod) == "delete_and_retry",
+      s"truncated partition must plan for deletion: ${byPeriod.mkString(",")}")
+    assert(byPeriod(keptPeriod) == "keep")
+
+    // apply: the dir is gone and its ledger rows downgrade to ERROR
+    assert(graft.cube.Repair.applyTornRepair(spark, outDir) == 1L)
+    assert(!java.nio.file.Files.exists(pDir), "torn dir must be deleted")
+    import spark.implicits._
+    val led = graft.catalog.Ledger.readCurrent(spark, s"$outDir/ledger").get
+    assert(led.filter($"status" === "ERROR" && $"p_start" === tornPeriod)
+      .count() == 3, "the torn period's 3 band units must ledger ERROR")
+    assert(led.filter($"status" === "SUCCESS").count() == 3,
+      "the healthy period's units must stay SUCCESS")
+
+    // the next run re-plans exactly the torn period and republishes it
+    val r2 = go()
+    assert(r2.planned == 3, s"only the torn period re-plans, got ${r2.planned}")
+    assert(r2.blocks == 4 && r2.items == 2, "the cube is whole again")
+    assert(spark.read.parquet(s"$outDir/blocks")
+      .filter($"p_start" === java.sql.Date.valueOf(tornPeriod))
+      .count() == 2, "the republished partition reads back")
+    // idempotent: a repaired cube plans all-keep and a rerun is a no-op
+    assert(graft.cube.Repair.tornRepairPlan(spark, outDir).collect()
+      .forall(_.getAs[String]("action") == "keep"))
+    assert(graft.cube.Repair.applyTornRepair(spark, outDir) == 0L)
+    assert(go().planned == 0)
+  }
 }

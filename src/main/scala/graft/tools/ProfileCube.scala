@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import graft.model.{Band, Collection, MaskDef}
+
+/** Dev aid: soak [[graft.cube.CubeRun]] at an sf0.1-class synthetic scale
+  * with COG publication ON and print the per-stage wall rollup — the
+  * measured row behind the read-back's "composite executes once per run"
+  * scale claim (the toy e2e gate is driver-overhead-bound; this run is
+  * data-bound enough that the stage ratios mean something).
+  *
+  * Usage: sbt "runMain graft.tools.ProfileCube [tiles] [dates] [px] [passes]"
+  * Defaults: 4 tiles x 8 dates x 3 bands at 1024x1024 px, block 256 —
+  * ~100M raster pixels decoded per pass, 2 16-day periods composited and
+  * published as COGs into a fresh outDir per pass.
+  */
+object ProfileCube {
+  def main(args: Array[String]): Unit = {
+    val tiles = args.lift(0).map(_.toInt).getOrElse(4)
+    val dates = args.lift(1).map(_.toInt).getOrElse(8)
+    val px = args.lift(2).map(_.toInt).getOrElse(1024)
+    val passes = args.lift(3).map(_.toInt).getOrElse(2)
+    val spark = graft.core.Scratch.configure(SparkSession.builder()
+      .master("local[32]")
+      .appName("profile-cube")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.install(spark)
+
+    val nodata = -9999
+    val coll = Collection(
+      name = "soak", version = 1, grid = "G", compositeFunction = "LCF",
+      temporalSchema = "Continuous", temporalUnit = "day", temporalStep = 16,
+      bands = Seq(
+        Band("B04", "red", "int16", nodata),
+        Band("B8A", "nir", "int16", nodata),
+        Band("QA", "quality", "uint8", 255)),
+      qualityBand = "QA")
+    val mask = MaskDef(clearData = Seq(0L, 1L), notClearData = Seq(2L, 3L, 4L),
+      nodata = 255L)
+
+    // scene synthesis: deterministic per (tile, date, band); written once,
+    // decoded fresh each pass (the outDir is per-pass)
+    val sceneDir = java.nio.file.Files.createTempDirectory("soak_scenes")
+    println(s"[soak] writing ${tiles * dates * 3} scenes at ${px}x$px ...")
+    val t0w = System.nanoTime()
+    for (t <- 1 to tiles; di <- 0 until dates; band <- Seq("B04", "B8A", "QA")) {
+      val date = java.time.LocalDate.of(2020, 1, 2).plusDays(di * 3L)
+        .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+      val isQa = band == "QA"
+      val arr = Array.tabulate(px * px)(i =>
+        if (isQa) (if ((i + di) % 5 == 0) 4 else 0)
+        else 100 + (i * 7 + di * 13 + t * 31) % 900)
+      val bytes = graft.sources.GeoTiff.write(arr, px, px, tileSize = 256,
+        originX = 0, originY = px * 10.0, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(
+        sceneDir.resolve(f"S_T$t%04d_${date}_$band.tif"), bytes)
+    }
+    println(f"[soak] scene write ${(System.nanoTime() - t0w) / 1e9}%.1f s")
+
+    final case class JobRec(start: Long, var end: Long = -1L, desc: String)
+    val jobs = scala.collection.concurrent.TrieMap.empty[Int, JobRec]
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        jobs(e.jobId) = JobRec(e.time, desc = d)
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobs.get(e.jobId).foreach(_.end = e.time)
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    (1 to passes).foreach { pass =>
+      jobs.clear()
+      val outDir = java.nio.file.Files.createTempDirectory("soak_out").toString
+      val t0 = System.nanoTime()
+      val r = graft.cube.CubeRun.runTiles(spark, coll, mask, sceneDir.toString,
+        outDir,
+        java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+        blockSize = 256, publishCogs = true)
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"== pass $pass: total $total%.1f s  planned=${r.planned} " +
+        f"items=${r.items} blocks=${r.blocks} errors=${r.errors} ==")
+      jobs.values.toSeq.groupBy(_.desc).toSeq
+        .map { case (d, js) =>
+          (d, js.map(j => if (j.end > 0) (j.end - j.start) / 1e3 else 0.0).sum,
+            js.size)
+        }
+        .sortBy(-_._2)
+        .foreach { case (d, sec, n) =>
+          println(f"  stage $sec%7.2f s  jobs=$n%3d  " +
+            (if (d.isEmpty) "<untagged>" else d.take(80)))
+        }
+      // the COG output actually landed
+      val dataDir = java.nio.file.Paths.get(outDir, "data")
+      val nCogs =
+        if (!java.nio.file.Files.exists(dataDir)) 0
+        else {
+          val s = java.nio.file.Files.walk(dataDir)
+          try s.filter(p => p.toString.endsWith(".tif")).count().toInt
+          finally s.close()
+        }
+      println(s"  cogs_published=$nCogs  outDir=$outDir")
+    }
+    spark.stop()
+  }
+}

@@ -259,6 +259,41 @@ class CubeRunSpec extends SparkSpec {
     assert(r1.items == 1,
       s"read-back must find the escaped partition dir and publish the item: $r1")
     assert(go().planned == 0, "rerun is a no-op")
+
+    // the repair planner walks the SAME escaped layout: it must
+    // un-escape the dir names back to the ledger's tile id, or apply
+    // would delete the dir yet downgrade nothing (the unit never
+    // re-plans — a silent repair hole)
+    val clean = graft.cube.Repair.tornRepairPlan(spark, outDir).collect()
+    assert(clean.length == 1 && clean.head.getAs[String]("tile_id") == "t 9=x%7"
+      && clean.head.getAs[String]("action") == "keep",
+      s"plan must unescape the hostile tile id: ${clean.mkString(",")}")
+    // tear it: the apply must round-trip the id back INTO the escaped
+    // dir path and hit the ledger rows by the raw id
+    val pDir = {
+      val base = java.nio.file.Paths.get(outDir, "blocks")
+      val ls = java.nio.file.Files.walk(base, 2)
+      try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.startsWith("p_start=")).get
+      finally ls.close()
+    }
+    val dataFile = {
+      val ls = java.nio.file.Files.list(pDir)
+      try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    val whole = java.nio.file.Files.readAllBytes(dataFile)
+    java.nio.file.Files.write(dataFile, whole.dropRight(whole.length / 2))
+    assert(graft.cube.Repair.applyTornRepair(spark, outDir) == 1L)
+    assert(!java.nio.file.Files.exists(pDir), "escaped torn dir must delete")
+    import spark.implicits._
+    assert(graft.catalog.Ledger.readCurrent(spark, s"$outDir/ledger").get
+      .filter($"status" === "ERROR" && $"tile_id" === "t 9=x%7").count() == 3,
+      "the downgrade must hit the RAW tile id's ledger rows")
+    val r2 = go()
+    assert(r2.planned == 3 && r2.items == 1 && r2.blocks == 2,
+      s"repaired hostile-id cube must republish: $r2")
   }
 
   test("a corrupt scene quarantines its (tile, period): ERROR ledger rows " +

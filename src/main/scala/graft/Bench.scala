@@ -153,6 +153,15 @@ object Bench {
     // the 100+-query suite around it. Unset = full suite (the official run).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map { names =>
+        // same typo-hardening as Verify's subset list: unknown names
+        // warn instead of silently shrinking the sweep to nothing
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println("[bench] WARNING: unknown query names in " +
+            s"SPARK_GRAFT_BENCH_ONLY ignored: ${unknown.toSeq.sorted.mkString(",")}")
+        names.intersect(SparkEntry.queries.keySet)
+      }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Later sweeps run in DESCENDING order of the best time observed so
@@ -189,8 +198,13 @@ object Bench {
       calibRuns += calibrate()
       calibMcRuns += calibrateMC(cpuN)
     }
+    // A subset (BENCH_ONLY) run must not clobber the committed detail
+    // file: it became load-bearing input this round (the re-pass reads
+    // it as the prior-round reference), and a 1-query overwrite would
+    // silently disarm the contention defense for every other query on
+    // the next official sweep. Explicit SPARK_GRAFT_BENCH_DETAIL wins.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "bench_detail.json")
+      if (only.isDefined) "bench_detail_subset.json" else "bench_detail.json")
     // Targeted re-pass: a query whose best-so-far reads far above its
     // PRIOR-ROUND minimum (from the committed detail file, read before
     // this run overwrites it) is contention-suspect — on identical code
@@ -258,8 +272,14 @@ object Bench {
     val calib = calibRuns.min
     val calibMc = calibMcRuns.min
     // the gate's ">=2 passes for every query" guarantee, in-band: the
-    // MINIMUM pass count across the suite (2 = every min is a min-of-2+)
-    val minPassesRun = results.map(_._2._2).min
+    // MINIMUM count of SUCCESSFUL passes across the suite (2 = every
+    // reported minimum really is a min-of-2+ measurements; a query that
+    // failed a pass must not count it toward the guarantee). minOption:
+    // an all-unknown BENCH_ONLY list yields an empty suite, which should
+    // still print its (empty) JSON rather than crash on empty.min.
+    val minPassesRun = ordered.map { case (name, _) =>
+      sweeps.flatMap(_.get(name)).count(_._2)
+    }.minOption.getOrElse(0)
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"scratch_dir":"$scratchDir","min_passes":$minPassesRun,"extra_passes":$extraPasses,"passes_run":$passCounts,"budget_skipped":$truncated}"""
     println(fullJson)

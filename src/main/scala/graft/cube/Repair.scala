@@ -119,16 +119,15 @@ object Repair {
       .collect() // catalog-bounded: <= tiles x periods rows
       .map(r => (r.getString(0), r.getString(1)))
     if (torn.isEmpty) return 0L
-    val blocksBase = new org.apache.hadoop.fs.Path(s"$outDir/blocks")
-    val fs = blocksBase.getFileSystem(spark.sessionState.newHadoopConf())
-    torn.foreach { case (t, p) =>
-      val dir = new org.apache.hadoop.fs.Path(blocksBase,
-        s"tileId=${escapePathName(t)}/p_start=${escapePathName(p)}")
-      fs.delete(dir, true): Unit
-    }
-    // ledger downgrade AFTER the deletes: if the repair crashes between
-    // them, SUCCESS rows over missing dirs remain — exactly the state
-    // this tool exists to fix, and a re-run converges
+    // ledger downgrade BEFORE the deletes — the order is load-bearing.
+    // Deletes-first has an unrecoverable crash window: a dir already
+    // deleted but still SUCCESS-ledgered is invisible to both the
+    // planner (listStatus no longer sees it) and pendingUnits (SUCCESS
+    // excludes it) — the cube would serve an item whose blocks are gone,
+    // forever. Downgrade-first converges from every crash point: ERROR
+    // rows + torn dirs re-plan on the next run (dynamic partition
+    // overwrite replaces the dir), and a repair re-run still sees the
+    // torn dir and deletes it.
     val ledgerPath = s"$outDir/ledger"
     Ledger.readCurrent(spark, ledgerPath).foreach { led =>
       val keys = torn.map { case (t, p) => s"$t|$p" }.toSeq
@@ -136,6 +135,13 @@ object Repair {
         when(concat_ws("|", col("tile_id"), col("p_start")).isin(keys: _*),
           lit(Ledger.StatusError)).otherwise(col("status")))
       Ledger.commitVersion(spark, ledgerPath, updated)
+    }
+    val blocksBase = new org.apache.hadoop.fs.Path(s"$outDir/blocks")
+    val fs = blocksBase.getFileSystem(spark.sessionState.newHadoopConf())
+    torn.foreach { case (t, p) =>
+      val dir = new org.apache.hadoop.fs.Path(blocksBase,
+        s"tileId=${escapePathName(t)}/p_start=${escapePathName(p)}")
+      fs.delete(dir, true): Unit
     }
     torn.length.toLong
   }

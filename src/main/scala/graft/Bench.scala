@@ -271,6 +271,12 @@ object Bench {
     // shouldn't inflate the round's whole normalization factor
     val calib = calibRuns.min
     val calibMc = calibMcRuns.min
+    // contended-sweep attribution the gate can consume directly: the
+    // multi-core probe over the single-thread probe. ~1.0 = the box ran
+    // this suite's 32-way load unimpeded; >1.3 = co-tenant steal was
+    // present for the sweep and cross-round totals need mc-normalization
+    // (tools/diff_bench.py prints it) before any code-regression call.
+    val stealRatio = if (calib > 0) calibMc / calib else 1.0
     // the gate's ">=2 passes for every query" guarantee, in-band: the
     // MINIMUM count of SUCCESSFUL passes across the suite (2 = every
     // reported minimum really is a min-of-2+ measurements; a query that
@@ -281,7 +287,7 @@ object Bench {
       sweeps.flatMap(_.get(name)).count(_._2)
     }.minOption.getOrElse(0)
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"scratch_dir":"$scratchDir","min_passes":$minPassesRun,"extra_passes":$extraPasses,"passes_run":$passCounts,"budget_skipped":$truncated}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,"scratch_dir":"$scratchDir","min_passes":$minPassesRun,"extra_passes":$extraPasses,"passes_run":$passCounts,"budget_skipped":$truncated}"""
     println(fullJson)
     // Durable copy: the driver's BENCH_r*.json capture keeps only a
     // 2000-char stdout tail, so per-query times beyond worst5 are lost
@@ -331,7 +337,7 @@ object Bench {
     val noise =
       if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     println(
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"min_passes":$minPassesRun,"extra_passes":$extraPasses,"scratch_dir":"$scratchDir","worst5":$worst5}""")
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,"min_passes":$minPassesRun,"extra_passes":$extraPasses,"scratch_dir":"$scratchDir","worst5":$worst5}""")
     spark.stop()
   }
 }

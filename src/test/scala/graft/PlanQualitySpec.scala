@@ -137,6 +137,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("c36: repair planning is pure partial-agg folds — no window, no join") {
+    // two groupBys (file grain, then dir grain) must both map-side
+    // combine, and planning must never windowize or join the file table:
+    // at real scale the "files" are a catalog listing, but the modeled
+    // gate keeps the fold's plan honest at corpus size too
+    val plan = planString(q("c36_torn_repair_plan"))
+    assert(plan.contains("partial_"), s"expected partial aggregates:\n$plan")
+    assert(!plan.contains("Window"), s"no window in repair planning:\n$plan")
+    assert(!plan.contains("Join"), s"no join in repair planning:\n$plan")
+  }
+
   test("d_semantic_dedup: cluster equi-join bounds pairs — no all-pairs join") {
     val plan = planString(q("d_semantic_dedup"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

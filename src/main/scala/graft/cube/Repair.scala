@@ -6,15 +6,17 @@ import graft.catalog.Ledger
 
 /** Torn-partition repair — the operational answer to the read-back's
   * loud-failure contract (see [[CubeRun]]: an unreadable block partition
-  * FAILS the run rather than minting a hollow item; the reference's
-  * maestro leaves the analogous half-written activity in ERROR for the
-  * operator, `cube_builder/maestro.py` dispatch/error handling).
+  * FAILS the run rather than minting a hollow item).
   *
   * A partition is "torn" when a writer died mid-file: the directory
   * exists but holds no data file, or a data file is missing its parquet
   * tail magic (the 4-byte "PAR1" footer sentinel a completed write always
-  * ends with). Repair is two steps, both catalog-bounded (tiles x periods
-  * directories, never pixel data):
+  * ends with). The reference keeps the analogous failed merge as an
+  * ERROR-status activity row for the operator to retry
+  * (`cube_builder/celery/tasks.py:234` logs-and-ledgers the merge error;
+  * `cube_builder/models/activity.py:44,55` is the status column it
+  * queries by). Repair is two steps, both catalog-bounded (tiles x
+  * periods directories, never pixel data):
   *
   *  1. [[tornRepairPlan]] — the planning query (family of
   *     c19_compaction_plan / c35_vacuum_plan): list the cube's block

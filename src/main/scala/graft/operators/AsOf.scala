@@ -63,9 +63,9 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCarry = unioned.withColumn("__asof",
       last(col("__row"), ignoreNulls = true).over(w))
-    withCarry.filter(col("__side") === 1)
-      .select((leftCols.map(col) :+ col("__asof.__ts").as("asof_ts"))
-        ++ valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+    val outCols = (leftCols.map(col) :+ col("__asof.__ts").as("asof_ts")) ++
+      valueCols.map(c => col(s"__asof.$c").as(s"asof_$c"))
+    withCarry.filter(col("__side") === 1).select(outCols.toSeq: _*)
   }
 
   /** Convenience: carry a single value column. */

@@ -123,7 +123,7 @@ object HistogramMatch {
     val s = srcCdf.withColumn("is_src", lit(1))
     val r = refCdf.withColumn(sceneCol, lit(null).cast(srcCdf.schema(sceneCol).dataType))
       .withColumn("is_src", lit(0))
-      .select(s.columns.map(col): _*)
+      .select(s.columns.toIndexedSeq.map(col): _*)
     val all = s.unionByName(r)
 
     val ord = Window.partitionBy(g: _*).orderBy($"cdf", $"is_src")

@@ -482,7 +482,7 @@ object StreamOps {
         : Iterator[SessRow] = {
       if (state.exists()) {
         val s = state.get()
-        if (expired.getExpiryTimeInMs >= (s.last + gapUs) / 1000L) {
+        if (expired.getExpiryTimeInMs() >= (s.last + gapUs) / 1000L) {
           state.clear()
           Iterator.single(close(s, user))
         } else Iterator.empty

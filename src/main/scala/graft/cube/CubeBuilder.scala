@@ -364,7 +364,7 @@ object CubeBuilder {
       .join(broadcast(dims), Seq("cube", "tileId", "p_start", "p_end"))
       .select($"cube", $"tileId", $"p_start", $"p_end",
         $"blockY", $"blockX", $"height", $"width", $"bh", $"bw", $"th", $"tw",
-        $"rgb")
+        $"argb")
       .as[QlBlockDims]
       .map { blk =>
         val stride = graft.operators.Visual.quicklookStride(blk.th, maxRows)
@@ -385,9 +385,9 @@ object CubeBuilder {
         while (i < rows.length) {
           var j = 0
           while (j < cols.length) {
-            val p = blk.rgb((rows(i) - gy0) * blk.width + (cols(j) - gx0))
+            // already-packed ARGB, O(1) primitive-array read
             px(i * cols.length + j) =
-              (p.a << 24) | (p.r << 16) | (p.g << 8) | p.b
+              blk.argb((rows(i) - gy0) * blk.width + (cols(j) - gx0))
             j += 1
           }
           i += 1
@@ -419,15 +419,16 @@ object CubeBuilder {
       .toDF("cube", "tileId", "p_start", "p_end", "png")
   }
 
-  final case class Rgb(r: Int, g: Int, b: Int)
-  final case class Rgba(r: Int, g: Int, b: Int, a: Int)
-  final case class QlBlock(blockY: Int, blockX: Int, height: Int, width: Int,
-                           rgb: Seq[Rgb])
   final case class QlBlockDims(cube: String, tileId: String,
                                p_start: java.sql.Date, p_end: java.sql.Date,
                                blockY: Int, blockX: Int, height: Int, width: Int,
                                bh: Int, bw: Int, th: Int, tw: Int,
-                               rgb: Seq[Rgba])
+                               /** packed ARGB, one int per pixel — a
+                                 * primitive array through the encoder;
+                                 * a Seq-of-struct here deserializes to a
+                                 * List and its O(n) apply made the
+                                 * stride sampler quadratic */
+                               argb: Array[Int])
   final case class QlPatch(cube: String, tileId: String,
                            p_start: String, p_end: String,
                            qh: Int, qw: Int, qy0: Int, qx0: Int,

@@ -464,8 +464,9 @@ object CubeRun {
       // commit below moves the PNG together with the band set — an item
       // is never visible without its quicklook
       for ((inMin, inMax) <- quicklookRange) {
-        val pngs = CubeBuilder.quicklook(pubSource, collection, inMin, inMax)
-          .collect() // one row per (tile, period) item — catalog-bounded
+        val pngs = stage(spark, "publish:quicklook")(
+          CubeBuilder.quicklook(pubSource, collection, inMin, inMax)
+            .collect()) // one row per (tile, period) item — catalog-bounded
         pngs.foreach { row =>
           val dir = Publish.itemWorkDir(s"$outDir/work", row.getString(0),
             row.getString(1), row.getString(2))

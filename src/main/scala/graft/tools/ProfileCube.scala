@@ -40,7 +40,10 @@ object ProfileCube {
         Band("B04", "red", "int16", nodata),
         Band("B8A", "nir", "int16", nodata),
         Band("QA", "quality", "uint8", 255)),
-      qualityBand = "QA")
+      qualityBand = "QA",
+      // S11/S12 per-item quicklook (false-color: nir, red, red) so the
+      // soak exercises the FULL publication surface the 4x claim covers
+      quicklook = Seq("B8A", "B04", "B04"))
     val mask = MaskDef(clearData = Seq(0L, 1L), notClearData = Seq(2L, 3L, 4L),
       nodata = 255L)
 
@@ -85,7 +88,8 @@ object ProfileCube {
       val r = graft.cube.CubeRun.runTiles(spark, coll, mask, sceneDir.toString,
         outDir,
         java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
-        blockSize = 256, publishCogs = true)
+        blockSize = 256, publishCogs = true,
+        quicklookRange = Some((0.0, 1000.0)))
       val total = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"== pass $pass: total $total%.1f s  planned=${r.planned} " +
@@ -102,14 +106,15 @@ object ProfileCube {
         }
       // the COG output actually landed
       val dataDir = java.nio.file.Paths.get(outDir, "data")
-      val nCogs =
+      def countSuffix(suffix: String): Int =
         if (!java.nio.file.Files.exists(dataDir)) 0
         else {
           val s = java.nio.file.Files.walk(dataDir)
-          try s.filter(p => p.toString.endsWith(".tif")).count().toInt
+          try s.filter(p => p.toString.endsWith(suffix)).count().toInt
           finally s.close()
         }
-      println(s"  cogs_published=$nCogs  outDir=$outDir")
+      println(s"  cogs_published=${countSuffix(".tif")}  " +
+        s"quicklooks_published=${countSuffix(".png")}  outDir=$outDir")
     }
     spark.stop()
   }

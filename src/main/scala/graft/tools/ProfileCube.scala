@@ -106,15 +106,22 @@ object ProfileCube {
         }
       // the COG output actually landed
       val dataDir = java.nio.file.Paths.get(outDir, "data")
-      def countSuffix(suffix: String): Int =
-        if (!java.nio.file.Files.exists(dataDir)) 0
+      val (nCogs, nPngs) =
+        if (!java.nio.file.Files.exists(dataDir)) (0, 0)
         else {
           val s = java.nio.file.Files.walk(dataDir)
-          try s.filter(p => p.toString.endsWith(suffix)).count().toInt
-          finally s.close()
+          try {
+            var tif = 0; var png = 0
+            s.forEach { p =>
+              val n = p.toString
+              if (n.endsWith(".tif")) tif += 1
+              else if (n.endsWith(".png")) png += 1
+            }
+            (tif, png)
+          } finally s.close()
         }
-      println(s"  cogs_published=${countSuffix(".tif")}  " +
-        s"quicklooks_published=${countSuffix(".png")}  outDir=$outDir")
+      println(s"  cogs_published=$nCogs  quicklooks_published=$nPngs  " +
+        s"outDir=$outDir")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.cube
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Ledger
 import graft.model.{Collection, MaskDef}
@@ -462,20 +462,28 @@ object CubeRun {
             $"nodata", $"value".as("pixels")))
       // quicklooks stage into the item work dirs FIRST, so the per-item
       // commit below moves the PNG together with the band set — an item
-      // is never visible without its quicklook
+      // is never visible without its quicklook. The write runs on the
+      // executors (the same shared-filesystem contract writeGeoTiffs
+      // already relies on): one row per (tile, period) item, but each
+      // row carries a whole PNG, so routing them through a driver-side
+      // collect would make the driver the byte funnel for every
+      // thumbnail in the run — at production item counts that is
+      // items × ~100 KB of driver heap plus a serial write loop.
       for ((inMin, inMax) <- quicklookRange) {
-        val pngs = stage(spark, "publish:quicklook")(
+        val workRoot = s"$outDir/work"
+        stage(spark, "publish:quicklook")(
           CubeBuilder.quicklook(pubSource, collection, inMin, inMax)
-            .collect()) // one row per (tile, period) item — catalog-bounded
-        pngs.foreach { row =>
-          val dir = Publish.itemWorkDir(s"$outDir/work", row.getString(0),
-            row.getString(1), row.getString(2))
-          java.nio.file.Files.createDirectories(dir)
-          java.nio.file.Files.write(
-            dir.resolve(s"${row.getString(0)}_${row.getString(1)}_" +
-              s"${row.getString(2)}_quicklook.png"),
-            row.getAs[Array[Byte]](4))
-        }
+            .foreachPartition { (rows: Iterator[Row]) =>
+              rows.foreach { row =>
+                val dir = Publish.itemWorkDir(workRoot, row.getString(0),
+                  row.getString(1), row.getString(2))
+                java.nio.file.Files.createDirectories(dir)
+                java.nio.file.Files.write(
+                  dir.resolve(s"${row.getString(0)}_${row.getString(1)}_" +
+                    s"${row.getString(2)}_quicklook.png"),
+                  row.getAs[Array[Byte]](4))
+              }
+            })
       }
       stage(spark, "publish:cogs")(
         Publish.publishGeoTiffs(withIndex, s"$outDir/work", s"$outDir/data"))

@@ -69,8 +69,9 @@ object Publish {
     * happens one ITEM at a time, only after that item's full band set
     * finished streaming out — the reference's per-item
     * `files_to_move`-after-commit granularity (`processing.py:1038-1155`).
-    * A crash between items leaves every earlier item fully published and
-    * every later item absent; no item is ever half-visible.
+    * Items commit in parallel on the executors (each task moves whole
+    * items); a crash mid-publication leaves some items fully published
+    * and the rest absent — no item is ever half-visible.
     */
   def publishGeoTiffs(blocks: DataFrame, workRoot: String, dataRoot: String,
                       periodCols: Seq[String] = Seq("p_start")): Seq[Path] = {
@@ -84,9 +85,32 @@ object Publish {
         .filter(p => Files.isDirectory(p) &&
           work.relativize(p).getNameCount == depth)
         .toList.sortBy(_.toString)
-    val moved = itemDirs.flatMap { d =>
-      commitItem(d, Paths.get(dataRoot).resolve(work.relativize(d)))
-    }
+    // Commit items from the EXECUTORS (same shared-filesystem contract as
+    // the staged write above): the unit of work shipped is a directory
+    // name, each task commits whole items, and only destination paths come
+    // back — so the move fan-out scales with the cluster instead of a
+    // serial driver rename loop (100k items x several assets x per-rename
+    // latency is hours on one thread). Atomicity is unchanged — an item
+    // still becomes visible only as a whole — but a crash mid-publication
+    // now leaves an arbitrary SUBSET of items committed rather than a
+    // sorted prefix; the ledger/read-back already treats any incomplete
+    // publication as pending, so re-runs converge identically.
+    val moved =
+      if (itemDirs.isEmpty) Nil
+      else {
+        val sc = blocks.sparkSession.sparkContext
+        val workRootStr = work.toString
+        val slices = math.max(1,
+          math.min(itemDirs.size, sc.defaultParallelism))
+        sc.parallelize(itemDirs.map(_.toString), slices)
+          .flatMap { d =>
+            val dir = Paths.get(d)
+            commitItem(dir, Paths.get(dataRoot)
+              .resolve(Paths.get(workRootStr).relativize(dir)))
+              .map(_.toString)
+          }
+          .collect().toSeq.map(Paths.get(_))
+      }
     cleanEmpty(work)
     moved
   }

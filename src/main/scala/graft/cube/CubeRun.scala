@@ -446,8 +446,9 @@ object CubeRun {
     // optional S9+C2 asset publication: composite (and index) bands
     // stream into per-item COG directories under work/ and each item
     // commits atomically into data/ only once its full band set exists
-    // (Publish.publishGeoTiffs) — a crash mid-run leaves earlier items
-    // fully published and later items absent, never half-visible
+    // (Publish.publishGeoTiffs, executor-parallel) — a crash mid-run
+    // leaves some items fully published and the rest absent, never a
+    // half-visible item
     if (publishCogs) {
       val cogBlocks = pubSource
         .withColumn("pixels", CubeBuilder.compositeBand(collection))

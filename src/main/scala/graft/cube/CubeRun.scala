@@ -182,6 +182,15 @@ object CubeRun {
     // everywhere; p_start is cast back to date explicitly after the read.
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
       "false")
+    // Block-table rows carry whole pixel arrays (a 512² block is ~1 MB),
+    // and the vectorized parquet reader preallocates its batch as
+    // rows × row-bytes: the 4096-row default turns one read-back task
+    // into a ~4 GB batch at reference block sizes (the 10560² soak OOM'd
+    // exactly there). 16 rows bounds the batch at ~16 MB/slot for any
+    // block size the engine writes, and the per-batch overhead is noise
+    // at block-table row counts. Scoped to the run's cloned session —
+    // catalog-table scans elsewhere keep the wide default.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
     import spark.implicits._
     {
 
@@ -351,6 +360,8 @@ object CubeRun {
     stage(spark, "composite+publish:blocks")(
       composited.withColumn("value", CubeBuilder.compositeBand(collection))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .option("parquet.block.size",
+          graft.operators.Scale.BlockParquetRowGroupBytes.toString)
         .partitionBy("tileId", "p_start")
         .parquet(s"$outDir/blocks"))
     // The merge→composite chain executes exactly ONCE per run — the
@@ -429,6 +440,8 @@ object CubeRun {
     if (hasIndex && pairDirs.nonEmpty)
       stage(spark, "publish:index")(indexDf.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.block.size",
+          graft.operators.Scale.BlockParquetRowGroupBytes.toString)
         .partitionBy("tileId", "p_start")
         .parquet(s"$outDir/index_blocks"))
     // the items catalog is a C1 upsert keyed on item_id (the reference's

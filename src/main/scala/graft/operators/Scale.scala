@@ -64,6 +64,18 @@ object Scale {
       .drop("__cell")
   }
 
+  /** Parquet row-group size for BLOCK-PAYLOAD tables (~260 KB pixel-array
+    * rows). Parquet buffers one row group per open writer UNCOMPRESSED,
+    * so the 128 MB default × one writer per task slot is the dominant
+    * task-memory term on these tables — 32 slots × 128 MB = 4 GB of
+    * writer buffers before a single pixel lands (the 10560² reference
+    * tile OOM'd the local soak exactly here). 16 MB still packs ~60
+    * block rows per group and bounds writer memory per slot at ANY
+    * raster scale; these tables are always scanned partition-at-a-time,
+    * so the smaller group costs nothing on read.
+    */
+  val BlockParquetRowGroupBytes: Int = 16 * 1024 * 1024
+
   /** Persist `df` bucketed+sorted by `key` for shuffle-free joins against
     * other tables bucketed the same way (same key, same bucket count).
     * With `path` the table is external (data at the given location,
@@ -91,6 +103,8 @@ object Scale {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+      // block-payload rows: bound per-writer row-group buffering
+      .option("parquet.block.size", BlockParquetRowGroupBytes.toString)
       .option("path", path)
       .saveAsTable(table)
     df.sparkSession.table(table)

@@ -378,9 +378,13 @@ object EngineOps {
       graft.sources.RasterIO.writeGeoTiffs(blocks, tmp, periodCols = Seq("dkey"))
       val scanned = graft.sources.RasterIO.scanDirectory(s, tmp,
         bandPattern = "_(B[0-9A-Z]+|QA)_")
-      val integrity = scanned.select($"band", $"content")
-        .as[(String, Array[Byte])]
-        .map { case (b, c) =>
+      val integrity = scanned.select($"band", $"path")
+        .as[(String, String)]
+        .map { case (b, p) =>
+          // the scan is metadata-only; the S13 integrity probe reads the
+          // file itself (whole-read is the point of the check)
+          val c = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(new java.net.URI(p)))
           (b, if (graft.sources.Archives.checkIntegrity(c)) 1L else 0L)
         }
         .toDF("band", "ok")

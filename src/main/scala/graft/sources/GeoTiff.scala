@@ -52,21 +52,45 @@ object GeoTiff {
   private val TModelTiepoint = 33922
   private val TGdalNodata = 42113
 
+  /** Byte-order-stamped view of a TIFF: every read-side entry point takes
+    * a ByteBuffer so the SAME codec serves an in-memory array (archive
+    * members, tests) and a memory-mapped file (the scan path — windowed
+    * IO through the page cache, zero heap for untouched tiles). All codec
+    * reads are ABSOLUTE (no position mutation), so one buffer serves a
+    * whole task's block iterator.
+    */
+  def ordered(bb: ByteBuffer): ByteBuffer =
+    bb.order(if (bb.get(0) == 'I') ByteOrder.LITTLE_ENDIAN
+             else ByteOrder.BIG_ENDIAN)
+
+  /** Absolute bulk copy (order-independent). */
+  private def copyBytes(bb: ByteBuffer, off: Int, len: Int): Array[Byte] = {
+    val a = new Array[Byte](len)
+    val d = bb.duplicate()
+    d.position(off)
+    d.get(a)
+    a
+  }
+
   /** Parse the header + first IFD of a TIFF byte array. */
   def readInfo(bytes: Array[Byte]): TiffInfo = readInfos(bytes).head
+
+  /** [[readInfo]] over a (typically memory-mapped) buffer. */
+  def readInfo(bb: ByteBuffer): TiffInfo = readInfos(bb).head
 
   /** Parse every IFD in the chain: the full-resolution image first, then
     * one entry per reduced-resolution overview (COG layout).
     */
-  def readInfos(bytes: Array[Byte]): Seq[TiffInfo] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val le = bytes(0) == 'I'
-    bb.order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+  def readInfos(bytes: Array[Byte]): Seq[TiffInfo] =
+    readInfos(ByteBuffer.wrap(bytes))
+
+  def readInfos(bb0: ByteBuffer): Seq[TiffInfo] = {
+    val bb = ordered(bb0.duplicate())
     require(bb.getShort(2) == 42, "not a TIFF")
     val out = scala.collection.mutable.ArrayBuffer.empty[TiffInfo]
     var off = bb.getInt(4)
     while (off != 0) {
-      val (info, next) = parseIfd(bb, bytes, off)
+      val (info, next) = parseIfd(bb, off)
       out += info
       off = next
     }
@@ -74,8 +98,7 @@ object GeoTiff {
   }
 
   /** Parse one IFD at `ifdOff`; returns its info + the next-IFD offset. */
-  private def parseIfd(bb: ByteBuffer, bytes: Array[Byte],
-                       ifdOff: Int): (TiffInfo, Int) = {
+  private def parseIfd(bb: ByteBuffer, ifdOff: Int): (TiffInfo, Int) = {
     var width = 0; var height = 0; var bps = 16; var fmt = 2
     var tw = 0; var th = 0; var rowsPerStrip = 0
     var tileOffsets = Array.empty[Long]; var tileCounts = Array.empty[Long]
@@ -121,7 +144,8 @@ object GeoTiff {
         case TModelPixelScale => sx = readDouble(0); sy = readDouble(1)
         case TModelTiepoint => ox = readDouble(3); oy = readDouble(4)
         case TGdalNodata =>
-          val s = new String(bytes, valOff, count, "ASCII").trim.stripSuffix("\u0000").trim
+          val s = new String(copyBytes(bb, valOff, count), "ASCII")
+            .trim.stripSuffix("\u0000").trim
           nodata = try s.toDouble catch { case _: Throwable => Double.NaN }
         case TCompression =>
           val c = readValue(0)
@@ -146,7 +170,16 @@ object GeoTiff {
     * tileWidth×tileHeight like TIFF requires). Deflate (COG-style)
     * compression inflates the tile payload first.
     */
-  def readTile(bytes: Array[Byte], info: TiffInfo, tileY: Int, tileX: Int): Array[Int] = {
+  def readTile(bytes: Array[Byte], info: TiffInfo, tileY: Int,
+               tileX: Int): Array[Int] =
+    readTile(ordered(ByteBuffer.wrap(bytes)), info, tileY, tileX)
+
+  /** [[readTile]] over an order-stamped buffer (see [[ordered]]) — the
+    * memory-mapped scan path: only this tile's payload bytes are touched,
+    * so the page cache faults in ~one tile, never the file.
+    */
+  def readTile(bb: ByteBuffer, info: TiffInfo, tileY: Int,
+               tileX: Int): Array[Int] = {
     val tilesAcross = (info.width + info.tileWidth - 1) / info.tileWidth
     val idx = tileY * tilesAcross + tileX
     val off = info.tileOffsets(idx).toInt
@@ -158,16 +191,15 @@ object GeoTiff {
     val tileBytes: Array[Byte] =
       if (info.compression == 8) {
         val inf = new java.util.zip.Inflater()
-        inf.setInput(bytes, off, len)
+        inf.setInput(copyBytes(bb, off, len))
         val out = new Array[Byte](count * bytesPerSample)
         var written = 0
         while (written < out.length && !inf.finished())
           written += inf.inflate(out, written, out.length - written)
         inf.end()
         out
-      } else java.util.Arrays.copyOfRange(bytes, off, off + len)
-    val bb = ByteBuffer.wrap(tileBytes)
-    bb.order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      } else copyBytes(bb, off, len)
+    val tb = ByteBuffer.wrap(tileBytes).order(bb.order())
     val out = new Array[Int](count)
     var i = 0
     info.bitsPerSample match {
@@ -175,12 +207,12 @@ object GeoTiff {
         while (i < count) { out(i) = tileBytes(i) & 0xff; i += 1 }
       case 16 =>
         while (i < count) {
-          val v = bb.getShort(i * 2)
+          val v = tb.getShort(i * 2)
           out(i) = if (info.sampleFormat == 2) v.toInt else v & 0xffff
           i += 1
         }
       case 32 =>
-        while (i < count) { out(i) = bb.getInt(i * 4); i += 1 }
+        while (i < count) { out(i) = tb.getInt(i * 4); i += 1 }
       case b => throw new IllegalArgumentException(s"unsupported bits/sample: $b")
     }
     out
@@ -188,6 +220,11 @@ object GeoTiff {
 
   /** Read a window (row0, col0, h, w) across tiles. */
   def readWindow(bytes: Array[Byte], info: TiffInfo,
+                 row0: Int, col0: Int, h: Int, w: Int): Array[Int] =
+    readWindow(ordered(ByteBuffer.wrap(bytes)), info, row0, col0, h, w)
+
+  /** [[readWindow]] over an order-stamped buffer (see [[ordered]]). */
+  def readWindow(bb: ByteBuffer, info: TiffInfo,
                  row0: Int, col0: Int, h: Int, w: Int): Array[Int] = {
     val out = new Array[Int](h * w)
     val ty0 = row0 / info.tileHeight
@@ -195,7 +232,7 @@ object GeoTiff {
     val tx0 = col0 / info.tileWidth
     val tx1 = (col0 + w - 1) / info.tileWidth
     for (ty <- ty0 to ty1; tx <- tx0 to tx1) {
-      val tile = readTile(bytes, info, ty, tx)
+      val tile = readTile(bb, info, ty, tx)
       val tileRow0 = ty * info.tileHeight
       val tileCol0 = tx * info.tileWidth
       val r0 = math.max(row0, tileRow0)

@@ -40,18 +40,43 @@ object RasterIO {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
-      // extract from the file NAME only — directories may contain digits
+      // extract from the file NAME only — directories may contain digits.
+      // content is deliberately NOT selected: binaryFile prunes the unread
+      // column, so the scan (and every join/filter planning happens on
+      // downstream of it) moves path-sized rows, never file bytes — a
+      // 10560² scene is ~220 MB, and carrying it as a row value put whole
+      // rasters through Tungsten row buffers and shuffle writers. Decode
+      // reads pixel windows straight from the file (decodeBlocksByTile).
       .withColumn("fname", element_at(split($"path", "/"), -1))
-      .select($"path", $"length", $"content",
+      .select($"path", $"length",
         regexp_extract($"fname", bandPattern, 1).as("band"),
         try_to_date(regexp_extract($"fname", datePattern, 1), "yyyyMMdd")
           .as("date"))
       .filter($"band" =!= "" && $"date".isNotNull)
   }
 
+  /** Memory-map a scanned scene for windowed reads. Same POSIX
+    * shared-filesystem contract as [[writeGeoTiffs]]: the path (a URI from
+    * binaryFile, e.g. `file:/...`) must be openable on the executor. The
+    * mapping costs address space, not heap — only the pages a read
+    * actually touches (header + requested tiles) fault in.
+    */
+  private def mapScene(path: String): java.nio.ByteBuffer = {
+    val p =
+      try {
+        val uri = new java.net.URI(path)
+        if (uri.getScheme == null) java.nio.file.Paths.get(path)
+        else java.nio.file.Paths.get(uri)
+      } catch { case _: Exception => java.nio.file.Paths.get(path) }
+    val ch = java.nio.channels.FileChannel.open(
+      p, java.nio.file.StandardOpenOption.READ)
+    try GeoTiff.ordered(
+      ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size()))
+    finally ch.close()
+  }
+
   /** S3 — decode discovered GeoTIFF files into chunked-raster block rows.
-    * Input must carry `path`, `content`, `band`, `date` (from
-    * [[scanDirectory]] without dropping content).
+    * Input must carry `path`, `band`, `date` (from [[scanDirectory]]).
     */
   def decodeBlocks(files: DataFrame, cube: String, tileId: String,
                    blockSize: Int = 512): DataFrame =
@@ -68,18 +93,24 @@ object RasterIO {
                          blockSize: Int = 512): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    files.select($"path", $"content", $"band", $"date", $"tile")
-      .as[(String, Array[Byte], String, java.sql.Date, String)]
-      .flatMap { case (path, content, band, date, tileId) =>
-        val info = GeoTiff.readInfo(content)
+    files.select($"path", $"band", $"date", $"tile")
+      .as[(String, String, java.sql.Date, String)]
+      .flatMap { case (path, band, date, tileId) =>
+        // windowed + LAZY: the mapped buffer faults in ~one TIFF tile per
+        // emitted block and the iterator holds ONE block at a time — peak
+        // task memory is block-sized regardless of scene size. (A strict
+        // per-file Seq here held the whole decoded raster — ~450 MB at
+        // the 10560² reference tile — and OOM'd 32-way.)
+        val bb = mapScene(path)
+        val info = GeoTiff.readInfo(bb)
         val nodata = if (info.nodata.isNaN) -9999 else info.nodata.toInt
-        for {
-          by <- 0 until (info.height + blockSize - 1) / blockSize
-          bx <- 0 until (info.width + blockSize - 1) / blockSize
-        } yield {
+        val nby = (info.height + blockSize - 1) / blockSize
+        val nbx = (info.width + blockSize - 1) / blockSize
+        Iterator.tabulate(nby * nbx) { k =>
+          val by = k / nbx; val bx = k % nbx
           val h = math.min(blockSize, info.height - by * blockSize)
           val w = math.min(blockSize, info.width - bx * blockSize)
-          val px = GeoTiff.readWindow(content, info,
+          val px = GeoTiff.readWindow(bb, info,
             by * blockSize, bx * blockSize, h, w)
           graft.raster.Raster.Block(cube, tileId, date, band, by, bx, h, w,
             info.originX + bx * blockSize * info.scaleX,
@@ -104,41 +135,69 @@ object RasterIO {
   /** [[decodeBlocksByTile]] with per-file error capture — the reference
     * maestro's activity-error discipline (`tasks.py:126-182` marks the
     * unit ERROR and carries on) instead of Spark's default
-    * fail-the-whole-job: a corrupt or truncated scene file yields ONE
+    * fail-the-whole-job: a corrupt or truncated scene file yields an
     * error row (file path + decoder message) and every healthy file
-    * still decodes. Decode is all-or-nothing per file: a failure
-    * anywhere in a file's window reads quarantines the whole file, never
-    * a partially-decoded raster.
+    * still decodes. Header parse and tile-offset bounds validate UP
+    * FRONT, so the common corruptions (garbage, truncation) quarantine
+    * before any block emits; a failure later in the lazy window reads
+    * (in-bounds bit rot) emits the quarantine row mid-stream and stops —
+    * blocks already emitted for that file are rendered inert by the
+    * orchestrator, which excludes the whole (tile, period) from
+    * publication and ledgers it ERROR whenever any error row exists.
     */
   def decodeBlocksQuarantining(files: DataFrame, cube: String,
                                blockSize: Int = 512): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    files.select($"path", $"content", $"band", $"date", $"tile")
-      .as[(String, Array[Byte], String, java.sql.Date, String)]
-      .flatMap { case (path, content, band, date, tileId) =>
+    files.select($"path", $"band", $"date", $"tile")
+      .as[(String, String, java.sql.Date, String)]
+      .flatMap { case (path, band, date, tileId) =>
+        def errRow(e: Throwable) =
+          DecodedOrError(cube, tileId, date, band, -1, 0, 0, 0,
+            0.0, 0.0, 0.0, 0.0, 0, Array.empty[Int], path,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
         scala.util.Try {
-          val info = GeoTiff.readInfo(content)
-          val nodata = if (info.nodata.isNaN) -9999 else info.nodata.toInt
-          for {
-            by <- 0 until (info.height + blockSize - 1) / blockSize
-            bx <- 0 until (info.width + blockSize - 1) / blockSize
-          } yield {
-            val h = math.min(blockSize, info.height - by * blockSize)
-            val w = math.min(blockSize, info.width - bx * blockSize)
-            val px = GeoTiff.readWindow(content, info,
-              by * blockSize, bx * blockSize, h, w)
-            DecodedOrError(cube, tileId, date, band, by, bx, h, w,
-              info.originX + bx * blockSize * info.scaleX,
-              info.originY - by * blockSize * info.scaleY,
-              info.scaleX, info.scaleY, nodata, px, path, null)
+          val bb = mapScene(path)
+          val info = GeoTiff.readInfo(bb)
+          // bounds audit: every tile payload must lie inside the file —
+          // catches truncation at open time, before any block emits
+          val end = bb.capacity().toLong
+          var i = 0
+          while (i < info.tileOffsets.length) {
+            val off = info.tileOffsets(i); val len = info.tileByteCounts(i)
+            require(off + len <= end,
+              s"tile $i payload [$off, ${off + len}) beyond file end $end")
+            i += 1
           }
+          (bb, info)
         } match {
-          case scala.util.Success(rows) => rows
-          case scala.util.Failure(e) =>
-            Seq(DecodedOrError(cube, tileId, date, band, -1, 0, 0, 0,
-              0.0, 0.0, 0.0, 0.0, 0, Array.empty[Int], path,
-              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          case scala.util.Failure(e) => Iterator.single(errRow(e))
+          case scala.util.Success((bb, info)) =>
+            val nodata = if (info.nodata.isNaN) -9999 else info.nodata.toInt
+            val nby = (info.height + blockSize - 1) / blockSize
+            val nbx = (info.width + blockSize - 1) / blockSize
+            val blocks = Iterator.tabulate(nby * nbx) { k =>
+              val by = k / nbx; val bx = k % nbx
+              val h = math.min(blockSize, info.height - by * blockSize)
+              val w = math.min(blockSize, info.width - bx * blockSize)
+              val px = GeoTiff.readWindow(bb, info,
+                by * blockSize, bx * blockSize, h, w)
+              DecodedOrError(cube, tileId, date, band, by, bx, h, w,
+                info.originX + bx * blockSize * info.scaleX,
+                info.originY - by * blockSize * info.scaleY,
+                info.scaleX, info.scaleY, nodata, px, path, null)
+            }
+            // guard the lazy reads: a mid-stream decode failure becomes
+            // the file's quarantine row instead of failing the job
+            new Iterator[DecodedOrError] {
+              private var done = false
+              def hasNext: Boolean = !done && blocks.hasNext
+              def next(): DecodedOrError =
+                try blocks.next()
+                catch { case scala.util.control.NonFatal(e) =>
+                  done = true; errRow(e)
+                }
+            }
         }
       }.toDF()
   }

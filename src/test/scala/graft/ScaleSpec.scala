@@ -504,13 +504,14 @@ class ScaleSpec extends SparkSpec {
       bandPattern = "_(B[0-9A-Z]+|QA)_")
     // structural integrity probe only (fullRead re-decodes the 446 MB
     // tile in one task); the decodeBlocks pixel sum below is the full
-    // content validation
-    val okN = scanned.select($"content").as[Array[Byte]]
-      .map(c =>
-        if (graft.sources.Archives.checkIntegrity(c, fullRead = false)) 1L
-        else 0L)
-      .reduce(_ + _)
-    assert(okN == 1L, "exactly one COG, structurally clean")
+    // content validation. The scan is metadata-only now, so the probe
+    // reads the one file's bytes itself.
+    val cogPaths = scanned.select($"path").as[String].collect()
+    assert(cogPaths.length == 1, "exactly one COG scanned")
+    val cogBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(cogPaths.head)))
+    assert(graft.sources.Archives.checkIntegrity(cogBytes, fullRead = false),
+      "COG structurally clean")
     val decoded = graft.sources.RasterIO.decodeBlocks(scanned, "soak", "t0", 512)
     val (nBlocks, pxSum) = decoded.agg(count(lit(1)),
       sum(graft.functions.PixelExpressions.arraySumLong($"pixels")))

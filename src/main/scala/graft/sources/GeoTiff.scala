@@ -194,8 +194,16 @@ object GeoTiff {
         inf.setInput(copyBytes(bb, off, len))
         val out = new Array[Byte](count * bytesPerSample)
         var written = 0
-        while (written < out.length && !inf.finished())
-          written += inf.inflate(out, written, out.length - written)
+        while (written < out.length && !inf.finished()) {
+          val n = inf.inflate(out, written, out.length - written)
+          // corrupt/truncated payloads can stall at 0 bytes without
+          // throwing — fail loudly instead of spinning
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            throw new java.util.zip.ZipException(
+              s"tile payload at $off truncated or corrupt " +
+                s"($written of ${out.length} bytes inflated)")
+          written += n
+        }
         inf.end()
         out
       } else copyBytes(bb, off, len)

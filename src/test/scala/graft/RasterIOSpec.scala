@@ -128,6 +128,54 @@ class RasterIOSpec extends SparkSpec {
     assert(back(0) == -9999 && back(1) == 1)
   }
 
+  test("quarantining decode: truncation quarantines at open, in-bounds " +
+       "tile corruption quarantines mid-stream, healthy files decode") {
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("qscenes")
+    val px = checker(64, 64)
+    // healthy uncompressed file — must fully decode
+    java.nio.file.Files.write(dir.resolve("S2A_T1_20200105_B04.tif"),
+      GeoTiff.write(px, 64, 64, tileSize = 32,
+        originX = 0, originY = 640, scaleX = 10, scaleY = 10, nodata = -9999))
+    // deflate file whose LAST tile payload is garbage IN BOUNDS: the
+    // open-time bounds audit passes, so the failure surfaces in the lazy
+    // window reads — the guarded iterator must convert it into the file's
+    // quarantine row instead of failing the job (or spinning: a stalled
+    // Inflater used to loop forever)
+    val packed = GeoTiff.write(px, 64, 64, tileSize = 32,
+      originX = 0, originY = 640, scaleX = 10, scaleY = 10, nodata = -9999,
+      deflate = true)
+    val pinfo = GeoTiff.readInfo(packed)
+    val li = pinfo.tileOffsets.length - 1
+    java.util.Arrays.fill(packed, pinfo.tileOffsets(li).toInt,
+      pinfo.tileOffsets(li).toInt + pinfo.tileByteCounts(li).toInt, 0x55.toByte)
+    java.nio.file.Files.write(dir.resolve("S2A_T1_20200105_B8A.tif"), packed)
+    // truncated file: offsets point beyond the file end — the bounds
+    // audit quarantines it at open, before ANY block emits
+    val whole = GeoTiff.write(px, 64, 64, tileSize = 32, nodata = -9999)
+    java.nio.file.Files.write(dir.resolve("S2A_T1_20200121_B04.tif"),
+      java.util.Arrays.copyOf(whole, whole.length / 2))
+
+    val decoded = RasterIO.decodeBlocksQuarantining(
+      RasterIO.scanDirectory(spark, dir.toString)
+        .withColumn("tile", lit("t1")), "c1", blockSize = 32)
+    val errPaths = decoded.filter(col("error").isNotNull)
+      .select("path").collect().map(_.getString(0)).sorted
+    assert(errPaths.length == 2, s"got ${errPaths.toSeq}")
+    assert(errPaths.exists(_.endsWith("20200105_B8A.tif")))
+    assert(errPaths.exists(_.endsWith("20200121_B04.tif")))
+    // the healthy file decodes all 4 blocks
+    assert(decoded.filter(col("error").isNull)
+      .filter(col("path").endsWith("20200105_B04.tif")).count() == 4)
+    // truncation caught at open: zero blocks from the truncated file
+    assert(decoded.filter(col("error").isNull)
+      .filter(col("path").endsWith("20200121_B04.tif")).count() == 0)
+    // mid-stream corruption: the earlier tiles' blocks emitted, the bad
+    // tile became the quarantine row (3 of 4 blocks, never a partial 4th)
+    assert(decoded.filter(col("error").isNull)
+      .filter(col("path").endsWith("20200105_B8A.tif")).count() == 3)
+  }
+
   test("writeGeoTiffs reassembles blocks into one tiled file per band") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scenes2")

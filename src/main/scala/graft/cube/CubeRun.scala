@@ -191,6 +191,16 @@ object CubeRun {
     // at block-table row counts. Scoped to the run's cloned session —
     // catalog-table scans elsewhere keep the wide default.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
+    // The composite TypedImperativeAggregates hold a whole scene stack
+    // per group buffer (~1 MB per 256² block × stack depth), and
+    // ObjectHashAggregate keeps up to `fallbackThreshold` group buffers
+    // in flight per task before switching to sort-based aggregation —
+    // the 128 default is ~4 GB across 32 slots at a 2-scene stack and
+    // scales with stack depth. 16 bounds in-flight state at ~32 MB/slot;
+    // the fallback sort is nearly free here because the bucketed block
+    // table is already sorted on the grouping prefix.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "16")
     import spark.implicits._
     {
 

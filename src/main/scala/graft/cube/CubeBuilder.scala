@@ -333,39 +333,51 @@ object CubeBuilder {
       .drop("vmap")
   }
 
-  /** Stage 3c — S11/S12 quicklook: RGB-compose three bands per block (P3
-    * linear scale), stride-downsample EACH BLOCK to its share of the
-    * thumbnail grid, then assemble only the ≤`maxRows`-row thumbnail per
-    * (tile, period). No row ever materializes a full tile: a block
-    * contributes ≤ ceil(bh/stride)×ceil(bw/stride) ARGB ints, and the
-    * assembly group collects ≤ maxRows² ints (~2.4 MB) regardless of tile
-    * size — at the reference's 10560² tile the old collect-then-assemble
-    * row was ~446 MB/band. Transparent-nodata alpha is preserved
-    * (reference `processing.py:1291-1324`).
+  /** Stage 3c — S11/S12 quicklook: stride-sample EACH BLOCK's three bands
+    * at the thumbnail grid FIRST, then P3-scale and ARGB-pack only the
+    * sampled pixels, then assemble the ≤`maxRows`-row thumbnail per
+    * (tile, period). Sampling precedes compositing on purpose: packing
+    * full-resolution blocks and then keeping one pixel in stride² did
+    * ~169× the needed per-pixel work at the 10560² reference tile, where
+    * the quicklook stage dominated the soak. Channel math matches
+    * [[graft.operators.Visual.rgbComposite]] bit-for-bit (clip → linear
+    * [0,255] → int truncation; transparent-nodata alpha, reference
+    * `processing.py:1291-1324`) — the full-resolution S12 composite
+    * remains available as `Visual.rgbComposite`. No row ever
+    * materializes a full tile: a block contributes
+    * ≤ ceil(bh/stride)×ceil(bw/stride) ARGB ints, and the assembly group
+    * collects ≤ maxRows² ints (~2.4 MB) regardless of tile size.
     */
   def quicklook(composited: DataFrame, collection: Collection,
                 inMin: Double, inMax: Double, maxRows: Int = 768): DataFrame = {
     val spark = composited.sparkSession
     import spark.implicits._
     val Seq(r, g, b) = collection.quicklook.take(3)
-    val rgb = graft.operators.Visual.rgbComposite(
-      composited.withColumn("value", compositeBand(collection)),
-      r, g, b, inMin, inMax)
+    val bands = composited.withColumn("value", compositeBand(collection))
+      .filter($"band".isin(r, g, b))
 
     // Tile dimensions per item: tiny aggregate, broadcast back. Only the
     // last block row/column can be truncated, so bh = max(height) and
-    // th = maxBlockY·bh + height(any block in that row).
-    val dims = rgb.groupBy($"cube", $"tileId", $"p_start", $"p_end")
+    // th = maxBlockY·bh + height(any block in that row). (Aggregated over
+    // the band rows rather than pivoted blocks — the per-band block grids
+    // are identical, so the maxes agree.)
+    val dims = bands.groupBy($"cube", $"tileId", $"p_start", $"p_end")
       .agg(max($"height").as("bh"), max($"width").as("bw"),
         (max($"blockY") * max($"height") + max_by($"height", $"blockY")).as("th"),
         (max($"blockX") * max($"width") + max_by($"width", $"blockX")).as("tw"))
 
-    val patches = rgb
+    val patches = bands
+      .groupBy($"cube", $"tileId", $"p_start", $"p_end", $"blockY", $"blockX",
+        $"height", $"width")
+      .pivot("band", Seq(r, g, b).distinct)
+      .agg(first(struct($"value".as("v"), $"nodata".as("nd"))))
       .join(broadcast(dims), Seq("cube", "tileId", "p_start", "p_end"))
       .select($"cube", $"tileId", $"p_start", $"p_end",
         $"blockY", $"blockX", $"height", $"width", $"bh", $"bw", $"th", $"tw",
-        $"argb")
-      .as[QlBlockDims]
+        col(r).getField("v").as("rv"), col(r).getField("nd").as("rnd"),
+        col(g).getField("v").as("gv"), col(g).getField("nd").as("gnd"),
+        col(b).getField("v").as("bv"), col(b).getField("nd").as("bnd"))
+      .as[QlRgbBlock]
       .map { blk =>
         val stride = graft.operators.Visual.quicklookStride(blk.th, maxRows)
         val qh = math.max(1, blk.th / stride)
@@ -378,6 +390,14 @@ object CubeBuilder {
           Iterator.iterate(first)(_ + stride)
             .takeWhile(p => p < g0 + len && p / stride < qMax).toArray
         }
+        // P3 channel scale, replicated to the same IEEE op sequence as
+        // Visual.rgbComposite's Column expression (clip, subtract,
+        // divide, multiply, add, truncate) so the two paths are
+        // bit-identical on every input
+        def chan(v: Int): Int = {
+          val clipped = math.min(math.max(v.toDouble, inMin), inMax)
+          ((clipped - inMin) / (inMax - inMin) * 255.0 + 0.0).toInt
+        }
         val rows = gridIn(gy0, blk.height, qh)
         val cols = gridIn(gx0, blk.width, qw)
         val px = new Array[Int](rows.length * cols.length)
@@ -385,9 +405,15 @@ object CubeBuilder {
         while (i < rows.length) {
           var j = 0
           while (j < cols.length) {
-            // already-packed ARGB, O(1) primitive-array read
+            // only the SAMPLED pixel is scaled and packed — primitive
+            // Array[Int] fields, O(1) indexed reads (a Seq-of-struct here
+            // deserializes to a List whose O(n) apply made this quadratic)
+            val idx = (rows(i) - gy0) * blk.width + (cols(j) - gx0)
+            val rv = blk.rv(idx); val gv = blk.gv(idx); val bv = blk.bv(idx)
+            val a =
+              if (rv == blk.rnd && gv == blk.gnd && bv == blk.bnd) 0 else 255
             px(i * cols.length + j) =
-              blk.argb((rows(i) - gy0) * blk.width + (cols(j) - gx0))
+              (a << 24) | (chan(rv) << 16) | (chan(gv) << 8) | chan(bv)
             j += 1
           }
           i += 1
@@ -419,16 +445,17 @@ object CubeBuilder {
       .toDF("cube", "tileId", "p_start", "p_end", "png")
   }
 
-  final case class QlBlockDims(cube: String, tileId: String,
-                               p_start: java.sql.Date, p_end: java.sql.Date,
-                               blockY: Int, blockX: Int, height: Int, width: Int,
-                               bh: Int, bw: Int, th: Int, tw: Int,
-                               /** packed ARGB, one int per pixel — a
-                                 * primitive array through the encoder;
-                                 * a Seq-of-struct here deserializes to a
-                                 * List and its O(n) apply made the
-                                 * stride sampler quadratic */
-                               argb: Array[Int])
+  /** One pivoted block with all three quicklook bands — pixel payloads as
+    * primitive Array[Int] (NEVER Seq-of-struct: the Seq encoder's List
+    * has O(n) apply, which made the stride sampler quadratic once).
+    */
+  final case class QlRgbBlock(cube: String, tileId: String,
+                              p_start: java.sql.Date, p_end: java.sql.Date,
+                              blockY: Int, blockX: Int, height: Int, width: Int,
+                              bh: Int, bw: Int, th: Int, tw: Int,
+                              rv: Array[Int], rnd: Int,
+                              gv: Array[Int], gnd: Int,
+                              bv: Array[Int], bnd: Int)
   final case class QlPatch(cube: String, tileId: String,
                            p_start: String, p_end: String,
                            qh: Int, qw: Int, qy0: Int, qx0: Int,

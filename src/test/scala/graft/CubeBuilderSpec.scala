@@ -196,6 +196,41 @@ class CubeBuilderSpec extends SparkSpec {
     }
   }
 
+  test("S12 rgbComposite packs full-res ARGB with the exact P3 channel " +
+       "math the quicklook sampler replicates") {
+    import spark.implicits._
+    val nd = -9999
+    // below-min, above-max, nodata, and boundary values in both bands;
+    // px 4 is nodata in ALL bands (alpha 0), px 10 only in B8A (opaque)
+    val a8 = Array(-50, 0, 500, 1200, nd, 250, 750, 1000, 3, 999,
+      nd, 42, 7, 888, 123, 456)
+    val a4 = Array(100, nd, 300, -5, nd, 2000, 10, 0, 64, 1,
+      77, 500, 999, 2, 77, 1000)
+    val df = Seq(
+      ("c1", "t1", java.sql.Date.valueOf("2020-01-01"),
+        java.sql.Date.valueOf("2020-01-16"), 0, 0, 4, 4, "B8A", nd, a8),
+      ("c1", "t1", java.sql.Date.valueOf("2020-01-01"),
+        java.sql.Date.valueOf("2020-01-16"), 0, 0, 4, 4, "B04", nd, a4))
+      .toDF("cube", "tileId", "p_start", "p_end",
+        "blockY", "blockX", "height", "width", "band", "nodata", "value")
+    val row = graft.operators.Visual
+      .rgbComposite(df, "B8A", "B04", "B04", 0, 1000).head()
+    val argb = row.getSeq[Int](row.fieldIndex("argb"))
+    // the same IEEE op sequence as linearScaleS + cast("int")
+    def chan(v: Int): Int = {
+      val c = math.min(math.max(v.toDouble, 0.0), 1000.0)
+      ((c - 0.0) / (1000.0 - 0.0) * 255.0 + 0.0).toInt
+    }
+    for (i <- 0 until 16) {
+      val (r, g, b) = (a8(i), a4(i), a4(i))
+      val a = if (r == nd && g == nd && b == nd) 0 else 255
+      val want = (a << 24) | (chan(r) << 16) | (chan(g) << 8) | chan(b)
+      assert(argb(i) == want, s"pixel $i: got ${argb(i)}%08x want $want%08x")
+    }
+    assert((argb(4) >>> 24) == 0, "all-nodata pixel is transparent")
+    assert((argb(10) >>> 24) == 255, "partial-nodata pixel stays opaque")
+  }
+
   test("M4 saturated-band propagation masks RADSAT-flagged pixels") {
     import spark.implicits._
     val maskSat = mask.copy(saturatedBand = "RADSAT", saturatedData = Seq(9L))

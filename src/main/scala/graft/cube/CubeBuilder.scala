@@ -371,6 +371,11 @@ object CubeBuilder {
         $"height", $"width")
       .pivot("band", Seq(r, g, b).distinct)
       .agg(first(struct($"value".as("v"), $"nodata".as("nd"))))
+      // a block missing any quicklook band (its scene file absent from
+      // the archive) pivots to a null struct; dropping it here keeps the
+      // typed map total — an item with no complete-band block emits no
+      // quicklook row rather than NPE-ing the publish stage
+      .filter(col(r).isNotNull && col(g).isNotNull && col(b).isNotNull)
       .join(broadcast(dims), Seq("cube", "tileId", "p_start", "p_end"))
       .select($"cube", $"tileId", $"p_start", $"p_end",
         $"blockY", $"blockX", $"height", $"width", $"bh", $"bw", $"th", $"tw",

@@ -370,8 +370,7 @@ object CubeRun {
     stage(spark, "composite+publish:blocks")(
       composited.withColumn("value", CubeBuilder.compositeBand(collection))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .option("parquet.block.size",
-          graft.operators.Scale.BlockParquetRowGroupBytes.toString)
+        .options(graft.operators.Scale.BlockParquetOptions)
         .partitionBy("tileId", "p_start")
         .parquet(s"$outDir/blocks"))
     // The merge→composite chain executes exactly ONCE per run — the
@@ -450,8 +449,7 @@ object CubeRun {
     if (hasIndex && pairDirs.nonEmpty)
       stage(spark, "publish:index")(indexDf.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .option("parquet.block.size",
-          graft.operators.Scale.BlockParquetRowGroupBytes.toString)
+        .options(graft.operators.Scale.BlockParquetOptions)
         .partitionBy("tileId", "p_start")
         .parquet(s"$outDir/index_blocks"))
     // the items catalog is a C1 upsert keyed on item_id (the reference's

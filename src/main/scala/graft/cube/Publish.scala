@@ -25,13 +25,20 @@ object Publish {
   /** Commit one item: move every regular file under `workDir` to the same
     * relative location under `dataRoot`, then remove the emptied work
     * tree. Existing targets are replaced (idempotent re-publish, the
-    * reference's get_or_create + move). Returns the destination paths.
+    * reference's get_or_create + move), and a move that loses the race
+    * to a DUPLICATE attempt of the same commit (speculative execution, a
+    * zombie retry after a network blip) counts as done when the
+    * destination exists — the committer runs on executors now, so two
+    * attempts of one partition can walk the same item dirs. Returns the
+    * destination's committed regular files: the item's full visible
+    * asset set even when this attempt moved only a subset (a retried
+    * task whose first attempt moved some files must not under-report).
     */
   def commitItem(workDir: Path, dataRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(workDir)) return Nil
     val files = Files.walk(workDir).iterator().asScala
       .filter(Files.isRegularFile(_)).toList.sortBy(_.toString)
-    val moved = files.map { f =>
+    files.foreach { f =>
       val rel = workDir.relativize(f)
       val dest = dataRoot.resolve(rel)
       Files.createDirectories(dest.getParent)
@@ -41,26 +48,37 @@ object Publish {
       catch {
         case _: java.nio.file.AtomicMoveNotSupportedException =>
           Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+        case e: java.nio.file.NoSuchFileException =>
+          // the source vanished: a duplicate attempt moved it first —
+          // success iff the destination is there, a real error otherwise
+          if (!Files.isRegularFile(dest)) throw e
       }
-      dest
     }
     cleanEmpty(workDir)
-    moved
+    if (!Files.isDirectory(dataRoot)) Nil
+    else Files.walk(dataRoot).iterator().asScala
+      .filter(Files.isRegularFile(_)).toList.sortBy(_.toString)
   }
 
   /** Remove the emptied tree under `root`, deepest-first (reference
     * `cleanup`); emptiness is re-checked after each child deletion.
+    * Tolerant of concurrent duplicate attempts racing the same scratch
+    * tree — a cleanup loss is cosmetic (a leftover empty dir), never
+    * worth failing a committed publication over.
     */
-  private def cleanEmpty(root: Path): Unit = {
-    def isEmptyDir(p: Path): Boolean = Files.isDirectory(p) && {
-      val s = Files.list(p)
-      try !s.iterator().hasNext finally s.close()
-    }
-    if (Files.isDirectory(root))
-      Files.walk(root).iterator().asScala.toList.reverse.foreach { p =>
-        if (isEmptyDir(p)) Files.deleteIfExists(p)
+  private def cleanEmpty(root: Path): Unit =
+    try {
+      def isEmptyDir(p: Path): Boolean = Files.isDirectory(p) && {
+        try {
+          val s = Files.list(p)
+          try !s.iterator().hasNext finally s.close()
+        } catch { case _: java.nio.file.NoSuchFileException => false }
       }
-  }
+      if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala.toList.reverse.foreach { p =>
+          if (isEmptyDir(p)) Files.deleteIfExists(p)
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Stage composite blocks as GeoTIFFs in the work root and commit each
     * (cube, tile, period) item into the data root — S9 write + C2 commit.

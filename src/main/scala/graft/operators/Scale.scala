@@ -76,6 +76,22 @@ object Scale {
     */
   val BlockParquetRowGroupBytes: Int = 16 * 1024 * 1024
 
+  /** Writer options for block-payload parquet: the row-group bound above
+    * plus a tight size-check cadence. parquet-mr sizes BOTH its row-group
+    * and its page checks by ROW COUNT with a 100-row minimum before the
+    * first check — but one of these rows carries a whole pixel array
+    * (~65k values), so "100 rows" is ~26 MB of row-group buffer and tens
+    * of MB of page/dictionary-id buffer per column writer before anything
+    * is measured. Checking every ≤8 rows holds the real buffers near the
+    * configured bounds at any block size.
+    */
+  val BlockParquetOptions: Map[String, String] = Map(
+    "parquet.block.size" -> BlockParquetRowGroupBytes.toString,
+    "parquet.block.size.row.check.min" -> "4",
+    "parquet.block.size.row.check.max" -> "8",
+    "parquet.page.size.row.check.min" -> "4",
+    "parquet.page.size.row.check.max" -> "8")
+
   /** Persist `df` bucketed+sorted by `key` for shuffle-free joins against
     * other tables bucketed the same way (same key, same bucket count).
     * With `path` the table is external (data at the given location,
@@ -104,7 +120,7 @@ object Scale {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       // block-payload rows: bound per-writer row-group buffering
-      .option("parquet.block.size", BlockParquetRowGroupBytes.toString)
+      .options(BlockParquetOptions)
       .option("path", path)
       .saveAsTable(table)
     df.sparkSession.table(table)

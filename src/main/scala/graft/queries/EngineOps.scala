@@ -382,9 +382,10 @@ object EngineOps {
         .as[(String, String)]
         .map { case (b, p) =>
           // the scan is metadata-only; the S13 integrity probe reads the
-          // file itself (whole-read is the point of the check)
+          // file itself (whole-read is the point of the check). scenePath
+          // handles binaryFile's URI form including unescapable paths.
           val c = java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(new java.net.URI(p)))
+            graft.sources.RasterIO.scenePath(p))
           (b, if (graft.sources.Archives.checkIntegrity(c)) 1L else 0L)
         }
         .toDF("band", "ok")

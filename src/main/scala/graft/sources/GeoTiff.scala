@@ -193,18 +193,22 @@ object GeoTiff {
         val inf = new java.util.zip.Inflater()
         inf.setInput(copyBytes(bb, off, len))
         val out = new Array[Byte](count * bytesPerSample)
-        var written = 0
-        while (written < out.length && !inf.finished()) {
-          val n = inf.inflate(out, written, out.length - written)
-          // corrupt/truncated payloads can stall at 0 bytes without
-          // throwing — fail loudly instead of spinning
-          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
-            throw new java.util.zip.ZipException(
-              s"tile payload at $off truncated or corrupt " +
-                s"($written of ${out.length} bytes inflated)")
-          written += n
-        }
-        inf.end()
+        // end() in finally: corrupt payloads throw out of the loop (the
+        // quarantine path SURVIVES that and keeps decoding other files),
+        // so a leak here compounds across every bad file in a long run
+        try {
+          var written = 0
+          while (written < out.length && !inf.finished()) {
+            val n = inf.inflate(out, written, out.length - written)
+            // corrupt/truncated payloads can stall at 0 bytes without
+            // throwing — fail loudly instead of spinning
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              throw new java.util.zip.ZipException(
+                s"tile payload at $off truncated or corrupt " +
+                  s"($written of ${out.length} bytes inflated)")
+            written += n
+          }
+        } finally inf.end()
         out
       } else copyBytes(bb, off, len)
     val tb = ByteBuffer.wrap(tileBytes).order(bb.order())

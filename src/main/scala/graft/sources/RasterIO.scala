@@ -55,25 +55,81 @@ object RasterIO {
       .filter($"band" =!= "" && $"date".isNotNull)
   }
 
-  /** Memory-map a scanned scene for windowed reads. Same POSIX
-    * shared-filesystem contract as [[writeGeoTiffs]]: the path (a URI from
-    * binaryFile, e.g. `file:/...`) must be openable on the executor. The
-    * mapping costs address space, not heap — only the pages a read
-    * actually touches (header + requested tiles) fault in.
+  /** binaryFile paths are URIs (`file:/...`); resolve one to a NIO path,
+    * falling back to a raw-path parse for scheme-less or unescaped input.
+    */
+  private[graft] def scenePath(path: String): java.nio.file.Path =
+    try {
+      val uri = new java.net.URI(path)
+      if (uri.getScheme == null) java.nio.file.Paths.get(path)
+      else java.nio.file.Paths.get(uri)
+    } catch { case _: Exception => java.nio.file.Paths.get(path) }
+
+  /** Scenes at or below this size read straight into a heap array: a
+    * many-small-file ingest then creates NO file mappings (Linux caps a
+    * process at ~65k concurrent mappings) and needs no unmap
+    * bookkeeping; only reference-class rasters pay the mmap machinery.
+    */
+  private val HeapReadSceneBytes = 8L * 1024 * 1024
+
+  /** Open a scanned scene for windowed reads: heap array below
+    * [[HeapReadSceneBytes]], memory-mapped above (address space, not
+    * heap — only the pages a read touches fault in). Same POSIX
+    * shared-filesystem contract as [[writeGeoTiffs]]: the path must be
+    * openable on the executor. CONTRACT: scene files must be immutable
+    * while a run decodes them (land with write-then-rename) — an
+    * in-place rewrite mid-run is a data race under any IO scheme, and
+    * truncating a MAPPED file turns it into a JVM-killing SIGBUS rather
+    * than a catchable decode error.
     */
   private def mapScene(path: String): java.nio.ByteBuffer = {
-    val p =
-      try {
-        val uri = new java.net.URI(path)
-        if (uri.getScheme == null) java.nio.file.Paths.get(path)
-        else java.nio.file.Paths.get(uri)
-      } catch { case _: Exception => java.nio.file.Paths.get(path) }
     val ch = java.nio.channels.FileChannel.open(
-      p, java.nio.file.StandardOpenOption.READ)
-    try GeoTiff.ordered(
-      ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size()))
-    finally ch.close()
+      scenePath(path), java.nio.file.StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      if (size <= HeapReadSceneBytes) {
+        val buf = java.nio.ByteBuffer.allocate(size.toInt)
+        while (buf.hasRemaining && ch.read(buf) >= 0) ()
+        buf.flip()
+        GeoTiff.ordered(buf)
+      } else
+        GeoTiff.ordered(ch.map(
+          java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, size))
+    } finally ch.close()
   }
+
+  /** Release a mapped scene eagerly (no-op for heap buffers). Unmapping
+    * is otherwise GC-driven, and a partition of many large scenes can
+    * pile up mappings between collections — `Unsafe.invokeCleaner` is
+    * the supported JDK 9+ way to drop one deterministically. Failures
+    * fall back to GC unmapping.
+    */
+  private def unmapScene(bb: java.nio.ByteBuffer): Unit =
+    if (bb.isDirect)
+      try RasterIO.unsafe.invokeCleaner(bb)
+      catch { case scala.util.control.NonFatal(_) => () }
+
+  private lazy val unsafe: sun.misc.Unsafe = {
+    val f = classOf[sun.misc.Unsafe].getDeclaredField("theUnsafe")
+    f.setAccessible(true)
+    f.get(null).asInstanceOf[sun.misc.Unsafe]
+  }
+
+  /** Wrap a block iterator so the scene buffer releases when the stream
+    * ends — exhaustion or a thrown decode error. (An iterator abandoned
+    * mid-stream falls back to GC unmapping.)
+    */
+  private def releasing[T](bb: java.nio.ByteBuffer,
+                           it: Iterator[T]): Iterator[T] =
+    new Iterator[T] {
+      private var released = false
+      private def release(): Unit =
+        if (!released) { released = true; unmapScene(bb) }
+      def hasNext: Boolean = { val h = it.hasNext; if (!h) release(); h }
+      def next(): T =
+        try it.next()
+        catch { case e: Throwable => release(); throw e }
+    }
 
   /** S3 — decode discovered GeoTIFF files into chunked-raster block rows.
     * Input must carry `path`, `band`, `date` (from [[scanDirectory]]).
@@ -102,11 +158,13 @@ object RasterIO {
         // per-file Seq here held the whole decoded raster — ~450 MB at
         // the 10560² reference tile — and OOM'd 32-way.)
         val bb = mapScene(path)
-        val info = GeoTiff.readInfo(bb)
+        val info =
+          try GeoTiff.readInfo(bb)
+          catch { case e: Throwable => unmapScene(bb); throw e }
         val nodata = if (info.nodata.isNaN) -9999 else info.nodata.toInt
         val nby = (info.height + blockSize - 1) / blockSize
         val nbx = (info.width + blockSize - 1) / blockSize
-        Iterator.tabulate(nby * nbx) { k =>
+        releasing(bb, Iterator.tabulate(nby * nbx) { k =>
           val by = k / nbx; val bx = k % nbx
           val h = math.min(blockSize, info.height - by * blockSize)
           val w = math.min(blockSize, info.width - bx * blockSize)
@@ -116,7 +174,7 @@ object RasterIO {
             info.originX + bx * blockSize * info.scaleX,
             info.originY - by * blockSize * info.scaleY,
             info.scaleX, info.scaleY, nodata, px)
-        }
+        })
       }.toDF()
   }
 
@@ -156,46 +214,54 @@ object RasterIO {
           DecodedOrError(cube, tileId, date, band, -1, 0, 0, 0,
             0.0, 0.0, 0.0, 0.0, 0, Array.empty[Int], path,
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
-        scala.util.Try {
-          val bb = mapScene(path)
-          val info = GeoTiff.readInfo(bb)
-          // bounds audit: every tile payload must lie inside the file —
-          // catches truncation at open time, before any block emits
-          val end = bb.capacity().toLong
-          var i = 0
-          while (i < info.tileOffsets.length) {
-            val off = info.tileOffsets(i); val len = info.tileByteCounts(i)
-            require(off + len <= end,
-              s"tile $i payload [$off, ${off + len}) beyond file end $end")
-            i += 1
-          }
-          (bb, info)
-        } match {
+        scala.util.Try(mapScene(path)) match {
           case scala.util.Failure(e) => Iterator.single(errRow(e))
-          case scala.util.Success((bb, info)) =>
-            val nodata = if (info.nodata.isNaN) -9999 else info.nodata.toInt
-            val nby = (info.height + blockSize - 1) / blockSize
-            val nbx = (info.width + blockSize - 1) / blockSize
-            val blocks = Iterator.tabulate(nby * nbx) { k =>
-              val by = k / nbx; val bx = k % nbx
-              val h = math.min(blockSize, info.height - by * blockSize)
-              val w = math.min(blockSize, info.width - bx * blockSize)
-              val px = GeoTiff.readWindow(bb, info,
-                by * blockSize, bx * blockSize, h, w)
-              DecodedOrError(cube, tileId, date, band, by, bx, h, w,
-                info.originX + bx * blockSize * info.scaleX,
-                info.originY - by * blockSize * info.scaleY,
-                info.scaleX, info.scaleY, nodata, px, path, null)
-            }
-            // guard the lazy reads: a mid-stream decode failure becomes
-            // the file's quarantine row instead of failing the job
-            new Iterator[DecodedOrError] {
-              private var done = false
-              def hasNext: Boolean = !done && blocks.hasNext
-              def next(): DecodedOrError =
-                try blocks.next()
-                catch { case scala.util.control.NonFatal(e) =>
-                  done = true; errRow(e)
+          case scala.util.Success(bb) =>
+            scala.util.Try {
+              val info = GeoTiff.readInfo(bb)
+              // bounds audit: every tile payload must lie inside the
+              // file — catches truncation at open, before any block emits
+              val end = bb.capacity().toLong
+              var i = 0
+              while (i < info.tileOffsets.length) {
+                val off = info.tileOffsets(i)
+                val len = info.tileByteCounts(i)
+                require(off + len <= end,
+                  s"tile $i payload [$off, ${off + len}) beyond file end $end")
+                i += 1
+              }
+              info
+            } match {
+              case scala.util.Failure(e) =>
+                unmapScene(bb)
+                Iterator.single(errRow(e))
+              case scala.util.Success(info) =>
+                val nodata =
+                  if (info.nodata.isNaN) -9999 else info.nodata.toInt
+                val nby = (info.height + blockSize - 1) / blockSize
+                val nbx = (info.width + blockSize - 1) / blockSize
+                val blocks = releasing(bb, Iterator.tabulate(nby * nbx) { k =>
+                  val by = k / nbx; val bx = k % nbx
+                  val h = math.min(blockSize, info.height - by * blockSize)
+                  val w = math.min(blockSize, info.width - bx * blockSize)
+                  val px = GeoTiff.readWindow(bb, info,
+                    by * blockSize, bx * blockSize, h, w)
+                  DecodedOrError(cube, tileId, date, band, by, bx, h, w,
+                    info.originX + bx * blockSize * info.scaleX,
+                    info.originY - by * blockSize * info.scaleY,
+                    info.scaleX, info.scaleY, nodata, px, path, null)
+                })
+                // guard the lazy reads: a mid-stream decode failure (the
+                // releasing wrapper has already dropped the mapping)
+                // becomes the file's quarantine row, not a job failure
+                new Iterator[DecodedOrError] {
+                  private var done = false
+                  def hasNext: Boolean = !done && blocks.hasNext
+                  def next(): DecodedOrError =
+                    try blocks.next()
+                    catch { case scala.util.control.NonFatal(e) =>
+                      done = true; errRow(e)
+                    }
                 }
             }
         }

@@ -196,6 +196,32 @@ class CubeBuilderSpec extends SparkSpec {
     }
   }
 
+  test("quicklook skips blocks missing a band instead of failing the run") {
+    import spark.implicits._
+    val d1 = java.sql.Date.valueOf("2020-01-01")
+    val d2 = java.sql.Date.valueOf("2020-01-16")
+    val rows = Seq(
+      ("c1", "t1", d1, d2, 0, 0, 2, 2, "B8A", -9999, Array(100, 200, 300, 400)),
+      ("c1", "t1", d1, d2, 0, 0, 2, 2, "B04", -9999, Array(10, 20, 30, 40)),
+      // block (0,1): the B8A scene file is absent from the archive —
+      // the pivot yields a null struct, which must drop, not NPE
+      ("c1", "t1", d1, d2, 0, 1, 2, 2, "B04", -9999, Array(50, 60, 70, 80)))
+      .toDF("cube", "tileId", "p_start", "p_end", "blockY", "blockX",
+        "height", "width", "band", "nodata", "value")
+    val collQl = coll.copy(quicklook = Seq("B8A", "B04", "B04"))
+    val ql = CubeBuilder.quicklook(rows, collQl, 0, 1000).collect()
+    assert(ql.length == 1, "item still renders from its complete block")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ql.head.getAs[Array[Byte]]("png")))
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    assert(((img.getRGB(0, 0) >>> 24) & 0xff) == 255, "complete block opaque")
+    assert(((img.getRGB(2, 0) >>> 24) & 0xff) == 0,
+      "missing-band block renders transparent, not garbage")
+    // a band absent from the whole item → no quicklook row, no failure
+    assert(CubeBuilder.quicklook(rows.filter($"band" === "B04"),
+      collQl, 0, 1000).count() == 0)
+  }
+
   test("S12 rgbComposite packs full-res ARGB with the exact P3 channel " +
        "math the quicklook sampler replicates") {
     import spark.implicits._
@@ -225,7 +251,7 @@ class CubeBuilderSpec extends SparkSpec {
       val (r, g, b) = (a8(i), a4(i), a4(i))
       val a = if (r == nd && g == nd && b == nd) 0 else 255
       val want = (a << 24) | (chan(r) << 16) | (chan(g) << 8) | chan(b)
-      assert(argb(i) == want, s"pixel $i: got ${argb(i)}%08x want $want%08x")
+      assert(argb(i) == want, f"pixel $i: got ${argb(i)}%08x want $want%08x")
     }
     assert((argb(4) >>> 24) == 0, "all-nodata pixel is transparent")
     assert((argb(10) >>> 24) == 255, "partial-nodata pixel stays opaque")

@@ -504,14 +504,22 @@ class ScaleSpec extends SparkSpec {
       bandPattern = "_(B[0-9A-Z]+|QA)_")
     // structural integrity probe only (fullRead re-decodes the 446 MB
     // tile in one task); the decodeBlocks pixel sum below is the full
-    // content validation. The scan is metadata-only now, so the probe
-    // reads the one file's bytes itself.
+    // content validation. Probe over a MAPPED buffer — readAllBytes
+    // would put the whole multi-hundred-MB COG on the driver heap, the
+    // exact buffer class this suite pins as removed.
     val cogPaths = scanned.select($"path").as[String].collect()
     assert(cogPaths.length == 1, "exactly one COG scanned")
-    val cogBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(new java.net.URI(cogPaths.head)))
-    assert(graft.sources.Archives.checkIntegrity(cogBytes, fullRead = false),
-      "COG structurally clean")
+    val cogCh = java.nio.channels.FileChannel.open(
+      graft.sources.RasterIO.scenePath(cogPaths.head),
+      java.nio.file.StandardOpenOption.READ)
+    val cogInfos =
+      try graft.sources.GeoTiff.readInfos(graft.sources.GeoTiff.ordered(
+        cogCh.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+          0, cogCh.size())))
+      finally cogCh.close()
+    // width pads up to the 512 block grid (10560 → 10752)
+    assert(cogInfos.nonEmpty && cogInfos.head.width >= 10560 &&
+      cogInfos.head.tileOffsets.nonEmpty, "COG structurally clean")
     val decoded = graft.sources.RasterIO.decodeBlocks(scanned, "soak", "t0", 512)
     val (nBlocks, pxSum) = decoded.agg(count(lit(1)),
       sum(graft.functions.PixelExpressions.arraySumLong($"pixels")))

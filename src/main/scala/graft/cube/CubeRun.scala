@@ -188,8 +188,13 @@ object CubeRun {
     // into a ~4 GB batch at reference block sizes (the 10560² soak OOM'd
     // exactly there). 16 rows bounds the batch at ~16 MB/slot for any
     // block size the engine writes, and the per-batch overhead is noise
-    // at block-table row counts. Scoped to the run's cloned session —
-    // catalog-table scans elsewhere keep the wide default.
+    // at block-table row counts. Scoped to the run's cloned session,
+    // which means EVERY parquet read inside the run uses the 16-row
+    // batch — including the ledger/items/quarantine read-backs (tiny
+    // tables today, so the 256×-smaller batches cost nothing; if a
+    // LARGE non-block catalog table is ever read inside the run, scope
+    // this setting around the block-table stages instead). Other
+    // sessions' catalog scans keep the wide default.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
     // The composite TypedImperativeAggregates hold a whole scene stack
     // per group buffer (~1 MB per 256² block × stack depth), and
@@ -500,7 +505,10 @@ object CubeRun {
                 val dir = Publish.itemWorkDir(workRoot, row.getString(0),
                   row.getString(1), row.getString(2))
                 java.nio.file.Files.createDirectories(dir)
-                java.nio.file.Files.write(
+                // temp-sibling + atomic rename: a duplicate attempt killed
+                // mid-write must never leave a torn PNG under the staged
+                // name for the item commit to publish
+                graft.core.Fs.writeAtomic(
                   dir.resolve(s"${row.getString(0)}_${row.getString(1)}_" +
                     s"${row.getString(2)}_quicklook.png"),
                   row.getAs[Array[Byte]](4))

@@ -29,15 +29,30 @@ object Publish {
     * to a DUPLICATE attempt of the same commit (speculative execution, a
     * zombie retry after a network blip) counts as done when the
     * destination exists — the committer runs on executors now, so two
-    * attempts of one partition can walk the same item dirs. Returns the
-    * destination's committed regular files: the item's full visible
-    * asset set even when this attempt moved only a subset (a retried
-    * task whose first attempt moved some files must not under-report).
+    * attempts of one partition can walk the same item dirs. In-progress
+    * staged temps ([[graft.core.Fs.StagedTempPrefix]] names, left by a
+    * duplicate attempt killed mid-write) are swept, never moved.
+    *
+    * Returns the destination directory's full visible regular-file set —
+    * deliberately NOT just what this attempt moved (a retried task whose
+    * first attempt already moved some files must not under-report the
+    * item's assets). The flip side: files a PREVIOUS publish left at the
+    * destination are included too — e.g. an asset from an earlier run
+    * with a different band set, which an idempotent re-publish replaces
+    * by name but never deletes. Callers needing "what this run produced"
+    * must intersect with the run's expected asset names; today's callers
+    * only count the item's visible assets, for which this is the right
+    * set.
     */
   def commitItem(workDir: Path, dataRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(workDir)) return Nil
-    val files = Files.walk(workDir).iterator().asScala
+    val (temps, files) = Files.walk(workDir).iterator().asScala
       .filter(Files.isRegularFile(_)).toList.sortBy(_.toString)
+      .partition(graft.core.Fs.isStagedTemp)
+    // a temp here is an abandoned in-flight write from a duplicate
+    // attempt that lost its race — its finished twin (if any) sits under
+    // the final name already; sweep so the emptied work tree can go
+    temps.foreach(Files.deleteIfExists(_))
     files.foreach { f =>
       val rel = workDir.relativize(f)
       val dest = dataRoot.resolve(rel)
@@ -57,7 +72,8 @@ object Publish {
     cleanEmpty(workDir)
     if (!Files.isDirectory(dataRoot)) Nil
     else Files.walk(dataRoot).iterator().asScala
-      .filter(Files.isRegularFile(_)).toList.sortBy(_.toString)
+      .filter(p => Files.isRegularFile(p) && !graft.core.Fs.isStagedTemp(p))
+      .toList.sortBy(_.toString)
   }
 
   /** Remove the emptied tree under `root`, deepest-first (reference

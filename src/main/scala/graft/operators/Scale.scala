@@ -82,13 +82,18 @@ object Scale {
     * first check — but one of these rows carries a whole pixel array
     * (~65k values), so "100 rows" is ~26 MB of row-group buffer and tens
     * of MB of page/dictionary-id buffer per column writer before anything
-    * is measured. Checking every ≤8 rows holds the real buffers near the
-    * configured bounds at any block size.
+    * is measured. The `parquet.page.size.row.check.{min,max}` keys govern
+    * BOTH cadences: `InternalParquetRecordWriter.checkBlockSizeReached`
+    * derives its next-check row count from the same
+    * `getMin/MaxRowCountForPageSizeCheck` properties (verified against
+    * parquet-hadoop 1.16.0 — there is no separate block-level row-check
+    * key), so do NOT remove them on the theory that they only bound
+    * pages: they are the row-GROUP cadence bound too. Checking every
+    * ≤8 rows holds the real buffers near the configured bounds at any
+    * block size.
     */
   val BlockParquetOptions: Map[String, String] = Map(
     "parquet.block.size" -> BlockParquetRowGroupBytes.toString,
-    "parquet.block.size.row.check.min" -> "4",
-    "parquet.block.size.row.check.max" -> "8",
     "parquet.page.size.row.check.min" -> "4",
     "parquet.page.size.row.check.max" -> "8")
 

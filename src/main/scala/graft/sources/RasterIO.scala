@@ -301,8 +301,20 @@ object RasterIO {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         var key: String = null
         var writer: GeoTiffStreamWriter = null
+        var tmp: java.nio.file.Path = null
+        var dest: java.nio.file.Path = null
         var ox, oy, sx, sy = 0.0
-        def finish(): Unit = if (writer != null) { writer.close(ox, oy, sx, sy); writer = null }
+        // band files stream into a temp sibling and land under the final
+        // name only via the atomic rename AFTER close() finished the IFD —
+        // the same write-then-rename immutability contract mapScene
+        // documents for scene files, and what keeps a duplicate attempt
+        // (speculation, zombie retry) killed mid-stream from leaving a
+        // torn .tif for Publish.commitItem to publish
+        def finish(): Unit = if (writer != null) {
+          writer.close(ox, oy, sx, sy)
+          writer = null
+          graft.core.Fs.commitStagedTemp(tmp, dest)
+        }
         rows.foreach { row =>
           // columns: k, blockY, blockX, height, width, x0, y0, resX, resY,
           //          nodata, pixels, dirk
@@ -312,11 +324,12 @@ object RasterIO {
           if (k != key) {
             finish()
             key = k
-            val out = java.nio.file.Paths.get(outDir, row.getString(11), s"$k.tif")
-            java.nio.file.Files.createDirectories(out.getParent)
+            dest = java.nio.file.Paths.get(outDir, row.getString(11), s"$k.tif")
+            java.nio.file.Files.createDirectories(dest.getParent)
+            tmp = graft.core.Fs.stagedTempFor(dest)
             // sorted order ⇒ the first block is (minY, minX): full-size
             // unless the raster itself is narrower than one block
-            writer = new GeoTiffStreamWriter(out, tileWidth = w, tileHeight = h,
+            writer = new GeoTiffStreamWriter(tmp, tileWidth = w, tileHeight = h,
               bitsPerSample = 16, sampleFormat = 2,
               nodata = row.getInt(9).toDouble, deflate = deflate,
               overviews = overviews)

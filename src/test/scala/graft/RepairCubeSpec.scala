@@ -1,0 +1,99 @@
+package graft
+
+import graft.cube.CubeRun
+import graft.model.{Band, Collection, MaskDef}
+import graft.sources.GeoTiff
+import graft.tools.RepairCube
+
+/** The operator-facing repair workflow (tools/RepairCube): dry-run plans
+  * without touching the cube, --apply drives Repair end-to-end, and a
+  * non-cube path is rejected instead of reported healthy.
+  */
+class RepairCubeSpec extends SparkSpec {
+
+  private val nodata = -9999
+  private val coll = Collection(
+    name = "fix", version = 1, grid = "G", compositeFunction = "LCF",
+    temporalSchema = "Continuous", temporalUnit = "day", temporalStep = 16,
+    bands = Seq(
+      Band("B04", "red", "int16", nodata),
+      Band("B8A", "nir", "int16", nodata),
+      Band("QA", "quality", "uint8", 255)),
+    qualityBand = "QA")
+  private val mask = MaskDef(clearData = Seq(0L, 1L),
+    notClearData = Seq(2L, 3L, 4L), nodata = 255L)
+
+  test("dry run reports torn partitions without changing the cube; " +
+       "--apply repairs them") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("fix_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("fix_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"),
+        bytes)
+    }
+    CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    // healthy cube: plan rows print, nothing torn
+    val healthy = RepairCube.run(spark, outDir, doApply = false, lines += _)
+    assert(healthy == RepairCube.Summary(2, 0, 0))
+    assert(lines.exists(_.contains("cube is healthy")))
+    assert(lines.count(_.contains("keep")) == 2)
+
+    // tear one period's partition: truncate its data file mid-body
+    val tileDir = java.nio.file.Paths.get(outDir, "blocks", "tileId=t9")
+    val pDir = {
+      val ls = java.nio.file.Files.list(tileDir)
+      try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("p_start=")).max
+      finally ls.close()
+    }
+    val dataFile = {
+      val ls = java.nio.file.Files.list(pDir)
+      try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    val whole = java.nio.file.Files.readAllBytes(dataFile)
+    java.nio.file.Files.write(dataFile, whole.dropRight(whole.length / 2))
+
+    // dry run: the torn dir is reported but NOT touched
+    lines.clear()
+    val dry = RepairCube.run(spark, outDir, doApply = false, lines += _)
+    assert(dry == RepairCube.Summary(2, 1, 0))
+    assert(lines.exists(_.contains("DRY RUN")))
+    assert(java.nio.file.Files.exists(dataFile),
+      "dry run must not delete anything")
+
+    // apply: repaired and ledgered; the cube then rebuilds it from source
+    lines.clear()
+    val applied = RepairCube.run(spark, outDir, doApply = true, lines += _)
+    assert(applied == RepairCube.Summary(2, 1, 1))
+    assert(!java.nio.file.Files.exists(pDir), "torn dir must be deleted")
+    import spark.implicits._
+    val led = graft.catalog.Ledger.readCurrent(spark, s"$outDir/ledger").get
+    assert(led.filter($"status" === "ERROR").count() == 3)
+
+    // post-repair state: one healthy partition left, nothing pending
+    lines.clear()
+    assert(RepairCube.run(spark, outDir, doApply = false, lines += _) ==
+      RepairCube.Summary(1, 0, 0))
+  }
+
+  test("a path that is not a cube outDir is rejected, not reported healthy") {
+    val notACube = java.nio.file.Files.createTempDirectory("not_a_cube")
+    intercept[IllegalArgumentException] {
+      RepairCube.run(spark, notACube.toString, doApply = false, _ => ())
+    }
+  }
+}

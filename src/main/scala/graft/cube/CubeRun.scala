@@ -195,7 +195,8 @@ object CubeRun {
     // LARGE non-block catalog table is ever read inside the run, scope
     // this setting around the block-table stages instead). Other
     // sessions' catalog scans keep the wide default.
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+      graft.operators.Scale.BlockReaderBatchRows.toString)
     // The composite TypedImperativeAggregates hold a whole scene stack
     // per group buffer (~1 MB per 256² block × stack depth), and
     // ObjectHashAggregate keeps up to `fallbackThreshold` group buffers
@@ -205,7 +206,7 @@ object CubeRun {
     // the fallback sort is nearly free here because the bucketed block
     // table is already sorted on the grouping prefix.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "16")
+      graft.operators.Scale.CompositeAggInFlightBuffers.toString)
     import spark.implicits._
     {
 

@@ -92,10 +92,122 @@ object Scale {
     * ≤8 rows holds the real buffers near the configured bounds at any
     * block size.
     */
+  /** Upper bound of the size-check cadence in [[BlockParquetOptions]] —
+    * also the writer's worst-case row-count overshoot past a configured
+    * size bound (the term the sizing model charges per open writer).
+    */
+  val BlockParquetCheckRowsMax: Int = 8
+
   val BlockParquetOptions: Map[String, String] = Map(
     "parquet.block.size" -> BlockParquetRowGroupBytes.toString,
     "parquet.page.size.row.check.min" -> "4",
-    "parquet.page.size.row.check.max" -> "8")
+    "parquet.page.size.row.check.max" -> BlockParquetCheckRowsMax.toString)
+
+  /** Vectorized-parquet batch rows for block-payload reads (CubeRun sets
+    * `spark.sql.parquet.columnarReaderBatchSize` to this on its cloned
+    * session): the reader preallocates rows × row-bytes per batch, and the
+    * 4096-row default is a ~4 GB/task allocation at reference block sizes.
+    */
+  val BlockReaderBatchRows: Int = 16
+
+  /** ObjectHashAggregate in-flight group buffers before the sort-based
+    * fallback (CubeRun sets
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to this):
+    * each composite group buffer holds a whole scene stack
+    * (2 × depth × blockBytes — pixels + QA per scene), so the 128 default
+    * is multi-GB per task at production stack depths.
+    */
+  val CompositeAggInFlightBuffers: Int = 16
+
+  // ---------------------------------------------------------------------
+  // Per-slot working-set model — the heap-sizing rule the 10560²
+  // reference-dimension soak ladder implies (measured, NOTES_r17/r18).
+  //
+  // The composite+publish stage is the run's memory peak: one task
+  // simultaneously holds (a) its parquet writer's row-group buffer,
+  // (b) a vectorized reader batch, (c) the aggregate's in-flight group
+  // buffers, and (d) a share of the sort-fallback's spill/merge traffic
+  // over the task's total aggregation volume. (a)-(c) are hard-bounded by
+  // the constants above; (d) spills, but empirically needs ~1/4 of the
+  // task's aggregation volume resident to stay out of OOM (GC headroom
+  // for serialize/copy churn during spill + merge).
+  //
+  // Measured completion ladder (ProfileCube at 10560², block 256,
+  // local[32], so blockBytes = 256 KB; V = groups/task × 2·depth·B):
+  //   tiles×depth  V/task   heap/slot   result
+  //   1×2          110 MB    256 MB     OK        (8 GB)
+  //   1×4          220 MB    256 MB     OK        (8 GB)
+  //   4×2          441 MB    256 MB     OK        (8 GB)
+  //   4×2          441 MB    160 MB     OOM       (5 GB)
+  //   4×4          882 MB    256 MB     OOM       (8 GB)
+  //   4×4          882 MB    320 MB     OK        (10 GB)
+  //   4×4          882 MB    384/768 MB OK        (12/24 GB)
+  // The fixed-plus-quarter-residency model below classifies every rung;
+  // ScaleSpec pins that, with a stated ≤10% conservative band at the
+  // marginal 10 GB rung.
+  // ---------------------------------------------------------------------
+
+  /** Bytes of one block's pixel payload (`Array[Int]`). */
+  def blockBytes(blockPx: Int): Long = 4L * blockPx * blockPx
+
+  /** Hard-bounded per-slot buffers during composite+publish: writer
+    * row-group + its check-cadence overshoot, one reader batch, and the
+    * aggregate's in-flight scene-stack buffers.
+    */
+  def perSlotFixedBytes(blockPx: Int, stackDepth: Int): Long = {
+    val b = blockBytes(blockPx)
+    BlockParquetRowGroupBytes +
+      (BlockParquetCheckRowsMax + BlockReaderBatchRows) * b +
+      CompositeAggInFlightBuffers.toLong * 2 * stackDepth * b
+  }
+
+  /** One task's total aggregation volume: its share of the composite
+    * groups, each a 2 × depth × blockBytes scene stack (pixels + QA).
+    */
+  def perTaskAggBytes(blockPx: Int, stackDepth: Int,
+                      groupsPerTask: Long): Long =
+    groupsPerTask * 2 * stackDepth * blockBytes(blockPx)
+
+  /** Per-slot slack for everything the named terms don't capture (codegen
+    * scratch, shuffle transit, task bookkeeping). Calibrated at the 10 GB
+    * marginal rung.
+    */
+  val PerSlotSlackBytes: Long = 16L * 1024 * 1024
+
+  /** Fraction of the task's aggregation volume that must stay heap-
+    * resident for the sort-fallback's spill/serialize/merge churn to
+    * clear. Calibrated: 1/4 separates every measured rung.
+    */
+  val AggResidentFraction: Double = 0.25
+
+  /** Driver/scheduler base (catalog tables, listener bus, broadcast) —
+    * independent of data scale.
+    */
+  val DriverBaseBytes: Long = 1024L * 1024 * 1024
+
+  /** Recommended executor-JVM heap for a cube run: the rule an operator
+    * sizes from without rediscovering the r17 OOM ladder.
+    *
+    * @param cores           task slots per JVM (local[N] or executor cores)
+    * @param blockPx         block edge in pixels (runTiles `blockSize`)
+    * @param stackDepth      scenes per (tile, period) — the composite
+    *                        stack depth (production: 10-30)
+    * @param compositeGroups total composite groups in the run =
+    *                        bands × blocksPerTile × tiles × periods
+    * @param buckets         block-table bucket count (runTiles
+    *                        `blockBuckets`, default 32) — the composite
+    *                        stage's task count
+    */
+  def recommendedHeapBytes(cores: Int, blockPx: Int, stackDepth: Int,
+                           compositeGroups: Long,
+                           buckets: Int = 32): Long = {
+    val groupsPerTask = (compositeGroups + buckets - 1) / buckets
+    val concurrent = math.min(cores, buckets)
+    DriverBaseBytes + concurrent *
+      (perSlotFixedBytes(blockPx, stackDepth) + PerSlotSlackBytes +
+        (AggResidentFraction *
+          perTaskAggBytes(blockPx, stackDepth, groupsPerTask)).toLong)
+  }
 
   /** Persist `df` bucketed+sorted by `key` for shuffle-free joins against
     * other tables bucketed the same way (same key, same bucket count).

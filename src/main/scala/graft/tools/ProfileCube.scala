@@ -81,8 +81,26 @@ object ProfileCube {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // per-pass peak-heap readout (50 ms-sampled max of total used — pool
+    // peaks can't be summed, they peak at different instants): the ground
+    // truth behind Scale.perSlotWorkingSetBytes' sizing model. An upper
+    // bound on the live set (G1 lets garbage ride until a collection),
+    // but it's the bound an operator sizes a heap against.
+    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    val peakUsed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (true) {
+        val u = memBean.getHeapMemoryUsage.getUsed
+        peakUsed.updateAndGet(p => math.max(p, u)): Unit
+        Thread.sleep(50)
+      }
+    }, "heap-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+
     (1 to passes).foreach { pass =>
       jobs.clear()
+      peakUsed.set(0L)
       val outDir = java.nio.file.Files.createTempDirectory("soak_out").toString
       val t0 = System.nanoTime()
       val r = graft.cube.CubeRun.runTiles(spark, coll, mask, sceneDir.toString,
@@ -122,7 +140,27 @@ object ProfileCube {
         }
       println(s"  cogs_published=$nCogs  quicklooks_published=$nPngs  " +
         s"outDir=$outDir")
+      val peakMb = peakUsed.get() / (1024.0 * 1024)
+      val maxMb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024)
+      println(f"  peak_heap=$peakMb%.0f MB of $maxMb%.0f MB " +
+        f"(${peakMb / 32}%.1f MB/slot at 32 slots)")
+      // a reference-dimension pass leaves ~10 GB of blocks+COGs; keep only
+      // on request (SPARK_GRAFT_SOAK_KEEP=1) or repeated soaks fill the
+      // disk and later runs die on "No space left on device"
+      if (!sys.env.get("SPARK_GRAFT_SOAK_KEEP").contains("1"))
+        deleteTree(java.nio.file.Paths.get(outDir))
     }
+    if (!sys.env.get("SPARK_GRAFT_SOAK_KEEP").contains("1"))
+      deleteTree(sceneDir)
     spark.stop()
   }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala.toList.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
 }

@@ -32,6 +32,33 @@ class PublishSpec extends SparkSpec {
     assert(!Files.exists(work.resolve("c1")))
   }
 
+  test("abandoned staged temps are swept, never committed as assets") {
+    val work = Files.createTempDirectory("pub_work_t")
+    val data = Files.createTempDirectory("pub_data_t")
+    val item = Publish.itemWorkDir(work.toString, "c1", "t1", "2020-01-01")
+    write(item.resolve("c1_t1_B04_2020-01-01.tif"), "finished")
+    // a duplicate attempt killed mid-write: its in-progress temp sibling
+    val temp = graft.core.Fs.stagedTempFor(
+      item.resolve("c1_t1_B8A_2020-01-01.tif"))
+    write(temp, "torn-half-written")
+    assert(graft.core.Fs.isStagedTemp(temp))
+
+    val moved = Publish.commitItem(work, data)
+    assert(moved.size == 1, "only the finished asset commits")
+    val dest = data.resolve("c1/t1/2020-01-01")
+    assert(Files.isRegularFile(dest.resolve("c1_t1_B04_2020-01-01.tif")))
+    val walk = Files.walk(data)
+    val leaked =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.exists(graft.core.Fs.isStagedTemp)
+      } finally walk.close()
+    assert(!leaked, "no temp name may reach the data root")
+    // the temp is swept so the emptied work tree can go
+    assert(!Files.exists(temp))
+    assert(!Files.exists(item))
+  }
+
   test("re-publish replaces targets idempotently; missing work dir is a no-op") {
     val work = Files.createTempDirectory("pub_work2")
     val data = Files.createTempDirectory("pub_data2")

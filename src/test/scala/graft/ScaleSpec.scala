@@ -1156,4 +1156,39 @@ class ScaleSpec extends SparkSpec {
       .collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getSeq[Double](2))).toMap
   }
+
+  test("heap-sizing model classifies every rung of the measured 10560² " +
+       "soak ladder") {
+    // The measured ladder (ProfileCube <tiles> <dates> 10560 1 at block
+    // 256, local[32], buckets 32 — NOTES_r17/r18): completion is the
+    // signal, peak-used saturates under G1. Composite groups are
+    // 3528/tile at this shape; stack depth = dates.
+    val GB = 1024L * 1024 * 1024
+    def rec(tiles: Int, depth: Int): Long = Scale.recommendedHeapBytes(
+      cores = 32, blockPx = 256, stackDepth = depth,
+      compositeGroups = 3528L * tiles, buckets = 32)
+    // conservative band: the rule may ask for at most 10% more than a
+    // heap that measurably completed (the 4×4 rung completed at 10 GB,
+    // the rule asks 10.1 GB)...
+    val band = 1.10
+    for ((tiles, depth, okGb) <- Seq((1, 2, 8), (1, 4, 8), (4, 2, 8),
+        (4, 4, 10), (4, 4, 12), (4, 4, 24)))
+      assert(rec(tiles, depth) <= (okGb * GB * band).toLong,
+        s"rule demands ${rec(tiles, depth) / 1e9} GB for a " +
+          s"$tiles×$depth run that completed at $okGb GB")
+    // ...and must demand MORE than every heap that measurably OOM'd —
+    // an operator following the rule never lands on a failing rung
+    for ((tiles, depth, oomGb) <- Seq((4, 4, 8), (4, 2, 5)))
+      assert(rec(tiles, depth) > oomGb * GB,
+        s"rule under-sizes a $tiles×$depth run that OOM'd at $oomGb GB")
+    // shape sanity: monotone in depth and data volume, and the fixed
+    // terms are built from the session bounds CubeRun actually sets
+    assert(rec(4, 4) > rec(4, 2) && rec(4, 2) > rec(1, 2))
+    assert(Scale.perSlotFixedBytes(256, 2) ==
+      Scale.BlockParquetRowGroupBytes +
+        (Scale.BlockParquetCheckRowsMax + Scale.BlockReaderBatchRows) *
+          Scale.blockBytes(256) +
+        Scale.CompositeAggInFlightBuffers.toLong * 2 * 2 *
+          Scale.blockBytes(256))
+  }
 }

@@ -19,10 +19,13 @@ import graft.catalog.Ledger
   * periods directories, never pixel data):
   *
   *  1. [[tornRepairPlan]] — the planning query (family of
-  *     c19_compaction_plan / c35_vacuum_plan): list the cube's block
-  *     partition dirs, probe each data file's head+tail magic (8 bytes of
-  *     I/O per file, metadata-only), and emit one row per dir with the
-  *     planned action.
+  *     c19_compaction_plan / c35_vacuum_plan): list the cube's block AND
+  *     index-block partition dirs, probe each data file's head+tail magic
+  *     (8 bytes of I/O per file, metadata-only), cross-check the items
+  *     catalog for partitions that vanished ENTIRELY (an item exists only
+  *     if blocks existed; empty periods mint no item, so they never
+  *     false-flag), and emit one row per (tile, period) with the planned
+  *     action.
   *  2. [[applyTornRepair]] — delete the torn dirs and downgrade their
   *     ledger rows SUCCESS -> ERROR, so the next run re-plans exactly
   *     those units and republishes them from source (ERROR units stay
@@ -69,29 +72,32 @@ object Repair {
       } catch { case scala.util.control.NonFatal(_) => false }
     }
 
-  /** One row per (tileId, p_start) block partition dir:
-    * (tile_id, p_start, n_files, dir_bytes, n_torn, action). Driver-side
-    * listing — one listStatus per tile plus one per partition dir, 8
-    * probe bytes per data file; the whole walk is directory-count-sized.
+  /** Both partitioned block tables a (tile, period) unit owns — a torn
+    * or missing partition in EITHER fails the unit's read-back, so both
+    * are probed and both are deleted on repair.
     */
-  def tornRepairPlan(spark: SparkSession, outDir: String): DataFrame = {
-    import spark.implicits._
+  private val BlockTables = Seq("blocks", "index_blocks")
+
+  /** (tile_id, p_start, bytes, torn) file rows from one partitioned
+    * block table. One listStatus per tile plus one per partition dir, 8
+    * probe bytes per data file — directory-count-sized. An empty
+    * partition dir (writer died before its first file) yields one
+    * synthetic torn row so the fold still condemns it.
+    */
+  private def probeTable(fs: org.apache.hadoop.fs.FileSystem,
+                         base: org.apache.hadoop.fs.Path)
+      : Seq[(String, String, Long, Long)] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
-    val blocksBase = new org.apache.hadoop.fs.Path(s"$outDir/blocks")
-    val fs = blocksBase.getFileSystem(spark.sessionState.newHadoopConf())
     val tileDirs =
-      try fs.listStatus(blocksBase).filter(_.isDirectory)
+      try fs.listStatus(base).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("tileId="))
       catch { case _: java.io.FileNotFoundException =>
         Array.empty[org.apache.hadoop.fs.FileStatus] }
-    // (tile_id, p_start, bytes, torn) — one row per data file; an empty
-    // partition dir (writer died before its first file) yields one
-    // synthetic torn row so the fold still condemns it
-    val fileRows = tileDirs.flatMap { td =>
+    tileDirs.toSeq.flatMap { td =>
       val tile = unescapePathName(td.getPath.getName.stripPrefix("tileId="))
       val periodDirs = fs.listStatus(td.getPath).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("p_start="))
-      periodDirs.flatMap { pd =>
+      periodDirs.toSeq.flatMap { pd =>
         val p = unescapePathName(pd.getPath.getName.stripPrefix("p_start="))
         val data = fs.listStatus(pd.getPath)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -99,9 +105,54 @@ object Repair {
         else data.toSeq.map(s =>
           (tile, p, s.getLen, if (footerIntact(fs, s)) 0L else 1L))
       }
-    }.toSeq
+    }
+  }
+
+  /** One row per (tileId, p_start) block partition:
+    * (tile_id, p_start, n_files, dir_bytes, n_torn, action). Probes both
+    * `blocks/` and `index_blocks/`, and cross-checks the ITEMS catalog:
+    * a published item whose blocks partition has vanished entirely
+    * (out-of-band delete, or an r17-era crash window) plans as torn too —
+    * without the cross-check a fully-deleted dir is invisible to the
+    * directory walk and the cube would serve that item forever. The
+    * items table is the right witness: an item is minted only from
+    * existing blocks, while an EMPTY period ledgers SUCCESS with no
+    * blocks dir and no item — so empty periods are never false-flagged.
+    */
+  def tornRepairPlan(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(s"$outDir/blocks")
+      .getFileSystem(hconf)
+    val blockRows =
+      probeTable(fs, new org.apache.hadoop.fs.Path(s"$outDir/blocks"))
+    val fileRows = blockRows ++ BlockTables.drop(1).flatMap(t =>
+      probeTable(fs, new org.apache.hadoop.fs.Path(s"$outDir/$t")))
+    // presence means "has a blocks dir" specifically: index partitions
+    // are optional, so a surviving index dir must not mask a vanished
+    // blocks dir
+    val present = blockRows.map(r => (r._1, r._2)).toSet
+    // catalog-bounded: one row per published item / ledger unit. Only
+    // SUCCESS-ledgered pairs flag as missing: after a repair their units
+    // are ERROR (already pending — the next run republishes), so a
+    // second apply before the rebuild is a no-op instead of re-reporting
+    // the same loss forever
+    val missing = Ledger.readCurrent(spark, s"$outDir/items") match {
+      case None => Seq.empty[(String, String, Long, Long)]
+      case Some(items) =>
+        val successPairs = Ledger.readCurrent(spark, s"$outDir/ledger")
+          .map(_.filter(col("status") === Ledger.StatusSuccess)
+            .select(col("tile_id"), col("p_start").cast("string"))
+            .distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet)
+          .getOrElse(Set.empty[(String, String)])
+        items.select("tileId", "start_date").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+          .filter(pr => successPairs(pr) && !present(pr))
+          .map { case (t, p) => (t, p, 0L, 1L) }.toSeq
+    }
     planFromFileStats(
-      fileRows.toDF("tile_id", "p_start", "bytes", "torn"),
+      (fileRows ++ missing).toDF("tile_id", "p_start", "bytes", "torn"),
       Seq("tile_id", "p_start"))
       .orderBy($"tile_id", $"p_start")
   }
@@ -138,12 +189,18 @@ object Repair {
           lit(Ledger.StatusError)).otherwise(col("status")))
       Ledger.commitVersion(spark, ledgerPath, updated)
     }
-    val blocksBase = new org.apache.hadoop.fs.Path(s"$outDir/blocks")
-    val fs = blocksBase.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = new org.apache.hadoop.fs.Path(s"$outDir/blocks")
+      .getFileSystem(spark.sessionState.newHadoopConf())
     torn.foreach { case (t, p) =>
-      val dir = new org.apache.hadoop.fs.Path(blocksBase,
-        s"tileId=${escapePathName(t)}/p_start=${escapePathName(p)}")
-      fs.delete(dir, true): Unit
+      // delete the unit's partition in BOTH block tables: the next run's
+      // dynamic partition overwrite rewrites both, and a surviving stale
+      // index partition would otherwise pair with regenerated blocks
+      BlockTables.foreach { table =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$outDir/$table/tileId=${escapePathName(t)}/" +
+            s"p_start=${escapePathName(p)}")
+        fs.delete(dir, true): Unit
+      }
     }
     torn.length.toLong
   }

@@ -90,6 +90,122 @@ class RepairCubeSpec extends SparkSpec {
       RepairCube.Summary(1, 0, 0))
   }
 
+  private def buildCube(prefix: String): (String, () => graft.cube.CubeRun.RunResult) = {
+    val sceneDir = java.nio.file.Files.createTempDirectory(s"${prefix}_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory(s"${prefix}_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"),
+        bytes)
+    }
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    go(): Unit
+    (outDir, () => go())
+  }
+
+  private def periodDirs(outDir: String, table: String = "blocks") = {
+    val tileDir = java.nio.file.Paths.get(outDir, table, "tileId=t9")
+    val ls = java.nio.file.Files.list(tileDir)
+    try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("p_start=")).sorted
+    finally ls.close()
+  }
+
+  test("a VANISHED partition is caught via the items catalog; " +
+       "dir-less SUCCESS units without an item never flag; " +
+       "repaired units don't re-flag before the rebuild") {
+    val (outDir, go) = buildCube("gone")
+    import spark.implicits._
+
+    // a SUCCESS unit with no item and no dir — the empty-period shape —
+    // must NOT flag (an item is the witness that blocks ever existed)
+    val ledgerPath = s"$outDir/ledger"
+    val led = graft.catalog.Ledger.readCurrent(spark, ledgerPath).get
+    val phantom = led.limit(1).select(
+      $"cube", $"tile_id",
+      org.apache.spark.sql.functions.lit("2099-01-01")
+        .cast(led.schema("p_start").dataType).as("p_start"),
+      org.apache.spark.sql.functions.lit("2099-01-16")
+        .cast(led.schema("p_end").dataType).as("p_end"),
+      $"band",
+      org.apache.spark.sql.functions.lit(graft.catalog.Ledger.StatusSuccess)
+        .as("status"))
+    graft.catalog.Ledger.commitVersion(spark, ledgerPath,
+      led.unionByName(phantom))
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 0, 0), "empty-period shape must not flag")
+
+    // delete a WHOLE partition dir out-of-band: invisible to the
+    // directory walk, caught by the items cross-check
+    val gone = periodDirs(outDir).head
+    val goneP = gone.getFileName.toString.stripPrefix("p_start=")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toList.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    rmTree(gone)
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    assert(RepairCube.run(spark, outDir, doApply = false, lines += _) ==
+      RepairCube.Summary(2, 1, 0))
+    assert(lines.exists(l => l.contains(goneP) && l.contains("delete_and_retry")))
+
+    // apply downgrades the unit; a second apply before the rebuild is a
+    // no-op (the loss is already recorded as ERROR = pending)
+    assert(RepairCube.run(spark, outDir, doApply = true, _ => ()).repaired == 1)
+    val led2 = graft.catalog.Ledger.readCurrent(spark, ledgerPath).get
+    assert(led2.filter($"status" === "ERROR" &&
+      $"p_start".cast("string") === goneP).count() == 3)
+    assert(RepairCube.run(spark, outDir, doApply = true, _ => ()) ==
+      RepairCube.Summary(1, 0, 0))
+
+    // the next run republishes exactly the lost period
+    assert(go().planned == 3)
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 0, 0))
+  }
+
+  test("a torn INDEX partition condemns its unit and both table dirs " +
+       "are repaired") {
+    val (outDir, go) = buildCube("idx")
+    val p1 = periodDirs(outDir).head.getFileName.toString
+      .stripPrefix("p_start=")
+    // manufacture a torn index partition for the healthy-blocks period
+    val idxDir = java.nio.file.Paths.get(outDir, "index_blocks",
+      "tileId=t9", s"p_start=$p1")
+    java.nio.file.Files.createDirectories(idxDir)
+    java.nio.file.Files.write(idxDir.resolve("part-torn.parquet"),
+      ("PAR1" + "x" * 64).getBytes("ASCII")) // head magic, no tail
+
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    assert(RepairCube.run(spark, outDir, doApply = false, lines += _) ==
+      RepairCube.Summary(2, 1, 0))
+    assert(lines.exists(l => l.contains(p1) && l.contains("delete_and_retry")))
+
+    assert(RepairCube.run(spark, outDir, doApply = true, _ => ()).repaired == 1)
+    assert(!java.nio.file.Files.exists(idxDir), "index dir must be deleted")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outDir, "blocks", "tileId=t9",
+        s"p_start=$p1")), "blocks dir must be deleted with it")
+
+    // rebuild restores the unit; no index bands in this collection, so
+    // the plan settles back to two healthy block partitions
+    assert(go().planned == 3)
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 0, 0))
+  }
+
   test("a path that is not a cube outDir is rejected, not reported healthy") {
     val notACube = java.nio.file.Files.createTempDirectory("not_a_cube")
     intercept[IllegalArgumentException] {

@@ -26,10 +26,11 @@ import graft.catalog.Ledger
   *     if blocks existed; empty periods mint no item, so they never
   *     false-flag), and emit one row per (tile, period) with the planned
   *     action.
-  *  2. [[applyTornRepair]] — delete the torn dirs and downgrade their
-  *     ledger rows SUCCESS -> ERROR, so the next run re-plans exactly
-  *     those units and republishes them from source (ERROR units stay
-  *     pending by [[Ledger.pendingUnits]]'s contract).
+  *  2. [[applyTornRepair]] — downgrade the flagged units' ledger rows
+  *     SUCCESS -> ERROR, THEN delete the torn dirs (that order is
+  *     load-bearing — see the method doc), so the next run re-plans
+  *     exactly those units and republishes them from source (ERROR units
+  *     stay pending by [[Ledger.pendingUnits]]'s contract).
   */
 object Repair {
 

@@ -209,6 +209,31 @@ object Scale {
           perTaskAggBytes(blockPx, stackDepth, groupsPerTask)).toLong)
   }
 
+  /** The inversion of [[recommendedHeapBytes]] for the common cluster
+    * case where the executor heap is FIXED and `blockBuckets` is the free
+    * variable: the smallest bucket count whose per-task aggregation
+    * volume fits the given per-slot heap budget. At 100 TB the composite
+    * group count grows with tiles × periods, and the model says V/task —
+    * not the raw data size — is what a slot must carry: more buckets
+    * means smaller V, at the cost of more (cheap) tasks.
+    */
+  def recommendedBuckets(blockPx: Int, stackDepth: Int,
+                         compositeGroups: Long,
+                         heapPerSlotBytes: Long): Int = {
+    val avail = heapPerSlotBytes -
+      perSlotFixedBytes(blockPx, stackDepth) - PerSlotSlackBytes
+    require(avail > 0,
+      s"per-slot budget $heapPerSlotBytes B cannot even fit the bounded " +
+        s"buffers (${perSlotFixedBytes(blockPx, stackDepth)} B) at block " +
+        s"$blockPx px / depth $stackDepth: raise the heap or shrink the " +
+        "block size")
+    val groupsPerTask = math.max(1L,
+      (avail / AggResidentFraction / (2.0 * stackDepth * blockBytes(blockPx)))
+        .toLong)
+    val buckets = (compositeGroups + groupsPerTask - 1) / groupsPerTask
+    math.min(buckets, Int.MaxValue.toLong).toInt.max(1)
+  }
+
   /** Persist `df` bucketed+sorted by `key` for shuffle-free joins against
     * other tables bucketed the same way (same key, same bucket count).
     * With `path` the table is external (data at the given location,

@@ -1190,5 +1190,23 @@ class ScaleSpec extends SparkSpec {
           Scale.blockBytes(256) +
         Scale.CompositeAggInFlightBuffers.toLong * 2 * 2 *
           Scale.blockBytes(256))
+    // inversion round-trip: bucketing a 100 TB-class group count to a
+    // fixed per-slot budget brings the forward rule back under that
+    // budget (one-group granularity slop at most)
+    val budget = 768L * 1024 * 1024
+    for ((groups, depth) <- Seq((81_000_000L, 20), (14_112L, 4))) {
+      val buckets = Scale.recommendedBuckets(256, depth, groups, budget)
+      val heap = Scale.recommendedHeapBytes(32, 256, depth, groups, buckets)
+      val perSlot = (heap - Scale.DriverBaseBytes) / math.min(32, buckets)
+      assert(perSlot <= budget +
+        (Scale.AggResidentFraction * 2 * depth * Scale.blockBytes(256)).toLong,
+        s"inverted buckets=$buckets must fit the $budget B/slot budget, " +
+          s"got $perSlot")
+    }
+    // an impossible budget names the fixed buffers instead of dividing
+    // by ~zero
+    intercept[IllegalArgumentException] {
+      Scale.recommendedBuckets(512, 30, 1L, 64L * 1024 * 1024)
+    }
   }
 }

@@ -135,16 +135,20 @@ object Scale {
   // Measured completion ladder (ProfileCube at 10560², block 256,
   // local[32], so blockBytes = 256 KB; V = groups/task × 2·depth·B):
   //   tiles×depth  V/task   heap/slot   result
-  //   1×2          110 MB    256 MB     OK        (8 GB)
-  //   1×4          220 MB    256 MB     OK        (8 GB)
-  //   4×2          441 MB    256 MB     OK        (8 GB)
-  //   4×2          441 MB    160 MB     OOM       (5 GB)
-  //   4×4          882 MB    256 MB     OOM       (8 GB)
-  //   4×4          882 MB    320 MB     OK        (10 GB)
-  //   4×4          882 MB    384/768 MB OK        (12/24 GB)
+  //   1×2          110 MB    256 MB     OK  40 s     (8 GB)
+  //   1×4          220 MB    256 MB     OK  44 s     (8 GB)
+  //   4×2          441 MB    256 MB     OK  100 s    (8 GB)
+  //   4×2          441 MB    160 MB     OOM          (5 GB)
+  //   4×4          882 MB    256 MB     OOM          (8 GB)
+  //   4×4          882 MB    288 MB     DEGRADED 344 s (9 GB — completes,
+  //                                     but 3.2× the 10 GB time: GC thrash)
+  //   4×4          882 MB    320 MB     OK  108 s    (10 GB)
+  //   4×4          882 MB    384/768 MB OK  106/270 s (12/24 GB)
   // The fixed-plus-quarter-residency model below classifies every rung;
   // ScaleSpec pins that, with a stated ≤10% conservative band at the
-  // marginal 10 GB rung.
+  // marginal 10 GB rung. The recommendation marks HEALTHY completion:
+  // just below it there is a narrow GC-thrash band (the 9 GB rung) where
+  // runs finish at a multiple of the healthy time, then hard OOM.
   // ---------------------------------------------------------------------
 
   /** Bytes of one block's pixel payload (`Array[Int]`). */

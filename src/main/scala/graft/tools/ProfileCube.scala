@@ -82,10 +82,11 @@ object ProfileCube {
     spark.sparkContext.addSparkListener(listener)
 
     // per-pass peak-heap readout (50 ms-sampled max of total used — pool
-    // peaks can't be summed, they peak at different instants): the ground
-    // truth behind Scale.perSlotWorkingSetBytes' sizing model. An upper
-    // bound on the live set (G1 lets garbage ride until a collection),
-    // but it's the bound an operator sizes a heap against.
+    // peaks can't be summed, they peak at different instants). A coarse
+    // upper bound only: G1 lets garbage ride until a collection, so used
+    // saturates toward capacity on long passes — COMPLETION at a given
+    // SPARK_DRIVER_MEM is the primary sizing signal, and
+    // Scale.recommendedHeapBytes is the rule calibrated from that ladder.
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
     val peakUsed = new java.util.concurrent.atomic.AtomicLong(0L)
     val sampler = new Thread(() => {

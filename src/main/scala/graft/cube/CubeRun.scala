@@ -310,6 +310,59 @@ object CubeRun {
       scannedTiled("tile") === pendingWindows("tile") &&
         $"date".between($"__ps", $"__pe"),
       "left_semi")
+    // Sizing advisory BEFORE the heavy stages: warn while the run is
+    // still cheap to abort — the alternative at production scale is an
+    // OOM hours in, then a torn-partition repair. Two-step so small runs
+    // pay ~nothing: (1) driver-side probe of ONE scene's TIFF header
+    // (bounded FS listing + mmap'd IFD walk, a few KB touched, zero
+    // Spark jobs) gives blocks-per-tile; only if a GENEROUS stack-depth
+    // upper bound (64 — production stacks run 10-30) already implies an
+    // undersized heap does (2) one tiny job over the filename metadata
+    // measure the real depth (max distinct dates per tile in the
+    // window). Estimates err simple; the advisory never fails the run.
+    try {
+      val have = Runtime.getRuntime.maxMemory()
+      val slots = spark.sparkContext.defaultParallelism
+      val sceneFs = new org.apache.hadoop.fs.Path(sceneDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val firstDims = {
+        val it = sceneFs.listFiles(
+          new org.apache.hadoop.fs.Path(sceneDir), true)
+        var dims = Option.empty[(Int, Int)]
+        var seen = 0
+        while (dims.isEmpty && seen < 16 && it.hasNext) {
+          val f = it.next()
+          seen += 1
+          if (f.isFile) dims = RasterIO.sceneDims(f.getPath.toString)
+        }
+        dims
+      }
+      for ((w, h) <- firstDims) {
+        val blocksPerTile =
+          ((w + blockSize - 1) / blockSize).toLong *
+            ((h + blockSize - 1) / blockSize)
+        val groups = pendingPairs.size.toLong *
+          collection.bands.size * blocksPerTile
+        def rec(depth: Int) = graft.operators.Scale.recommendedHeapBytes(
+          slots, blockSize, depth, groups, blockBuckets)
+        if (rec(64) > have) {
+          val depthEst = stage(spark, "plan")(
+            scanned.groupBy($"tile").agg(countDistinct($"date").as("d"))
+              .agg(max($"d")).collect())
+            .headOption.map(_.getLong(0).toInt).getOrElse(0)
+          if (depthEst > 0 && rec(depthEst) > have)
+            System.err.println(
+              f"[cube] sizing advisory: ~$groups%d composite groups at " +
+                f"stack depth $depthEst%d, block $blockSize%d px over " +
+                f"$slots%d slots wants ~${rec(depthEst) / 1e9}%.1f GB " +
+                f"heap (Scale.recommendedHeapBytes); this JVM has " +
+                f"${have / 1e9}%.1f GB — expect GC thrash or OOM in the " +
+                f"composite stage. Raise the heap or raise blockBuckets " +
+                f"(Scale.recommendedBuckets inverts the rule for a " +
+                f"fixed heap).")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // decode with per-file error capture (the reference maestro's
     // activity-ERROR discipline): a corrupt scene yields a quarantine row
     // instead of failing the job, and its whole (tile, period) is

@@ -131,6 +131,20 @@ object RasterIO {
         catch { case e: Throwable => release(); throw e }
     }
 
+  /** Raster (width, height) of one scene from its TIFF header — a
+    * driver-side metadata probe (mmap + IFD walk touches a few KB of a
+    * multi-hundred-MB scene, then unmaps). None on any failure: callers
+    * use this for advisories that must never fail a run.
+    */
+  def sceneDims(path: String): Option[(Int, Int)] =
+    try {
+      val bb = mapScene(path)
+      try {
+        val info = GeoTiff.readInfo(bb)
+        Some((info.width, info.height))
+      } finally unmapScene(bb)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** S3 — decode discovered GeoTIFF files into chunked-raster block rows.
     * Input must carry `path`, `band`, `date` (from [[scanDirectory]]).
     */

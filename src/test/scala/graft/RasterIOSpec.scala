@@ -23,6 +23,19 @@ class RasterIOSpec extends SparkSpec {
     assert(back.toSeq == px.toSeq)
   }
 
+  test("sceneDims probes a scene header driver-side; garbage yields None") {
+    val px = checker(300, 200)
+    val bytes = GeoTiff.write(px, 300, 200, tileSize = 128)
+    val dir = java.nio.file.Files.createTempDirectory("dims")
+    val good = dir.resolve("S_T1_20200101_B04.tif")
+    java.nio.file.Files.write(good, bytes)
+    assert(RasterIO.sceneDims(good.toString).contains((300, 200)))
+    val bad = dir.resolve("junk.tif")
+    java.nio.file.Files.write(bad, "not a tiff at all".getBytes("ASCII"))
+    assert(RasterIO.sceneDims(bad.toString).isEmpty)
+    assert(RasterIO.sceneDims(dir.resolve("absent.tif").toString).isEmpty)
+  }
+
   test("GeoTIFF windowed read crosses tile boundaries correctly") {
     val px = checker(300, 200)
     val bytes = GeoTiff.write(px, 300, 200, tileSize = 128)

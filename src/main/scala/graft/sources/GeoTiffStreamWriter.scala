@@ -167,6 +167,14 @@ final class GeoTiffStreamWriter(
     out
   }
 
+  /** Abandon without finishing: release the file handle, leaving the
+    * (incomplete, never-renamed) temp file for the commit sweep. For the
+    * failure path only — a completed write goes through [[close]].
+    */
+  def dispose(): Unit =
+    try raf.close()
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** Finish: build overview pyramids, write the tag trailer + IFD chain,
     * then the header. Returns the final file length.
     */

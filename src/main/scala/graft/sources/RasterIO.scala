@@ -329,6 +329,16 @@ object RasterIO {
           writer = null
           graft.core.Fs.commitStagedTemp(tmp, dest)
         }
+        // a failed task must not hold the open writer's fd until GC —
+        // release it and leave the never-renamed temp for the commit sweep
+        def failing[T](body: => T): T =
+          try body
+          catch {
+            case t: Throwable =>
+              if (writer != null) { writer.dispose(); writer = null }
+              throw t
+          }
+        failing {
         rows.foreach { row =>
           // columns: k, blockY, blockX, height, width, x0, y0, resX, resY,
           //          nodata, pixels, dirk
@@ -356,6 +366,7 @@ object RasterIO {
           writer.writeBlock(by, bx, h, w, px.toArray)
         }
         finish()
+        } // failing
       }
   }
 }

@@ -36,6 +36,32 @@ class RasterIOSpec extends SparkSpec {
     assert(RasterIO.sceneDims(dir.resolve("absent.tif").toString).isEmpty)
   }
 
+  test("a failed band write leaves no file under a committable name") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("wfail").toString
+    // first block fixes the writer's tile dims; the later LARGER block
+    // violates writeBlock's bound mid-partition — the write must fail
+    // loudly, and only a .graft-tmp. sibling may remain on disk
+    val rows = Seq(
+      ("c", "t1", "B04", "2020-01-01", 0, 0, 16, 16, 0.0, 160.0, 10.0, 10.0,
+        -9999, Array.fill(256)(1)),
+      ("c", "t1", "B04", "2020-01-01", 0, 1, 32, 32, 160.0, 160.0, 10.0, 10.0,
+        -9999, Array.fill(1024)(2)))
+      .toDF("cube", "tileId", "band", "date", "blockY", "blockX", "height",
+        "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    intercept[org.apache.spark.SparkException] {
+      RasterIO.writeGeoTiffs(rows, out)
+    }
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+    val files =
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toList
+      finally walk.close()
+    assert(files.forall(graft.core.Fs.isStagedTemp),
+      s"only staged temps may survive a failed write: $files")
+  }
+
   test("GeoTIFF windowed read crosses tile boundaries correctly") {
     val px = checker(300, 200)
     val bytes = GeoTiff.write(px, 300, 200, tileSize = 128)

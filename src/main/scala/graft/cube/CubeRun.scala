@@ -318,8 +318,11 @@ object CubeRun {
     // Spark jobs) gives blocks-per-tile; only if a GENEROUS stack-depth
     // upper bound (64 — production stacks run 10-30) already implies an
     // undersized heap does (2) one tiny job over the filename metadata
-    // measure the real depth (max distinct dates per tile in the
-    // window). Estimates err simple; the advisory never fails the run.
+    // measure the real depth: max distinct dates per (tile, PERIOD) —
+    // per-period, because a composite stack never spans periods and a
+    // whole-window count would overestimate a 23-period year backfill
+    // ~23×, firing the advisory on every healthy run. Estimates err
+    // simple; the advisory never fails the run.
     try {
       val have = Runtime.getRuntime.maxMemory()
       val slots = spark.sparkContext.defaultParallelism
@@ -341,25 +344,47 @@ object CubeRun {
         val blocksPerTile =
           ((w + blockSize - 1) / blockSize).toLong *
             ((h + blockSize - 1) / blockSize)
-        val groups = pendingPairs.size.toLong *
-          collection.bands.size * blocksPerTile
+        // spectral bands only: a composite group is one (spectral band,
+        // block, period, tile) and its buffer already carries QA as the
+        // 2× in 2·depth·blockBytes — counting the quality band again
+        // would overstate the volume by bands/(bands-1)
+        val spectral = math.max(1,
+          collection.bands.count(_.name != collection.qualityBand))
+        val groups = pendingPairs.size.toLong * spectral * blocksPerTile
         def rec(depth: Int) = graft.operators.Scale.recommendedHeapBytes(
           slots, blockSize, depth, groups, blockBuckets)
         if (rec(64) > have) {
-          val depthEst = stage(spark, "plan")(
-            scanned.groupBy($"tile").agg(countDistinct($"date").as("d"))
-              .agg(max($"d")).collect())
-            .headOption.map(_.getLong(0).toInt).getOrElse(0)
-          if (depthEst > 0 && rec(depthEst) > have)
-            System.err.println(
-              f"[cube] sizing advisory: ~$groups%d composite groups at " +
-                f"stack depth $depthEst%d, block $blockSize%d px over " +
-                f"$slots%d slots wants ~${rec(depthEst) / 1e9}%.1f GB " +
-                f"heap (Scale.recommendedHeapBytes); this JVM has " +
-                f"${have / 1e9}%.1f GB — expect GC thrash or OOM in the " +
-                f"composite stage. Raise the heap or raise blockBuckets " +
-                f"(Scale.recommendedBuckets inverts the rule for a " +
-                f"fixed heap).")
+          // per-(tile, period) depths: max sizes the in-flight buffers,
+          // the SUM gives the run's true aggregation volume (periods
+          // rarely share one depth — charging max-depth to every group
+          // would overstate a mixed year-long backfill)
+          val depthRow = stage(spark, "plan")(
+            scanned.join(
+                broadcast(pendingWindows.select($"tile".as("__wt"),
+                  $"__ps", $"__pe")),
+                scanned("tile") === $"__wt" &&
+                  $"date".between($"__ps", $"__pe"))
+              .groupBy($"tile", $"__ps")
+              .agg(countDistinct($"date").as("d"))
+              .agg(max($"d"), sum($"d")).collect())
+            .headOption.filterNot(_.isNullAt(0))
+          for (r <- depthRow) {
+            val maxDepth = r.getLong(0).toInt
+            val totalAgg = 2L * r.getLong(1) * spectral * blocksPerTile *
+              graft.operators.Scale.blockBytes(blockSize)
+            val want = graft.operators.Scale.recommendedHeapBytesForVolume(
+              slots, blockSize, maxDepth, totalAgg, blockBuckets)
+            if (maxDepth > 0 && want > have)
+              System.err.println(
+                f"[cube] sizing advisory: ~$groups%d composite groups, " +
+                  f"stack depth <=$maxDepth%d, block $blockSize%d px over " +
+                  f"$slots%d slots wants ~${want / 1e9}%.1f GB heap " +
+                  f"(Scale.recommendedHeapBytesForVolume); this JVM has " +
+                  f"${have / 1e9}%.1f GB — expect GC thrash or OOM in " +
+                  f"the composite stage. Raise the heap or raise " +
+                  f"blockBuckets (Scale.recommendedBuckets inverts the " +
+                  f"rule for a fixed heap).")
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -213,6 +213,23 @@ object Scale {
           perTaskAggBytes(blockPx, stackDepth, groupsPerTask)).toLong)
   }
 
+  /** [[recommendedHeapBytes]] for a run whose stack depth VARIES across
+    * periods: takes the run's true TOTAL aggregation volume (Σ over
+    * (tile, period) of groups × 2·depth·blockBytes) instead of charging
+    * every group the maximum depth. `maxDepth` still sizes the bounded
+    * agg-buffer term (the in-flight buffers hold the deepest stacks).
+    * Identical to the fixed-depth rule when all periods share one depth.
+    */
+  def recommendedHeapBytesForVolume(cores: Int, blockPx: Int, maxDepth: Int,
+                                    totalAggBytes: Long,
+                                    buckets: Int = 32): Long = {
+    val perTask = (totalAggBytes + buckets - 1) / buckets
+    val concurrent = math.min(cores, buckets)
+    DriverBaseBytes + concurrent *
+      (perSlotFixedBytes(blockPx, maxDepth) + PerSlotSlackBytes +
+        (AggResidentFraction * perTask).toLong)
+  }
+
   /** The inversion of [[recommendedHeapBytes]] for the common cluster
     * case where the executor heap is FIXED and `blockBuckets` is the free
     * variable: the smallest bucket count whose per-task aggregation

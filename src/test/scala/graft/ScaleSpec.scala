@@ -1208,5 +1208,22 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Scale.recommendedBuckets(512, 30, 1L, 64L * 1024 * 1024)
     }
+    // exact-volume variant: identical to the fixed-depth rule when all
+    // periods share one depth...
+    val gpt = (3528L * 4 + 31) / 32
+    assert(Scale.recommendedHeapBytesForVolume(32, 256, 4,
+      Scale.perTaskAggBytes(256, 4, gpt) * 32, 32) ==
+      Scale.recommendedHeapBytes(32, 256, 4, 3528L * 4, 32))
+    // ...and classifies the measured mixed-depth 4×8 rung (Σ depth 32
+    // across 8 (tile, period) pairs, spectral bands 2, 1764 blocks/tile;
+    // completed HEALTHY at 20 GB — 290 s — and mildly degraded at 14 GB
+    // — 306.8 s): the rule must clear the healthy rung within the band
+    // and sit above the degraded one
+    val totalAgg48 = 2L * 32 * 2 * 1764 * Scale.blockBytes(256)
+    val rec48 = Scale.recommendedHeapBytesForVolume(32, 256, 5, totalAgg48, 32)
+    assert(rec48 <= (20L * GB * band).toLong,
+      s"volume rule demands $rec48 for a run that completed at 20 GB")
+    assert(rec48 > 14L * GB,
+      s"volume rule must sit above the degraded 14 GB rung, got $rec48")
   }
 }

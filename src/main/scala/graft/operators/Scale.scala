@@ -144,6 +144,9 @@ object Scale {
   //                                     but 3.2× the 10 GB time: GC thrash)
   //   4×4          882 MB    320 MB     OK  108 s    (10 GB)
   //   4×4          882 MB    384/768 MB OK  106/270 s (12/24 GB)
+  //   4×8 (depths 5+3, Σ32)  640 MB     OK  290 s    (20 GB)
+  //   4×8 (mixed, V≈1.85 GB) 448 MB     OK  307 s    (14 GB — 6% over
+  //                                     the 20 GB time: barely degraded)
   // The fixed-plus-quarter-residency model below classifies every rung;
   // ScaleSpec pins that, with a stated ≤10% conservative band at the
   // marginal 10 GB rung. The recommendation marks HEALTHY completion:

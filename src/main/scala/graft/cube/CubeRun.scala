@@ -380,7 +380,7 @@ object CubeRun {
                   f"stack depth <=$maxDepth%d, block $blockSize%d px over " +
                   f"$slots%d slots wants ~${want / 1e9}%.1f GB heap " +
                   f"(Scale.recommendedHeapBytesForVolume); this JVM has " +
-                  f"${have / 1e9}%.1f GB — expect GC thrash or OOM in " +
+                  f"${have / 1e9}%.1f GB - expect GC thrash or OOM in " +
                   f"the composite stage. Raise the heap or raise " +
                   f"blockBuckets (Scale.recommendedBuckets inverts the " +
                   f"rule for a fixed heap).")

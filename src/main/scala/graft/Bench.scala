@@ -58,13 +58,23 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Previous round's per-query minimums, read from the durable detail
-    * file BEFORE this run overwrites it. Fuels the targeted re-pass: a
-    * query reading far above its prior-round time on identical code is
-    * contention-suspect and earns an extra measurement. Absent/corrupt
-    * file → empty map → no targeted passes (first round, fresh clone).
+  /** Previous round's committed reference: per-query minimums plus the
+    * calibration probes that accompanied them. */
+  private final case class Prior(times: Map[String, Double],
+                                 calib: Option[Double],
+                                 calibMc: Option[Double]) {
+    def isEmpty: Boolean = times.isEmpty
+  }
+
+  /** Previous round's per-query minimums (and calib probes), read from
+    * the durable detail file BEFORE this run overwrites it. The times
+    * fuel the targeted re-pass: a query reading far above its
+    * prior-round time on identical code is contention-suspect and earns
+    * an extra measurement. The calib fields fuel the self-attribution
+    * ratios in the output line. Absent/corrupt file → empty → no
+    * targeted passes, null ratios (first round, fresh clone).
     */
-  private def priorTimes(path: String, sfDir: String): Map[String, Double] =
+  private def priorTimes(path: String, sfDir: String): Prior =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(
@@ -74,16 +84,43 @@ object Bench {
       // inflated and burn the budget on a pointless third sweep
       val sfOk = Option(root.get("sf")).exists(_.asText() == sfDir)
       val qs = root.get("queries")
-      if (qs == null || !sfOk) Map.empty
+      if (qs == null || !sfOk) Prior(Map.empty, None, None)
       else {
         val b = Map.newBuilder[String, Double]
         val it = qs.fieldNames()
         while (it.hasNext) {
           val k = it.next(); b += k -> qs.get(k).asDouble()
         }
-        b.result()
+        def num(field: String): Option[Double] =
+          Option(root.get(field)).map(_.asDouble()).filter(_ > 0)
+        Prior(b.result(), num("calib_secs"), num("calib_mc_secs"))
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch {
+      case scala.util.control.NonFatal(_) => Prior(Map.empty, None, None)
+    }
+
+  /** The attribution arithmetic behind the JSON fields, separated so the
+    * spec can pin it. `sharedPairs` is (priorSecs, currentSecs) per query
+    * both rounds measured; ratios are current-over-prior. code_ratio
+    * normalizes the total by the MULTI-core calib ratio when the prior
+    * carries one (the suite runs N-way, so co-tenant steal shows in the
+    * mc probe), falling back to single-thread; None whenever the prior is
+    * absent — a null in the JSON, never a fabricated 1.0.
+    */
+  private[graft] def attributionRatios(
+      sharedPairs: Seq[(Double, Double)],
+      calib: Double, calibMc: Double,
+      priorCalib: Option[Double], priorCalibMc: Option[Double])
+      : (Option[Double], Option[Double], Option[Double]) = {
+    val priorTotal = sharedPairs.map(_._1).sum
+    val calibRatio = priorCalib.filter(_ => calib > 0).map(calib / _)
+    val calibMcRatio = priorCalibMc.filter(_ => calibMc > 0).map(calibMc / _)
+    val codeRatio =
+      if (priorTotal <= 0) None
+      else calibMcRatio.orElse(calibRatio).map(norm =>
+        (sharedPairs.map(_._2).sum / priorTotal) / math.max(norm, 1e-9))
+    (calibRatio, calibMcRatio, codeRatio)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -214,7 +251,8 @@ object Bench {
     // 1.5-50x inflated instead of stopping at the 48 the fixed order
     // reached. The +0.5s floor keeps sub-second queries from earning a
     // re-pass on absolute noise.
-    val prior = priorTimes(detailPath, sfDir)
+    val priorRef = priorTimes(detailPath, sfDir)
+    val prior = priorRef.times
     var extraPasses = 0
     if (prior.nonEmpty) {
       def best(name: String): Option[Double] =
@@ -277,6 +315,31 @@ object Bench {
     // present for the sweep and cross-round totals need mc-normalization
     // (tools/diff_bench.py prints it) before any code-regression call.
     val stealRatio = if (calib > 0) calibMc / calib else 1.0
+    // Self-attribution vs the committed prior (so a hot window carries
+    // its own evidence in the one line the capture keeps, instead of
+    // needing hand arithmetic over the detail file):
+    //  - calib_ratio:    this window's single-thread probe over the
+    //    prior's — "how much slower is one core of this box than the
+    //    box that set the reference". ~1.0 = comparable window.
+    //  - calib_mc_ratio: same for the multi-core probe — the suite runs
+    //    N-way, so co-tenant steal shows here first (r15 blind spot).
+    //  - code_ratio:     this sweep's total over the prior's total
+    //    (restricted to queries both measured), normalized by the
+    //    multi-core calib ratio (falling back to single-thread if the
+    //    prior predates the mc probe). ~1.0 = the CODE is flat vs the
+    //    committed reference regardless of the window; this is the
+    //    number that arbitrates "regression or stolen box".
+    // All three are null when no committed prior exists for this SF.
+    val sharedPairs = results.collect {
+      case (n, (v, _)) if prior.contains(n) => (prior(n), v)
+    }
+    val (calibRatio, calibMcRatio, codeRatio) = attributionRatios(
+      sharedPairs, calib, calibMc, priorRef.calib, priorRef.calibMc)
+    def jnum(o: Option[Double]): String =
+      o.map(v => f"$v%.3f").getOrElse("null")
+    val attribution = s""""calib_ratio":${jnum(calibRatio)},""" +
+      s""""calib_mc_ratio":${jnum(calibMcRatio)},""" +
+      s""""code_ratio":${jnum(codeRatio)}"""
     // the gate's ">=2 passes for every query" guarantee, in-band: the
     // MINIMUM count of SUCCESSFUL passes across the suite (2 = every
     // reported minimum really is a min-of-2+ measurements; a query that
@@ -287,7 +350,7 @@ object Bench {
       sweeps.flatMap(_.get(name)).count(_._2)
     }.minOption.getOrElse(0)
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,"scratch_dir":"$scratchDir","min_passes":$minPassesRun,"extra_passes":$extraPasses,"passes_run":$passCounts,"budget_skipped":$truncated}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${jq(sfDir)}","passes":$passes,"method":"min-of-$passes%d-sweeps","calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,$attribution,"scratch_dir":"$scratchDir","min_passes":$minPassesRun,"extra_passes":$extraPasses,"passes_run":$passCounts,"budget_skipped":$truncated}"""
     println(fullJson)
     // Durable copy: the driver's BENCH_r*.json capture keeps only a
     // 2000-char stdout tail, so per-query times beyond worst5 are lost
@@ -337,7 +400,7 @@ object Bench {
     val noise =
       if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     println(
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,"min_passes":$minPassesRun,"extra_passes":$extraPasses,"scratch_dir":"$scratchDir","worst5":$worst5}""")
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,$attribution,"min_passes":$minPassesRun,"extra_passes":$extraPasses,"scratch_dir":"$scratchDir","worst5":$worst5}""")
     spark.stop()
   }
 }

@@ -323,37 +323,73 @@ object CubeRun {
     // whole-window count would overestimate a 23-period year backfill
     // ~23×, firing the advisory on every healthy run. Estimates err
     // simple; the advisory never fails the run.
-    try {
+    // Single-JVM assumption, explicit: the advisory compares the task
+    // slots against THIS JVM's max heap, which is only the executor heap
+    // on a local[N] master. On a multi-executor cluster the driver's
+    // Runtime.maxMemory says nothing about executor heaps (and
+    // defaultParallelism is cluster-wide), so the check could misfire in
+    // either direction — gate on a local master and stay silent
+    // elsewhere (the Scale.recommendedHeapBytes rule itself is
+    // deployment-agnostic: a cluster operator applies it per executor as
+    // slots-per-executor x the same per-slot demand).
+    if (spark.sparkContext.isLocal) try {
       val have = Runtime.getRuntime.maxMemory()
       val slots = spark.sparkContext.defaultParallelism
       val sceneFs = new org.apache.hadoop.fs.Path(sceneDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val firstDims = {
+      // Max dims over the first <=16 decodable headers, not the first
+      // one: a mixed-platform scene dir (10 m Sentinel + 30 m Landsat in
+      // one run — the reference's combined-collections case) must size
+      // for its LARGEST tile geometry, and the first listed file is
+      // arbitrary. Still bounded: <=16 header parses, a few KB each,
+      // zero Spark jobs. Max taken on the block-count axis (what the
+      // volume estimate consumes), dims kept for the (w, h) pair.
+      val probedDims = {
         val it = sceneFs.listFiles(
           new org.apache.hadoop.fs.Path(sceneDir), true)
-        var dims = Option.empty[(Int, Int)]
+        var best = Option.empty[(Int, Int)]
+        def blocks(d: (Int, Int)): Long =
+          ((d._1 + blockSize - 1) / blockSize).toLong *
+            ((d._2 + blockSize - 1) / blockSize)
         var seen = 0
-        while (dims.isEmpty && seen < 16 && it.hasNext) {
+        while (seen < 16 && it.hasNext) {
           val f = it.next()
           seen += 1
-          if (f.isFile) dims = RasterIO.sceneDims(f.getPath.toString)
+          if (f.isFile)
+            for (d <- RasterIO.sceneDims(f.getPath.toString))
+              if (best.forall(b => blocks(d) > blocks(b))) best = Some(d)
         }
-        dims
+        best
       }
-      for ((w, h) <- firstDims) {
+      for ((w, h) <- probedDims) {
         val blocksPerTile =
           ((w + blockSize - 1) / blockSize).toLong *
             ((h + blockSize - 1) / blockSize)
-        // spectral bands only: a composite group is one (spectral band,
-        // block, period, tile) and its buffer already carries QA as the
-        // 2× in 2·depth·blockBytes — counting the quality band again
-        // would overstate the volume by bands/(bands-1)
+        // PHYSICAL composite bands only: a composite group is one
+        // (spectral band, block, period, tile) and its buffer already
+        // carries QA as the 2× in 2·depth·blockBytes — counting the
+        // quality band again would overstate by bands/(bands-1), and
+        // expression (index) bands and the mask's saturated band never
+        // form composite groups either (CubeBuilder filters both out of
+        // its `spectral` slice: indices derive AFTER compositing,
+        // radsat rides the QA pairing) — counting them would fire
+        // false-positive advisories on index-heavy collections
         val spectral = math.max(1,
-          collection.bands.count(_.name != collection.qualityBand))
+          collection.bands.count(b => b.expression.isEmpty &&
+            b.name != collection.qualityBand &&
+            b.name != mask.saturatedBand))
         val groups = pendingPairs.size.toLong * spectral * blocksPerTile
         def rec(depth: Int) = graft.operators.Scale.recommendedHeapBytes(
           slots, blockSize, depth, groups, blockBuckets)
         if (rec(64) > have) {
+          // Loud marker BEFORE the depth job: healthy-sized runs (and
+          // the bench path) must short-circuit at the rec(64) gate
+          // above — this line in a log is the proof the gate did NOT
+          // short-circuit, so "did the advisory cost a Spark job" is
+          // answerable from the log alone.
+          System.err.println(
+            "[cube] sizing probe: depth-64 upper bound exceeds this " +
+              "JVM's heap; measuring real stack depth (one metadata job)")
           // per-(tile, period) depths: max sizes the in-flight buffers,
           // the SUM gives the run's true aggregation volume (periods
           // rarely share one depth — charging max-depth to every group
@@ -379,8 +415,9 @@ object CubeRun {
                 f"[cube] sizing advisory: ~$groups%d composite groups, " +
                   f"stack depth <=$maxDepth%d, block $blockSize%d px over " +
                   f"$slots%d slots wants ~${want / 1e9}%.1f GB heap " +
-                  f"(Scale.recommendedHeapBytesForVolume); this JVM has " +
-                  f"${have / 1e9}%.1f GB - expect GC thrash or OOM in " +
+                  f"(Scale.recommendedHeapBytesForVolume); this " +
+                  f"single-JVM local master has ${have / 1e9}%.1f GB - " +
+                  f"expect GC thrash or OOM in " +
                   f"the composite stage. Raise the heap or raise " +
                   f"blockBuckets (Scale.recommendedBuckets inverts the " +
                   f"rule for a fixed heap).")

@@ -75,7 +75,11 @@ object Repair {
 
   /** Both partitioned block tables a (tile, period) unit owns — a torn
     * or missing partition in EITHER fails the unit's read-back, so both
-    * are probed and both are deleted on repair.
+    * are probed and both are deleted on repair. Vanished-partition
+    * detection differs by table: blocks dirs are cross-checked against
+    * the items catalog; index dirs against blocks presence (witnessed by
+    * any surviving index partition — see [[tornRepairPlan]] for the
+    * whole-table-vanish residual).
     */
   private val BlockTables = Seq("blocks", "index_blocks")
 
@@ -111,14 +115,17 @@ object Repair {
 
   /** One row per (tileId, p_start) block partition:
     * (tile_id, p_start, n_files, dir_bytes, n_torn, action). Probes both
-    * `blocks/` and `index_blocks/`, and cross-checks the ITEMS catalog:
-    * a published item whose blocks partition has vanished entirely
-    * (out-of-band delete, or an r17-era crash window) plans as torn too —
-    * without the cross-check a fully-deleted dir is invisible to the
-    * directory walk and the cube would serve that item forever. The
-    * items table is the right witness: an item is minted only from
-    * existing blocks, while an EMPTY period ledgers SUCCESS with no
-    * blocks dir and no item — so empty periods are never false-flagged.
+    * `blocks/` and `index_blocks/`, and runs two vanished-partition
+    * cross-checks (a fully-deleted dir is invisible to the directory
+    * walk alone): (1) the ITEMS catalog — a published item whose blocks
+    * partition vanished entirely (out-of-band delete, or an r17-era
+    * crash window) plans as torn; an item is minted only from existing
+    * blocks, while an EMPTY period ledgers SUCCESS with no blocks dir
+    * and no item, so empty periods never false-flag; (2) blocks-vs-index
+    * presence — a blocks partition whose index twin vanished plans as
+    * torn whenever any surviving index partition witnesses that the
+    * collection has index bands (the one residual blind spot is the
+    * WHOLE index table vanishing — see the inline note).
     */
   def tornRepairPlan(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
@@ -127,12 +134,33 @@ object Repair {
       .getFileSystem(hconf)
     val blockRows =
       probeTable(fs, new org.apache.hadoop.fs.Path(s"$outDir/blocks"))
-    val fileRows = blockRows ++ BlockTables.drop(1).flatMap(t =>
+    val indexRows = BlockTables.drop(1).flatMap(t =>
       probeTable(fs, new org.apache.hadoop.fs.Path(s"$outDir/$t")))
+    val fileRows = blockRows ++ indexRows
     // presence means "has a blocks dir" specifically: index partitions
     // are optional, so a surviving index dir must not mask a vanished
     // blocks dir
     val present = blockRows.map(r => (r._1, r._2)).toSet
+    // Vanished INDEX partitions: index_blocks is written for every unit
+    // that got blocks (CubeRun publishes both in one pass whenever the
+    // collection has expression bands), so any surviving index partition
+    // witnesses that this cube HAS index bands — and then every blocks
+    // partition must have its index twin. A blocks-present/index-absent
+    // pair plans as torn (the publication read-back would fail on it the
+    // same way). Idempotent across applies for free: the repair deletes
+    // BOTH dirs, so a repaired unit leaves `present` too. Residual blind
+    // spot, by construction: if the index_blocks table vanished IN ITS
+    // ENTIRETY there is no witness left — the directory state is
+    // indistinguishable from a collection with no index bands (the items
+    // catalog can't arbitrate either: items carry no per-band assets).
+    // That case needs the collection definition, which the repair tool
+    // deliberately doesn't take; a full-table loss is a restore-from-
+    // backup event, not a partition repair.
+    val indexPresent = indexRows.map(r => (r._1, r._2)).toSet
+    val missingIndex =
+      if (indexRows.isEmpty) Seq.empty[(String, String, Long, Long)]
+      else (present -- indexPresent).toSeq.sorted
+        .map { case (t, p) => (t, p, 0L, 1L) }
     // catalog-bounded: one row per published item / ledger unit. Only
     // SUCCESS-ledgered pairs flag as missing: after a repair their units
     // are ERROR (already pending — the next run republishes), so a
@@ -153,7 +181,8 @@ object Repair {
           .map { case (t, p) => (t, p, 0L, 1L) }.toSeq
     }
     planFromFileStats(
-      (fileRows ++ missing).toDF("tile_id", "p_start", "bytes", "torn"),
+      (fileRows ++ missingIndex ++ missing)
+        .toDF("tile_id", "p_start", "bytes", "torn"),
       Seq("tile_id", "p_start"))
       .orderBy($"tile_id", $"p_start")
   }
@@ -184,10 +213,23 @@ object Repair {
     // torn dir and deletes it.
     val ledgerPath = s"$outDir/ledger"
     Ledger.readCurrent(spark, ledgerPath).foreach { led =>
-      val keys = torn.map { case (t, p) => s"$t|$p" }.toSeq
-      val updated = led.withColumn("status",
-        when(concat_ws("|", col("tile_id"), col("p_start")).isin(keys: _*),
-          lit(Ledger.StatusError)).otherwise(col("status")))
+      import spark.implicits._
+      // broadcast join on a keys DataFrame, not isin over literals: a
+      // disaster-recovery repair of thousands of units would otherwise
+      // build a thousands-literal predicate (quadratic to analyze, and
+      // a degenerate codegen shape). The plan rows are distinct by
+      // construction (tornRepairPlan groups by the pair), so the left
+      // join cannot duplicate ledger rows.
+      val keysDf = torn.toSeq.toDF("__rt", "__rp")
+      val updated = led
+        .join(broadcast(keysDf),
+          led("tile_id") === col("__rt") &&
+            led("p_start").cast("string") === col("__rp"),
+          "left")
+        .withColumn("status",
+          when(col("__rt").isNotNull, lit(Ledger.StatusError))
+            .otherwise(col("status")))
+        .drop("__rt", "__rp")
       Ledger.commitVersion(spark, ledgerPath, updated)
     }
     val fs = new org.apache.hadoop.fs.Path(s"$outDir/blocks")

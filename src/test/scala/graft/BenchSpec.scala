@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's self-attribution arithmetic (r19): the JSON line must
+  * let the gate separate "code regressed" from "box was stolen" without
+  * hand arithmetic over the detail file. Pure function, no Spark.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def ratios(pairs: Seq[(Double, Double)], calib: Double,
+                     calibMc: Double, pCalib: Option[Double],
+                     pMc: Option[Double]) =
+    Bench.attributionRatios(pairs, calib, calibMc, pCalib, pMc)
+
+  test("a hot window reads as calib inflation with a flat code_ratio") {
+    // box 1.4x slower on both probes, every query 1.4x its prior: the
+    // code is flat and the fields say so
+    val pairs = Seq((1.0, 1.4), (2.0, 2.8), (0.5, 0.7))
+    val (st, mc, code) = ratios(pairs, calib = 0.35, calibMc = 0.56,
+      pCalib = Some(0.25), pMc = Some(0.40))
+    assert(st.exists(r => math.abs(r - 1.4) < 1e-9))
+    assert(mc.exists(r => math.abs(r - 1.4) < 1e-9))
+    assert(code.exists(r => math.abs(r - 1.0) < 1e-9))
+  }
+
+  test("a genuine regression survives calib normalization") {
+    // quiet box (probes flat), queries 2x: code_ratio reads the 2x
+    val pairs = Seq((1.0, 2.0), (3.0, 6.0))
+    val (_, _, code) = ratios(pairs, 0.25, 0.40, Some(0.25), Some(0.40))
+    assert(code.exists(r => math.abs(r - 2.0) < 1e-9))
+  }
+
+  test("normalization prefers the multi-core probe, falls back to " +
+       "single-thread when the prior predates it") {
+    val pairs = Seq((10.0, 10.0))
+    // mc probe says 2x steal, st probe flat: the N-way suite tracks mc
+    val (_, _, viaMc) = ratios(pairs, 0.25, 0.80, Some(0.25), Some(0.40))
+    assert(viaMc.exists(r => math.abs(r - 0.5) < 1e-9))
+    // no prior mc: fall back to st
+    val (_, mcNone, viaSt) = ratios(pairs, 0.50, 0.80, Some(0.25), None)
+    assert(mcNone.isEmpty)
+    assert(viaSt.exists(r => math.abs(r - 0.5) < 1e-9))
+  }
+
+  test("no committed prior -> every ratio is None (null in JSON), " +
+       "never a fabricated 1.0") {
+    val (st, mc, code) = ratios(Seq.empty, 0.25, 0.40, None, None)
+    assert(st.isEmpty && mc.isEmpty && code.isEmpty)
+    // prior calib present but zero shared queries (fresh SF): ratios for
+    // the probes still print, code_ratio stays null
+    val (st2, _, code2) =
+      ratios(Seq.empty, 0.25, 0.40, Some(0.25), Some(0.40))
+    assert(st2.nonEmpty && code2.isEmpty)
+  }
+}

@@ -90,7 +90,8 @@ class RepairCubeSpec extends SparkSpec {
       RepairCube.Summary(1, 0, 0))
   }
 
-  private def buildCube(prefix: String): (String, () => graft.cube.CubeRun.RunResult) = {
+  private def buildCube(prefix: String, c: Collection = coll)
+      : (String, () => graft.cube.CubeRun.RunResult) = {
     val sceneDir = java.nio.file.Files.createTempDirectory(s"${prefix}_scenes")
     val outDir = java.nio.file.Files.createTempDirectory(s"${prefix}_out").toString
     val w = 32; val h = 32
@@ -105,7 +106,7 @@ class RepairCubeSpec extends SparkSpec {
       java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"),
         bytes)
     }
-    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+    def go() = CubeRun.run(spark, c, mask, sceneDir.toString, outDir, "t9",
       java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
       blockSize = 32)
     go(): Unit
@@ -177,31 +178,76 @@ class RepairCubeSpec extends SparkSpec {
   }
 
   test("a torn INDEX partition condemns its unit and both table dirs " +
-       "are repaired") {
+       "are repaired; its presence witnesses index bands for the twin check") {
     val (outDir, go) = buildCube("idx")
-    val p1 = periodDirs(outDir).head.getFileName.toString
-      .stripPrefix("p_start=")
-    // manufacture a torn index partition for the healthy-blocks period
+    val Seq(p1, p2) = periodDirs(outDir)
+      .map(_.getFileName.toString.stripPrefix("p_start=")).toSeq
+    // manufacture a torn index partition for the first period
     val idxDir = java.nio.file.Paths.get(outDir, "index_blocks",
       "tileId=t9", s"p_start=$p1")
     java.nio.file.Files.createDirectories(idxDir)
     java.nio.file.Files.write(idxDir.resolve("part-torn.parquet"),
       ("PAR1" + "x" * 64).getBytes("ASCII")) // head magic, no tail
 
+    // p1 flags on the torn file; and because ANY index partition
+    // witnesses "this cube has index bands", p2's missing index twin
+    // flags too (blocks-vs-index cross-check)
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    assert(RepairCube.run(spark, outDir, doApply = false, lines += _) ==
+      RepairCube.Summary(2, 2, 0))
+    assert(lines.exists(l => l.contains(p1) && l.contains("delete_and_retry")))
+    assert(lines.exists(l => l.contains(p2) && l.contains("delete_and_retry")))
+
+    assert(RepairCube.run(spark, outDir, doApply = true, _ => ()).repaired == 2)
+    assert(!java.nio.file.Files.exists(idxDir), "index dir must be deleted")
+    for (p <- Seq(p1, p2))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(outDir, "blocks", "tileId=t9",
+          s"p_start=$p")), s"blocks dir for $p must be deleted with it")
+
+    // rebuild restores both units; no index bands in this collection, so
+    // the plan settles back to two healthy block partitions
+    assert(go().planned == 6)
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 0, 0))
+  }
+
+  test("a VANISHED index partition (blocks intact) is caught by the " +
+       "blocks-vs-index cross-check and the unit rebuilds") {
+    // a collection WITH an index band, so index_blocks really publishes
+    val collIdx = coll.copy(bands = coll.bands :+
+      Band("NDVI", "ndvi", "int16", nodata,
+        expression = "10000.*((B8A-B04)/(B8A+B04))"))
+    val (outDir, go) = buildCube("vidx", collIdx)
+    assert(periodDirs(outDir, "index_blocks").length == 2,
+      "fixture: both periods must have index partitions")
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 0, 0), "fixture must start healthy")
+
+    // delete one WHOLE index partition out-of-band: invisible to the
+    // directory walk of index_blocks itself, and the items catalog can't
+    // see it either (items witness blocks, not index assets) — only the
+    // blocks-vs-index presence check catches it
+    val gone = periodDirs(outDir, "index_blocks").head
+    val goneP = gone.getFileName.toString.stripPrefix("p_start=")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toList.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    rmTree(gone)
+
     val lines = collection.mutable.ArrayBuffer.empty[String]
     assert(RepairCube.run(spark, outDir, doApply = false, lines += _) ==
       RepairCube.Summary(2, 1, 0))
-    assert(lines.exists(l => l.contains(p1) && l.contains("delete_and_retry")))
+    assert(lines.exists(l => l.contains(goneP) && l.contains("delete_and_retry")))
 
     assert(RepairCube.run(spark, outDir, doApply = true, _ => ()).repaired == 1)
-    assert(!java.nio.file.Files.exists(idxDir), "index dir must be deleted")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(outDir, "blocks", "tileId=t9",
-        s"p_start=$p1")), "blocks dir must be deleted with it")
-
-    // rebuild restores the unit; no index bands in this collection, so
-    // the plan settles back to two healthy block partitions
+    // rebuild restores the unit with BOTH tables; plan settles healthy
     assert(go().planned == 3)
+    assert(periodDirs(outDir, "index_blocks").length == 2)
     assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
       RepairCube.Summary(2, 0, 0))
   }

@@ -62,9 +62,7 @@ object Bench {
     * calibration probes that accompanied them. */
   private final case class Prior(times: Map[String, Double],
                                  calib: Option[Double],
-                                 calibMc: Option[Double]) {
-    def isEmpty: Boolean = times.isEmpty
-  }
+                                 calibMc: Option[Double])
 
   /** Previous round's per-query minimums (and calib probes), read from
     * the durable detail file BEFORE this run overwrites it. The times

@@ -136,6 +136,34 @@ object CubeRun {
   /** `tileSpec`: Left(tileId) assigns every scanned file to one tile;
     * Right(pattern) extracts each file's tile from its name.
     */
+  /** Scene-geometry probe for the sizing advisory: max dims over the
+    * first <=16 decodable TIFF headers, not the first one — a
+    * mixed-platform scene dir (10 m Sentinel + 30 m Landsat in one run,
+    * the reference's combined-collections case) must size for its
+    * LARGEST tile geometry, and the first listed file is arbitrary.
+    * Still bounded: <=16 header parses, a few KB touched each, zero
+    * Spark jobs. Max taken on the block-count axis (what the volume
+    * estimate consumes); the winning (w, h) pair is returned.
+    */
+  private[graft] def probeMaxDims(fs: org.apache.hadoop.fs.FileSystem,
+                                  sceneDir: String,
+                                  blockSize: Int): Option[(Int, Int)] = {
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(sceneDir), true)
+    var best = Option.empty[(Int, Int)]
+    def blocks(d: (Int, Int)): Long =
+      ((d._1 + blockSize - 1) / blockSize).toLong *
+        ((d._2 + blockSize - 1) / blockSize)
+    var seen = 0
+    while (seen < 16 && it.hasNext) {
+      val f = it.next()
+      seen += 1
+      if (f.isFile)
+        for (d <- RasterIO.sceneDims(f.getPath.toString))
+          if (best.forall(b => blocks(d) > blocks(b))) best = Some(d)
+    }
+    best
+  }
+
   private def runImpl(callerSession: SparkSession,
           collection: Collection,
           mask: MaskDef,
@@ -337,31 +365,7 @@ object CubeRun {
       val slots = spark.sparkContext.defaultParallelism
       val sceneFs = new org.apache.hadoop.fs.Path(sceneDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      // Max dims over the first <=16 decodable headers, not the first
-      // one: a mixed-platform scene dir (10 m Sentinel + 30 m Landsat in
-      // one run — the reference's combined-collections case) must size
-      // for its LARGEST tile geometry, and the first listed file is
-      // arbitrary. Still bounded: <=16 header parses, a few KB each,
-      // zero Spark jobs. Max taken on the block-count axis (what the
-      // volume estimate consumes), dims kept for the (w, h) pair.
-      val probedDims = {
-        val it = sceneFs.listFiles(
-          new org.apache.hadoop.fs.Path(sceneDir), true)
-        var best = Option.empty[(Int, Int)]
-        def blocks(d: (Int, Int)): Long =
-          ((d._1 + blockSize - 1) / blockSize).toLong *
-            ((d._2 + blockSize - 1) / blockSize)
-        var seen = 0
-        while (seen < 16 && it.hasNext) {
-          val f = it.next()
-          seen += 1
-          if (f.isFile)
-            for (d <- RasterIO.sceneDims(f.getPath.toString))
-              if (best.forall(b => blocks(d) > blocks(b))) best = Some(d)
-        }
-        best
-      }
-      for ((w, h) <- probedDims) {
+      for ((w, h) <- probeMaxDims(sceneFs, sceneDir, blockSize)) {
         val blocksPerTile =
           ((w + blockSize - 1) / blockSize).toLong *
             ((h + blockSize - 1) / blockSize)

@@ -680,4 +680,23 @@ class CubeRunSpec extends SparkSpec {
     assert(graft.cube.Repair.applyTornRepair(spark, outDir) == 0L)
     assert(go().planned == 0)
   }
+
+  test("probeMaxDims sizes the advisory for the LARGEST geometry in a " +
+       "mixed-platform scene dir; garbage never aborts; empty dir -> None") {
+    import graft.sources.GeoTiff
+    val dir = java.nio.file.Files.createTempDirectory("mixdims")
+    def put(name: String, w: Int, h: Int): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        GeoTiff.write(Array.fill(w * h)(1), w, h, tileSize = 32)): Unit
+    put("S_T1_20200101_B04.tif", 32, 32)   // the "Landsat" small tile
+    put("S_T2_20200101_B04.tif", 96, 64)   // largest block count, not first
+    put("S_T3_20200101_B04.tif", 64, 64)
+    java.nio.file.Files.write(dir.resolve("junk.tif"),
+      "not a tiff".getBytes("ASCII")): Unit
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(CubeRun.probeMaxDims(fs, dir.toString, 32).contains((96, 64)))
+    val empty = java.nio.file.Files.createTempDirectory("mixdims_empty")
+    assert(CubeRun.probeMaxDims(fs, empty.toString, 32).isEmpty)
+  }
 }

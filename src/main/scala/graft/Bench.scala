@@ -97,6 +97,25 @@ object Bench {
       case scala.util.control.NonFatal(_) => Prior(Map.empty, None, None)
     }
 
+  /** Where the ATTRIBUTION prior (calib fields + per-query floor) comes
+    * from: always the committed official detail file. A subset
+    * (BENCH_ONLY) run reads/writes `bench_detail_subset.json` for its
+    * re-pass prior — solo-to-solo comparable, and the official file
+    * must survive dev loops — but that file's calib is whatever window
+    * the LAST dev probe ran on, so a calib_ratio against it reads
+    * ~1.0 on a stolen box that was equally stolen ten minutes ago
+    * (observed r19: a 0.500-calib probe run made the next run's 0.406
+    * window read 0.812 "faster than reference"). The reference the
+    * ratios are FOR is the committed quiet window; point at it
+    * unconditionally. */
+  private[graft] def attributionPriorPath(detailPath: String): String =
+    // a deliberately-redirected OFFICIAL run (SPARK_GRAFT_BENCH_DETAIL
+    // pointing at a bench_detail.json copy) keeps its own reference;
+    // anything else (subset files, ad-hoc dev paths) attributes against
+    // the committed file in the working directory
+    if (new java.io.File(detailPath).getName == "bench_detail.json") detailPath
+    else "bench_detail.json"
+
   /** The attribution arithmetic behind the JSON fields, separated so the
     * spec can pin it. `sharedPairs` is (priorSecs, currentSecs) per query
     * both rounds measured; ratios are current-over-prior. code_ratio
@@ -251,6 +270,11 @@ object Bench {
     // re-pass on absolute noise.
     val priorRef = priorTimes(detailPath, sfDir)
     val prior = priorRef.times
+    // Attribution reference: the committed official file, even when the
+    // re-pass prior above is a subset/dev file (see attributionPriorPath)
+    val attrPath = attributionPriorPath(detailPath)
+    val attrRef = if (attrPath == detailPath) priorRef
+                  else priorTimes(attrPath, sfDir)
     var extraPasses = 0
     if (prior.nonEmpty) {
       def best(name: String): Option[Double] =
@@ -329,10 +353,10 @@ object Bench {
     //    number that arbitrates "regression or stolen box".
     // All three are null when no committed prior exists for this SF.
     val sharedPairs = results.collect {
-      case (n, (v, _)) if prior.contains(n) => (prior(n), v)
+      case (n, (v, _)) if attrRef.times.contains(n) => (attrRef.times(n), v)
     }
     val (calibRatio, calibMcRatio, codeRatio) = attributionRatios(
-      sharedPairs, calib, calibMc, priorRef.calib, priorRef.calibMc)
+      sharedPairs, calib, calibMc, attrRef.calib, attrRef.calibMc)
     def jnum(o: Option[Double]): String =
       o.map(v => f"$v%.3f").getOrElse("null")
     val attribution = s""""calib_ratio":${jnum(calibRatio)},""" +

@@ -43,6 +43,22 @@ class BenchSpec extends AnyFunSuite {
     assert(viaSt.exists(r => math.abs(r - 0.5) < 1e-9))
   }
 
+  test("attribution prior always resolves to the committed official " +
+       "file; only an official-named redirect keeps its own path") {
+    // subset + ad-hoc dev paths attribute against the committed file:
+    // their own calib is whatever window the last dev probe ran on
+    assert(Bench.attributionPriorPath("bench_detail_subset.json")
+      == "bench_detail.json")
+    assert(Bench.attributionPriorPath("/tmp/solo_e2e_detail.json")
+      == "bench_detail.json")
+    // the official file (including a deliberate redirect to a copy of
+    // it) is its own reference
+    assert(Bench.attributionPriorPath("bench_detail.json")
+      == "bench_detail.json")
+    assert(Bench.attributionPriorPath("/tmp/copy/bench_detail.json")
+      == "/tmp/copy/bench_detail.json")
+  }
+
   test("no committed prior -> every ratio is None (null in JSON), " +
        "never a fabricated 1.0") {
     val (st, mc, code) = ratios(Seq.empty, 0.25, 0.40, None, None)

@@ -125,7 +125,10 @@ object Repair {
     * presence — a blocks partition whose index twin vanished plans as
     * torn whenever any surviving index partition witnesses that the
     * collection has index bands (the one residual blind spot is the
-    * WHOLE index table vanishing — see the inline note).
+    * WHOLE index table vanishing — see the inline note); (3) the mirror,
+    * index-vs-blocks — an orphan index partition whose blocks twin
+    * vanished plans as torn even when the item row is also lost (the
+    * double-loss the items check can't see).
     */
   def tornRepairPlan(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
@@ -161,6 +164,18 @@ object Repair {
       if (indexRows.isEmpty) Seq.empty[(String, String, Long, Long)]
       else (present -- indexPresent).toSeq.sorted
         .map { case (t, p) => (t, p, 0L, 1L) }
+    // The mirror: an index partition whose BLOCKS twin vanished. Blocks
+    // write BEFORE index in the publication pass (CubeRun reads the
+    // blocks partitions back off disk to derive indexDf), so
+    // index-present/blocks-absent can never arise from a crash — it is
+    // always an out-of-band loss, and unlike the items cross-check it
+    // needs no surviving witness row: a DOUBLE loss (blocks dir + item
+    // row) that the items check can't see still leaves the orphan index
+    // partition as evidence. Without this flag such a unit stays
+    // SUCCESS-ledgered forever: no item to serve, no pending unit to
+    // rebuild, an orphan index dir pinning the loss invisibly.
+    val orphanIndex = (indexPresent -- present).toSeq.sorted
+      .map { case (t, p) => (t, p, 0L, 1L) }
     // catalog-bounded: one row per published item / ledger unit. Only
     // SUCCESS-ledgered pairs flag as missing: after a repair their units
     // are ERROR (already pending — the next run republishes), so a
@@ -181,7 +196,7 @@ object Repair {
           .map { case (t, p) => (t, p, 0L, 1L) }.toSeq
     }
     planFromFileStats(
-      (fileRows ++ missingIndex ++ missing)
+      (fileRows ++ missingIndex ++ orphanIndex ++ missing)
         .toDF("tile_id", "p_start", "bytes", "torn"),
       Seq("tile_id", "p_start"))
       .orderBy($"tile_id", $"p_start")

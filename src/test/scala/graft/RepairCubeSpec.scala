@@ -252,6 +252,49 @@ class RepairCubeSpec extends SparkSpec {
       RepairCube.Summary(2, 0, 0))
   }
 
+  test("a DOUBLE loss (blocks partition + item row) is caught by the " +
+       "orphan-index mirror check and the unit rebuilds") {
+    // the items cross-check needs a surviving item row; here both the
+    // blocks dir AND the item vanish out-of-band, so only the orphan
+    // index partition is left as evidence
+    val collIdx = coll.copy(bands = coll.bands :+
+      Band("NDVI", "ndvi", "int16", nodata,
+        expression = "10000.*((B8A-B04)/(B8A+B04))"))
+    val (outDir, go) = buildCube("dloss", collIdx)
+    import spark.implicits._
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 0, 0), "fixture must start healthy")
+
+    val gone = periodDirs(outDir).head
+    val goneP = gone.getFileName.toString.stripPrefix("p_start=")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toList.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    rmTree(gone)
+    val itemsPath = s"$outDir/items"
+    val items = graft.catalog.Ledger.readCurrent(spark, itemsPath).get
+    graft.catalog.Ledger.commitVersion(spark, itemsPath,
+      items.filter($"start_date" =!= goneP))
+
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    assert(RepairCube.run(spark, outDir, doApply = false, lines += _) ==
+      RepairCube.Summary(2, 1, 0))
+    assert(lines.exists(l => l.contains(goneP) && l.contains("delete_and_retry")))
+
+    // apply downgrades the ledger and sweeps the orphan index dir;
+    // the rebuild then restores the unit end-to-end
+    assert(RepairCube.run(spark, outDir, doApply = true, _ => ()).repaired == 1)
+    assert(go().planned == 3)
+    assert(periodDirs(outDir).length == 2)
+    assert(periodDirs(outDir, "index_blocks").length == 2)
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 0, 0))
+  }
+
   test("a path that is not a cube outDir is rejected, not reported healthy") {
     val notACube = java.nio.file.Files.createTempDirectory("not_a_cube")
     intercept[IllegalArgumentException] {

@@ -137,11 +137,15 @@ object CubeRun {
     * Right(pattern) extracts each file's tile from its name.
     */
   /** Scene-geometry probe for the sizing advisory: max dims over the
-    * first <=16 decodable TIFF headers, not the first one — a
+    * first <=16 DECODABLE TIFF headers, not the first one — a
     * mixed-platform scene dir (10 m Sentinel + 30 m Landsat in one run,
     * the reference's combined-collections case) must size for its
     * LARGEST tile geometry, and the first listed file is arbitrary.
-    * Still bounded: <=16 header parses, a few KB touched each, zero
+    * The budget counts decodable headers, not listed files: real scene
+    * bundles lead with sidecars (MTL.xml, ANG.txt, manifests,
+    * quicklooks) and a files-counted budget could starve on 16 sidecars
+    * before reaching the first raster. Still bounded: <=16 header
+    * parses (a few KB touched each) within <=256 listed files, zero
     * Spark jobs. Max taken on the block-count axis (what the volume
     * estimate consumes); the winning (w, h) pair is returned.
     */
@@ -153,13 +157,16 @@ object CubeRun {
     def blocks(d: (Int, Int)): Long =
       ((d._1 + blockSize - 1) / blockSize).toLong *
         ((d._2 + blockSize - 1) / blockSize)
-    var seen = 0
-    while (seen < 16 && it.hasNext) {
+    var decoded = 0
+    var listed = 0
+    while (decoded < 16 && listed < 256 && it.hasNext) {
       val f = it.next()
-      seen += 1
+      listed += 1
       if (f.isFile)
-        for (d <- RasterIO.sceneDims(f.getPath.toString))
+        for (d <- RasterIO.sceneDims(f.getPath.toString)) {
+          decoded += 1
           if (best.forall(b => blocks(d) > blocks(b))) best = Some(d)
+        }
     }
     best
   }

@@ -693,6 +693,13 @@ class CubeRunSpec extends SparkSpec {
     put("S_T3_20200101_B04.tif", 64, 64)
     java.nio.file.Files.write(dir.resolve("junk.tif"),
       "not a tiff".getBytes("ASCII")): Unit
+    // real scene bundles lead with sidecars: the <=16 budget must count
+    // DECODABLE headers, not listed files, or 20 sidecars sorting ahead
+    // of the rasters would starve the probe (listFiles walks in listing
+    // order; "A_..." names sort before "S_...")
+    for (i <- 0 until 20)
+      java.nio.file.Files.write(dir.resolve(f"A_sidecar_$i%02d.xml"),
+        "<mtl/>".getBytes("ASCII")): Unit
     val fs = new org.apache.hadoop.fs.Path(dir.toString)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(CubeRun.probeMaxDims(fs, dir.toString, 32).contains((96, 64)))

@@ -108,13 +108,17 @@ object Bench {
     * window read 0.812 "faster than reference"). The reference the
     * ratios are FOR is the committed quiet window; point at it
     * unconditionally. */
-  private[graft] def attributionPriorPath(detailPath: String): String =
+  private[graft] def attributionPriorPath(
+      detailPath: String,
+      env: Map[String, String] = sys.env): String =
     // a deliberately-redirected OFFICIAL run (SPARK_GRAFT_BENCH_DETAIL
     // pointing at a bench_detail.json copy) keeps its own reference;
     // anything else (subset files, ad-hoc dev paths) attributes against
-    // the committed file in the working directory
+    // the committed file — SPARK_GRAFT_ATTR_PRIOR overrides for a
+    // process whose cwd is not the repo root (the cwd-relative default
+    // only resolves under sbt, which forks from the checkout root)
     if (new java.io.File(detailPath).getName == "bench_detail.json") detailPath
-    else "bench_detail.json"
+    else env.getOrElse("SPARK_GRAFT_ATTR_PRIOR", "bench_detail.json")
 
   /** The attribution arithmetic behind the JSON fields, separated so the
     * spec can pin it. `sharedPairs` is (priorSecs, currentSecs) per query
@@ -275,6 +279,12 @@ object Bench {
     val attrPath = attributionPriorPath(detailPath)
     val attrRef = if (attrPath == detailPath) priorRef
                   else priorTimes(attrPath, sfDir)
+    // a silently-missing reference is the failure mode the attribution
+    // fields were built to close — say where it was looked for
+    if (attrRef.times.isEmpty)
+      System.err.println("[bench] no same-SF attribution prior at " +
+        new java.io.File(attrPath).getAbsolutePath +
+        "; calib_ratio/calib_mc_ratio/code_ratio will be null")
     var extraPasses = 0
     if (prior.nonEmpty) {
       def best(name: String): Option[Double] =

@@ -137,8 +137,8 @@ object Repair {
       .getFileSystem(hconf)
     val blockRows =
       probeTable(fs, new org.apache.hadoop.fs.Path(s"$outDir/blocks"))
-    val indexRows = BlockTables.drop(1).flatMap(t =>
-      probeTable(fs, new org.apache.hadoop.fs.Path(s"$outDir/$t")))
+    val indexRows =
+      probeTable(fs, new org.apache.hadoop.fs.Path(s"$outDir/index_blocks"))
     val fileRows = blockRows ++ indexRows
     // presence means "has a blocks dir" specifically: index partitions
     // are optional, so a surviving index dir must not mask a vanished
@@ -208,14 +208,25 @@ object Repair {
     * idempotent). Returns the number of dirs repaired. The next
     * [[CubeRun.run]] re-plans exactly those (tile, period) units and
     * republishes them from source.
+    *
+    * `tornUnits` lets a caller that has ALREADY collected the plan (the
+    * RepairCube CLI prints it first) apply exactly those (tile_id,
+    * p_start) pairs — without it the plan is recomputed here, which
+    * doubles the full probe (directory walks + footer reads + the
+    * catalog jobs) and opens a window where the plan the operator read
+    * and the plan being applied diverge.
     */
-  def applyTornRepair(spark: SparkSession, outDir: String): Long = {
+  def applyTornRepair(spark: SparkSession, outDir: String,
+                      tornUnits: Option[Seq[(String, String)]] = None)
+      : Long = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    val torn = tornRepairPlan(spark, outDir)
-      .filter(col("action") === "delete_and_retry")
-      .select("tile_id", "p_start")
-      .collect() // catalog-bounded: <= tiles x periods rows
-      .map(r => (r.getString(0), r.getString(1)))
+    val torn = tornUnits.getOrElse {
+      tornRepairPlan(spark, outDir)
+        .filter(col("action") === "delete_and_retry")
+        .select("tile_id", "p_start")
+        .collect() // catalog-bounded: <= tiles x periods rows
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    }
     if (torn.isEmpty) return 0L
     // ledger downgrade BEFORE the deletes — the order is load-bearing.
     // Deletes-first has an unrecoverable crash window: a dir already

@@ -19,7 +19,9 @@ import graft.cube.Repair
   * The dry run prints one row per (tile_id, p_start) block partition with
   * the planned action — the same planning fold the `c36_torn_repair_plan`
   * gate pins — and changes NOTHING; it exits 1 when torn partitions are
-  * pending so scripts can gate on it (healthy cube exits 0). `--apply`
+  * pending so scripts can gate on it (healthy cube exits 0; usage errors
+  * and not-a-cube paths exit 2; an unexpected store/Spark fault exits 3,
+  * never 1 — a crash must not read as "repairs pending"). `--apply`
   * downgrades each torn partition's ledger units SUCCESS → ERROR first,
   * then deletes its directory (that order is load-bearing — see
   * [[graft.cube.Repair.applyTornRepair]]); the next [[graft.cube.CubeRun]]
@@ -69,7 +71,12 @@ object RepairCube {
         "ledger units to ERROR")
       Summary(plan.length.toLong, torn.toLong, 0L)
     } else {
-      val repaired = Repair.applyTornRepair(spark, outDir)
+      // apply exactly the plan that was just printed (no second probe,
+      // no window for the cube to change between print and apply)
+      val tornPairs = plan.toSeq
+        .filter(_.getAs[String]("action") == "delete_and_retry")
+        .map(r => (r.getAs[String]("tile_id"), r.getAs[String]("p_start")))
+      val repaired = Repair.applyTornRepair(spark, outDir, Some(tornPairs))
       out(s"[repair] repaired $repaired torn partition(s): directories " +
         "deleted, ledger units downgraded to ERROR - the next CubeRun " +
         "over this outDir republishes them from source")
@@ -92,16 +99,23 @@ object RepairCube {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val s = run(spark, positional(0), doApply = flags.contains("--apply"))
-      spark.stop()
-      // dry run with pending repairs exits 1, so scripts can gate on it
-      if (s.torn > 0 && s.repaired == 0) sys.exit(1)
-    } catch {
-      case e: IllegalArgumentException =>
-        System.err.println(s"[repair] ${e.getMessage}")
-        spark.stop()
-        sys.exit(2)
-    }
+    // exit-code contract scripts can gate on: 0 healthy (or applied),
+    // 1 dry run with pending repairs, 2 usage / not-a-cube, 3 crash.
+    // A store fault must NOT exit 1 — the JVM's default uncaught-exit
+    // status is also 1, and a gating script would read the crash as
+    // "repairs pending" and e.g. loop on --apply instead of alerting.
+    val status =
+      try {
+        val s = run(spark, positional(0), doApply = flags.contains("--apply"))
+        if (s.torn > 0 && s.repaired == 0) 1 else 0
+      } catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"[repair] ${e.getMessage}")
+          2
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[repair] FAILED: $e")
+          3
+      } finally spark.stop()
+    if (status != 0) sys.exit(status)
   }
 }

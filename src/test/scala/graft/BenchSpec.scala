@@ -57,6 +57,15 @@ class BenchSpec extends AnyFunSuite {
       == "bench_detail.json")
     assert(Bench.attributionPriorPath("/tmp/copy/bench_detail.json")
       == "/tmp/copy/bench_detail.json")
+    // a process whose cwd is not the repo root names the committed file
+    // explicitly (the cwd-relative default only resolves under sbt)
+    assert(Bench.attributionPriorPath("/tmp/solo_e2e_detail.json",
+      Map("SPARK_GRAFT_ATTR_PRIOR" -> "/repo/bench_detail.json"))
+      == "/repo/bench_detail.json")
+    // ... but the override never hijacks an official-named redirect
+    assert(Bench.attributionPriorPath("/tmp/copy/bench_detail.json",
+      Map("SPARK_GRAFT_ATTR_PRIOR" -> "/repo/bench_detail.json"))
+      == "/tmp/copy/bench_detail.json")
   }
 
   test("no committed prior -> every ratio is None (null in JSON), " +

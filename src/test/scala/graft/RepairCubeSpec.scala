@@ -75,6 +75,14 @@ class RepairCubeSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(dataFile),
       "dry run must not delete anything")
 
+    // an explicitly-passed plan is AUTHORITATIVE — no recompute behind
+    // the caller's back: an empty plan repairs nothing even though the
+    // cube has a torn partition the planner would flag
+    assert(graft.cube.Repair.applyTornRepair(spark, outDir,
+      Some(Seq.empty)) == 0L)
+    assert(java.nio.file.Files.exists(dataFile),
+      "an empty explicit plan must not trigger a re-plan")
+
     // apply: repaired and ledgered; the cube then rebuilds it from source
     lines.clear()
     val applied = RepairCube.run(spark, outDir, doApply = true, lines += _)

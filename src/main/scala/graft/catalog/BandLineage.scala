@@ -35,6 +35,12 @@ object BandLineage {
     val unknown = refs.collect { case (_, r) if !known.contains(r) => r }.distinct
     require(unknown.isEmpty,
       s"band expressions reference unknown bands: ${unknown.mkString(", ")}")
+    // an AMBIGUOUS reference is the same class of catalog bug as an
+    // unknown one: duplicate band names would silently fan the join out
+    // to one contradictory edge per same-named id instead of failing
+    val dup = bands.groupBy(_.name).collect { case (n, bs) if bs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate band names in the catalog: ${dup.toSeq.sorted.mkString(", ")}")
     val catalog = bands.map(b => (b.bandId, b.name)).toDF("band_src_id", "src_name")
     refs.toDF("band_id", "src_name")
       .join(broadcast(catalog), Seq("src_name"))

@@ -52,10 +52,10 @@ object Ledger {
 
   /** Exactly-once streaming sink body for `foreachBatch`: upsert a
     * micro-batch of completions into a versioned parquet ledger, with
-    * the applied-batch set as the replay fence. Structured Streaming's
-    * contract is at-least-once delivery to `foreachBatch` — after a
-    * failure the SAME (batch, batchId) replays — so the sink must be
-    * idempotent: a batchId in `_applied` is a no-op, and the version
+    * the applied-batch high-water mark as the replay fence. Structured
+    * Streaming's contract is at-least-once delivery to `foreachBatch` —
+    * after a failure the SAME (batch, batchId) replays — so the sink must
+    * be idempotent: a batchId at or below `_applied` is a no-op, and the version
     * pointer flips via write-temp-then-atomic-rename AFTER the new
     * version is fully written (the Publish commit discipline). State on
     * disk is therefore always a complete version, and re-running any
@@ -66,12 +66,23 @@ object Ledger {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(dir))
     val appliedPath = Paths.get(dir, "_applied")
-    val applied: Set[String] =
+    // the fence is a HIGH-WATER MARK, not a set of every id ever
+    // applied: micro-batch ids are monotonic per checkpoint and a
+    // restart replays only the last unfinished batch, so "applied" is
+    // exactly id <= hwm — and an always-on ingest cannot afford a fence
+    // that grows a line per batch (~525k lines/year at a 1-minute
+    // trigger, O(n) read + rewrite per batch; unbounded growth is the
+    // failure mode the version sweep below exists to prevent). Two
+    // checkpoints driving one ledger dir is outside the single-writer
+    // contract (see commitVersion's scaladoc). Reads tolerate the
+    // legacy multi-line set format by taking the max.
+    val hwm: Long =
       if (Files.exists(appliedPath))
         scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(appliedPath)).asScala.toSet
-      else Set.empty
-    if (applied.contains(batchId.toString)) return
+          Files.readAllLines(appliedPath)).asScala
+          .flatMap(_.trim.toLongOption).maxOption.getOrElse(-1L)
+      else -1L
+    if (batchId <= hwm) return
     val nextV = s"ledger_v$batchId"
     val current = currentVersion(dir)
     // Crash window: died after flipping `_current` to this batch's version
@@ -81,7 +92,7 @@ object Ledger {
     // overwriting the same path would have Spark read from the directory
     // it is deleting. Just backfill the `_applied` fence and return.
     if (current.contains(nextV)) {
-      writeApplied(dir, applied + batchId.toString)
+      writeApplied(dir, math.max(hwm, batchId))
       return
     }
     val cur = current match {
@@ -94,7 +105,7 @@ object Ledger {
     Files.write(tmp, nextV.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(dir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    writeApplied(dir, applied + batchId.toString)
+    writeApplied(dir, math.max(hwm, batchId))
     // sweep superseded batch versions, keeping the previous one for any
     // in-flight reader — without this a long-running stream retains a
     // full ledger copy PER MICRO-BATCH (unbounded growth is the one
@@ -116,13 +127,13 @@ object Ledger {
   }
 
   /** Atomic `_applied` update: temp-file + rename, so a crash mid-write
-    * can never leave a torn fence file (a torn file would silently drop
-    * earlier batch ids and re-admit their replays).
+    * can never leave a torn fence file (a torn file would silently
+    * regress the high-water mark and re-admit replays).
     */
-  private def writeApplied(dir: String, ids: Set[String]): Unit = {
+  private def writeApplied(dir: String, hwm: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(dir, "_applied.tmp")
-    Files.write(tmp, ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp, hwm.toString.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(dir, "_applied"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -144,14 +155,24 @@ object Ledger {
     * from [[readCurrent]] is safe because the read version (legacy or
     * versioned) is only dropped AFTER the pointer moved off it, the new
     * version was fully materialized, and `retain-1` further commits
-    * happened.
+    * happened — a guarantee that assumes SEQUENTIAL commits. The
+    * contract is single-LOGICAL-writer: concurrent committers (a manual
+    * recovery run racing an always-on stream on one outDir) never
+    * corrupt a version on disk, but last-write-wins silently DISCARDS
+    * the loser's upsert, and interleaved commits burn the retain grace
+    * a concurrent reader's lazy plan depends on. This call detects the
+    * interleaving (the pointer moved between claim and flip) and warns
+    * on stderr rather than failing — the snapshots are individually
+    * complete, and which upsert should win needs context only the
+    * caller has. Pause the stream for manual runs (see CubeStream).
     */
   def commitVersion(spark: SparkSession, dir: String, df: DataFrame,
                     retain: Int = 2): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(retain >= 1, s"retain must keep at least the current version: $retain")
     Files.createDirectories(Paths.get(dir))
-    val curN = currentVersion(dir)
+    val cur0 = currentVersion(dir)
+    val curN = cur0
       .flatMap("""(\d+)$""".r.findFirstIn(_)).map(_.toLong).getOrElse(-1L)
     // Cross-process guard: CLAIM the next version number via an atomic
     // create (`.claim_vN`; dot-prefixed so Spark listings ignore it).
@@ -171,6 +192,16 @@ object Ledger {
     }
     val next = s"v$nextN"
     df.write.mode("overwrite").parquet(s"$dir/$next")
+    // lost-update detection (see scaladoc): another committer flipped
+    // the pointer while this version was materializing — this flip will
+    // bury that commit's rows. Warn loudly; both snapshots are complete,
+    // and only the caller knows which upsert should win.
+    val movedTo = currentVersion(dir)
+    if (movedTo != cur0)
+      System.err.println(s"[ledger] concurrent commit detected on $dir: " +
+        s"pointer moved to ${movedTo.getOrElse("<absent>")} while " +
+        s"v$nextN was being written; this flip buries that commit " +
+        "(single-logical-writer contract)")
     val tmp = Paths.get(dir, "_current.tmp")
     Files.write(tmp, next.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(dir, "_current"),

@@ -180,10 +180,16 @@ object CubeBuilder {
           ($"efficacy" * 100.0 / resolution).as("scene_priority"))
       case Some(day) =>
         // proximity rank: smaller |doy - refDoy| → higher priority; the
-        // efficacy breaks ties within the same distance
+        // efficacy breaks ties within the same distance. The tie term is
+        // efficacy*9.99 <= 999, STRICTLY below the 1000-per-day step for
+        // any resolution — resolution divides every candidate equally
+        // within a run, so it cannot change the tie-break order and must
+        // not leak into the weight (efficacy*100/resolution reaches the
+        // day step at the default resolution=10 and EXCEEDS it below,
+        // letting a clearer-but-farther scene outrank a closer one)
         base.select($"tileId", $"date",
           (lit(100000.0) - abs(dayofyear($"date") - lit(day)) * 1000.0 +
-            $"efficacy" * 100.0 / resolution).as("scene_priority"))
+            $"efficacy" * 9.99).as("scene_priority"))
     }
   }
 
@@ -242,6 +248,12 @@ object CubeBuilder {
         lit(idx.nodata.toInt).as("nodata"),
         PixelOps.bandExpr(sourceBands, idx.expression, idx.dataType,
           idx.nodata.toInt).as("value"))
+        // a block missing a source band the expression reads (its scene
+        // file absent from the archive) pivots that band to null and the
+        // expression evaluates to a null pixels array; dropping the row
+        // here keeps the table total — same guard as quicklook's
+        // complete-band filter, which names this exact NPE hazard
+        .filter(col("value").isNotNull)
     }.reduce(_ unionByName _)
   }
 

@@ -204,6 +204,16 @@ object CubeRun {
     // form documented away). The caller's runtime SQL tunings carry
     // over; newSession() alone would reset them to SparkContext
     // defaults.
+    // fail the misconfiguration BEFORE any heavy stage: a quicklook
+    // request against a collection with fewer than 3 configured bands
+    // would otherwise complete scan/decode/merge/composite and die in
+    // publish:quicklook with an opaque MatchError on Seq(r, g, b)
+    quicklookRange.foreach { _ =>
+      require(collection.quicklook.size >= 3,
+        s"quicklookRange set but collection '${collection.name}' " +
+          s"configures ${collection.quicklook.size} quicklook band(s); " +
+          "3 (r, g, b) are required")
+    }
     val spark = callerSession.newSession()
     callerSession.conf.getAll.foreach { case (k, v) =>
       try spark.conf.set(k, v)
@@ -488,10 +498,19 @@ object CubeRun {
     val blocks = decoded.filter($"error".isNull).drop("path", "error")
     val composited0 = mergeCompositeChain(blocks, collection, mask,
       pendingPeriodsDf, efficacyPriority, referenceDay, histogramMatching)
+    // broadcast keys join, not isin literals: erroredSet is quarantine-
+    // bounded (<= tiles x periods), but a disaster-sized quarantine
+    // would serialize thousands of literals into every task closure —
+    // same rationale as Repair.applyTornRepair's ledger downgrade
+    val erroredDf =
+      if (erroredKeys.isEmpty) null
+      else broadcast(erroredKeys.toSeq.toDF("__et", "__ep"))
     val composited =
       if (erroredSet.isEmpty) composited0
-      else composited0.filter(!concat_ws("|", $"tileId",
-        $"p_start".cast("string")).isin(erroredSet.toSeq: _*))
+      else composited0.join(erroredDf,
+        composited0("tileId") === col("__et") &&
+          composited0("p_start").cast("string") === col("__ep"),
+        "left_anti")
 
     // stage 3: publish blocks, index bands, items, ledger. Block tables
     // overwrite exactly the (tileId, p_start) partitions this run
@@ -532,7 +551,12 @@ object CubeRun {
     // sees the same empty result it does today.
     val okPairs = pendingPairs.filterNot { case (t, p) => erroredSet(s"$t|$p") }
     val blocksBase = s"$outDir/blocks"
-    val pairDirs = {
+    // pairDirs: the SUCCESS-bound pairs whose blocks partition exists on
+    // disk after the write (the publication read-back set). hollowPairs:
+    // the SUCCESS-bound pairs with NO partition — an empty period, or a
+    // repaired unit whose source scenes are gone, which republishes
+    // nothing; their pre-existing catalog rows are retired below.
+    val (pairDirs, hollowPairs) = {
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
       val fs = new org.apache.hadoop.fs.Path(blocksBase)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -540,7 +564,7 @@ object CubeRun {
       // backfill carries tiles × periods pairs, and on an object store
       // each existence probe is a round trip — the per-tile listing is
       // one RPC and the period check is a set lookup
-      okPairs.groupBy(_._1).toSeq.flatMap { case (t, ps) =>
+      val byTile = okPairs.groupBy(_._1).toSeq.map { case (t, ps) =>
         val tileDir = new org.apache.hadoop.fs.Path(blocksBase,
           s"tileId=${escapePathName(t)}")
         // only MISSING maps to "wrote nothing" — a transient listing
@@ -550,10 +574,12 @@ object CubeRun {
         val present =
           try fs.listStatus(tileDir).map(_.getPath.getName).toSet
           catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-        ps.map(p => s"p_start=${escapePathName(p._2)}")
-          .filter(present)
-          .map(d => new org.apache.hadoop.fs.Path(tileDir, d))
+        val (there, missing) =
+          ps.partition(p => present(s"p_start=${escapePathName(p._2)}"))
+        (there.map(p => new org.apache.hadoop.fs.Path(tileDir,
+          s"p_start=${escapePathName(p._2)}")), missing)
       }
+      (byTile.flatMap(_._1), byTile.flatMap(_._2))
     }
     // no Try here: pairDirs nonEmpty means readable parquet is EXPECTED
     // (this run just wrote it, or a crashed run left it); a failure is a
@@ -591,7 +617,25 @@ object CubeRun {
     stage(spark, "publish:items") {
       val newItems = Ledger.readCurrent(spark, itemsPath) match {
         case Some(old) =>
-          old.join(items, Seq("item_id"), "left_anti").unionByName(items)
+          // Retire pre-existing rows for the hollow pairs: a unit this
+          // run completes as SUCCESS with no blocks partition behind it
+          // (repaired unit whose source scenes are gone) must not keep
+          // serving its stale item — the item has no assets, and the
+          // repair planner's items cross-check would re-flag the unit
+          // forever (repair → rebuild-to-nothing → SUCCESS → re-flag, a
+          // permanent oscillation rewriting the ledger every cycle).
+          // Quarantined (ERROR) units are NOT in hollowPairs: they
+          // re-plan next run, and their old item may still front a
+          // healthy surviving partition. Broadcast keys join, not isin
+          // literals (catalog-bounded but disaster-sized repairs exist).
+          val kept =
+            if (hollowPairs.isEmpty) old
+            else old.join(
+              broadcast(hollowPairs.toDF("__ht", "__hp")),
+              old("tileId") === col("__ht") &&
+                old("start_date") === col("__hp"),
+              "left_anti")
+          kept.join(items, Seq("item_id"), "left_anti").unionByName(items)
         case None => items
       }
       Ledger.commitVersion(spark, itemsPath, newItems)
@@ -649,13 +693,20 @@ object CubeRun {
     // every planned unit ledgers: SUCCESS normally, ERROR when its
     // (tile, period) was quarantined — ERROR units are NOT done
     // (pendingUnits only excludes SUCCESS) so they re-plan next run
-    val statusCol =
-      if (erroredSet.isEmpty) lit(Ledger.StatusSuccess)
-      else when(concat_ws("|", $"tile_id", $"p_start")
-          .isin(erroredSet.toSeq: _*), lit(Ledger.StatusError))
-        .otherwise(lit(Ledger.StatusSuccess))
-    val completions = pending.select($"cube", $"tile_id", $"p_start", $"p_end",
-      $"band", statusCol.as("status"))
+    val completions = {
+      val base = pending.select($"cube", $"tile_id", $"p_start", $"p_end",
+        $"band")
+      if (erroredSet.isEmpty)
+        base.withColumn("status", lit(Ledger.StatusSuccess))
+      else base.join(erroredDf,
+          base("tile_id") === col("__et") &&
+            base("p_start").cast("string") === col("__ep"),
+          "left")
+        .withColumn("status",
+          when(col("__et").isNotNull, lit(Ledger.StatusError))
+            .otherwise(lit(Ledger.StatusSuccess)))
+        .drop("__et", "__ep")
+    }
     val errorCount =
       if (erroredSet.isEmpty) 0L
       else completions.filter($"status" === Ledger.StatusError).count()

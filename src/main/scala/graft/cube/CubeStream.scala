@@ -24,7 +24,13 @@ import graft.model.{Collection, MaskDef}
   * in the batch whose horizon closes it. Scenes arriving later than
   * `latenessDays` behind the front miss their period (the standard
   * watermark trade-off); a manual `CubeRun.run(force = true)` over the
-  * affected range recovers them.
+  * affected range recovers them — PAUSE the stream for that run: the
+  * ledger is single-logical-writer (concurrent committers never corrupt
+  * a version on disk, but the pointer flip is last-write-wins — the
+  * loser's upsert is silently discarded — and an interleaved commit
+  * voids the sequential retain-grace a lazy reader depends on; see
+  * [[graft.catalog.Ledger.commitVersion]], which warns on stderr when
+  * it detects the interleaving).
   *
   * Crash/replay safety is INHERITED, not re-implemented: Structured
   * Streaming may replay a batch after a failure, but a replayed (or

@@ -46,9 +46,18 @@ object Publish {
     */
   def commitItem(workDir: Path, dataRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(workDir)) return Nil
-    val (temps, files) = Files.walk(workDir).iterator().asScala
-      .filter(Files.isRegularFile(_)).toList.sortBy(_.toString)
-      .partition(graft.core.Fs.isStagedTemp)
+    // every walk/list stream here closes in try/finally: commitItem runs
+    // per item on long-lived executors and tolerates concurrent duplicate
+    // attempts — an iterator abandoned mid-walk by an exception would
+    // otherwise pin directory handles until GC (fd exhaustion over
+    // thousands of item commits)
+    val walked = {
+      val s = Files.walk(workDir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .toList.sortBy(_.toString)
+      finally s.close()
+    }
+    val (temps, files) = walked.partition(graft.core.Fs.isStagedTemp)
     // a temp here is an abandoned in-flight write from a duplicate
     // attempt that lost its race — its finished twin (if any) sits under
     // the final name already; sweep so the emptied work tree can go
@@ -62,7 +71,15 @@ object Publish {
         StandardCopyOption.REPLACE_EXISTING)
       catch {
         case _: java.nio.file.AtomicMoveNotSupportedException =>
-          Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+          // the fallback copy-move needs the SAME duplicate-attempt
+          // tolerance: a twin can move the source between the atomic
+          // attempt's throw and this retry (cross-mount work/data roots
+          // are exactly where duplicates overlap longest)
+          try Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+          catch {
+            case e: java.nio.file.NoSuchFileException =>
+              if (!Files.isRegularFile(dest)) throw e
+          }
         case e: java.nio.file.NoSuchFileException =>
           // the source vanished: a duplicate attempt moved it first —
           // success iff the destination is there, a real error otherwise
@@ -71,9 +88,13 @@ object Publish {
     }
     cleanEmpty(workDir)
     if (!Files.isDirectory(dataRoot)) Nil
-    else Files.walk(dataRoot).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !graft.core.Fs.isStagedTemp(p))
-      .toList.sortBy(_.toString)
+    else {
+      val s = Files.walk(dataRoot)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !graft.core.Fs.isStagedTemp(p))
+        .toList.sortBy(_.toString)
+      finally s.close()
+    }
   }
 
   /** Remove the emptied tree under `root`, deepest-first (reference
@@ -90,10 +111,11 @@ object Publish {
           try !s.iterator().hasNext finally s.close()
         } catch { case _: java.nio.file.NoSuchFileException => false }
       }
-      if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala.toList.reverse.foreach { p =>
-          if (isEmptyDir(p)) Files.deleteIfExists(p)
-        }
+      if (Files.isDirectory(root)) {
+        val s = Files.walk(root)
+        val dirs = try s.iterator().asScala.toList.reverse finally s.close()
+        dirs.foreach { p => if (isEmptyDir(p)) Files.deleteIfExists(p) }
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Stage composite blocks as GeoTIFFs in the work root and commit each
@@ -115,10 +137,14 @@ object Publish {
     val depth = 2 + periodCols.size // cube / tile / period…
     val itemDirs =
       if (!Files.isDirectory(work)) Nil
-      else Files.walk(work, depth).iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          work.relativize(p).getNameCount == depth)
-        .toList.sortBy(_.toString)
+      else {
+        val s = Files.walk(work, depth)
+        try s.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            work.relativize(p).getNameCount == depth)
+          .toList.sortBy(_.toString)
+        finally s.close()
+      }
     // Commit items from the EXECUTORS (same shared-filesystem contract as
     // the staged write above): the unit of work shipped is a directory
     // name, each task commits whole items, and only destination paths come

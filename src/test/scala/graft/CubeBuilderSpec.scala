@@ -111,6 +111,53 @@ class CubeBuilderSpec extends SparkSpec {
     assert(got(1) == ((650.0 - 250.0) / (650.0 + 250.0) * 10000).toInt)
   }
 
+  test("index band DROPS blocks whose expression source band is missing " +
+       "(no null pixel arrays reach the table or the COG writer)") {
+    // period 1 loses its B8A rows (scene file absent from the archive):
+    // the pivot yields B8A=null and the NDVI expression evaluates to a
+    // null array — the row must be dropped, same as quicklook's
+    // complete-band filter, not published
+    val partial = composited.filter(
+      !(col("band") === "B8A" && col("p_start") === "2020-01-01"))
+    val ndvi = CubeBuilder.indexBands(partial, coll)
+    assert(ndvi.filter(col("value").isNull).count() == 0,
+      "no null pixel arrays may be emitted")
+    assert(ndvi.filter(col("p_start") === "2020-01-01").count() == 0,
+      "the incomplete period emits no index row")
+    assert(ndvi.filter(col("p_start") === "2020-01-17").count() == 1,
+      "the complete period is unaffected")
+  }
+
+  test("reference-day proximity STRICTLY dominates efficacy at any " +
+       "resolution; efficacy only breaks same-distance ties") {
+    import spark.implicits._
+    // near scene (doy 2) fully cloudy vs far scene (doy 9) fully clear,
+    // at resolution=1 — the shape that inverted under the old
+    // efficacy*100/resolution weight (tie term 10000 > the 1000/day step)
+    def qa(date: String, px: Array[Int]) =
+      ("c1", "t1", java.sql.Date.valueOf(date), "QA", 0, 0, 2, 2,
+        0.0, 20.0, 10.0, 10.0, 255, px)
+    val m = Seq(qa("2020-01-02", Array(4, 4, 4, 4)),
+                qa("2020-01-09", Array(0, 0, 0, 0)))
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX", "height",
+        "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    val prios = CubeBuilder.scenePriorities(m, coll, mask, resolution = 1.0,
+      referenceDay = Some(1)).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(2)).toMap
+    assert(prios("2020-01-02") > prios("2020-01-09"),
+      "a closer fully-cloudy scene must outrank a farther fully-clear one")
+    // same distance → efficacy decides (both doy-distance 4 from day 5)
+    val tied = Seq(qa("2020-01-01", Array(0, 0, 0, 0)),
+                   qa("2020-01-09", Array(4, 4, 4, 4)))
+      .toDF("cube", "tileId", "date", "band", "blockY", "blockX", "height",
+        "width", "x0", "y0", "resX", "resY", "nodata", "pixels")
+    val tp = CubeBuilder.scenePriorities(tied, coll, mask, resolution = 1.0,
+      referenceDay = Some(5)).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(2)).toMap
+    assert(tp("2020-01-01") > tp("2020-01-09"),
+      "within one distance the clearer scene wins")
+  }
+
   test("items catalog rows publish per (tile, period) with bbox and bands") {
     val items = CubeBuilder.publishItems(composited, coll)
     val rows = items.orderBy("start_date").collect()

@@ -706,4 +706,27 @@ class CubeRunSpec extends SparkSpec {
     val empty = java.nio.file.Files.createTempDirectory("mixdims_empty")
     assert(CubeRun.probeMaxDims(fs, empty.toString, 32).isEmpty)
   }
+
+  test("quicklookRange against a collection without 3 quicklook bands " +
+       "fails UP-FRONT, not as a MatchError after the heavy stages") {
+    val e = intercept[IllegalArgumentException] {
+      CubeRun.run(spark, coll, mask, "/nonexistent_scenes", "/nonexistent_out",
+        "t9", java.time.LocalDate.of(2020, 1, 1),
+        java.time.LocalDate.of(2020, 1, 31),
+        quicklookRange = Some((0.0, 1000.0)))
+    }
+    assert(e.getMessage.contains("quicklook"))
+  }
+
+  test("band lineage rejects DUPLICATE band names instead of silently " +
+       "fanning out one edge per same-named id") {
+    import graft.catalog.BandLineage.BandDef
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.BandLineage.edges(spark, Seq(
+        BandDef(1, "B04"), BandDef(7, "B04"), BandDef(8, "B08"),
+        BandDef(9, "NDVI", Some("(B08-B04)/(B08+B04)"))))
+    }
+    assert(e.getMessage.contains("duplicate band names"))
+    assert(e.getMessage.contains("B04"))
+  }
 }

@@ -185,6 +185,64 @@ class RepairCubeSpec extends SparkSpec {
       RepairCube.Summary(2, 0, 0))
   }
 
+  test("a repaired unit whose source scenes are GONE converges: the " +
+       "hollow item is retired, no repair/rebuild oscillation") {
+    val sceneDir = java.nio.file.Files.createTempDirectory("osc_scenes")
+    val outDir = java.nio.file.Files.createTempDirectory("osc_out").toString
+    val w = 32; val h = 32
+    for ((date, seed) <- Seq(("20200105", 1), ("20200120", 2));
+         band <- Seq("B04", "B8A", "QA")) {
+      val isQa = band == "QA"
+      val px = Array.tabulate(w * h)(i =>
+        if (isQa) 0 else 100 + (i * 7 + seed * 13) % 900)
+      val bytes = GeoTiff.write(px, w, h, tileSize = 32,
+        originX = 0, originY = 320, scaleX = 10, scaleY = 10,
+        nodata = if (isQa) 255 else nodata)
+      java.nio.file.Files.write(sceneDir.resolve(s"S_T9_${date}_$band.tif"),
+        bytes)
+    }
+    def go() = CubeRun.run(spark, coll, mask, sceneDir.toString, outDir, "t9",
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 1, 31),
+      blockSize = 32)
+    go(): Unit
+    import spark.implicits._
+
+    // the double loss that used to oscillate: blocks partition vanishes
+    // out-of-band AND the source scenes are deleted, so the rebuild can
+    // republish nothing
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toList.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    val gone = periodDirs(outDir).last
+    val goneP = gone.getFileName.toString.stripPrefix("p_start=")
+    rmTree(gone)
+    for (b <- Seq("B04", "B8A", "QA"))
+      java.nio.file.Files.delete(sceneDir.resolve(s"S_T9_20200120_$b.tif"))
+
+    // flagged via the items cross-check, repaired, rebuilt-to-nothing
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(2, 1, 0))
+    assert(RepairCube.run(spark, outDir, doApply = true, _ => ()).repaired == 1)
+    assert(go().planned == 3, "the repaired unit re-plans")
+
+    // CONVERGED, not oscillating: the unit is SUCCESS-empty, its stale
+    // item is retired (an item with no assets must not be served), and
+    // the planner sees a healthy cube — before the fix the surviving
+    // item re-flagged the unit forever (repair → hollow SUCCESS →
+    // re-flag, rewriting the ledger every cycle)
+    assert(RepairCube.run(spark, outDir, doApply = false, _ => ()) ==
+      RepairCube.Summary(1, 0, 0), "no re-flag after the hollow rebuild")
+    val items = graft.catalog.Ledger.readCurrent(spark, s"$outDir/items").get
+    assert(items.count() == 1, "the hollow item is retired")
+    assert(items.filter($"start_date" === goneP).count() == 0)
+    // the healthy period's item survives the retire join untouched
+    assert(go().planned == 0, "converged: nothing pending")
+  }
+
   test("a torn INDEX partition condemns its unit and both table dirs " +
        "are repaired; its presence witnesses index bands for the twin check") {
     val (outDir, go) = buildCube("idx")

@@ -792,6 +792,13 @@ class StreamOpsSpec extends SparkSpec {
       .filter(_.matches("ledger_v\\d+")).toSet finally ls.close()
     assert(vdirs == Set("ledger_v1", "ledger_v99"),
       s"superseded batch versions must be swept, got $vdirs")
+
+    // the fence itself is BOUNDED too: a high-water mark (batch ids are
+    // monotonic per checkpoint), not a line per batch ever applied —
+    // after batches 0, 1, 99 it holds the single value 99
+    val fenceNow = new String(
+      java.nio.file.Files.readAllBytes(appliedPath), "UTF-8").trim
+    assert(fenceNow == "99", s"fence must be the hwm alone, got '$fenceNow'")
   }
 
   test("watermark drops the too-late row and reports it in progress metrics") {

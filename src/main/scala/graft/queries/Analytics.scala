@@ -257,9 +257,14 @@ object Analytics {
       .groupBy(col(group), col(value)).agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(col(group)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = h.withColumn("__cum", sum($"__c").over(w))
-    val tot = h.groupBy(col(group)).agg(sum($"__c").as("__n"))
-    val j = cum.join(broadcast(tot), Seq(group))
+    // the per-group total rides the SAME partitioning as the running
+    // sum (an unbounded frame over the identical partition key chains
+    // onto the cum window's exchange+sort) — the former separate
+    // groupBy + broadcast-join pass paid one more exchange and one more
+    // job for the same number
+    val wTot = Window.partitionBy(col(group))
+    val j = h.withColumn("__cum", sum($"__c").over(w))
+      .withColumn("__n", sum($"__c").over(wTot))
     val aggs = ps.flatMap { case (nm, p) =>
       val rn = ($"__n" - 1).cast("double") * lit(p)
       Seq(
@@ -384,25 +389,30 @@ object Analytics {
   def langidNgram(docs0: DataFrame): DataFrame = {
     import docs0.sparkSession.implicits._
     // fanOutScan: the char-bigram explode multiplies rows by text length
-    // before the first shuffle — parallelize the byte-small scan first
-    val docs = graft.operators.Scale.fanOutScan(docs0)
+    // before the first shuffle — parallelize the byte-small scan first.
+    // Aggregate the explode to per-(doc, bigram) counts IMMEDIATELY (one
+    // partial-aggregated exchange) and derive both the trained model and
+    // the eval side from that compact table: the raw exploded rows are
+    // never materialized or re-scanned (the former shape checkpointed the
+    // corpus-length explode and aggregated it twice).
+    val docBgAll = graft.operators.Scale.fanOutScan(docs0)
       .filter(length($"text") >= 2)
       .select($"doc_id", $"lang",
         explode(expr(
           "transform(sequence(1, length(text) - 1)," +
             " i -> substring(text, i, 2))")).as("bg"))
+      .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
       .localCheckpoint(false)
-    val train = docs.filter($"doc_id" % 2 === 0)
-    val cnts = train.groupBy($"lang".as("mlang"), $"bg")
-      .agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val cnts = docBgAll.filter($"doc_id" % 2 === 0)
+      .groupBy($"lang".as("mlang"), $"bg")
+      .agg(sum($"n").as("c")).localCheckpoint(false)
     val tots = cnts.groupBy($"mlang").agg(sum($"c").as("tot"))
     val vocab = cnts.select($"bg").distinct()
       .agg(count(lit(1)).as("v"))
     val langs = tots.select($"mlang", $"tot")
       .crossJoin(broadcast(vocab))
     // doc-side bigram counts on the EVAL half
-    val docBg = docs.filter($"doc_id" % 2 === 1)
-      .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("n"))
+    val docBg = docBgAll.filter($"doc_id" % 2 === 1)
     val scored = docBg
       .crossJoin(broadcast(langs))
       .join(broadcast(cnts), Seq("mlang", "bg"), "left")
@@ -679,15 +689,22 @@ object Analytics {
       import s.implicits._
       def audit(rel: String, child: DataFrame, ck: String,
                 parent: DataFrame, pk: String): DataFrame = {
-        val orphans = child.join(parent, child(ck) === parent(pk),
-          "left_anti").agg(count(lit(1)).as("orphan_children"))
-        val childless = parent.join(child, parent(pk) === child(ck),
-          "left_anti").agg(count(lit(1)).as("childless_parents"))
+        // ONE child scan: the per-key fan counts full-outer-joined with
+        // the (unique, by construction) parent keys carry every audit
+        // stat — orphan children are the fan counts with no parent key,
+        // childless parents the parent keys with no fan row. The former
+        // shape paid three child scans and two LEFT ANTI joins per
+        // relation for the same numbers.
         val fan = child.groupBy(child(ck).as("k"))
           .agg(count(lit(1)).as("c"))
-          .agg(count(lit(1)).as("linked_parents"), sum($"c").as("children"),
+        val pkeys = parent.select(parent(pk).as("pk"))
+        fan.join(pkeys, $"k" === $"pk", "full_outer")
+          .agg(sum($"c").as("children"),
+            count($"c").as("linked_parents"),
+            sum(when($"pk".isNull, $"c").otherwise(0L))
+              .as("orphan_children"),
+            count(when($"c".isNull, lit(1))).as("childless_parents"),
             min($"c").as("min_fan"), max($"c").as("max_fan"))
-        fan.crossJoin(broadcast(orphans)).crossJoin(broadcast(childless))
           .select(lit(rel).as("relation"), $"children", $"linked_parents",
             $"orphan_children", $"childless_parents", $"min_fan", $"max_fan",
             expr("(children * 100) div linked_parents").as("avg_fan_x100"))
@@ -884,7 +901,10 @@ object Analytics {
     // vocabulary-sized (x_dup_spans' proven shape).
     "x_dup_run" -> ((s, d) => {
       import s.implicits._
-      val base = documents(s, d)
+      // fanOutScan: the 5-gram explode below is CPU-bound per row and the
+      // byte-small scan arrives in one split — spread it first (no-op at
+      // scale, where the scan already carries ≥ core-count splits)
+      val base = graft.operators.Scale.fanOutScan(documents(s, d))
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 5)
       // two consumers (frequency build, positional join) — the 5-gram
@@ -1997,10 +2017,15 @@ object Analytics {
     // (day, user) pair.
     "x_rolling_dau_hll" -> ((s, d) => {
       import s.implicits._
-      val ev = events(s, d)
+      // dedup to (day, user) BEFORE the ×7 window fan-out: the explode
+      // multiplies whatever feeds it, so distincting first shrinks both
+      // the fan-out and the second distinct's exchange (shuffle fewer
+      // bytes — the event table repeats (day, user) heavily)
+      val du = events(s, d)
         .select(to_date($"ts").as("day"), $"user_id")
-      val days = ev.select($"day").distinct()
-      ev.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
+        .distinct().localCheckpoint(false)
+      val days = du.select($"day").distinct()
+      du.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
           $"user_id")
         .select(date_add($"day", $"off").as("wday"), $"user_id")
         .distinct()
@@ -2360,8 +2385,12 @@ object Analytics {
       import s.implicits._
       // ONE basket aggregation feeds both consumers: the pair explode and
       // the item frequencies (exploding the per-basket sets re-derives
-      // the distinct (order, item) rows without a second lineitem pass)
-      val bk = baskets(lineitem(s, d).select($"l_orderkey", $"l_partkey"))
+      // the distinct (order, item) rows without a second lineitem pass).
+      // fanOutScan: the basket collect_set's map side ran single-task off
+      // the one-split scan (measured 0.6 s); the repartition spreads it
+      // (no-op at scale)
+      val bk = baskets(graft.operators.Scale.fanOutScan(
+          lineitem(s, d).select($"l_orderkey", $"l_partkey")))
         .localCheckpoint(false)
       val pairs = basketPairsFrom(bk, minSupport = 3)
       val freq = bk.select(explode($"ids").as("l_partkey"))
@@ -3489,7 +3518,10 @@ object Analytics {
     // the 10-row cut table, never an all-pairs scan.
     "x_youden_threshold" -> ((s, d) => {
       import s.implicits._
-      val scored = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan: the same per-feature md5 volume as
+      // x_quality_classifier (measured −0.8 s) off a one-split scan
+      val scored = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select($"doc_id", ($"n_chars" > 500).cast("long").as("label"),
           words($"text").as("w"))
         .select($"doc_id", $"label", explode(concat($"w",
@@ -3587,8 +3619,12 @@ object Analytics {
     // tables are vocab-sized, the final cut is a bounded TakeOrdered.
     "x_pmi_collocations" -> ((s, d) => {
       import s.implicits._
-      val ws = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan + checkpoint: two consumers (unigram and bigram
+      // explodes) off a one-split scan — spread and tokenize once
+      val ws = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select(words(lower($"text")).as("w"))
+        .localCheckpoint(false)
       val uni = ws.select(explode($"w").as("t")).filter($"t" =!= "")
         .groupBy($"t").agg(count(lit(1)).as("c")).localCheckpoint(false)
       val tot = uni.agg(sum($"c").as("n"))
@@ -3737,7 +3773,10 @@ object Analytics {
     // eval-completeness twin of x_langid_confusion.
     "x_calibration_bins" -> ((s, d) => {
       import s.implicits._
-      val scored = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan: same per-feature md5 volume as x_quality_classifier
+      // (measured −0.8 s there) off a one-split scan
+      val scored = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select($"doc_id", ($"n_chars" > 500).cast("long").as("label"),
           words($"text").as("w"))
         .select($"doc_id", $"label", explode(concat($"w",

@@ -269,13 +269,20 @@ object CubeOps {
     // T1 — scene priority ordering (window rank)
     "t1_priority_rank" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"l_orderkey")
-        .orderBy($"l_shipdate", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      // top-2 per order via the q21-measured collect_list fold (orders
+      // hold ≤7 lineitems, so the per-group array is constant-bounded):
+      // sort_array over the full ordering struct replays the window's
+      // (shipdate, linenumber, partkey, suppkey) total order exactly,
+      // with map-side partial buffering instead of a corpus-wide
+      // window sort
       lineitem(s, d)
-        .select($"l_orderkey", $"l_linenumber".cast("int").as("ln"),
-          row_number().over(w).as("rn"))
-        .filter($"rn" <= 2)
+        .groupBy($"l_orderkey")
+        .agg(slice(sort_array(collect_list(struct(
+          $"l_shipdate", $"l_linenumber", $"l_partkey", $"l_suppkey"))),
+          1, 2).as("top"))
+        .select($"l_orderkey", posexplode($"top").as(Seq("i", "e")))
+        .select($"l_orderkey", $"e.l_linenumber".cast("int").as("ln"),
+          ($"i" + 1).cast("int").as("rn"))
         .orderBy($"l_orderkey", $"rn")
     }),
 

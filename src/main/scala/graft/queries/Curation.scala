@@ -244,9 +244,14 @@ object Curation {
     "x_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan + checkpoint: THREE consumers (total, CMS cells, exact
+      // top-20) re-ran the tokenize+explode off a one-split scan —
+      // spread it and materialize the token column once
+      val toks = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select(explode(words($"text")).as("token"))
         .filter($"token" =!= "")
+        .localCheckpoint(false)
       val total = toks.agg(count(lit(1)).as("total"))
       val cms = cmsCells(toks)
       val top20 = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
@@ -294,6 +299,9 @@ object Curation {
     // oracle recomputes the interleave bit-for-bit in SQL.
     "x_zorder" -> ((s, d) => {
       import s.implicits._
+      // (measured r19: a fanOutScan here LOST 0.4 s — the bit interleave
+      // is too cheap to pay a repartition of the scan; see x_hilbert for
+      // the fold that does pay)
       lineitem(s, d)
         .select(zorder16($"l_partkey", $"l_suppkey").as("z16"), $"l_partkey")
         .groupBy(expr("z16 div 256").as("z_bucket"))
@@ -307,7 +315,10 @@ object Curation {
     // gate as x_zorder so the two curves read side by side.
     "x_hilbert" -> ((s, d) => {
       import s.implicits._
-      withHilbert16(lineitem(s, d).select($"l_partkey", $"l_suppkey"),
+      // fanOutScan: the 8-round Hilbert fold is the most expensive
+      // per-row expression in the suite and the scan is one split
+      withHilbert16(graft.operators.Scale.fanOutScan(
+            lineitem(s, d).select($"l_partkey", $"l_suppkey")),
           $"l_partkey", $"l_suppkey", "h16")
         .select($"h16", $"l_partkey")
         .groupBy(expr("h16 div 256").as("h_bucket"))
@@ -381,9 +392,14 @@ object Curation {
     // pins the stats under the literal basename.
     "c17_file_stats" -> ((s, d) => {
       import s.implicits._
-      lineitem(s, d)
-        .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
-          $"l_orderkey", $"l_shipdate", $"l_quantity")
+      // basename via substring_index (one backwards scan) instead of a
+      // per-row regex, and fanOutScan AFTER the name is bound (the
+      // non-deterministic input_file_name() must evaluate in the scan
+      // task; the repartition then spreads the aggregation work — no-op
+      // at scale where the scan has ≥ core-count splits)
+      graft.operators.Scale.fanOutScan(lineitem(s, d)
+          .select(substring_index(input_file_name(), "/", -1).as("file"),
+            $"l_orderkey", $"l_shipdate", $"l_quantity"))
         .groupBy($"file")
         .agg(count(lit(1)).as("n_rows"),
           min($"l_orderkey").as("min_orderkey"),
@@ -797,7 +813,10 @@ object Curation {
     // vector's L1 mass and first dims for the gate.
     "x_hash_embed" -> ((s, d) => {
       import s.implicits._
-      val toks = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan: one md5 per token over a one-split scan — spread the
+      // byte-small doc rows across the cores first (no-op at scale)
+      val toks = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select($"doc_id", explode(words($"text")).as("t"))
         .filter($"t" =!= "")
         .select($"doc_id",
@@ -967,6 +986,8 @@ object Curation {
     // more locally predictable text (boilerplate); high = incoherent.
     "x_bigram_nll" -> ((s, d) => {
       import s.implicits._
+      // (measured r19: fanOutScan + checkpointing the shared stages LOST
+      // 0.1 s — the two explodes re-derive cheaper than they materialize)
       val docs = documents(s, d).filter(length(trim($"text")) > 0)
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 2)
@@ -1030,9 +1051,12 @@ object Curation {
           size(words($"text")).cast("double").as("tokens"))
       val med = Analytics.contQuantiles(docs, "lang", "tokens",
         Seq("med" -> 0.5))
+      // two consumers (the MAD histogram and the final flag aggregation)
+      // — materialize once so the tokenize+median join runs once
       val dev = docs.join(broadcast(med), "lang")
         .select($"lang", $"tokens", $"med",
           abs($"tokens" - $"med").as("dev"))
+        .localCheckpoint(false)
       val mad = Analytics.contQuantiles(dev.select($"lang", $"dev"),
         "lang", "dev", Seq("mad" -> 0.5))
       dev.join(broadcast(mad), "lang")

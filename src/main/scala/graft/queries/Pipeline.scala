@@ -128,7 +128,11 @@ object Pipeline {
   def paragraphDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
     require(segWords > 0, s"segWords must be positive: $segWords")
     import docs.sparkSession.implicits._
-    val segs = docs.filter(length(trim($"text")) > 0)
+    // fanOutScan: segmentation + per-segment md5 off a one-split scan;
+    // the segment table feeds two consumers (keeper election and the
+    // reassembly join) — materialize it once instead of re-deriving
+    val segs = graft.operators.Scale.fanOutScan(
+        docs.filter(length(trim($"text")) > 0))
       .select($"doc_id", words($"text").as("w"))
       .select($"doc_id", posexplode(transform(
         sequence(lit(0),
@@ -138,6 +142,7 @@ object Pipeline {
         .as(Seq("seg_idx", "seg")))
       .select($"doc_id", $"seg_idx", $"seg",
         md5($"seg".cast("binary")).as("h"))
+      .localCheckpoint(false)
     val keepers = segs.groupBy($"h")
       .agg(min(struct($"doc_id", $"seg_idx")).as("keep"))
     segs.join(keepers, "h")
@@ -182,6 +187,8 @@ object Pipeline {
       rounds: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     import docs.sparkSession.implicits._
+    // (measured r19: a fanOutScan before this explode LOST 0.25 s — the
+    // partial count combines in the scan task cheaper than a repartition)
     val wc = docs.filter(length(trim($"text")) > 0)
       .select(explode(words($"text")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
@@ -262,7 +269,10 @@ object Pipeline {
   def dsirSelect(docs: DataFrame, targetLang: String, k: Int,
       buckets: Int = 4096): DataFrame = {
     import docs.sparkSession.implicits._
-    val base = docs.filter(length(trim($"text")) > 0)
+    // fanOutScan: the unigram+bigram feature explode + md5 below is the
+    // expensive per-row stage — spread the one-split scan first
+    val base = graft.operators.Scale.fanOutScan(
+        docs.filter(length(trim($"text")) > 0))
       .select($"doc_id", $"lang", words($"text").as("w"))
     val feats = base.select($"doc_id", $"lang", explode(concat($"w",
         zip_with($"w",
@@ -544,19 +554,31 @@ object Pipeline {
     * the corpus at any scale. Returns (vec_id, cid, d2) of the final
     * assignment; clusters that empty mid-run drop out (n > 0 guard).
     */
-  private[graft] def kmeansQuantized(emb: DataFrame, seeds: Seq[Long],
-                                     iters: Int): DataFrame = {
+  /** The ×1000-floor quantized dimension explode every integer-distance
+    * consumer (k-means, silhouette) hangs off: (vec_id, k, qv). */
+  private[graft] def quantizedDims(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    require(iters >= 1, "kmeansQuantized needs at least one iteration")
-    // the quantized explode feeds every iteration's scoring join AND the
-    // centroid re-derivation (2·iters + 1 consumers) — materialize once
-    val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
+    emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
       .select($"vec_id", $"k",
         floor($"v".cast("double") * 1000).cast("long").as("qv"))
-      .localCheckpoint(false)
-    val sq = dims.groupBy($"vec_id").agg(sum($"qv" * $"qv").as("qq"))
-      .localCheckpoint(false)
+  }
+
+  private[graft] def kmeansQuantized(emb: DataFrame, seeds: Seq[Long],
+                                     iters: Int): DataFrame = {
+    // the quantized explode feeds every iteration's scoring join AND the
+    // centroid re-derivation (2·iters consumers) — materialize once
+    kmeansForDims(quantizedDims(emb).localCheckpoint(false), seeds, iters)
+  }
+
+  /** Lloyd iterations over an already-derived (ideally checkpointed)
+    * quantized-dims frame — split out so clusterSilhouette shares ONE
+    * explode with the k-means rounds instead of re-deriving it. */
+  private[graft] def kmeansForDims(dims: DataFrame, seeds: Seq[Long],
+                                   iters: Int): DataFrame = {
+    val s = dims.sparkSession
+    import s.implicits._
+    require(iters >= 1, "kmeansQuantized needs at least one iteration")
     var cent = dims.filter($"vec_id".isin(seeds: _*))
       .select($"vec_id".as("cid"), $"k", $"qv".as("sk"), lit(1L).as("n"))
     var assign: DataFrame = null
@@ -564,9 +586,15 @@ object Pipeline {
       val live = cent.filter($"n" > 0)
       val stats = live.groupBy($"cid")
         .agg(sum($"sk" * $"sk").as("ss"), max($"n").as("n"))
+      // Σqv² rides the SAME (vec_id, cid) aggregation as the inner
+      // product (each group sees every dim exactly once), so the d2
+      // assembly needs no per-vector Σq² side table — one exchange and
+      // one shuffle-join per iteration fewer at any corpus size, for one
+      // extra codegen multiply-add per (dim, centroid) row
       val ip = dims.join(broadcast(live.select($"cid", $"k", $"sk")), Seq("k"))
-        .groupBy($"vec_id", $"cid").agg(sum($"qv" * $"sk").as("ip"))
-      val scored = ip.join(broadcast(stats), Seq("cid")).join(sq, Seq("vec_id"))
+        .groupBy($"vec_id", $"cid")
+        .agg(sum($"qv" * $"sk").as("ip"), sum($"qv" * $"qv").as("qq"))
+      val scored = ip.join(broadcast(stats), Seq("cid"))
         .select($"vec_id", $"cid",
           ($"n" * $"n" * $"qq" - lit(2L) * $"n" * $"ip" + $"ss").as("d2"),
           $"n")
@@ -599,31 +627,42 @@ object Pipeline {
                                        iters: Int): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    // ONE quantized explode feeds the k-means rounds, the final-centroid
+    // re-derivation AND the silhouette scoring join (it used to be
+    // derived twice — once inside kmeansQuantized, once here)
+    val dims = quantizedDims(emb).localCheckpoint(false)
     // the assignment feeds TWO consumers (centroid re-derivation and the
     // own-cluster join) — checkpoint it so the k-means iterations run
     // once, not once per consumer
-    val assign = kmeansQuantized(emb, seeds, iters).select($"vec_id", $"cid")
+    val assign = kmeansForDims(dims, seeds, iters).select($"vec_id", $"cid")
       .localCheckpoint(false)
-    val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
-      .select($"vec_id", $"k",
-        floor($"v".cast("double") * 1000).cast("long").as("qv"))
-    val sq = dims.groupBy($"vec_id").agg(sum($"qv" * $"qv").as("qq"))
     val cent = dims.join(assign, Seq("vec_id"))
       .groupBy($"cid", $"k").agg(sum($"qv").as("sk"), count(lit(1)).as("n"))
     val stats = cent.groupBy($"cid")
       .agg(sum($"sk" * $"sk").as("ss"), max($"n").as("n"))
+    // Σqv² rides the scoring aggregation (see kmeansForDims) — no
+    // per-vector Σq² table, no join by vec_id
     val ip = dims.join(broadcast(cent.select($"cid", $"k", $"sk")), Seq("k"))
-      .groupBy($"vec_id", $"cid").agg(sum($"qv" * $"sk").as("ip"))
-    val dd = ip.join(broadcast(stats), Seq("cid")).join(sq, Seq("vec_id"))
+      .groupBy($"vec_id", $"cid")
+      .agg(sum($"qv" * $"sk").as("ip"), sum($"qv" * $"qv").as("qq"))
+    val dd = ip.join(broadcast(stats), Seq("cid"))
       .select($"vec_id", $"cid",
         (($"n" * $"n" * $"qq" - lit(2L) * $"n" * $"ip" + $"ss")
           .cast("double") / ($"n" * $"n").cast("double")).as("dd"))
-    val own = dd.join(assign.withColumnRenamed("cid", "own"), Seq("vec_id"))
-    val aDist = own.filter($"cid" === $"own")
-      .select($"vec_id", $"own", sqrt($"dd").as("adist"))
-    val bDist = own.filter($"cid" =!= $"own")
-      .groupBy($"vec_id").agg(min(sqrt($"dd")).as("bdist"))
-    aDist.join(bDist, Seq("vec_id"))
+    // a = own-centroid distance, b = nearest-other distance, folded in
+    // ONE pass over the scored rows (the aDist-filter ⋈ bDist-groupBy
+    // form evaluated the whole dd subtree twice and paid an extra
+    // shuffle-join to zip a with b; min commutes with the monotonic sqrt
+    // on the nonneg d2, so aggregating dd and rooting after is exact)
+    dd.join(assign.withColumnRenamed("cid", "own"), Seq("vec_id"))
+      .groupBy($"vec_id", $"own")
+      .agg(min(when($"cid" === $"own", $"dd")).as("add"),
+        min(when($"cid" =!= $"own", $"dd")).as("bdd"))
+      // the two-table form's inner join dropped a vector with no
+      // other-cluster row (single live cluster) — keep that contract
+      .filter($"add".isNotNull && $"bdd".isNotNull)
+      .select($"vec_id", $"own",
+        sqrt($"add").as("adist"), sqrt($"bdd").as("bdist"))
       .select($"vec_id", $"own".as("cid"),
         floor(($"bdist" - $"adist") / greatest($"adist", $"bdist") * 1e6)
           .cast("long").as("sil_x1e6"))
@@ -857,8 +896,11 @@ object Pipeline {
   private def annLshTop5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d).select($"vec_id", $"embedding")
+    // two consumers (query buckets, candidate side) — materialize the
+    // 32-plane projection once instead of once per side
     val bucketed = emb.select($"vec_id",
       posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+      .localCheckpoint(false)
     val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
       .select($"vec_id".as("qid"), $"tbl", $"bkt")
     val cand = bucketed.filter(!$"vec_id".isin(0, 1, 2))
@@ -878,8 +920,11 @@ object Pipeline {
   private def annLshMultiprobeTop5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d).select($"vec_id", $"embedding")
+    // two consumers (probed query buckets, candidate side) — materialize
+    // the 32-plane projection once
     val bucketed = emb.select($"vec_id",
       posexplode(lshTables($"embedding")).as(Seq("tbl", "bkt")))
+      .localCheckpoint(false)
     val flips = lit(0) +: (0 until 8).map(j => lit(1 << j))
     val qb = bucketed.filter($"vec_id".isin(0, 1, 2))
       .select($"vec_id".as("qid"), $"tbl",
@@ -942,11 +987,15 @@ object Pipeline {
     */
   private def unigramNllPerDoc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the total token count derives from the vocab-sized frequency table
+    // (the former third corpus-explode pass summed the same counts);
+    // measured r19: fanOutScan/checkpointing the explode itself LOST
+    // ~0.2 s — the plain tokenize+count combines map-side cheaper
     val docs = documents(s, d).filter(length(trim($"text")) > 0)
       .select($"doc_id", words($"text").as("w"))
     val toks = docs.select($"doc_id", explode($"w").as("term"))
     val cnt = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
-    val tot = toks.agg(count(lit(1)).as("n_tok"))
+    val tot = cnt.agg(sum($"cnt").as("n_tok"))
     val lp = cnt.crossJoin(broadcast(tot))
       .select($"term",
         floor(log($"cnt".cast("double") / $"n_tok".cast("double")) * 1e6)
@@ -1161,11 +1210,15 @@ object Pipeline {
     // carries; the join shape is already the scale shape
     "d_simhash_neardup" -> ((s, d) => {
       import s.implicits._
+      // two consumers (both sides of the band self-join) — materialize
+      // the fingerprint+band table once instead of running the per-word
+      // md5 simhash pass twice
       val banded = simhashFp(s, d, bits = 32).select($"doc_id", $"fp",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             (shiftright($"fp", 8 * b) % 256).cast("int").as("byte"))): _*)).as("e"))
         .select($"doc_id", $"fp", $"e.band".as("band"), $"e.byte".as("byte"))
+        .localCheckpoint(false)
       val a = banded.select($"band", $"byte", $"doc_id".as("id1"), $"fp".as("fp1"))
       val c = banded.select($"band", $"byte", $"doc_id".as("id2"), $"fp".as("fp2"))
       a.join(c, Seq("band", "byte")).filter($"id1" < $"id2")
@@ -1336,7 +1389,10 @@ object Pipeline {
     // match counts and the MD5 of the redacted text pin the rewrite
     "x_pii_scrub" -> ((s, d) => {
       import s.implicits._
-      val doc = documents(s, d).select($"doc_id",
+      // fanOutScan: three regex rewrites + three regex extracts per doc
+      // off a one-split scan (no-op at scale)
+      val doc = graft.operators.Scale.fanOutScan(documents(s, d))
+        .select($"doc_id",
         concat($"text", lit(" contact user"), $"doc_id",
           lit("@example.com via 10.0."), ($"doc_id" % 256),
           lit(".7 or "), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
@@ -1729,9 +1785,16 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       val G = 16; val K = 16; val C = 150; val TopK = 5
       val emb = embeddings(s, d).select($"vec_id", $"embedding")
+      // ONE hash exchange on vec_id right after the explode: every
+      // downstream aggregation keys on a superset of {vec_id} — ip's
+      // (vec_id, m, j), codes' (vec_id, m), adc's (qid, vec_id) after
+      // the broadcast joins — so they all accept the subset-key
+      // clustering and run exchange-free off this single shuffle
+      // (aggregates take subset clustering unconditionally; r12 rule)
       val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
         .select($"vec_id", expr("k div 4").cast("int").as("m"), $"k",
           floor($"v".cast("double") * 1000).cast("long").as("qv"))
+        .repartition($"vec_id")
       val code = dims.filter($"vec_id" < G * K)
         .groupBy(expr("vec_id div 16").cast("int").as("j"), $"m", $"k")
         .agg(sum($"qv").as("sk"))
@@ -1983,7 +2046,10 @@ object Pipeline {
     // size no matter how large the training set.
     "x_decontaminate" -> ((s, d) => {
       import s.implicits._
-      val base = documents(s, d)
+      // fanOutScan + checkpoint: the 5-gram explode feeds two consumers
+      // (benchmark and training sides) — spread the one-split scan and
+      // materialize the explode once instead of once per consumer
+      val base = graft.operators.Scale.fanOutScan(documents(s, d))
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 5)
       val grams = base.select($"doc_id",
@@ -1991,6 +2057,7 @@ object Pipeline {
           i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
             element_at($"w", i + 2), element_at($"w", i + 3),
             element_at($"w", i + 4)))).as("g"))
+        .localCheckpoint(false)
       val bench = grams.filter($"doc_id" % 50 === 0).select($"g").distinct()
       val train = grams.filter($"doc_id" % 50 =!= 0).distinct()
       val hits = train.join(broadcast(bench), Seq("g"))
@@ -2012,6 +2079,8 @@ object Pipeline {
     // computes the exact vocabulary and pins every flag 1.
     "x_vocab_hll" -> ((s, d) => {
       import s.implicits._
+      // (measured r19: a fanOutScan here LOST 0.14 s — the partial aggs
+      // combine in the scan task cheaper than a repartition)
       val toks = documents(s, d).filter(length(trim($"text")) > 0)
         .select($"lang", explode(words($"text")).as("term"))
       toks.groupBy($"lang")
@@ -2035,7 +2104,9 @@ object Pipeline {
     // partial-aggregated sum; linear in the corpus, never a self-join.
     "x_dup_spans" -> ((s, d) => {
       import s.implicits._
-      val base = documents(s, d)
+      // fanOutScan: the 5-gram explode is CPU-bound and the scan is one
+      // split (no-op at scale)
+      val base = graft.operators.Scale.fanOutScan(documents(s, d))
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 5)
       // two consumers (doc-frequency build, per-position join) — the
@@ -2085,7 +2156,10 @@ object Pipeline {
     // weight table, same plan with one map-side hash join added).
     "x_quality_classifier" -> ((s, d) => {
       import s.implicits._
-      val base = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan: the feature explode + per-feature md5 is CPU-bound
+      // and the scan is one split (no-op at scale)
+      val base = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select($"doc_id", words($"text").as("w"))
       val feats = base.select($"doc_id", explode(concat($"w",
         zip_with($"w",
@@ -2138,9 +2212,12 @@ object Pipeline {
 
     "x_tfidf_top" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan + checkpoint: two consumers (term explode, doc count)
+      // off a one-split scan — spread and materialize the token arrays
+      val docs = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select($"doc_id", words($"text").as("w"))
+        .localCheckpoint(false)
       val tf = docs.select($"doc_id", explode($"w").as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
@@ -2148,9 +2225,15 @@ object Pipeline {
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .select($"doc_id", $"term", $"tf", $"df",
           ($"tf" * expr("(1000000 * n_docs) div df")).as("score"))
-      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-      scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-        .select($"doc_id", $"term", $"tf", $"df", $"score")
+      // top-1 per doc via a partial-aggregable argmin over
+      // (-score, term, ...) — identical ordering to the row_number
+      // window (score desc, term asc; scores are exact integers) with
+      // map-side combine instead of a corpus-wide shuffle+sort per doc
+      scored.groupBy($"doc_id")
+        .agg(min(struct((-$"score").as("ns"), $"term".as("term"),
+          $"tf".as("tf"), $"df".as("df"))).as("m"))
+        .select($"doc_id", $"m.term".as("term"), $"m.tf".as("tf"),
+          $"m.df".as("df"), (-$"m.ns").as("score"))
         .orderBy($"doc_id")
     }),
 
@@ -2248,8 +2331,13 @@ object Pipeline {
     // dup fractions have no carrier here)
     "x_repetition" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d).filter(length(trim($"text")) > 0)
+      // fanOutScan + checkpoint: two consumers (unigram and bigram
+      // explodes) re-tokenized the one-split scan — spread it and
+      // materialize the token arrays once
+      val docs = graft.operators.Scale.fanOutScan(
+          documents(s, d).filter(length(trim($"text")) > 0))
         .select($"doc_id", words($"text").as("w"))
+        .localCheckpoint(false)
       val uni = docs
         .select($"doc_id", size($"w").as("tokens"), explode($"w").as("word"))
         .groupBy($"doc_id", $"tokens", $"word").agg(count(lit(1)).as("n"))
@@ -2540,26 +2628,31 @@ object Pipeline {
       // exact-Jaccard work is scoped to PAIR PARTICIPANTS before any
       // shingle join: on a real corpus candidates touch a small fraction
       // of docs, so the semi-join shrinks the shingle table ahead of the
-      // distinct + pair joins (on this dup-heavy synthetic corpus most
-      // docs participate, so the filter is ~neutral here)
+      // set aggregation (on this dup-heavy synthetic corpus most docs
+      // participate, so the filter is ~neutral here). Each member's
+      // DISTINCT shingle set packs into one array row (the d_ngram_jaccard
+      // shape — collect_set dedups, so no separate distinct pass), and
+      // |A∩B| / |A| / |B| all come from the two pair-side array joins —
+      // where the exploded-row form paid a distinct exchange, a per-doc
+      // count aggregation, a (id2, shingle)-keyed shuffle join and a
+      // per-pair count groupBy. Array size is bounded by document length,
+      // the same bound d_ngram_jaccard already rides at scale.
       val members = pairs.select(explode(array($"id1", $"id2")).as("doc_id"))
         .distinct()
-      // three consumers (per-doc sizes, both sides of the intersection
-      // join) — materialize the distinct shingle set once
-      val sd = sh.join(members, "doc_id").distinct().localCheckpoint(false)
-      val sc = sd.groupBy($"doc_id").agg(count(lit(1)).as("c"))
-      val inter = pairs
-        .join(sd.select($"doc_id".as("id1"), $"s"), "id1")
-        .join(sd.select($"doc_id".as("id2"), $"s"), Seq("id2", "s"))
-        .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+      // two consumers (both sides of the pair join) — materialize once
+      val sets = sh.join(members, "doc_id")
+        .groupBy($"doc_id").agg(collect_set($"s").as("ws"))
+        .localCheckpoint(false)
       est
-        .join(sc.select($"doc_id".as("id1"), $"c".as("c1")), "id1")
-        .join(sc.select($"doc_id".as("id2"), $"c".as("c2")), "id2")
-        .join(inter, Seq("id1", "id2"), "left")
+        .join(sets.select($"doc_id".as("id1"), $"ws".as("w1")), "id1")
+        .join(sets.select($"doc_id".as("id2"), $"ws".as("w2")), "id2")
         .select($"id1", $"id2", $"est_matches",
           ($"est_matches" * 1250).as("est_x10000"),
-          floor(lit(10000.0) * coalesce($"inter", lit(0L)) /
-            ($"c1" + $"c2" - coalesce($"inter", lit(0L))) + 0.5)
+          size(array_intersect($"w1", $"w2")).as("inter"),
+          size($"w1").as("c1"), size($"w2").as("c2"))
+        .select($"id1", $"id2", $"est_matches", $"est_x10000",
+          floor(lit(10000.0) * $"inter" /
+            ($"c1" + $"c2" - $"inter") + 0.5)
             .cast("long").as("jacc_x10000"),
           ($"est_matches" >= 2).cast("long").as("lsh_ok"))
         .orderBy($"id1", $"id2")

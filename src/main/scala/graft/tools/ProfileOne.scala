@@ -3,15 +3,17 @@ package graft.tools
 import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
 
-/** Dev aid: run ONE SparkEntry query and print a per-job wall-time
-  * breakdown (job id, seconds, stage count, task count, description) so a
-  * slow bench entry can be attributed to its dominant jobs instead of
-  * guessed at. Usage:
-  *   sbt "runMain graft.tools.ProfileOne <query> [sfDir]"
+/** Dev aid: run ONE SparkEntry query (or a comma-separated list, sharing
+  * one warmed JVM) and print a per-job wall-time breakdown (job id,
+  * seconds, stage count, task count, description) so a slow bench entry
+  * can be attributed to its dominant jobs instead of guessed at. Usage:
+  *   sbt "runMain graft.tools.ProfileOne <query>[,<query>...] [sfDir]"
   */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: ProfileOne <query> [sfDir]"))
+    val names = args.headOption.getOrElse(sys.error("usage: ProfileOne <query>[,...] [sfDir]"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val name = names.head
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     // same scratch election as Bench — profiling on a different
     // spill device than the bench would mis-attribute shuffle cost
@@ -50,9 +52,9 @@ object ProfileOne {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    val fn = graft.SparkEntry.queries(name)
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
-    (1 to passes).foreach { p =>
+    for (name <- names; p <- 1 to passes) {
+      val fn = graft.SparkEntry.queries(name)
       jobs.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

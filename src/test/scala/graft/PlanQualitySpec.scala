@@ -1069,10 +1069,19 @@ class PlanQualitySpec extends SparkSpec {
       s"downsampling must stay a codegen'd array transform:\n$plan")
   }
 
-  test("c24_referential_audit: orphan checks are anti hash joins") {
+  test("c24_referential_audit: one child scan per relation, stats off " +
+      "one full-outer join") {
     val plan = planString(q("c24_referential_audit"))
-    assert(plan.split("LeftAnti").length - 1 >= 8,
-      s"every relation audits both directions with anti joins:\n$plan")
+    // r19 optimization: orphans/childless/fan all derive from the fan
+    // counts full-outer-joined with the parent keys — no anti joins, and
+    // each relation scans its child table exactly once (4 relations ×
+    // (1 child + 1 parent) = 8 scans; the old shape paid 16)
+    assert(plan.split("FullOuter").length - 1 >= 4,
+      s"every relation audits through one full-outer join:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"the anti-join double scan must stay collapsed:\n$plan")
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans <= 8, s"one child + one parent scan per relation:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"audits never cross tables:\n$plan")
     assert(plan.contains("partial_count"),

@@ -2386,11 +2386,10 @@ object Analytics {
       // ONE basket aggregation feeds both consumers: the pair explode and
       // the item frequencies (exploding the per-basket sets re-derives
       // the distinct (order, item) rows without a second lineitem pass).
-      // fanOutScan: the basket collect_set's map side ran single-task off
-      // the one-split scan (measured 0.6 s); the repartition spreads it
-      // (no-op at scale)
-      val bk = baskets(graft.operators.Scale.fanOutScan(
-          lineitem(s, d).select($"l_orderkey", $"l_partkey")))
+      // (measured r19: a fanOutScan before the collect_set LOST 0.7 s
+      // in-suite — the repartition's sort+shuffle of 600k raw rows costs
+      // more than the single-task map-side set build it replaces)
+      val bk = baskets(lineitem(s, d).select($"l_orderkey", $"l_partkey"))
         .localCheckpoint(false)
       val pairs = basketPairsFrom(bk, minSupport = 3)
       val freq = bk.select(explode($"ids").as("l_partkey"))

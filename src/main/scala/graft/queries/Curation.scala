@@ -55,11 +55,15 @@ object Curation {
     import docs0.sparkSession.implicits._
     val docs = docs0.select($"doc_id")
     val nRow = docs.agg(count(lit(1)).as("n"))
+    // every iteration joins the edge list — materialize it once instead
+    // of re-deriving the count + explode per round (the hits() twin
+    // already does this)
     val edges = docs.crossJoin(broadcast(nRow))
       .select($"doc_id".as("src"), explode(array(
         ($"doc_id" * $"doc_id" + 37) % $"n",
         ($"doc_id" * $"doc_id" + 74) % $"n",
         ($"doc_id" * $"doc_id" + 111) % $"n")).as("dst"))
+      .localCheckpoint(false)
     var ranks = docs.select($"doc_id", lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val insum = edges.join(ranks, edges("src") === ranks("doc_id"))
@@ -866,7 +870,11 @@ object Curation {
       // filtering members of >64 buckets first keeps the self-join
       // O(64·|bd|); filtering after would pay the mega-buckets' m²
       // pair space just to discard it — the 8×1 config's single-hash
-      // buckets are exactly where that blows up.
+      // buckets are exactly where that blows up. (measured r19: a
+      // collect_list bucket explode — the minhashCandidatePairs shape —
+      // read 0.3 s SLOWER in-suite here despite two fewer exchanges;
+      // the four-config tagged arrays materialize heavier than the
+      // row-form semi-join. Kept the measured winner.)
       val bdOk = bd.join(buckets.filter($"m" <= 64)
         .select($"cfg", $"band", $"h"), Seq("cfg", "band", "h"))
       val cand = bdOk.as("a").join(bdOk.as("b"),

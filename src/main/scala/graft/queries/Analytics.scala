@@ -411,8 +411,13 @@ object Analytics {
       .agg(count(lit(1)).as("v"))
     val langs = tots.select($"mlang", $"tot")
       .crossJoin(broadcast(vocab))
-    // doc-side bigram counts on the EVAL half
+    // doc-side bigram counts on the EVAL half, hash-clustered by doc_id
+    // BEFORE the ×n_langs scoring fan: both downstream aggregations
+    // ((doc, lang, mlang) term sums and the (doc, lang) argmax) accept
+    // the subset-key clustering and run exchange-free, so the shuffle
+    // moves the 1× pre-fan rows instead of the fanned table twice
     val docBg = docBgAll.filter($"doc_id" % 2 === 1)
+      .repartition($"doc_id")
     val scored = docBg
       .crossJoin(broadcast(langs))
       .join(broadcast(cnts), Seq("mlang", "bg"), "left")

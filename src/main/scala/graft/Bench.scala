@@ -120,6 +120,38 @@ object Bench {
     if (new java.io.File(detailPath).getName == "bench_detail.json") detailPath
     else env.getOrElse("SPARK_GRAFT_ATTR_PRIOR", "bench_detail.json")
 
+  /** Tail-survivable per-query records (the r19 verdict's item #2): the
+    * caller that collects this program's output keeps only the LAST ~2000
+    * characters of stdout, which beheads the multi-KB `"metric":"total"`
+    * line — per-query times never survived the capture (three rounds of
+    * `parsed: null`). Pack the per-query map into small SELF-CONTAINED
+    * JSON lines (each independently parseable, each well under the
+    * capture window), ordered fastest-first so the chunks that survive at
+    * the tail carry the SLOWEST — most diagnostic — queries. Pure
+    * function so the spec can pin the packing (every entry appears
+    * exactly once, every line fits the bound, ordering is by time).
+    */
+  private[graft] def queryChunkLines(times: Seq[(String, Double)],
+                                     sfJson: String,
+                                     maxChunkBytes: Int = 700): Seq[String] = {
+    val entries = times.sortBy { case (k, v) => (v, k) }
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val packed = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    var cur = Vector.empty[String]
+    var curLen = 0
+    for (e <- entries) {
+      if (cur.nonEmpty && curLen + e.length + 1 > maxChunkBytes) {
+        packed += cur; cur = Vector.empty; curLen = 0
+      }
+      cur :+= e; curLen += e.length + 1
+    }
+    if (cur.nonEmpty) packed += cur
+    val n = packed.size
+    packed.zipWithIndex.map { case (es, i) =>
+      s"""{"metric":"queries_part","part":${i + 1},"parts":$n,"unit":"sec","sf":"$sfJson","queries":${es.mkString("{", ",", "}")}}"""
+    }.toSeq
+  }
+
   /** The attribution arithmetic behind the JSON fields, separated so the
     * spec can pin it. `sharedPairs` is (priorSecs, currentSecs) per query
     * both rounds measured; ratios are current-over-prior. code_ratio
@@ -431,8 +463,18 @@ object Bench {
     }.sorted
     val noise =
       if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
-    println(
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,$attribution,"min_passes":$minPassesRun,"extra_passes":$extraPasses,"scratch_dir":"$scratchDir","worst5":$worst5}""")
+    val compactLine =
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"sweep_noise_median":$noise%.2f,"calib_secs":$calib%.3f,"calib_mc_secs":$calibMc%.3f,"mc_over_st":$stealRatio%.2f,$attribution,"min_passes":$minPassesRun,"extra_passes":$extraPasses,"scratch_dir":"$scratchDir","worst5":$worst5}"""
+    println(compactLine)
+    // Per-query records in tail-survivable form (see [[queryChunkLines]]),
+    // then the compact summary ONCE MORE as the very last line: the
+    // capture keeps a fixed-size suffix, so whatever chunk prefix it
+    // drops, the suffix always ends with complete per-query records for
+    // the slowest queries plus the headline total. Additions only — the
+    // two lines above are unchanged from previous rounds.
+    queryChunkLines(results.map { case (k, (v, _)) => (k, v) }, jq(sfDir))
+      .foreach(println)
+    println(compactLine)
     spark.stop()
   }
 }

@@ -614,6 +614,13 @@ object CubeRun {
     // get_or_create over the items table), committed pointer-versioned
     val items = CubeBuilder.publishItems(pubSource, collection)
     val itemsPath = s"$outDir/items"
+    // (measured r20: riding RunResult's items total on an Observation
+    // attached to the commit write — saving the readback's re-read, 3
+    // jobs — read FLAT solo but LOST 1.15 s in-suite, 2.82→3.97: by the
+    // time a long-lived bench session reaches this query its async
+    // listener bus is seconds behind, and Await(obs.future) blocks on
+    // the backlog — an Observation await is a hidden sync point on the
+    // listener bus. Don't re-litigate without a non-blocking read.)
     stage(spark, "publish:items") {
       val newItems = Ledger.readCurrent(spark, itemsPath) match {
         case Some(old) =>

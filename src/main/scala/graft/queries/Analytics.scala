@@ -120,7 +120,10 @@ object Analytics {
     ev.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
         $"user_id")
       .select(date_add($"day", $"off").as("wday"), $"user_id")
-      .distinct()
+      // no explicit distinct on the fanned table (r20): countDistinct's
+      // own two-phase plan partial-aggregates on (wday, user) map-side
+      // before its exchange — the former .distinct() shuffled the same
+      // deduped pairs a SECOND time for byte-identical output
       .join(days.select($"day".as("wday")), Seq("wday"))
       .groupBy($"wday")
       .agg(countDistinct($"user_id").as("dau7"))
@@ -415,7 +418,13 @@ object Analytics {
     // BEFORE the ×n_langs scoring fan: both downstream aggregations
     // ((doc, lang, mlang) term sums and the (doc, lang) argmax) accept
     // the subset-key clustering and run exchange-free, so the shuffle
-    // moves the 1× pre-fan rows instead of the fanned table twice
+    // moves the 1× pre-fan rows instead of the fanned table twice.
+    // (measured r20: replacing the fan with a broadcast lang→(tot,
+    // bigram→count) map row scored via higher-order transform/aggregate
+    // + try_element_at LOST 5.5 s in-suite, 2.41→7.86 — the lambda
+    // functions evaluate interpreted per (doc × lang × bigram) where
+    // this fan's join/agg pipeline is whole-stage-codegen; don't
+    // re-litigate without a codegen'd map-lookup expression)
     val docBg = docBgAll.filter($"doc_id" % 2 === 1)
       .repartition($"doc_id")
     val scored = docBg
@@ -2033,7 +2042,13 @@ object Analytics {
       du.select(explode(sequence(lit(0), lit(6))).as("off"), $"day",
           $"user_id")
         .select(date_add($"day", $"off").as("wday"), $"user_id")
-        .distinct()
+        // no explicit distinct on the fanned table (r20): BOTH downstream
+        // aggregates are multiplicity-invariant — countDistinct dedups
+        // (wday, user) in its own partial pass, and an HLL sketch of a
+        // multiset equals the sketch of its set (duplicates rewrite the
+        // same register with the same value) — so the former .distinct()
+        // was a second full exchange of the ×7 table for byte-identical
+        // output
         .join(days.select($"day".as("wday")), Seq("wday"))
         .groupBy($"wday")
         .agg(countDistinct($"user_id").as("dau7"),

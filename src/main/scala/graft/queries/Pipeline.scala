@@ -1031,7 +1031,20 @@ object Pipeline {
   def minLabelClusters(docsIds: DataFrame, sym: DataFrame,
                        awaitMs: Long = 5000L,
                        maxRounds: Int = 25,
-                       preContract: Boolean = true): DataFrame = {
+                       preContract: Boolean = true): DataFrame =
+    minLabelClustersWithRounds(docsIds, sym, awaitMs, maxRounds,
+      preContract)._1
+
+  /** As [[minLabelClusters]], also returning how many propagation rounds
+    * ran and whether the loop (vs. the exhaustion fallback) converged —
+    * pinned by ComponentsSpec so the pointer-jumping round doubling
+    * can't silently regress to one-hop-per-round on chains.
+    */
+  private[graft] def minLabelClustersWithRounds(
+      docsIds: DataFrame, sym: DataFrame,
+      awaitMs: Long = 5000L,
+      maxRounds: Int = 25,
+      preContract: Boolean = true): (DataFrame, Int, Boolean) = {
     val s = docsIds.sparkSession
     import s.implicits._
     // Per-partition union-find contraction before any propagation round
@@ -1061,7 +1074,22 @@ object Pipeline {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val neigh = symEff.join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
+      // Pointer-jumping doubles the contraction per round (r20, guide
+      // §2.4): besides its graph neighbors, every doc also "hears" its
+      // CURRENT label's label — the labels table unions into the edge
+      // side as (doc_id → lbl) rows, so one and the same join yields
+      // min(neighbors' labels, lbl(lbl)). Label values are always doc
+      // ids present in `labels` (init = own id; updates take other
+      // docs' labels), so the lookup always lands. Effective distance
+      // to the component minimum halves per round: adversarial chains
+      // converge in O(log diameter) rounds instead of O(diameter),
+      // while the fixpoint itself — min reachable id, detected by
+      // changed_labels == 0 — is untouched (at the fixpoint
+      // lbl(lbl) = lbl). Cost: |docs| extra join-input rows per round,
+      // no extra join or job.
+      val neigh = symEff
+        .unionAll(labels.select($"doc_id".as("a"), $"lbl".as("b")))
+        .join(labels.select($"doc_id".as("b"), $"lbl".as("nl")), "b")
         .groupBy($"a").agg(min($"nl").as("minn"))
       val newLbl = least($"lbl", coalesce($"minn", $"lbl"))
       val obs = org.apache.spark.sql.Observation()
@@ -1100,10 +1128,10 @@ object Pipeline {
             coalesce($"component", $"doc_id").as("cluster_id"))
       }
     import org.apache.spark.sql.expressions.Window
-    labeled
+    (labeled
       .withColumn("members",
         count(lit(1)).over(Window.partitionBy($"cluster_id")))
-      .orderBy($"doc_id")
+      .orderBy($"doc_id"), rounds, converged)
   }
 
   val queries: Map[String, Q] = Map(
@@ -1791,10 +1819,18 @@ object Pipeline {
       // the broadcast joins — so they all accept the subset-key
       // clustering and run exchange-free off this single shuffle
       // (aggregates take subset clustering unconditionally; r12 rule)
+      // localCheckpoint materializes the repartitioned table ONCE (r20):
+      // without it the explode+shuffle subtree repeats under each
+      // consumer in the static plan (the r19 dump showed 37→39 exchange
+      // nodes and left the single-shuffle claim invisible; runtime reuse
+      // depended on exchange reuse). Two consumers (codebook filter, ip
+      // join) — the r14 "don't checkpoint small dims" finding predates
+      // the repartition, whose exchange is what this pin dedupes.
       val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("k", "v")))
         .select($"vec_id", expr("k div 4").cast("int").as("m"), $"k",
           floor($"v".cast("double") * 1000).cast("long").as("qv"))
         .repartition($"vec_id")
+        .localCheckpoint(false)
       val code = dims.filter($"vec_id" < G * K)
         .groupBy(expr("vec_id div 16").cast("int").as("j"), $"m", $"k")
         .agg(sum($"qv").as("sk"))
@@ -2616,15 +2652,6 @@ object Pipeline {
       // three consumers (signature compare, member scoping, intersection
       // join) — the band/bucket/pair derivation materializes once
       val pairs = minhashCandidatePairsFromSigs(sigs).localCheckpoint(false)
-      val a = sigs.select(($"doc_id").as("id1") +:
-        (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
-      val b = sigs.select(($"doc_id").as("id2") +:
-        (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
-      val est = pairs.join(a, "id1").join(b, "id2")
-        .select($"id1", $"id2",
-          (0 until 8).map(j =>
-            when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
-            .reduce(_ + _).as("est_matches"))
       // exact-Jaccard work is scoped to PAIR PARTICIPANTS before any
       // shingle join: on a real corpus candidates touch a small fraction
       // of docs, so the semi-join shrinks the shingle table ahead of the
@@ -2639,18 +2666,31 @@ object Pipeline {
       // the same bound d_ngram_jaccard already rides at scale.
       val members = pairs.select(explode(array($"id1", $"id2")).as("doc_id"))
         .distinct()
-      // two consumers (both sides of the pair join) — materialize once
-      val sets = sh.join(members, "doc_id")
+      // ONE per-member side table carries BOTH the signature columns and
+      // the packed shingle set (r20: the signature compare and the exact
+      // side used to join the pair table four times — a/b sigs, w1/w2
+      // sets; folding them into one member-info table halves the pair-side
+      // joins to two and drops the separate sets checkpoint barrier).
+      // Both inputs are already doc_id-clustered aggregation outputs, so
+      // the fold join adds no exchange; two consumers (both pair sides)
+      // — materialize once.
+      val info = sh.join(members, "doc_id")
         .groupBy($"doc_id").agg(collect_set($"s").as("ws"))
+        .join(sigs, "doc_id")
         .localCheckpoint(false)
-      est
-        .join(sets.select($"doc_id".as("id1"), $"ws".as("w1")), "id1")
-        .join(sets.select($"doc_id".as("id2"), $"ws".as("w2")), "id2")
-        .select($"id1", $"id2", $"est_matches",
-          ($"est_matches" * 1250).as("est_x10000"),
+      val a = info.select(($"doc_id").as("id1") +: $"ws".as("w1") +:
+        (0 until 8).map(j => col(s"m$j").as(s"a$j")): _*)
+      val b = info.select(($"doc_id").as("id2") +: $"ws".as("w2") +:
+        (0 until 8).map(j => col(s"m$j").as(s"b$j")): _*)
+      pairs.join(a, "id1").join(b, "id2")
+        .select($"id1", $"id2",
+          (0 until 8).map(j =>
+            when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+            .reduce(_ + _).as("est_matches"),
           size(array_intersect($"w1", $"w2")).as("inter"),
           size($"w1").as("c1"), size($"w2").as("c2"))
-        .select($"id1", $"id2", $"est_matches", $"est_x10000",
+        .select($"id1", $"id2", $"est_matches",
+          ($"est_matches" * 1250).as("est_x10000"),
           floor(lit(10000.0) * $"inter" /
             ($"c1" + $"c2" - $"inter") + 0.5)
             .cast("long").as("jacc_x10000"),

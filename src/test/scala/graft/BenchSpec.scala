@@ -68,6 +68,28 @@ class BenchSpec extends AnyFunSuite {
       == "/tmp/copy/bench_detail.json")
   }
 
+  test("queries_part chunks: every entry once, every line bounded, " +
+       "slowest queries in the LAST chunk") {
+    val times = (1 to 300).map(i => (f"q$i%03d_some_query_name", i / 100.0))
+    val lines = Bench.queryChunkLines(times, "/data/sf0.1")
+    // each line is bounded well under the 2000-char capture window
+    // (payload bound + fixed envelope), and self-contained JSON
+    assert(lines.forall(_.length < 900))
+    assert(lines.forall(l => l.startsWith("{\"metric\":\"queries_part\"")
+      && l.endsWith("}")))
+    // every query appears exactly once across the chunks
+    val all = lines.flatMap(l =>
+      "\"(q\\d+_some_query_name)\":".r.findAllMatchIn(l).map(_.group(1)))
+    assert(all.sorted == times.map(_._1).sorted)
+    // ascending-time packing: the final chunk holds the slowest query,
+    // so a capture that keeps only the suffix keeps the worst offenders
+    assert(lines.last.contains("\"q300_some_query_name\":3.000"))
+    assert(lines.head.contains("\"q001_some_query_name\":0.010"))
+    // part/parts envelope is consistent
+    assert(lines.head.contains(s""""part":1,"parts":${lines.size}"""))
+    assert(lines.last.contains(s""""part":${lines.size},"parts":${lines.size}"""))
+  }
+
   test("no committed prior -> every ratio is None (null in JSON), " +
        "never a fabricated 1.0") {
     val (st, mc, code) = ratios(Seq.empty, 0.25, 0.40, None, None)

@@ -226,4 +226,25 @@ class ComponentsSpec extends SparkSpec {
     assert(exhausted == metricPath,
       "round-exhaustion fallback must match the converged propagation")
   }
+
+  test("minLabelClusters: pointer jumping converges adversarial chains " +
+       "in O(log diameter) rounds (r20)") {
+    import spark.implicits._
+    // a 64-hop path, preContract OFF and edges left raw: plain one-hop
+    // propagation would need 63 rounds (and hit the exhaustion fallback
+    // at maxRounds = 25); label-of-label doubling must land it in
+    // ~log2(64) + small-constant rounds
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val docs = (0L to 63L).toDF("doc_id")
+    val sym = chain.toDF("a", "b")
+      .unionAll(chain.map(_.swap).toDF("a", "b"))
+    val (df, rounds, converged) = graft.queries.Pipeline
+      .minLabelClustersWithRounds(docs, sym, preContract = false)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(converged, "pointer jumping must converge inside maxRounds")
+    info(s"minLabelClusters(64-chain, raw edges): rounds $rounds")
+    assert(rounds <= 10,
+      s"chain of diameter 63 should need ~log2 rounds, took $rounds")
+    assert(out.values.forall(_ == 0L), "whole chain must label 0")
+  }
 }
